@@ -1,0 +1,147 @@
+"""Tiered fuzzy similarity join — the engine's flagship operator.
+
+Re-expresses the reference's ``find_matches`` nested-loop matcher
+(/root/reference/main.py:197-230, driven per-probe from
+/root/reference/main.py:559-561 and :473-478) as a single distributed
+DataFrame plan. Semantics replicated exactly (SURVEY.md §2.3):
+
+Per probe value ``q`` against candidate set ``C`` with threshold ``t``,
+distances computed on normalized strings (lowercase, alphanumerics
+only — /root/reference/main.py:171-172) but original values returned:
+
+* ``exact``      — dist == 0 (after normalization). main.py:207-208.
+* ``best``       — all ties at min{dist : 0 < dist <= t}. main.py:210-216.
+* ``potential``  — 0 < dist <= t, excluding best. main.py:219.
+* ``poor``       — ONLY when no pair has 0 < dist <= t: all ties at the
+  global min over ALL candidates (main.py:218-228). NB the reference's
+  fallback rescans every candidate *including* dist-0 ones, so when a
+  probe has an exact match but no positive within-threshold match, the
+  dist-0 candidates appear in BOTH ``exact`` and ``poor`` — replicated
+  here (the fallback scan does not exclude dist == 0).
+
+Scale design (this is where the Spark version stops being a loop):
+
+* Phase 1 scores only the **length band** |len(nq) - len(nc)| <= t —
+  levenshtein(a,b) >= |len(a)-len(b)|, so nothing outside the band can
+  be within threshold. Scoring uses the threshold form
+  ``levenshtein(a, b, t)`` (Spark >= 3.5) which early-exits the DP at
+  O(len * t) instead of O(len^2).
+* Phase 2 (the ``poor`` fallback — a full-candidate global argmin, like
+  the reference's rescan at main.py:222-228 but ONE extra job over the
+  minority of probes with no within-threshold match, not a 2x recompute
+  for every probe).
+* ``strategy="broadcast"`` broadcasts the candidate side (no shuffle —
+  right whenever candidates fit in memory, the reference's regime).
+  ``strategy="band"`` turns the length-band predicate into an
+  **equi-join** by exploding each candidate over the [lc-t, lc+t]
+  length bucket — a shuffled hash join on the band key, for
+  candidate sets too big to broadcast (the 100 TB regime). Both
+  produce identical results.
+
+Output: one row per (probe, candidate, tier) membership —
+``probe_id, probe, cand_id, cand, dist, tier``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import norm_key
+
+OUT_COLS = ["probe_id", "probe", "cand_id", "cand", "dist", "tier"]
+
+
+def _prep(df: DataFrame, id_col: str, val_col: str, out_id: str, out_val: str, nrm: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("long").alias(out_id),
+        F.col(val_col).alias(out_val),
+        norm_key(F.col(val_col)).alias(nrm),
+    )
+
+
+def tiered_fuzzy_join(
+    probe: DataFrame,
+    cand: DataFrame,
+    probe_id: str = "probe_id",
+    probe_val: str = "probe",
+    cand_id: str = "cand_id",
+    cand_val: str = "cand",
+    threshold: int = 3,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Score every probe against the candidate set and classify matches
+    into exact / best / potential / poor tiers (reference semantics).
+
+    probe must have (probe_id, probe_val); cand (cand_id, cand_val).
+    Returns OUT_COLS with ``dist`` as long and ``tier`` as string.
+    """
+    t = threshold
+    p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
+    c = _prep(cand, cand_id, cand_val, "cand_id", "cand", "_nc")
+
+    # ---- Phase 1: within-threshold pairs via length-band pruning ----
+    if strategy == "band":
+        # equi-join on length bucket: each candidate is replicated into
+        # the 2t+1 probe-lengths it could match; join key is an int, so
+        # this is a plain (shuffled or broadcast) hash join that scales
+        # past broadcast limits and lets AQE handle skewed bands.
+        c_banded = c.withColumn(
+            "_band",
+            F.explode(F.sequence(F.greatest(F.length("_nc") - t, F.lit(0)), F.length("_nc") + t)),
+        )
+        banded = p.withColumn("_band", F.length("_nq")).join(c_banded, "_band").drop("_band")
+    else:
+        banded = p.join(
+            F.broadcast(c),
+            F.abs(F.length("_nq") - F.length("_nc")) <= t,
+        )
+
+    within = (
+        banded.withColumn("dist", F.levenshtein("_nq", "_nc", t).cast("long"))
+        .filter(F.col("dist") >= 0)
+    )
+
+    w = Window.partitionBy("probe_id")
+    within = within.withColumn(
+        "min_pos", F.min(F.when(F.col("dist") > 0, F.col("dist"))).over(w)
+    )
+    tiers_within = within.withColumn(
+        "tier",
+        F.when(F.col("dist") == 0, F.lit("exact"))
+        .when(F.col("dist") == F.col("min_pos"), F.lit("best"))
+        .otherwise(F.lit("potential")),
+    ).select(*OUT_COLS)
+
+    # ---- Phase 2: global-argmin fallback ("poor") for probes with no
+    # positive within-threshold match (reference main.py:218-228) ----
+    matched = within.filter(F.col("dist") > 0).select("probe_id").distinct()
+    unmatched = p.join(matched, "probe_id", "left_anti")
+    fb = (
+        unmatched.crossJoin(F.broadcast(c) if strategy == "broadcast" else c)
+        .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+    )
+    wf = Window.partitionBy("probe_id")
+    poor = (
+        fb.withColumn("min_all", F.min("dist").over(wf))
+        .filter(F.col("dist") == F.col("min_all"))
+        .withColumn("tier", F.lit("poor"))
+        .select(*OUT_COLS)
+    )
+
+    return tiers_within.unionByName(poor)
+
+
+def fuzzy_match_summary(tiers: DataFrame) -> DataFrame:
+    """Grouped tier assembly (A3/J9 in SURVEY.md §2): one row per probe
+    with the four tiers as sorted arrays of (cand, dist) structs —
+    the reference's 4-list return shape (main.py:230), with the
+    ``potential`` sort-by-distance applied (main.py:476, :561)."""
+    s = F.struct(F.col("dist"), F.col("cand"), F.col("cand_id"))
+    agg = tiers.groupBy("probe_id", "probe").agg(
+        *[
+            F.sort_array(F.collect_list(F.when(F.col("tier") == tier, s))).alias(tier)
+            for tier in ("exact", "best", "potential", "poor")
+        ]
+    )
+    return agg

@@ -1,0 +1,36 @@
+"""Query catalog: the driver-facing registry behind ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 (plus the large-scale
+extensions) registers here as a named query with, where SQL-expressible,
+a DuckDB oracle producing identical columns/values. The driver compares
+row-count + schema + order-insensitive value-hash at sf0.01.
+
+Convention: every computed column is explicitly aliased AND cast the
+same way on both sides (Spark and DuckDB) so value-hashes line up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame query, optionally with a
+    DuckDB oracle SQL string."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the query modules populates the registry.
+from . import queries_fuzzy  # noqa: E402,F401

@@ -1,0 +1,228 @@
+"""Fuzzy-join query family (SURVEY.md §2.3 J1-J9, §2.6 O1/O2).
+
+Probe sets are derived deterministically from the test tables with
+string perturbations expressible identically in Spark and DuckDB, so
+every tier (exact / best / potential / poor) is exercised:
+
+* variant 0 — case+punctuation-only change (normalizes equal → exact)
+* variant 1 — first char dropped (distance 1 → best/potential)
+* variant 2 — reversed (far from everything → poor fallback)
+* variant 3 — ``' xq'`` appended (distance 2 → best/potential)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.fuzzy_join import tiered_fuzzy_join
+from ..sources.parquet import load_table
+from .catalog import query
+
+NORM_DUCK = "regexp_replace(lower({c}), '[^a-z0-9]', '', 'g')"
+
+_VARIANTS = [
+    "upper(replace({name}, ' ', '-'))",
+    "substring({name}, 2)",
+    "reverse({name})",
+    "concat({name}, ' xq')",
+]
+
+
+def _part_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    out = None
+    for v, tmpl in enumerate(_VARIANTS):
+        sel = names.select(
+            (F.col("name_id") * 4 + v).cast("long").alias("probe_id"),
+            F.expr(tmpl.format(name="p_name")).alias("probe"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def _part_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id")).select(
+        "cand_id", F.col("p_name").alias("cand")
+    )
+
+
+_PART_PROBES_SQL = (
+    "SELECT name_id * 4 + {v} AS probe_id, {expr} AS probe FROM names"
+)
+_PART_NAMES_CTE = (
+    "names AS (SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY p_name)"
+)
+_PART_CANDS_CTE = (
+    "cands AS (SELECT min(p_partkey) AS cand_id, p_name AS cand FROM part GROUP BY p_name)"
+)
+
+
+def _part_probes_cte() -> str:
+    ducks = [
+        "upper(replace(p_name, ' ', '-'))",
+        "substr(p_name, 2)",
+        "reverse(p_name)",
+        "p_name || ' xq'",
+    ]
+    selects = [
+        _PART_PROBES_SQL.format(v=v, expr=expr) for v, expr in enumerate(ducks)
+    ]
+    return "probes AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def tier_oracle_sql(probes_cte: str, cands_cte: str, extra_ctes: str, threshold: int) -> str:
+    """DuckDB oracle for the tiered fuzzy join: full cross join + window
+    mins + one SELECT per tier. Mirrors find_matches semantics exactly
+    (/root/reference/main.py:197-230) including the exact∩poor overlap
+    when a probe has a dist-0 match but no 0<dist<=t match."""
+    t = threshold
+    nq = NORM_DUCK.format(c="probe")
+    nc = NORM_DUCK.format(c="cand")
+    return f"""
+WITH {extra_ctes}{probes_cte},
+{cands_cte},
+scored AS (
+  SELECT probe_id, probe, cand_id, cand,
+         CAST(levenshtein({nq}, {nc}) AS BIGINT) AS dist
+  FROM probes CROSS JOIN cands
+),
+agg AS (
+  SELECT *,
+         min(CASE WHEN dist > 0 AND dist <= {t} THEN dist END)
+             OVER (PARTITION BY probe_id) AS min_pos,
+         min(dist) OVER (PARTITION BY probe_id) AS min_all
+  FROM scored
+)
+SELECT probe_id, probe, cand_id, cand, dist, 'exact' AS tier FROM agg WHERE dist = 0
+UNION ALL
+SELECT probe_id, probe, cand_id, cand, dist, 'best' AS tier FROM agg
+WHERE min_pos IS NOT NULL AND dist = min_pos
+UNION ALL
+SELECT probe_id, probe, cand_id, cand, dist, 'potential' AS tier FROM agg
+WHERE min_pos IS NOT NULL AND dist > min_pos AND dist > 0 AND dist <= {t}
+UNION ALL
+SELECT probe_id, probe, cand_id, cand, dist, 'poor' AS tier FROM agg
+WHERE min_pos IS NULL AND dist = min_all
+"""
+
+
+_FLAGSHIP_ORACLE = tier_oracle_sql(
+    _part_probes_cte(), _PART_CANDS_CTE, _PART_NAMES_CTE + ",\n", threshold=3
+)
+
+
+@query("fuzzy_join_tiers", oracle=_FLAGSHIP_ORACLE)
+def fuzzy_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: tiered fuzzy join of perturbed part names against the
+    distinct part-name catalog (threshold 3, the reference default at
+    /root/reference/main.py:197 and config.ini:13)."""
+    return tiered_fuzzy_join(
+        _part_probes(spark, sf_dir), _part_cands(spark, sf_dir), threshold=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavier variant over documents (bench workload): probe = every 10th
+# document's leading 24 chars, candidates = all documents' leading 24
+# chars. Exercises the band-join scale path.
+# ---------------------------------------------------------------------------
+
+_DOCS_PROBES_CTE = (
+    "probes AS (SELECT doc_id AS probe_id, substr(text, 1, 24) AS probe "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
+_DOCS_CANDS_CTE = (
+    "cands AS (SELECT doc_id AS cand_id, substr(text, 1, 24) AS cand FROM documents)"
+)
+
+_DOCS_ORACLE = tier_oracle_sql(_DOCS_PROBES_CTE, _DOCS_CANDS_CTE, "", threshold=5)
+
+
+@query("fuzzy_join_docs", oracle=_DOCS_ORACLE)
+def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.substring("text", 1, 24).alias("probe")
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"), F.substring("text", 1, 24).alias("cand")
+    )
+    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="band")
+
+
+# ---------------------------------------------------------------------------
+# Top-k nearest candidates per probe (O2: rank with ties; J8/O1 ordering)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH {_PART_NAMES_CTE},
+probes AS (SELECT name_id AS probe_id, substr(p_name, 2) AS probe FROM names),
+{_PART_CANDS_CTE},
+scored AS (
+  SELECT probe_id, probe, cand_id, cand,
+         CAST(levenshtein({NORM_DUCK.format(c='probe')}, {NORM_DUCK.format(c='cand')}) AS BIGINT) AS dist
+  FROM probes CROSS JOIN cands
+)
+SELECT probe_id, probe, cand_id, cand, dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY dist, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@query("fuzzy_topk", oracle=_TOPK_ORACLE)
+def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest candidates per probe by edit distance — the
+    window-rank formulation of the reference's best-tier argmin
+    (main.py:212-216) generalized to k, ties kept via rank()."""
+    from ..functions.normalize import norm_key
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    probes = names.select(
+        F.col("name_id").cast("long").alias("probe_id"),
+        F.expr("substring(p_name, 2)").alias("probe"),
+    )
+    cands = _part_cands(spark, sf_dir)
+    scored = (
+        probes.withColumn("_nq", norm_key(F.col("probe")))
+        .crossJoin(F.broadcast(cands.withColumn("_nc", norm_key(F.col("cand")))))
+        .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("probe_id", "probe", "cand_id", "cand", "dist", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier cardinality rollup (A1/A2/A3): counts + distance envelope per tier
+# ---------------------------------------------------------------------------
+
+_TIER_COUNTS_ORACLE = f"""
+WITH flag AS ({_FLAGSHIP_ORACLE})
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(max(dist) AS BIGINT) AS max_dist
+FROM flag GROUP BY tier
+"""
+
+
+@query("fuzzy_tier_counts", oracle=_TIER_COUNTS_ORACLE)
+def fuzzy_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = fuzzy_join_tiers(spark, sf_dir)
+    return tiers.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("probe_id").cast("long").alias("n_probes"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+    )

@@ -1,0 +1,10 @@
+from .parquet import load_table, load_tables, register_views
+from .union import read_folder_union_by_name, union_by_name
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_folder_union_by_name",
+    "union_by_name",
+]

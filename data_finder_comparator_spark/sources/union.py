@@ -1,0 +1,61 @@
+"""Folder ingestion with union-by-name semantics.
+
+The reference builds its candidate table by concatenating every xlsx
+file in a folder, aligning frames by column name and null-filling
+missing columns (pandas ``concat`` — /root/reference/main.py:690-696,
+operator S2/U1 in SURVEY.md §2). The Spark-native equivalents:
+
+* homogeneous schemas → a single multi-file ``spark.read.parquet(dir)``
+  scan (one job, partition-parallel, no union nodes in the plan);
+* heterogeneous schemas → ``unionByName(allowMissingColumns=True)``
+  which is exactly pandas-concat-by-name: permissive UNION ALL,
+  null-filling columns a file lacks, duplicate rows preserved.
+
+At scale the homogeneous path matters: a folder of 100k parquet files
+is one distributed scan, not 100k driver-side reads.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def union_by_name(dfs: list[DataFrame]) -> DataFrame:
+    """UNION ALL BY NAME over an arbitrary list of frames
+    (pandas-concat semantics: align by column name, null-fill missing,
+    keep duplicates, no row-identity)."""
+    if not dfs:
+        raise ValueError("union_by_name requires at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def read_folder_union_by_name(
+    spark: SparkSession, folder: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read every file in *folder* and union by name.
+
+    Tries the fast single-scan path first (works when schemas agree);
+    falls back to per-file reads + unionByName for heterogeneous
+    folders, mirroring /root/reference/main.py:692-696.
+    """
+    files = sorted(
+        os.path.join(folder, f)
+        for f in os.listdir(folder)
+        if f.endswith(f".{fmt}") or fmt == "any"
+    )
+    if not files:
+        raise ValueError(f"no .{fmt} files in {folder}")
+    reader = getattr(spark.read, fmt if fmt != "any" else "parquet")
+    schemas = set()
+    dfs = []
+    for f in files:
+        df = reader(f)
+        dfs.append(df)
+        schemas.add(tuple(sorted((c.name, c.dataType.simpleString()) for c in df.schema)))
+    if len(schemas) == 1:
+        # homogeneous: one multi-file scan, partition-parallel
+        return reader(*files)
+    return union_by_name(dfs)
