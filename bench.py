@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() action — full plan runs,
+nothing collected to the driver). A warmup pass on the smallest SF
+primes the JVM so measured numbers are steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_finder_comparator_spark.plans.catalog import QUERIES  # noqa: E402
+from data_finder_comparator_spark.session import get_spark  # noqa: E402
+
+# Headline set: flagship + the scale-sensitive operators. Extend as
+# operators land; keep stable across rounds for comparability.
+HEADLINE = [
+    "fuzzy_join_tiers",
+    "fuzzy_join_docs",
+    "fuzzy_topk",
+    "fuzzy_tier_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(app_name="bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = [n for n in sorted(QUERIES) if n not in HEADLINE]
+    names += [n for n in extra if os.environ.get("SPARK_GRAFT_BENCH_ALL")]
+
+    # Warmup: run the first query once on the smoke SF to JIT the stack.
+    try:
+        QUERIES[names[0]](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Row curation: the keep/replace verdict loop as deterministic Spark ops.
+
+The reference's GUI loop lets a human Keep (append probe row unchanged)
+or Replace (update the key cell, then append) into an xlsx sink
+(/root/reference/main.py:521-553, S3/S4 in SURVEY.md §2.1). The engine
+replaces the interactive verdict with a deterministic policy (SURVEY.md
+§3.4) and the O(n²) re-read-per-append sink with parquet append:
+
+* ``curation_decisions`` — per probe: keep if an exact match exists,
+  replace with the best match when it is unique, else keep.
+* ``apply_curation`` — the point-update (P5: when/otherwise on the key
+  column, no positional rows) producing the curated table.
+* ``append_sink`` — ``mode("append")`` parquet write: header-once and
+  offset bookkeeping are free (vs main.py:530-533's full re-read).
+* ``with_row_ids`` — deterministic dense row ids (P4). Spark has no
+  positional rows; a total order must be imposed. Global ids funnel
+  through one partition — fine for small curated outputs, wrong for
+  facts; partition the window whenever a grouping key exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def curation_decisions(tiers: DataFrame) -> DataFrame:
+    """Collapse a tiered fuzzy-join result (OUT_COLS of
+    ``tiered_fuzzy_join``) into one decision row per probe:
+
+    action='keep'    when an exact match exists (probe key already
+                     canonical), or when no unique best exists;
+    action='replace' when exactly one 'best' candidate exists — its
+                     value becomes the new key (main.py:538-553).
+    """
+    agg = tiers.groupBy("probe_id", "probe").agg(
+        F.sum(F.when(F.col("tier") == "exact", 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("tier") == "best", 1).otherwise(0)).alias("n_best"),
+        F.max(F.when(F.col("tier") == "best", F.col("cand"))).alias("best_cand"),
+    )
+    return agg.select(
+        "probe_id",
+        "probe",
+        F.when(F.col("n_exact") > 0, F.lit("keep"))
+        .when(F.col("n_best") == 1, F.lit("replace"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(
+            (F.col("n_exact") == 0) & (F.col("n_best") == 1), F.col("best_cand")
+        )
+        .otherwise(F.col("probe"))
+        .alias("final_key"),
+    )
+
+
+def apply_curation(probe_df: DataFrame, decisions: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Point-update the key column per decision (P5/S4): broadcast the
+    small decisions table, conditional replace — no row positions."""
+    d = F.broadcast(decisions.select(F.col("probe_id").alias(id_col), "final_key", "action"))
+    joined = probe_df.join(d, id_col, "left")
+    return joined.withColumn(
+        key_col,
+        F.when(F.col("action") == "replace", F.col("final_key")).otherwise(
+            F.col(key_col)
+        ),
+    ).drop("final_key", "action")
+
+
+def append_sink(df: DataFrame, path: str) -> None:
+    """S3: append rows to a parquet sink. Header-once / offset logic is
+    inherent to the format (vs the reference's O(n²) re-read)."""
+    df.write.mode("append").parquet(path)
+
+
+def with_row_ids(df: DataFrame, order_cols: list[str], partition_cols: list[str] | None = None, name: str = "row_id") -> DataFrame:
+    """P4: deterministic dense 1-based row ids over an explicit total
+    order. Partitioned when possible (scales); global otherwise."""
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    ).orderBy(*order_cols)
+    return df.withColumn(name, F.row_number().over(w).cast("long"))

@@ -34,3 +34,5 @@ def query(name: str, oracle: str | None = None):
 
 # Importing the query modules populates the registry.
 from . import queries_fuzzy  # noqa: E402,F401
+from . import queries_relational  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401

@@ -1,0 +1,119 @@
+"""Curation / sources / row-ops query family (SURVEY.md §2.1, §2.2, §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import curation_decisions, with_row_ids
+from ..sources.parquet import load_table
+from ..sources.union import union_by_name
+from .catalog import query
+from .queries_fuzzy import _FLAGSHIP_ORACLE, fuzzy_join_tiers
+
+# ---------------------------------------------------------------------------
+# U1/S2: permissive UNION ALL BY NAME over heterogeneous projections —
+# pandas-concat semantics (/root/reference/main.py:690-696) without the
+# driver-side loop: three differently-shaped frames, null-filled.
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT p_partkey, p_name, p_brand,
+       CAST(NULL AS DOUBLE) AS p_retailprice,
+       CAST(NULL AS INTEGER) AS p_size,
+       'f0' AS src
+FROM part WHERE p_partkey % 3 = 0
+UNION ALL
+SELECT p_partkey, p_name, CAST(NULL AS VARCHAR), p_retailprice, CAST(NULL AS INTEGER), 'f1'
+FROM part WHERE p_partkey % 3 = 1
+UNION ALL
+SELECT p_partkey, p_name, p_brand, CAST(NULL AS DOUBLE), p_size, 'f2'
+FROM part WHERE p_partkey % 3 = 2
+"""
+
+
+@query("union_by_name_folder", oracle=_UNION_ORACLE)
+def union_by_name_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulates a folder of files with overlapping-but-different
+    schemas (FIXTURES.md A2) and unions them by name."""
+    part = load_table(spark, sf_dir, "part")
+    f0 = part.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey", "p_name", "p_brand", F.lit("f0").alias("src")
+    )
+    f1 = part.filter(F.col("p_partkey") % 3 == 1).select(
+        "p_partkey", "p_name", "p_retailprice", F.lit("f1").alias("src")
+    )
+    f2 = part.filter(F.col("p_partkey") % 3 == 2).select(
+        "p_partkey", "p_name", "p_brand", "p_size", F.lit("f2").alias("src")
+    )
+    return union_by_name([f0, f1, f2]).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice", "p_size", "src"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: deterministic row ids (positional-row replacement).
+# ---------------------------------------------------------------------------
+
+_ROW_IDS_ORACLE = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS row_id
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@query("deterministic_row_ids", oracle=_ROW_IDS_ORACLE)
+def deterministic_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-based ids over an explicit total order, on a pre-filtered
+    subset (a global row_number funnels through one partition — correct
+    only for small curated outputs; use partitioned ids for facts)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return with_row_ids(orders, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "row_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/S4/P5: the keep/replace verdict as a deterministic policy over the
+# flagship tier table.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH flag AS ({_FLAGSHIP_ORACLE}),
+agg AS (
+  SELECT probe_id, probe,
+         sum(CASE WHEN tier = 'exact' THEN 1 ELSE 0 END) AS n_exact,
+         sum(CASE WHEN tier = 'best' THEN 1 ELSE 0 END) AS n_best,
+         max(CASE WHEN tier = 'best' THEN cand END) AS best_cand
+  FROM flag GROUP BY probe_id, probe
+)
+SELECT probe_id, probe,
+       CASE WHEN n_exact > 0 THEN 'keep'
+            WHEN n_best = 1 THEN 'replace'
+            ELSE 'keep' END AS action,
+       CASE WHEN n_exact = 0 AND n_best = 1 THEN best_cand
+            ELSE probe END AS final_key
+FROM agg
+"""
+
+
+@query("keep_replace_curation", oracle=_CURATION_ORACLE)
+def keep_replace_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_decisions(fuzzy_join_tiers(spark, sf_dir))
+
+
+_CURATION_COUNTS_ORACLE = f"""
+WITH cur AS ({_CURATION_ORACLE})
+SELECT action, CAST(count(*) AS BIGINT) AS n_rows
+FROM cur GROUP BY action
+"""
+
+
+@query("curation_counts", oracle=_CURATION_COUNTS_ORACLE)
+def curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S6: sink row-count probe, per action."""
+    return (
+        keep_replace_curation(spark, sf_dir)
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -1,0 +1,313 @@
+"""Relational passthrough coverage (SURVEY.md §2.5-2.8).
+
+The reference's aggregation/sort/set-op surface is tiny (argmin, count,
+collect, sort — §2.5/§2.6), but the rebuilt engine exposes Spark's full
+relational algebra. These queries pin that surface with oracle checks:
+group-by aggregation with partial/final (map-side combine), multi-way
+joins (broadcast dims), window functions, rollup, sessionization, and
+an as-of join — the operators a 100 TB pipeline actually leans on.
+
+Scale notes per query are in each docstring; the common themes:
+dimension tables are broadcast (no shuffle of the fact table except on
+its own group keys), aggregations are expressed so Catalyst plans
+partial aggregation before the exchange, and window partitioning keys
+are the natural distribution keys (user_id, custkey) so a cluster
+shuffles each fact row exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: the canonical partial-agg + tiny-shuffle shape.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_Q1_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate. Catalyst plans a partial hash agg
+    before the exchange, so the shuffle carries |groups| rows per
+    partition, not the fact table — the shape that survives 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal accumulation: FP addition is order-dependent and a
+            # distributed sum visits rows in a different order than the
+            # oracle; exact decimal arithmetic is order-independent
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join with broadcast dimensions: revenue by nation.
+# ---------------------------------------------------------------------------
+
+_REV_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA') AND o_orderstatus = 'F'
+GROUP BY n_name
+"""
+
+
+@query("revenue_by_nation", oracle=_REV_ORACLE)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem joins orders (shuffle on orderkey —
+    unavoidable, both sides big) then only broadcast dims. Filters are
+    pushed below the joins by Catalyst; region/nation/customer are
+    broadcast so the fact table shuffles exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window top-k per group (the generalized best-tier argmin, §2.6 O2).
+# ---------------------------------------------------------------------------
+
+_TOPK_ORDERS_ORACLE = """
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 5
+"""
+
+
+@query("topk_orders_per_priority", oracle=_TOPK_ORDERS_ORACLE)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders by price per priority class. rank() keeps ties like
+    the reference's best-tier semantics; deterministic tiebreak on key.
+    One shuffle on the partition key; at scale AQE handles skewed
+    priorities."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping-sets family — Catalyst expands, single shuffle).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("orders_rollup", oracle=_ROLLUP_ORACLE)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions over the events stream table
+# (lag + cumulative sum of gap breaks — the batch formulation of
+# streaming session windows).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSIONS_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query("sessionize_events", oracle=_SESSIONS_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity). One shuffle on
+    user_id serves both windows and the final group-by — the partition
+    key is reused across stages, the key property at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison is type-agnostic (works for NTZ) and
+    # microsecond-exact, matching the oracle's INTERVAL predicate
+    prev = F.lag(F.col("ts")).over(w)
+    brk = (
+        F.when(F.col("ts") - prev > F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTE"), 1)
+        .when(prev.isNull(), 1)
+        .otherwise(0)
+    )
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_no",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest order at-or-before each event for the same
+# customer. Spark lacks a native ASOF JOIN; the scalable formulation is
+# the union-merge trick: interleave both streams ordered by time and
+# carry the last order forward with last_value(ignorenulls) — one
+# shuffle on the join key, no per-row probing.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id,
+       e.user_id,
+       o.o_orderkey AS asof_orderkey
+FROM events e
+ASOF LEFT JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+WHERE e.user_id <= 100
+"""
+
+
+@query("asof_latest_order", oracle=_ASOF_ORACLE)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + last_value over a time-ordered window.
+
+    DuckDB's native ASOF JOIN is the oracle; ties on equal timestamps:
+    ASOF picks the single largest o_orderdate <= ts, so within equal
+    dates we must carry a deterministic winner — the max orderkey among
+    that date's orders (last in the union ordering below).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    # one row per (custkey, date): max orderkey wins equal-date ties in
+    # both engines, making the as-of winner deterministic
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    # Order: time asc, orders before events at equal time (event at t
+    # matches an order dated exactly t), orderkey asc so the max key
+    # wins the equal-date tie (matching ASOF's latest-row semantics).
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_orderkey"
+    )

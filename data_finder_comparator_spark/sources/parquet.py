@@ -13,15 +13,42 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .. import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# tables whose parquet stores TIMESTAMP(NANOS): read as long, rebuild NTZ
+_NANOS_LONG_COLS = {"events": [("ts", "ts")]}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Schema comes from the parquet footer (no
-    inference pass over data, unlike pd.read_excel dtype sniffing)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    inference pass over data, unlike pd.read_excel dtype sniffing).
+
+    The test parquet stores TIMESTAMP(NANOS) which vanilla Spark
+    rejects; with the legacy conf below Spark 4 reads it as
+    TIMESTAMP_NTZ (µs precision). Set at runtime so the queries also
+    work under an externally-created session. NTZ is kept end-to-end —
+    it is timezone-independent, matching DuckDB's naive timestamps
+    regardless of the session timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field, src in _NANOS_LONG_COLS.get(name, []):
+        if dict(df.dtypes).get(field) == "bigint":
+            # long nanoseconds -> TIMESTAMP_NTZ, timezone-independent:
+            # epoch NTZ + an exact microsecond interval (micros < 2^53,
+            # so the double seconds value is exact to the microsecond)
+            df = df.withColumn(
+                field,
+                F.expr(
+                    f"timestamp_ntz '1970-01-01 00:00:00' + "
+                    f"make_dt_interval(0, 0, 0, CAST({src} div 1000 AS DOUBLE) / 1000000.0)"
+                ),
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
