@@ -28,7 +28,21 @@ HEADLINE = [
     "fuzzy_join_tiers",
     "fuzzy_join_docs",
     "fuzzy_topk",
-    "fuzzy_tier_counts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_priority",
+    "sessionize_events",
+    "asof_latest_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_quality_signals",
+    "doc_fingerprints",
+    "multimodal_features",
+    "streaming_window_counts",
 ]
 
 

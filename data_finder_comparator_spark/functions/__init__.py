@@ -1,4 +1,13 @@
+from .alignment import alignment_udf, diff_splices, splices_udf, visual_alignment
+from .distance import length_band_ok, levenshtein_within
 from .normalize import norm_key
-from .distance import levenshtein_within, length_band_ok
 
-__all__ = ["norm_key", "levenshtein_within", "length_band_ok"]
+__all__ = [
+    "alignment_udf",
+    "diff_splices",
+    "length_band_ok",
+    "levenshtein_within",
+    "norm_key",
+    "splices_udf",
+    "visual_alignment",
+]

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference has no dedup surface (its nearest analogue is the
+set-difference at /root/reference/main.py:219); these are the
+training-data-pipeline extensions (BASELINE.json north star), built as
+compositions of DataFrame ops so they scale: everything is
+groupBy/join/explode on hashed keys — no driver-side state, no Python
+in the hot path.
+
+Design notes for 100 TB:
+
+* Shingling explodes each document into k-grams — output is ~|text|
+  rows per doc, but immediately reduced by distinct + min-hash
+  aggregation, so the shuffle carries (doc, seed) signatures, not raw
+  shingles. At cluster scale, repartition by doc_id before exploding to
+  bound per-task memory.
+* MinHash-LSH turns near-dup search from O(n²) pairs into an equi-join
+  on (band, signature) — only colliding buckets produce pairs. Band
+  count / rows-per-band trade recall vs candidate volume.
+* Hashes are md5-hex (seeded by prefixing the seed number), so
+  signatures are engine-portable strings: the DuckDB oracle computes
+  the identical signature. A production variant would use xxhash64 for
+  speed; md5 keeps the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import norm_key
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-grams of the normalized text:
+    (doc_id, shingle). Documents shorter than k yield no rows."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            norm_key(F.col(text_col)).alias("_n"),
+        )
+        .filter(F.length("_n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_n) - {k - 1}),"
+                    f" i -> substring(_n, i, {k}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
+    """(doc_id, seed, minh): per-seed MinHash. minh is the lexicographic
+    min of md5('<seed2d>:<shingle>') — a portable, deterministic proxy
+    for a seeded hash family. One shuffle: groupBy (doc_id, seed)."""
+    seeded = shingles.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"),
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("shingle"))
+    )
+    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("minh"))
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """(doc_id, band, sig): concatenate each band's minhashes (ordered
+    by seed — array_sort on (seed, minh) structs keeps it deterministic
+    under unordered collect_list) and collapse to one md5 bucket key."""
+    return (
+        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(seed, minh))),"
+                " x -> x.minh), '|'))"
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket — an
+    equi-join on (band, sig), never a cross product."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def exact_canonical_map(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): every doc mapped to the canonical
+    (min-id) doc having identical normalized content. Content compares
+    by md5 of the normalized text — the shuffle key is a 32-char hash,
+    not the document body (what you want at 100 TB)."""
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(norm_key(F.col(text_col))).alias("content_hash"),
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id", "content_hash", "canonical_id", "n_copies"
+    )
+
+
+def jaccard_pairs(
+    probe_shingles: DataFrame,
+    cand_shingles: DataFrame,
+    num: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: jaccard(a,b) >= num/den, computed
+    with integer arithmetic only (den*|A∩B| >= num*|A∪B|) so the result
+    is exact and oracle-portable — no float thresholds.
+
+    Equi-join on the shingle, then one aggregation per pair. Common
+    shingles fan out the join (skew); at scale drop ubiquitous shingles
+    first (document-frequency cap) — the standard trick from the
+    similarity-join literature.
+    """
+    sizes_p = probe_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_c = cand_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    p = probe_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    c = cand_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        p.join(c, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
+    )
+    return (
+        inter.join(sizes_p.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(sizes_c.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
+        .withColumn("union_n", (F.col("n_a") + F.col("n_b") - F.col("inter_n")).cast("long"))
+        .filter(F.col("inter_n") * den >= F.col("union_n") * num)
+        .select("doc_a", "doc_b", "inter_n", "union_n")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens, fully built-in-expressible
+    (and therefore oracle-portable): each token's md5 contributes its
+    first 8 hex nibbles (32 bits); every bit votes +1/-1 weighted by
+    the token's occurrence count; the fingerprint takes bit=1 on a
+    non-negative vote (ties -> 1, deterministic).
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # per-token md5 prefix once, then explode 8 nibbles x 4 bits
+    nib = toks.select(
+        "doc_id",
+        F.md5(F.col("tok")).alias("h"),
+        F.explode(F.expr("sequence(0, 7)")).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        (F.instr(F.lit("0123456789abcdef"), F.expr("substring(h, j + 1, 1)")) - 1).alias(
+            "nibble"
+        ),
+    )
+    bits = nib.select(
+        "doc_id",
+        "j",
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+        F.col("nibble"),
+    ).select(
+        "doc_id",
+        (F.col("j") * 4 + F.col("b")).alias("bitpos"),
+        (F.expr("nibble div int(pow(2, b))") % 2).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bitpos").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("vote") >= 0, F.expr("cast(pow(2, bitpos) as long)")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor over
+the ``embeddings`` table. Two paths:
+
+* ``cosine_topk`` — brute-force top-k: probe x candidate cross join
+  scored with built-in array expressions (zip_with + aggregate — all
+  JVM-side codegen, no Python), ranked per probe. Correctness baseline
+  and perfectly adequate when either side is small enough to broadcast.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH
+  (SimHash for vectors) buckets both sides; only same-bucket (plus
+  optional neighboring-bucket) pairs are scored. Sub-linear candidate
+  volume at the cost of recall — the standard trade, tunable by
+  n_planes / n_tables.
+
+All arithmetic is double precision with a deterministic left-to-right
+fold, so the DuckDB oracle (list_dot_product over DOUBLE[]) matches
+bitwise; similarities are rounded to 6 dp in outputs and ordering uses
+(rounded sim, id) so ranks are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def dot(a: str, b: str) -> Column:
+    """Left-to-right double-precision dot product of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    """cos = dot / sqrt(norm_a * norm_b) — the exact formula the oracle
+    uses; keep them identical or last-ulp drift breaks rank parity."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    id_p: str = "probe_id",
+    id_c: str = "cand_id",
+    vec_p: str = "vec_p",
+    vec_c: str = "vec_c",
+) -> DataFrame:
+    """Brute-force cosine top-k per probe (self-pairs excluded).
+    Candidate side is broadcast — each executor scores its probes
+    locally, no shuffle until the per-probe rank."""
+    pairs = probes.crossJoin(F.broadcast(cands)).filter(F.col(id_p) != F.col(id_c))
+    scored = pairs.withColumn("cos_sim", F.round(cosine(vec_p, vec_c), 6))
+    w = Window.partitionBy(id_p).orderBy(F.col("cos_sim").desc(), F.col(id_c))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_p, id_c, "cos_sim", "rnk")
+    )
+
+
+def hyperplane_bucket(vec: str, n_planes: int, dim: int, seed_tag: str = "hp") -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
+    n_planes pseudo-random hyperplanes. Hyperplane components are
+    deterministic functions of (plane, dim-index) via md5 — portable,
+    no RNG state, reproducible on any engine/cluster."""
+    # component h[p][i] in [-0.5, 0.5): (md5-derived int / 2^20) - 0.5
+    comp = (
+        f"(cast(conv(substring(md5(concat('{seed_tag}', ':', cast(p as string), ':',"
+        f" cast(i as string))), 1, 5), 16, 10) as double) / 1048576.0 - 0.5)"
+    )
+    proj = (
+        f"aggregate(zip_with({vec}, sequence(0, {dim - 1}),"
+        f" (x, i) -> cast(x as double) * {comp.replace('(p as string)', '(p as string)')}),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    bits = (
+        f"transform(sequence(0, {n_planes - 1}),"
+        f" p -> case when {proj} >= 0 then '1' else '0' end)"
+    )
+    return F.expr(f"array_join({bits}, '')")
+
+
+def lsh_bucketed_topk(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path: bucket by hyperplane sign pattern, score only
+    same-bucket pairs (equi-join on the (table, bucket) key — shuffled
+    hash join, no cross product), then per-probe top-k over the union
+    of tables. Multi-table is the standard recall lever: a pair at
+    angle θ collides in one table with prob (1-θ/π)^n_planes, and in
+    ANY of t tables with 1-(1-p)^t. Candidate volume grows linearly in
+    t while staying sub-quadratic overall. Pairs found by several
+    tables are deduped before scoring."""
+    def bucketed(df: DataFrame, vec: str, id_col: str) -> DataFrame:
+        out = None
+        for t in range(n_tables):
+            b = df.select(
+                id_col,
+                vec,
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(vec, n_planes, dim, seed_tag=f"hp{t}").alias("bucket"),
+            )
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    pb = bucketed(probes, "vec_p", "probe_id")
+    cb = bucketed(cands, "vec_c", "cand_id").drop("vec_c")
+    # candidate id pairs from any table, deduped before the expensive scoring
+    pair_ids = (
+        pb.select("probe_id", "table_id", "bucket")
+        .join(cb, ["table_id", "bucket"])
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        pair_ids.join(probes, "probe_id")
+        .join(cands, "cand_id")
+        .withColumn("cos_sim", F.round(cosine("vec_p", "vec_c"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )

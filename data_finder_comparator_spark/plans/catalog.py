@@ -36,3 +36,7 @@ def query(name: str, oracle: str | None = None):
 from . import queries_fuzzy  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+from . import queries_dedup  # noqa: E402,F401
+from . import queries_similarity  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+from . import queries_udf  # noqa: E402,F401

@@ -1,0 +1,151 @@
+"""Dedup query family (north-star extensions): exact, MinHash-LSH,
+n-gram Jaccard, SimHash — each oracle-checked against DuckDB computing
+the identical md5-based signatures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    char_shingles,
+    exact_canonical_map,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from ..sources.parquet import load_table
+from .catalog import query
+
+_NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
+# shared DuckDB CTE: distinct char-5-gram shingles of normalized text
+_SHINGLES_CTE = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, substr(n, unnest(range(1, len(n) - 3)), 5) AS shingle
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents)
+  WHERE len(n) >= 5
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical-id map via content hash.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, md5({_NORM}) AS content_hash FROM documents
+),
+canon AS (
+  SELECT content_hash, min(doc_id) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, c.canonical_id, c.n_copies
+FROM hashed h JOIN canon c USING (content_hash)
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_canonical_map(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (12 hashes, 4 bands x 3 rows).
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE.strip()},
+sigs AS (
+  SELECT doc_id, s.seed,
+         min(md5(lpad(CAST(s.seed AS VARCHAR), 2, '0') || ':' || shingle)) AS minh
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 3 AS BIGINT) AS band,
+         md5(string_agg(minh, '|' ORDER BY seed)) AS sig
+  FROM sigs GROUP BY doc_id, seed // 3
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5)
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, 12), 3))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (probes = every 10th doc), integer
+# threshold 4*|A∩B| >= |A∪B| (jaccard >= 0.25).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE.strip()},
+probe_sh AS (SELECT * FROM shingles WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM probe_sh p JOIN shingles c ON p.shingle = c.shingle AND p.doc_id <> c.doc_id
+  GROUP BY p.doc_id, c.doc_id
+)
+SELECT doc_a, doc_b, inter_n,
+       CAST(sa.n + sb.n - inter_n AS BIGINT) AS union_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_n * 4 >= (sa.n + sb.n - inter_n) * 1
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5)
+    probes = sh.filter(F.col("doc_id") % 10 == 0)
+    return jaccard_pairs(probes, sh, num=1, den=4)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, md5-nibble majority vote).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+nib AS (
+  SELECT doc_id, j,
+         strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1 AS nibble
+  FROM (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       (SELECT unnest(range(0, 8)) AS j)
+),
+bits AS (
+  SELECT doc_id, j * 4 + b AS bitpos,
+         (nibble // CAST(pow(2, b) AS INTEGER)) % 2 AS bit
+  FROM nib, (SELECT unnest(range(0, 4)) AS b)
+),
+votes AS (
+  SELECT doc_id, bitpos, sum(bit * 2 - 1) AS vote
+  FROM bits GROUP BY doc_id, bitpos
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")

@@ -1,0 +1,87 @@
+"""UDF-surface, multimodal, and streaming queries.
+
+``alignment_pairs`` is genuinely non-SQL-expressible (the alignment
+walk is an imperative matrix traversal) — registered without an oracle;
+its correctness is pinned by golden unit tests (tests/test_alignment.py)
+including the reference's own inline test pair
+(/root/reference/main.py:132).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.alignment import alignment_udf, splices_udf
+from ..operators.multimodal import attach_binary_payload, binary_features
+from ..sources.parquet import load_table
+from ..streaming.pipeline import windowed_event_counts
+from .catalog import query
+from .queries_fuzzy import _VARIANTS
+
+
+@query("alignment_pairs")
+def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-character alignment + diff splices for each perturbed part
+    name against its source name (F3/F5/F6 in SURVEY.md §2.4)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    out = None
+    for v, tmpl in enumerate(_VARIANTS):
+        sel = names.select(
+            (F.col("name_id") * 4 + v).cast("long").alias("probe_id"),
+            F.expr(tmpl.format(name="p_name")).alias("probe"),
+            F.col("p_name").alias("cand"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    withal = out.withColumn("al", alignment_udf("probe", "cand")).withColumn(
+        "splices", splices_udf("probe", "cand")
+    )
+    return withal.select(
+        "probe_id",
+        "probe",
+        "cand",
+        F.col("al.dist").cast("long").alias("dist"),
+        F.col("al.sym").alias("sym"),
+        "splices",
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       list_transform(range(1, 5),
+         j -> (strpos('0123456789abcdef', substr(md5(text), CAST(j AS INTEGER), 1)) - 1) / 15.0
+       ) AS feat
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: fabricate payload + metadata, extract
+    md5-derived fake features via mapInPandas (decode stubbed; the
+    Spark plumbing — Arrow batches, schema, partitioning — is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_features(attach_binary_payload(docs, "doc_id", "text"))
+
+
+_STREAM_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_window_counts", oracle=_STREAM_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, computed by a
+    real Structured Streaming query (memory sink, driven to completion)
+    and compared against the batch-SQL oracle — stream/batch
+    equivalence, the core Structured Streaming guarantee."""
+    return windowed_event_counts(spark, sf_dir, "1 hour", "swc_oracle_run")

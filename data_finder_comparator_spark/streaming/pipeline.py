@@ -1,0 +1,125 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9 T1/T2).
+
+The reference's only concurrency is a two-thread producer/consumer
+pipeline over a bounded Queue(maxsize=3) (/root/reference/main.py:
+501-518) — backpressure between match computation and consumption. The
+Spark-native equivalents:
+
+* batch: nothing to do — Spark's lazy pipelined execution already
+  overlaps scan/compute/sink stages.
+* streaming: ``readStream`` micro-batches. Backpressure is
+  ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` (bounded in-flight
+  work, the Queue(3) analogue); ordered completion is micro-batch
+  ordering (T2). ``fuzzy_match_stream`` runs the flagship tiered fuzzy
+  join per micro-batch of probe keys via ``foreachBatch`` — the
+  reference's threaded matcher loop (main.py:473-478), distributed.
+
+Event-time analytics the reference lacks (but a stream engine needs)
+ride on the same machinery: ``windowed_event_counts`` is a tumbling
+event-time window aggregation; in production it would run in append
+mode with ``withWatermark`` bounding state; the batch-equivalence test
+uses complete mode so every window is emitted deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read raw
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_NS_TO_NTZ = (
+    "timestamp_ntz '1970-01-01 00:00:00' + "
+    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DOUBLE) / 1000000.0)"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a directory; select just the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)  # bounded in-flight work
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr(_NS_TO_NTZ))
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "windowed_event_counts",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type, driven to
+    completion synchronously against the static events table; returns
+    the final result as a batch DataFrame (window start/end + counts).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the in-memory sink table goes away
+    out = spark.table(query_name)
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    return result
+
+
+def fuzzy_match_stream(
+    spark: SparkSession,
+    probe_stream: DataFrame,
+    cand: DataFrame,
+    sink_path: str,
+    threshold: int = 3,
+):
+    """T1: per-micro-batch tiered fuzzy join via foreachBatch. The
+    candidate table is broadcast once per batch; each batch's tier
+    table appends to a parquet sink (exactly-once per epoch under
+    checkpointing in a real deployment; Delta MERGE would give the
+    Replace-upsert variant).
+
+    Returns the started StreamingQuery (caller drives/stops it).
+    """
+    from ..operators.fuzzy_join import tiered_fuzzy_join
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        tiers = tiered_fuzzy_join(batch_df, cand, threshold=threshold)
+        tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return probe_stream.writeStream.foreachBatch(run_batch).start()

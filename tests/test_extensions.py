@@ -1,0 +1,155 @@
+"""Tests for the scale-path extensions with no (or weaker) SQL oracle:
+LSH ANN recall vs brute force, curation sink round-trip, streaming
+foreachBatch pipeline, multimodal batch shapes, union-by-name folder
+reads, excel gating."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_topk_subset_and_recall(spark):
+    """LSH-bucketed top-k must (a) only return pairs the brute force
+    also scores, with identical cosine values, and (b) keep rank-1
+    recall above a floor on this corpus."""
+    from data_finder_comparator_spark.plans.catalog import QUERIES
+
+    brute = {
+        (r.probe_id, r.cand_id): r.cos_sim
+        for r in QUERIES["ann_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    lsh_rows = QUERIES["ann_lsh_topk"](spark, SF_ORACLE).collect()
+    assert lsh_rows, "LSH query returned nothing"
+    # cosine values must agree exactly where pairs overlap
+    for r in lsh_rows:
+        if (r.probe_id, r.cand_id) in brute:
+            assert brute[(r.probe_id, r.cand_id)] == r.cos_sim
+    # rank-1 recall: of probes where LSH found anything, its top hit
+    # should frequently be the true top-5 (recall<1 is expected)
+    top1 = {r.probe_id: r.cand_id for r in lsh_rows if r.rnk == 1}
+    hits = sum(1 for p, c in top1.items() if (p, c) in brute)
+    assert hits >= len(top1) * 0.3
+
+
+def test_curation_sink_roundtrip(spark):
+    """keep/replace applied + parquet append sink (S3/S4): the curated
+    table reflects replacements; appending twice doubles the rows."""
+    from data_finder_comparator_spark.operators.curation import (
+        append_sink,
+        apply_curation,
+        curation_decisions,
+    )
+    from data_finder_comparator_spark.operators.fuzzy_join import tiered_fuzzy_join
+
+    probe = spark.createDataFrame(
+        [(1, "cold widgetx", 5.0), (2, "zzz999", 7.0)],
+        "probe_id long, sku string, price double",
+    )
+    cand = spark.createDataFrame(
+        [(10, "cold widget"), (11, "teal widget")], "cand_id long, cand string"
+    )
+    tiers = tiered_fuzzy_join(
+        probe.select("probe_id", F.col("sku").alias("probe")), cand, threshold=3
+    )
+    decisions = curation_decisions(tiers)
+    curated = apply_curation(probe, decisions, "probe_id", "sku")
+    got = {r.probe_id: r.sku for r in curated.collect()}
+    assert got[1] == "cold widget"  # unique best -> replaced
+    assert got[2] == "zzz999"  # poor tier only -> kept
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sink")
+        append_sink(curated, path)
+        append_sink(curated, path)
+        back = spark.read.parquet(path)
+        assert back.count() == 2 * curated.count()
+        assert set(back.columns) == set(curated.columns)
+
+
+def test_streaming_fuzzy_pipeline(spark, tmp_path):
+    """T1 micro-batch pipeline: stream probe keys from files, fuzzy-join
+    each batch against a static candidate table, append to a sink."""
+    from data_finder_comparator_spark.streaming.pipeline import fuzzy_match_stream
+
+    probes_dir = tmp_path / "probes"
+    spark.createDataFrame(
+        [(1, "cold widgetx"), (2, "old widget")], "probe_id long, probe string"
+    ).write.parquet(str(probes_dir))
+    cand = spark.createDataFrame(
+        [(10, "cold widget"), (11, "old widget")], "cand_id long, cand string"
+    )
+    stream = (
+        spark.readStream.schema("probe_id long, probe string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(probes_dir))
+    )
+    sink = str(tmp_path / "sink")
+    q = fuzzy_match_stream(spark, stream, cand, sink, threshold=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink).collect()
+    tiers = {(r.probe_id, r.cand_id, r.tier) for r in out}
+    assert (2, 11, "exact") in tiers
+    assert (1, 10, "best") in tiers
+
+
+def test_multimodal_batch_shape(spark):
+    """mapInPandas plumbing: stable schema, deterministic features,
+    payload md5 matches the text md5 (utf-8 fabricated payload)."""
+    from data_finder_comparator_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary_payload,
+        binary_features,
+        decode_media,
+    )
+
+    df = spark.createDataFrame([(1, "hello"), (2, "wörld")], "doc_id long, text string")
+    feats = binary_features(attach_binary_payload(df, "doc_id", "text")).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].payload_md5 == __import__("hashlib").md5(b"hello").hexdigest()
+    assert by_id[2].n_bytes == len("wörld".encode())
+    for r in feats:
+        assert len(r.feat) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.feat)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_read_folder_union_by_name(spark, tmp_path):
+    """Heterogeneous folder: falls back to unionByName with null fill;
+    homogeneous folder: single multi-file scan."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    het = tmp_path / "het"
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(
+        str(het / "f1.parquet")
+    )
+    spark.createDataFrame([(2, 3.5)], "id long, y double").write.parquet(
+        str(het / "f2.parquet")
+    )
+    df = read_folder_union_by_name(spark, str(het))
+    assert set(df.columns) == {"id", "x", "y"}
+    rows = {r.id: (r.x, r.y) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == (None, 3.5)
+
+    hom = tmp_path / "hom"
+    for i in (1, 2):
+        spark.createDataFrame([(i, "v")], "id long, x string").write.parquet(
+            str(hom / f"f{i}.parquet")
+        )
+    assert read_folder_union_by_name(spark, str(hom)).count() == 2
+
+
+def test_excel_gated():
+    from data_finder_comparator_spark.sources.excel import HAS_XLSX, read_excel
+
+    if not HAS_XLSX:
+        with pytest.raises(NotImplementedError):
+            read_excel(None, "/nonexistent.xlsx")

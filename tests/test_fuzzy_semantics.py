@@ -1,0 +1,96 @@
+"""Reference-semantics tests for the tiered fuzzy join: a pure-Python
+re-statement of find_matches' contract (/root/reference/main.py:197-230)
+checked against the Spark operator on controlled inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_finder_comparator_spark.operators.fuzzy_join import tiered_fuzzy_join
+
+
+def _norm(s):
+    return re.sub(r"[^a-z0-9]", "", s.lower())
+
+
+def _lev(a, b):
+    a, b = _norm(a), _norm(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = prev[j - 1] if ca == cb else 1 + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[len(b)]
+
+
+def reference_tiers(q, cands, t=3):
+    """find_matches semantics, restated independently: returns
+    {(cand_id, tier)} including the exact∩poor overlap quirk."""
+    dists = {cid: _lev(q, c) for cid, c in cands}
+    out = set()
+    pos_within = {cid: d for cid, d in dists.items() if 0 < d <= t}
+    for cid, d in dists.items():
+        if d == 0:
+            out.add((cid, "exact"))
+    if pos_within:
+        m = min(pos_within.values())
+        for cid, d in pos_within.items():
+            out.add((cid, "best" if d == m else "potential"))
+    else:
+        m = min(dists.values())
+        for cid, d in dists.items():
+            if d == m:
+                out.add((cid, "poor"))
+    return out
+
+
+CANDS = [
+    (0, "cold widget"),
+    (1, "old widget"),
+    (2, "bold widget"),
+    (3, "zzz"),
+    (4, "Cold-Widget"),
+    (5, "q"),
+]
+
+PROBES = [
+    (10, "cold widget"),   # exact + ties at best
+    (11, "cold widgetx"),  # best distance 1 (two+ ties deeper)
+    (12, "mmmmmmmmmmmm"),  # nothing within 3 -> poor fallback
+    (13, "zz"),            # best 1 via zzz
+    (14, ""),              # empty string edge
+    (15, "COLDWIDGET"),    # exact after normalization, no positive <=3? has
+]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "band"])
+def test_tier_semantics_vs_reference(spark, strategy):
+    probe = spark.createDataFrame(PROBES, "probe_id long, probe string")
+    cand = spark.createDataFrame(CANDS, "cand_id long, cand string")
+    got = tiered_fuzzy_join(probe, cand, threshold=3, strategy=strategy).collect()
+    got_set = {(r.probe_id, r.cand_id, r.tier) for r in got}
+    want = set()
+    for pid, q in PROBES:
+        for cid, tier in reference_tiers(q, CANDS, 3):
+            want.add((pid, cid, tier))
+    assert got_set == want
+    # distances faithful
+    for r in got:
+        assert r.dist == _lev(r.probe, r.cand)
+
+
+def test_exact_poor_overlap_quirk(spark):
+    """A probe whose only close candidate is at distance 0 must appear
+    in BOTH exact and poor (main.py:218-228 rescans all candidates)."""
+    probe = spark.createDataFrame([(1, "abc")], "probe_id long, probe string")
+    cand = spark.createDataFrame(
+        [(1, "abc"), (2, "zzzzzzzzz")], "cand_id long, cand string"
+    )
+    rows = tiered_fuzzy_join(probe, cand, threshold=3).collect()
+    tiers = {(r.cand_id, r.tier) for r in rows}
+    assert (1, "exact") in tiers
+    assert (1, "poor") in tiers
+    assert (2, "poor") not in tiers
