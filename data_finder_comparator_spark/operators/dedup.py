@@ -56,16 +56,27 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
     """(doc_id, seed, minh): per-seed MinHash. minh is the lexicographic
     min of md5('<seed2d>:<shingle>') — a portable, deterministic proxy
-    for a seeded hash family. One shuffle: groupBy (doc_id, seed)."""
-    seeded = shingles.select(
+    for a seeded hash family.
+
+    Computed as ONE wide aggregation (n_hashes min() columns over a
+    single groupBy(doc_id)) instead of exploding a seed column: the
+    shuffle then carries one partially-aggregated row per (doc,
+    partition) — n_hashes-fold less data through the exchange, which is
+    what matters when the shingle table is billions of rows. The wide
+    row is unpivoted afterwards (stack — free, no shuffle) to keep the
+    (doc_id, seed, minh) contract."""
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(f"{s:02d}"), F.col("shingle")))).alias(
+            f"m{s}"
+        )
+        for s in range(n_hashes)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*mins)
+    stack_args = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return wide.select(
         "doc_id",
-        "shingle",
-        F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"),
-    )
-    h = F.md5(
-        F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("shingle"))
-    )
-    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("minh"))
+        F.expr(f"stack({n_hashes}, {stack_args}) AS (seed, minh)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minh")
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:

@@ -101,6 +101,10 @@ def tiered_fuzzy_join(
         banded.withColumn("dist", F.levenshtein("_nq", "_nc", t).cast("long"))
         .filter(F.col("dist") >= 0)
     )
+    # consumed twice (tier classification + matched-probe anti-join);
+    # persist so the banded scoring pass runs once, not twice — at
+    # cluster scale this would be a checkpoint/exchange reuse
+    within = within.persist()
 
     w = Window.partitionBy("probe_id")
     within = within.withColumn(

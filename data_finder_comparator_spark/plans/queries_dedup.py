@@ -110,7 +110,9 @@ WHERE inter_n * 4 >= (sa.n + sb.n - inter_n) * 1
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", k=5)
+    # consumed four times (probe side, candidate side, both size aggs):
+    # persist the exploded+distinct shingle table once
+    sh = char_shingles(docs, "doc_id", "text", k=5).persist()
     probes = sh.filter(F.col("doc_id") % 10 == 0)
     return jaccard_pairs(probes, sh, num=1, den=4)
 
