@@ -31,15 +31,28 @@ from pyspark.sql import functions as F
 from ..functions.normalize import norm_key
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
-    """Distinct character k-grams of the normalized text:
-    (doc_id, shingle). Documents shorter than k yield no rows."""
-    return (
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Character k-grams of the normalized text: (doc_id, shingle).
+    Documents shorter than k yield no rows.
+
+    ``distinct=True`` dedups per-doc shingles (a full shuffle) — needed
+    when downstream counts set sizes (Jaccard). Min-style consumers
+    (MinHash) pass ``distinct=False``: duplicate shingles can't change a
+    min, and skipping the shuffle leaves the explode fully pipelined
+    into the signature aggregation."""
+    grams = (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             norm_key(F.col(text_col)).alias("_n"),
         )
         .filter(F.length("_n") >= k)
+        # document tables arrive in few large file-splits; the explode
+        # inflates each row ~|text|-fold, so spread docs across the
+        # cluster BEFORE inflating (a shuffle of doc-count rows buys
+        # full parallelism for the k*|text| shingle work)
+        .repartition(F.col("doc_id"))
         .select(
             "doc_id",
             F.explode(
@@ -49,14 +62,20 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return grams.distinct() if distinct else grams
+
+
+MINHASH_MOD = 1 << 48  # 48-bit hash space: exact in BIGINT for h1 + 11*h2
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
-    """(doc_id, seed, minh): per-seed MinHash. minh is the lexicographic
-    min of md5('<seed2d>:<shingle>') — a portable, deterministic proxy
-    for a seeded hash family.
+    """(doc_id, seed, minh): per-seed MinHash over a Kirsch-Mitzenmacher
+    double-hashed family — ONE md5 per shingle split into two 48-bit
+    halves h1/h2, seed s hashing to (h1 + s*h2) mod 2^48. Statistically
+    a 2-universal family, n_hashes-fold cheaper than seeded md5s, and
+    engine-portable (DuckDB parses the same hex halves), so the oracle
+    computes bit-identical signatures.
 
     Computed as ONE wide aggregation (n_hashes min() columns over a
     single groupBy(doc_id)) instead of exploding a seed column: the
@@ -65,18 +84,22 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
     what matters when the shingle table is billions of rows. The wide
     row is unpivoted afterwards (stack — free, no shuffle) to keep the
     (doc_id, seed, minh) contract."""
+    h = F.md5(F.col("shingle"))
+    halves = shingles.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat_ws(":", F.lit(f"{s:02d}"), F.col("shingle")))).alias(
-            f"m{s}"
-        )
+        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_MOD).alias(f"m{s}")
         for s in range(n_hashes)
     ]
-    wide = shingles.groupBy("doc_id").agg(*mins)
+    wide = halves.groupBy("doc_id").agg(*mins)
     stack_args = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
     return wide.select(
         "doc_id",
         F.expr(f"stack({n_hashes}, {stack_args}) AS (seed, minh)"),
-    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minh")
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), F.col("minh").cast("long").alias("minh"))
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
@@ -89,7 +112,7 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
         .agg(
             F.expr(
                 "md5(array_join(transform(array_sort(collect_list(struct(seed, minh))),"
-                " x -> x.minh), '|'))"
+                " x -> cast(x.minh as string)), '|'))"
             ).alias("sig")
         )
     )
@@ -167,10 +190,16 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the token's occurrence count; the fingerprint takes bit=1 on a
     non-negative vote (ties -> 1, deterministic).
     """
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lower(F.col(text_col)).alias("_t"),
+        )
+        # spread docs before the token explode (see char_shingles)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(F.split("_t", r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     # per-token md5 prefix once, then explode 8 nibbles x 4 bits
     nib = toks.select(
         "doc_id",

@@ -118,22 +118,38 @@ def tiered_fuzzy_join(
     ).select(*OUT_COLS)
 
     # ---- Phase 2: global-argmin fallback ("poor") for probes with no
-    # positive within-threshold match (reference main.py:218-228) ----
-    matched = within.filter(F.col("dist") > 0).select("probe_id").distinct()
-    unmatched = p.join(matched, "probe_id", "left_anti")
+    # positive within-threshold match (reference main.py:218-228).
+    #
+    # Split by what phase 1 already proved:
+    # * probe HAS a within-band pair but none positive — every such pair
+    #   is dist 0, so the global min is 0 and its argmin ties are
+    #   exactly those dist-0 rows (out-of-band candidates are all
+    #   > t >= 0). Emit them as ``poor`` straight from phase 1 — this is
+    #   the reference's exact∩poor overlap, with NO rescan.
+    # * probe has NO within-band pair at all — the global min exceeds t
+    #   and genuinely requires the full-candidate argmin scan. This is
+    #   the only set that pays the cross join, and it is typically a
+    #   small minority of probes.
+    poor_exact = (
+        within.filter(F.col("min_pos").isNull())
+        .withColumn("tier", F.lit("poor"))
+        .select(*OUT_COLS)
+    )
+    seen = within.select("probe_id").distinct()
+    unseen = p.join(seen, "probe_id", "left_anti")
     fb = (
-        unmatched.crossJoin(F.broadcast(c) if strategy == "broadcast" else c)
+        unseen.crossJoin(F.broadcast(c) if strategy == "broadcast" else c)
         .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
     )
     wf = Window.partitionBy("probe_id")
-    poor = (
+    poor_rescan = (
         fb.withColumn("min_all", F.min("dist").over(wf))
         .filter(F.col("dist") == F.col("min_all"))
         .withColumn("tier", F.lit("poor"))
         .select(*OUT_COLS)
     )
 
-    return tiers_within.unionByName(poor)
+    return tiers_within.unionByName(poor_exact).unionByName(poor_rescan)
 
 
 def fuzzy_match_summary(tiers: DataFrame) -> DataFrame:

@@ -59,7 +59,10 @@ def cosine_topk(
     of O(n*m) — at 5k candidates this third of the arithmetic was 99%
     redundant); the combining expression dot/sqrt(na*nb) is unchanged
     so the result is bit-identical to the oracle."""
-    p = probes.withColumn("_np", dot(vec_p, vec_p))
+    # probe sets are typically a thin slice of one parquet file — one
+    # input split — while the scoring work is |probes| x |cands|;
+    # spread probes across the cluster before fanning out
+    p = probes.repartition(F.col(id_p)).withColumn("_np", dot(vec_p, vec_p))
     c = cands.withColumn("_nc", dot(vec_c, vec_c))
     pairs = p.crossJoin(F.broadcast(c)).filter(F.col(id_p) != F.col(id_c))
     scored = pairs.withColumn(
@@ -113,6 +116,9 @@ def lsh_bucketed_topk(
     t while staying sub-quadratic overall. Pairs found by several
     tables are deduped before scoring."""
     def bucketed(df: DataFrame, vec: str, id_col: str) -> DataFrame:
+        # n_tables * n_planes * dim multiplies per row from a one-split
+        # parquet read: spread rows before projecting
+        df = df.repartition(F.col(id_col))
         out = None
         for t in range(n_tables):
             b = df.select(

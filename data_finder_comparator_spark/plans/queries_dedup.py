@@ -60,15 +60,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE.strip()},
+halves AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 12)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(shingle), 13, 12)) AS BIGINT) AS h2
+  FROM shingles
+),
 sigs AS (
   SELECT doc_id, s.seed,
-         min(md5(lpad(CAST(s.seed AS VARCHAR), 2, '0') || ':' || shingle)) AS minh
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
+         min((h1 + s.seed * h2) % 281474976710656) AS minh
+  FROM halves CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
   GROUP BY doc_id, s.seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 3 AS BIGINT) AS band,
-         md5(string_agg(minh, '|' ORDER BY seed)) AS sig
+         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY seed)) AS sig
   FROM sigs GROUP BY doc_id, seed // 3
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -79,7 +85,10 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", k=5)
+    # distinct=False: a min() can't see duplicates, so the dedup shuffle
+    # is pure waste here — the explode pipelines straight into the
+    # signature aggregation (oracle keeps DISTINCT; results identical)
+    sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
     return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, 12), 3))
 
 

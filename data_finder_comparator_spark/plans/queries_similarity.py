@@ -61,24 +61,71 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus; production would use ~0.95 on real embeddings).
     Threshold applied on the 6-dp rounded value so the cut is
     engine-exact."""
+    from ..operators.similarity import dot
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("vec_p"))
-    b = emb.select(F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("vec_c"))
+    a = (
+        emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("vec_p"))
+        .repartition(F.col("vec_a"))  # one file-split in, O(n^2) scoring out
+        .withColumn("_na", dot("vec_p", "vec_p"))  # self-norms once per row,
+    )
+    b = emb.select(
+        F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("vec_c")
+    ).withColumn("_nb", dot("vec_c", "vec_c"))  # not once per pair
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine("vec_p", "vec_c"), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cos_sim") >= 0.35)
         .select("vec_a", "vec_b", "cos_sim")
     )
 
 
-# LSH-bucketed ANN: the scale path. No SQL oracle (the md5-derived
-# hyperplanes are not portably expressible in DuckDB 1.0 — no hex->int
-# conversion); correctness is pinned by tests/test_similarity.py, which
-# checks bucket determinism and recall against the brute-force oracle
-# query above. Driver records a rows-only check.
-@query("ann_lsh_topk")
+# LSH-bucketed ANN: the scale path. The md5-derived hyperplanes ARE
+# portably expressible — DuckDB casts '0x'-prefixed hex to BIGINT — and
+# both engines compute projections as sequential index-order dot
+# products (Spark aggregate/zip_with fold == DuckDB list_dot_product),
+# so bucket assignment and the final top-k match exactly.
+_LSH_ORACLE = f"""
+WITH planes AS (
+  SELECT tt.t, pp.p,
+         list_transform(range(64), i ->
+           CAST(concat('0x', substr(md5('hp' || tt.t || ':' || pp.p || ':' || i), 1, 5)) AS BIGINT)
+             / 1048576.0 - 0.5) AS hp
+  FROM range(4) tt(t), range(4) pp(p)
+),
+buckets AS (
+  SELECT e.vec_id, planes.t AS table_id,
+         string_agg(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), hp) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS bucket
+  FROM embeddings e CROSS JOIN planes
+  GROUP BY e.vec_id, planes.t
+),
+pair_ids AS (
+  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS cand_id
+  FROM buckets pb JOIN buckets cb
+    ON pb.table_id = cb.table_id AND pb.bucket = cb.bucket
+  WHERE pb.vec_id % 25 = 0 AND pb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT probe_id, cand_id, {_DUCK_COS} AS cos_sim
+  FROM pair_ids
+  JOIN embeddings p ON p.vec_id = probe_id
+  JOIN embeddings c ON c.vec_id = cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 25 == 0).select(
