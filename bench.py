@@ -65,6 +65,10 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() intermediates consumed twice within one
+        # query; drop them so no query is billed for a predecessor's
+        # cached state (and memory stays flat across the suite)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

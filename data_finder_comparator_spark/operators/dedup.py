@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key
+from ..partitioning import fanout_partitions as _fanout_partitions
 
 
 def char_shingles(
@@ -51,8 +52,10 @@ def char_shingles(
         # document tables arrive in few large file-splits; the explode
         # inflates each row ~|text|-fold, so spread docs across the
         # cluster BEFORE inflating (a shuffle of doc-count rows buys
-        # full parallelism for the k*|text| shingle work)
-        .repartition(F.col("doc_id"))
+        # full parallelism for the k*|text| shingle work). The count is
+        # explicit: AQE would coalesce a size-based repartition of the
+        # small pre-explode input back to one partition
+        .repartition(_fanout_partitions(df), F.col("doc_id"))
         .select(
             "doc_id",
             F.explode(
@@ -102,6 +105,43 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), F.col("minh").cast("long").alias("minh"))
 
 
+def minhash_lsh_bands(
+    shingles: DataFrame, n_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """Fused minhash+banding: (doc_id, band, sig) computed with ONE
+    aggregation. The wide per-doc row of n_hashes mins already holds
+    every band's members in order, so each band signature is just
+    md5(concat_ws('|', m_i..m_j)) on that row — the per-(doc, band)
+    regroup that ``minhash_signatures`` → ``lsh_bands`` would do is a
+    whole shuffle of pure bookkeeping. Identical output to the unfused
+    pair (property-tested)."""
+    h = F.md5(F.col("shingle"))
+    halves = shingles.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
+    )
+    mins = [
+        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_MOD).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    wide = halves.groupBy("doc_id").agg(*mins)
+    n_bands = n_hashes // rows_per_band
+    band_sigs = ", ".join(
+        "{b}, md5(concat_ws('|', {ms}))".format(
+            b=b,
+            ms=", ".join(
+                f"m{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {band_sigs}) AS (band, sig)"),
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "sig")
+
+
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
     """(doc_id, band, sig): concatenate each band's minhashes (ordered
     by seed — array_sort on (seed, minh) structs keeps it deterministic
@@ -120,7 +160,13 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket — an
-    equi-join on (band, sig), never a cross product."""
+    equi-join on (band, sig), never a cross product.
+
+    The self-join consumes ``bands`` twice; persist so the minhash
+    pipeline upstream (shingle explode + signature aggregation — the
+    expensive part) materializes once. The band table itself is tiny:
+    n_bands rows per doc."""
+    bands = bands.persist()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -196,7 +242,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lower(F.col(text_col)).alias("_t"),
         )
         # spread docs before the token explode (see char_shingles)
-        .repartition(F.col("doc_id"))
+        .repartition(_fanout_partitions(df), F.col("doc_id"))
         .select("doc_id", F.explode(F.split("_t", r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fanout_partitions as _fanout_partitions
+
 FEATURE_DIM = 4
 
 FEATURES_SCHEMA = (
@@ -86,4 +88,8 @@ def binary_features(df: DataFrame, decode=None) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+    # one file-split in, per-payload Python work out: spread rows so
+    # every core runs an Arrow-batched worker instead of one
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )

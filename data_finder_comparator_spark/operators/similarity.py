@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import fanout_partitions as _fanout_partitions
+
 
 def _as_double(col: str) -> Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
@@ -62,7 +64,9 @@ def cosine_topk(
     # probe sets are typically a thin slice of one parquet file — one
     # input split — while the scoring work is |probes| x |cands|;
     # spread probes across the cluster before fanning out
-    p = probes.repartition(F.col(id_p)).withColumn("_np", dot(vec_p, vec_p))
+    p = probes.repartition(_fanout_partitions(probes), F.col(id_p)).withColumn(
+        "_np", dot(vec_p, vec_p)
+    )
     c = cands.withColumn("_nc", dot(vec_c, vec_c))
     pairs = p.crossJoin(F.broadcast(c)).filter(F.col(id_p) != F.col(id_c))
     scored = pairs.withColumn(
@@ -118,7 +122,7 @@ def lsh_bucketed_topk(
     def bucketed(df: DataFrame, vec: str, id_col: str) -> DataFrame:
         # n_tables * n_planes * dim multiplies per row from a one-split
         # parquet read: spread rows before projecting
-        df = df.repartition(F.col(id_col))
+        df = df.repartition(_fanout_partitions(df), F.col(id_col))
         out = None
         for t in range(n_tables):
             b = df.select(

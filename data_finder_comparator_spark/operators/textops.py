@@ -97,23 +97,24 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
     """Winnowing-lite content fingerprint: min and max md5 over the
     k-gram shingle set plus the shingle count — an order-independent,
     portable content signature (collision-resistant enough for
-    candidate pre-filtering; not cryptographic identity)."""
+    candidate pre-filtering; not cryptographic identity).
+
+    Entirely map-side: the shingle set never leaves the row (array
+    expressions — no explode, no shuffle), so at scale this is exactly
+    one pass over the corpus with zero exchanges."""
     n = norm_key(F.col(text_col))
-    sh = (
+    hashes = F.expr(
+        f"array_distinct(transform(sequence(1, length(_n) - {k - 1}),"
+        f" i -> md5(substring(_n, i, {k}))))"
+    )
+    return (
         df.select(F.col(id_col).cast("long").alias("doc_id"), n.alias("_n"))
         .filter(F.length("_n") >= k)
+        .withColumn("_h", hashes)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(_n) - {k - 1}),"
-                    f" i -> md5(substring(_n, i, {k})))"
-                )
-            ).alias("h"),
+            F.array_min("_h").alias("fp_min"),
+            F.array_max("_h").alias("fp_max"),
+            F.size("_h").cast("long").alias("n_shingles"),
         )
-    )
-    return sh.groupBy("doc_id").agg(
-        F.min("h").alias("fp_min"),
-        F.max("h").alias("fp_max"),
-        F.countDistinct("h").cast("long").alias("n_shingles"),
     )

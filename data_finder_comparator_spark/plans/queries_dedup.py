@@ -11,9 +11,8 @@ from ..operators.dedup import (
     char_shingles,
     exact_canonical_map,
     jaccard_pairs,
-    lsh_bands,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_lsh_bands,
     simhash32,
 )
 from ..sources.parquet import load_table
@@ -89,7 +88,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is pure waste here — the explode pipelines straight into the
     # signature aggregation (oracle keeps DISTINCT; results identical)
     sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
-    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, 12), 3))
+    return lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3))
 
 
 # ---------------------------------------------------------------------------

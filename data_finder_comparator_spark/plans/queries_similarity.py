@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, cosine_topk, lsh_bucketed_topk
+from ..partitioning import fanout_partitions as _fanout_partitions
 from ..sources.parquet import load_table
 from .catalog import query
 
@@ -66,7 +67,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = (
         emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("vec_p"))
-        .repartition(F.col("vec_a"))  # one file-split in, O(n^2) scoring out
+        .repartition(_fanout_partitions(emb), F.col("vec_a"))  # 1 split in, O(n^2) out
         .withColumn("_na", dot("vec_p", "vec_p"))  # self-norms once per row,
     )
     b = emb.select(
