@@ -35,8 +35,10 @@ Scale design (this is where the Spark version stops being a loop):
   ``strategy="band"`` turns the length-band predicate into an
   **equi-join** by exploding each candidate over the [lc-t, lc+t]
   length bucket — a shuffled hash join on the band key, for
-  candidate sets too big to broadcast (the 100 TB regime). Both
-  produce identical results.
+  candidate sets too big to broadcast. ``strategy="qgram"`` blocks by
+  q-gram prefix filtering (AllPairs/PPJoin-style, see inline notes) —
+  the 100 TB regime, sub-quadratic even when every string has the
+  same length. All three produce identical results.
 
 Output: one row per (probe, candidate, tier) membership —
 ``probe_id, probe, cand_id, cand, dist, tier``.
@@ -80,8 +82,69 @@ def tiered_fuzzy_join(
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
     c = _prep(cand, cand_id, cand_val, "cand_id", "cand", "_nc")
 
-    # ---- Phase 1: within-threshold pairs via length-band pruning ----
-    if strategy == "band":
+    # ---- Phase 1: within-threshold pairs via blocking ----
+    if strategy == "qgram":
+        # Prefix filtering on q-grams (AllPairs/PPJoin candidate
+        # generation, exact for edit distance): one edit destroys at
+        # most q distinct q-grams, so ed(a,b) <= t implies b contains
+        # at least one of ANY t*q+1 distinct grams of a. Join the
+        # t*q+1 globally-RAREST grams of each probe (rare-first
+        # minimizes fanout; any subset is correct) against all
+        # candidate grams — an equi-join on a 2-char key, no cross
+        # product, and the only strategy here that stays sub-quadratic
+        # when the length distribution is narrow (length banding prunes
+        # nothing when every string has the same length).
+        qg = 2
+        prefix_n = t * qg + 1
+        # probes too short to own t*q+1 grams get the band fallback;
+        # any candidate within t of such a probe is also short, so the
+        # fallback join is tiny
+        min_len = qg + t * qg
+        long_p = p.filter(F.length("_nq") >= min_len)
+        short_p = p.filter(F.length("_nq") < min_len)
+
+        def _grams(df: DataFrame, id_col: str, nrm: str) -> DataFrame:
+            return df.select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(1, length({nrm}) - {qg - 1}),"
+                        f" i -> substring({nrm}, i, {qg})))"
+                    )
+                ).alias("gram"),
+            )
+
+        cg = _grams(c.filter(F.length("_nc") >= qg), "cand_id", "_nc")
+        pg = _grams(long_p, "probe_id", "_nq")
+        gram_df = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        wq = Window.partitionBy("probe_id").orderBy("_df", "gram")
+        prefix = (
+            pg.join(gram_df, "gram", "left")
+            .fillna(0, ["_df"])
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= prefix_n)
+            .select("probe_id", "gram")
+        )
+        pair_ids = prefix.join(cg, "gram").select("probe_id", "cand_id").distinct()
+        banded_long = pair_ids.join(long_p, "probe_id").join(c, "cand_id")
+        c_short = c.filter(F.length("_nc") < min_len + t).withColumn(
+            "_band",
+            F.explode(
+                F.sequence(F.greatest(F.length("_nc") - t, F.lit(0)), F.length("_nc") + t)
+            ),
+        )
+        banded_short = (
+            short_p.withColumn("_band", F.length("_nq")).join(c_short, "_band").drop("_band")
+        )
+        cols = ["probe_id", "probe", "_nq", "cand_id", "cand", "_nc"]
+        banded = (
+            banded_long.select(*cols)
+            .unionByName(banded_short.select(*cols))
+            # qgram pairs can still be length-incompatible; drop them
+            # before paying the DP
+            .filter(F.abs(F.length("_nq") - F.length("_nc")) <= t)
+        )
+    elif strategy == "band":
         # equi-join on length bucket: each candidate is replicated into
         # the 2t+1 probe-lengths it could match; join key is an int, so
         # this is a plain (shuffled or broadcast) hash join that scales

@@ -81,6 +81,69 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    stride: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions candidates into
+    cells; probes search only their ``nprobe`` nearest cells.
+
+    The quantizer is deterministic — every ``stride``-th candidate
+    vector serves as a centroid (a production system would k-means;
+    sampled centroids are the standard zero-training stand-in and keep
+    the whole computation engine-portable). Cell assignment and probe
+    routing both rank by (rounded cosine desc, centroid id), so the
+    partition is exact and reproducible. Scale shape: the centroid
+    table is tiny (n/stride) and broadcast; candidates shuffle once on
+    cell id; each probe scores |nprobe| cells ≈ nprobe*stride vectors
+    instead of n."""
+    cents = (
+        cands.filter(F.col("cand_id") % stride == 0)
+        .select(F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent"))
+        .withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, vec: str, n: int) -> DataFrame:
+        sim = F.round(
+            dot(vec, "vec_cent") / F.sqrt(dot(vec, vec) * F.col("_ncent")), 6
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "cent_id")
+        return (
+            df.repartition(_fanout_partitions(df), F.col(id_col))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_csim", sim)
+            .withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n)
+            .select(id_col, "cent_id")
+        )
+
+    cell = nearest_cells(cands, "cand_id", "vec_c", 1)
+    probe_cells = nearest_cells(probes, "probe_id", "vec_p", nprobe)
+    pair_ids = (
+        probe_cells.join(cell, "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
 def hyperplane_bucket(vec: str, n_planes: int, dim: int, seed_tag: str = "hp") -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
     n_planes pseudo-random hyperplanes. Hyperplane components are

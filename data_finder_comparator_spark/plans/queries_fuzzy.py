@@ -150,7 +150,10 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = docs.select(
         F.col("doc_id").alias("cand_id"), F.substring("text", 1, 24).alias("cand")
     )
-    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="band")
+    # qgram blocking: the corpus' 24-char prefixes all have ~the same
+    # length, so length banding keeps nearly every pair; the q-gram
+    # prefix filter is what actually prunes here (and at 100 TB)
+    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram")
 
 
 # ---------------------------------------------------------------------------

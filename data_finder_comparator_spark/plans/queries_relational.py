@@ -183,6 +183,43 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE (all grouping-set combinations — Catalyst expands to one shuffle).
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(CAST(hour(ts) AS VARCHAR), 'ALL') AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
+@query("events_cube", oracle=_CUBE_ORACLE)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): Catalyst expands the four
+    grouping sets into one Expand + single-shuffle aggregate — the
+    grouping-sets passthrough of the engine's relational surface."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_of_day", F.hour("ts").cast("string")
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("hour_of_day", F.lit("ALL")).alias("hour_of_day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization: gap-based sessions over the events stream table
 # (lag + cumulative sum of gap breaks — the batch formulation of
 # streaming session windows).

@@ -85,6 +85,73 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-style ANN: coarse-quantizer cells (every 50th vector as a
+# deterministic centroid), candidates searched only in each probe's 3
+# nearest cells. The same rounded-cosine ranking on both engines makes
+# cell assignment, routing, and the final top-k exact.
+_CENT_COS = (
+    "round(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(ct.embedding AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
+    " * list_dot_product(CAST(ct.embedding AS DOUBLE[]), CAST(ct.embedding AS DOUBLE[]))), 6)"
+)
+
+_IVF_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+cell AS (
+  SELECT vec_id AS cand_id, cent_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cent_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+    WHERE v.vec_id % 25 = 0
+  ) WHERE rn <= 3
+),
+pair_ids AS (
+  SELECT DISTINCT probe_id, cand_id
+  FROM probe_cells JOIN cell USING (cent_id)
+  WHERE probe_id <> cand_id
+),
+scored AS (
+  SELECT probe_id, cand_id, {_DUCK_COS} AS cos_sim
+  FROM pair_ids
+  JOIN embeddings p ON p.vec_id = probe_id
+  JOIN embeddings c ON c.vec_id = cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed cosine top-5 (stride-50 centroids, nprobe=3) — the
+    inverted-file counterpart to the hyperplane-LSH scale path."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    return ivf_topk(probes, cands, k=5, stride=50, nprobe=3)
+
+
 # LSH-bucketed ANN: the scale path. The md5-derived hyperplanes ARE
 # portably expressible — DuckDB casts '0x'-prefixed hex to BIGINT — and
 # both engines compute projections as sequential index-order dot

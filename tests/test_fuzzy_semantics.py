@@ -66,7 +66,7 @@ PROBES = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "band"])
+@pytest.mark.parametrize("strategy", ["broadcast", "band", "qgram"])
 def test_tier_semantics_vs_reference(spark, strategy):
     probe = spark.createDataFrame(PROBES, "probe_id long, probe string")
     cand = spark.createDataFrame(CANDS, "cand_id long, cand string")
