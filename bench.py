@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "fuzzy_tier_assembly",
+    "events_cube",
     "text_quality_signals",
     "doc_fingerprints",
     "multimodal_features",

@@ -220,6 +220,40 @@ FROM flag GROUP BY tier
 """
 
 
+# ---------------------------------------------------------------------------
+# Tier assembly (A3/J9): the reference's per-probe 4-list return shape
+# (main.py:230) with the potential sort applied (main.py:476, :561).
+# Lists are serialized "cand~dist|cand~dist" ordered by (dist, cand_id)
+# so the grouped nested result is portably hash-checkable.
+# ---------------------------------------------------------------------------
+
+def _tier_list_expr(tier: str) -> str:
+    return (
+        f"array_join(transform(array_sort(collect_list("
+        f"CASE WHEN tier = '{tier}' THEN struct(dist, cand_id, cand) END)),"
+        f" s -> concat(s.cand, '~', s.dist)), '|') AS {tier}_list"
+    )
+
+
+_ASSEMBLY_ORACLE = f"""
+WITH flag AS ({_FLAGSHIP_ORACLE})
+SELECT probe_id, probe,
+       {", ".join(
+           f"coalesce(string_agg(cand || '~' || dist, '|' ORDER BY dist, cand_id)"
+           f" FILTER (WHERE tier = '{t}'), '') AS {t}_list"
+           for t in ("exact", "best", "potential", "poor"))}
+FROM flag GROUP BY probe_id, probe
+"""
+
+
+@query("fuzzy_tier_assembly", oracle=_ASSEMBLY_ORACLE)
+def fuzzy_tier_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = fuzzy_join_tiers(spark, sf_dir)
+    return tiers.groupBy("probe_id", "probe").agg(
+        *[F.expr(_tier_list_expr(t)) for t in ("exact", "best", "potential", "poor")]
+    )
+
+
 @query("fuzzy_tier_counts", oracle=_TIER_COUNTS_ORACLE)
 def fuzzy_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = fuzzy_join_tiers(spark, sf_dir)

@@ -85,3 +85,30 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compared against the batch-SQL oracle — stream/batch
     equivalence, the core Structured Streaming guarantee."""
     return windowed_event_counts(spark, sf_dir, "1 hour", "swc_oracle_run")
+
+
+# Sliding (hopping) windows: every event lands in duration/slide
+# windows; the oracle unrolls the two hops explicitly.
+_SLIDING_ORACLE = """
+WITH slid AS (
+  SELECT CAST(date_trunc('hour', ts) - o.h * INTERVAL 1 HOUR AS TIMESTAMP) AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 2)) AS h) o
+)
+SELECT win_start,
+       CAST(win_start + INTERVAL 2 HOUR AS TIMESTAMP) AS win_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slid GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_sliding_counts", oracle=_SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour over event time — each event is
+    counted in two overlapping windows, the standard hopping-window
+    aggregation, again as a real streaming query vs the batch oracle."""
+    return windowed_event_counts(
+        spark, sf_dir, "2 hours", "ssc_oracle_run", slide="1 hour"
+    )

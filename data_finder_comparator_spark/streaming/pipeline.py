@@ -63,14 +63,17 @@ def windowed_event_counts(
     sf_dir: str,
     window: str = "1 hour",
     query_name: str = "windowed_event_counts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window counts per event_type, driven to
-    completion synchronously against the static events table; returns
-    the final result as a batch DataFrame (window start/end + counts).
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window
+    counts per event_type, driven to completion synchronously against
+    the static events table; returns the final result as a batch
+    DataFrame (window start/end + counts).
     """
     ev = _events_stream(spark, sf_dir)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
-        ev.groupBy(F.window("ts", window), "event_type")
+        ev.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -97,6 +100,53 @@ def windowed_event_counts(
     out = spark.table(query_name)
     result = spark.createDataFrame(out.collect(), schema=out.schema)
     return result
+
+
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.IntegerType())])
+
+
+def first_seen_stream(docs_stream: DataFrame, id_col: str, hash_col: str):
+    """Cross-micro-batch stateful dedup: emits each content hash exactly
+    once — the first (min id within the arriving batch) document that
+    carries it — suppressing re-arrivals in later micro-batches via
+    per-key state. The custom-stateful-operator pattern
+    (``applyInPandasWithState``): state is one flag per key, so memory
+    is O(distinct keys), and at cluster scale the store is RocksDB-backed
+    and checkpointed; here it pins the API shape and semantics.
+
+    Returns a streaming DataFrame (caller attaches the sink)."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                best = m if best is None else min(best, m)
+        if state.exists or best is None:
+            yield pd.DataFrame({"content_hash": [], "doc_id": []})
+        else:
+            state.update((1,))
+            yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [best]})
+
+    return (
+        docs_stream.groupBy(hash_col)
+        .applyInPandasWithState(
+            fn,
+            FIRST_SEEN_SCHEMA,
+            _FIRST_SEEN_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def fuzzy_match_stream(

@@ -100,6 +100,48 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: per-key state suppresses re-arrivals
+    across micro-batches — a duplicate hash in a LATER file must not be
+    re-emitted, and the batch-1 winner is its min doc_id."""
+    from data_finder_comparator_spark.streaming.pipeline import first_seen_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); hash "b"
+    # recurs in batch 2 and must be suppressed there
+    spark.createDataFrame(
+        [(3, "a"), (1, "b"), (2, "b")], "doc_id long, content_hash string"
+    ).coalesce(1).write.parquet(str(docs_dir / "f0"))
+    spark.createDataFrame(
+        [(9, "b"), (4, "c")], "doc_id long, content_hash string"
+    ).coalesce(1).write.parquet(str(docs_dir / "f1"))
+    stream = (
+        spark.readStream.schema("doc_id long, content_hash string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    out = first_seen_stream(stream, "doc_id", "content_hash")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("first_seen_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.content_hash, r.doc_id)
+        for r in spark.table("first_seen_t").collect()
+        if r.content_hash is not None
+    }
+    assert ("b", 1) in rows or ("b", 9) in rows  # emitted exactly once
+    assert sum(1 for h, _ in rows if h == "b") == 1
+    assert ("a", 3) in rows and ("c", 4) in rows
+
+
 def test_multimodal_batch_shape(spark):
     """mapInPandas plumbing: stable schema, deterministic features,
     payload md5 matches the text md5 (utf-8 fabricated payload)."""
