@@ -31,7 +31,7 @@ _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS count_order,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
 FROM lineitem
@@ -55,10 +55,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # oracle; exact decimal arithmetic is order-independent
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sum_base_price"),
+            # rescale the exact scale-12 decimal sum to 6 dp before the
+            # double cast: above 2^53 the scaled integer no longer
+            # converts exactly, and DuckDB's decimal->double is not
+            # correctly rounded there (1-ulp drift vs the JVM)
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-            ).cast("double").alias("sum_disc_price"),
+            ).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
             F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
         )
@@ -71,7 +75,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REV_ORACLE = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -106,7 +110,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-            ).cast("double").alias("revenue"),
+            ).cast("decimal(38,6)").cast("double").alias("revenue"),  # see sum_disc_price note
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
