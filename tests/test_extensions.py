@@ -100,6 +100,56 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_engine_config_roundtrip():
+    from data_finder_comparator_spark.config import EngineConfig
+
+    import pytest as _pytest
+
+    cfg = EngineConfig(threshold=0, strategy="qgram", data_folder="")
+    back = EngineConfig.from_json(cfg.to_json())
+    assert back == cfg
+    assert back.threshold == 0  # '0' is a value, not unset (§2.11 bug 3)
+    assert back.search_path == ""  # empty data_folder doesn't clear it
+    with _pytest.raises(ValueError):
+        EngineConfig(threshold=-1)
+    with _pytest.raises(ValueError):
+        EngineConfig(strategy="nested-loop")
+    with _pytest.raises(ValueError):
+        EngineConfig.from_json('{"no_such_field": 1}')
+
+
+def test_salted_ops_match_unsalted(spark):
+    from data_finder_comparator_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    # skewed: key 'hot' dominates
+    rows = [(("hot" if i % 10 else f"k{i}"), i, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v long, x double")
+    got = {
+        (r.k, r.n, r.s, r.mn)
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("v", "count"), "s": ("v", "sum"), "mn": ("v", "min")}, 8
+        ).collect()
+    }
+    want = {
+        (r.k, r.n, r.s, r.mn)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.min("v").alias("mn")
+        )
+        .collect()
+    }
+    assert got == want
+    dim = spark.createDataFrame([("hot", 1), ("k1", 2)], "k string, tag long")
+    got_j = sorted(
+        (r.k, r.v, r.tag) for r in salted_join(df, dim, ["k"], 8).collect()
+    )
+    want_j = sorted((r.k, r.v, r.tag) for r in df.join(dim, "k").collect())
+    assert got_j == want_j
+
+
 def test_stateful_first_seen_dedup(spark, tmp_path):
     """applyInPandasWithState: per-key state suppresses re-arrivals
     across micro-batches — a duplicate hash in a LATER file must not be
