@@ -17,10 +17,11 @@ Design notes for 100 TB:
 * MinHash-LSH turns near-dup search from O(n²) pairs into an equi-join
   on (band, signature) — only colliding buckets produce pairs. Band
   count / rows-per-band trade recall vs candidate volume.
-* Hashes are md5-hex (seeded by prefixing the seed number), so
-  signatures are engine-portable strings: the DuckDB oracle computes
-  the identical signature. A production variant would use xxhash64 for
-  speed; md5 keeps the oracle exact.
+* The MinHash family is Kirsch-Mitzenmacher double hashing over one
+  md5 per shingle (two 48-bit hex halves; seed s hashes to
+  h1 + s*h2 mod 2^48) — engine-portable integers, so the DuckDB oracle
+  computes bit-identical signatures. A production variant would swap
+  md5 for xxhash64; md5 keeps the oracle exact.
 """
 
 from __future__ import annotations
@@ -72,6 +73,22 @@ def char_shingles(
 MINHASH_MOD = 1 << 48  # 48-bit hash space: exact in BIGINT for h1 + 11*h2
 
 
+def _minhash_wide(shingles: DataFrame, n_hashes: int) -> DataFrame:
+    """One wide row per doc: m0..m{n-1} minhash columns from a single
+    md5 per shingle (Kirsch-Mitzenmacher double hashing)."""
+    h = F.md5(F.col("shingle"))
+    halves = shingles.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
+    )
+    mins = [
+        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_MOD).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return halves.groupBy("doc_id").agg(*mins)
+
+
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
     """(doc_id, seed, minh): per-seed MinHash over a Kirsch-Mitzenmacher
     double-hashed family — ONE md5 per shingle split into two 48-bit
@@ -87,17 +104,7 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 12) -> DataFrame:
     what matters when the shingle table is billions of rows. The wide
     row is unpivoted afterwards (stack — free, no shuffle) to keep the
     (doc_id, seed, minh) contract."""
-    h = F.md5(F.col("shingle"))
-    halves = shingles.select(
-        "doc_id",
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
-    )
-    mins = [
-        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_MOD).alias(f"m{s}")
-        for s in range(n_hashes)
-    ]
-    wide = halves.groupBy("doc_id").agg(*mins)
+    wide = _minhash_wide(shingles, n_hashes)
     stack_args = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
     return wide.select(
         "doc_id",
@@ -115,17 +122,7 @@ def minhash_lsh_bands(
     regroup that ``minhash_signatures`` → ``lsh_bands`` would do is a
     whole shuffle of pure bookkeeping. Identical output to the unfused
     pair (property-tested)."""
-    h = F.md5(F.col("shingle"))
-    halves = shingles.select(
-        "doc_id",
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
-    )
-    mins = [
-        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_MOD).alias(f"m{s}")
-        for s in range(n_hashes)
-    ]
-    wide = halves.groupBy("doc_id").agg(*mins)
+    wide = _minhash_wide(shingles, n_hashes)
     n_bands = n_hashes // rows_per_band
     band_sigs = ", ".join(
         "{b}, md5(concat_ws('|', {ms}))".format(

@@ -100,6 +100,44 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed tables with matching bucket counts must join with NO
+    Exchange in the physical plan (the shuffle was paid at write time),
+    and produce the same rows as the plain join."""
+    from data_finder_comparator_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 7}", float(i)) for i in range(200)],
+        "o_key long, cust string, total double",
+    )
+    items = spark.createDataFrame(
+        [(i % 150, j, float(i * j)) for i in range(300) for j in range(2)],
+        "o_key long, line long, price double",
+    )
+    write_bucketed(orders, "b_orders_t", "o_key", 4, sort_col="o_key")
+    write_bucketed(items, "b_items_t", "o_key", 4, sort_col="o_key")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-join path (tiny test tables would broadcast):
+    # the point is that bucketing removes the Exchange a SortMergeJoin
+    # would otherwise need on both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders_t", "b_items_t", "o_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = sorted((r.o_key, r.line) for r in joined.collect())
+        want = sorted((r.o_key, r.line) for r in orders.join(items, "o_key").collect())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders_t")
+        spark.sql("DROP TABLE IF EXISTS b_items_t")
+
+
 def test_engine_config_roundtrip():
     from data_finder_comparator_spark.config import EngineConfig
 
