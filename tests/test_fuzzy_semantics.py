@@ -82,6 +82,24 @@ def test_tier_semantics_vs_reference(spark, strategy):
         assert r.dist == _lev(r.probe, r.cand)
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "band", "qgram"])
+def test_empty_probe_side(spark, strategy):
+    """Zero probes must yield zero rows (not crash in the window /
+    fallback machinery) under every blocking strategy."""
+    probe = spark.createDataFrame([], "probe_id long, probe string")
+    cand = spark.createDataFrame(CANDS, "cand_id long, cand string")
+    assert tiered_fuzzy_join(probe, cand, threshold=3, strategy=strategy).count() == 0
+
+
+def test_empty_candidate_side(spark):
+    """Zero candidates: nothing within threshold and nothing to rescan —
+    every tier is empty (the reference would min() over an empty list;
+    the rebuild defines it as no output)."""
+    probe = spark.createDataFrame(PROBES, "probe_id long, probe string")
+    cand = spark.createDataFrame([], "cand_id long, cand string")
+    assert tiered_fuzzy_join(probe, cand, threshold=3).count() == 0
+
+
 def test_exact_poor_overlap_quirk(spark):
     """A probe whose only close candidate is at distance 0 must appear
     in BOTH exact and poor (main.py:218-228 rescans all candidates)."""
