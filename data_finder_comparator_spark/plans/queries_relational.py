@@ -187,6 +187,35 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact quantiles (percentile with linear interpolation — both engines
+# implement the same continuous-quantile definition, so values match to
+# the double; rounded to 6 dp for belt-and-braces hash stability).
+# ---------------------------------------------------------------------------
+
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("event_value_quantiles", oracle=_QUANTILES_ORACLE)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of event value per type. Exact percentile needs the
+    group's values together (sort-based agg); at 100 TB you'd reach for
+    approx_percentile (t-digest, mergeable partial aggs) — kept exact
+    here because the oracle must match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE (all grouping-set combinations — Catalyst expands to one shuffle).
 # ---------------------------------------------------------------------------
 

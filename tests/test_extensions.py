@@ -100,6 +100,28 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_partition_pruning(spark, tmp_path):
+    """Hive-style partitioned writes must prune at plan time: a filter
+    on the partition column appears as a PartitionFilter (not a data
+    filter) and non-matching partition directories are never scanned."""
+    src = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("shard"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    path = str(tmp_path / "parted")
+    src.write.partitionBy("shard").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("shard") == "2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the shard predicate is a PARTITION filter (directory-level prune),
+    # not a data filter evaluated per row group
+    assert "PartitionFilters: [isnotnull(shard" in plan and "= 2" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert "PushedFilters: []" in plan
+    assert df.count() == 250
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Bucketed tables with matching bucket counts must join with NO
     Exchange in the physical plan (the shuffle was paid at write time),
