@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key
+from ..partitioning import fanout_partitions as _fanout_partitions
 
 OUT_COLS = ["probe_id", "probe", "cand_id", "cand", "dist", "tier"]
 
@@ -90,11 +91,15 @@ def tiered_fuzzy_join(
         # at least one of ANY t*q+1 distinct grams of a. Join the
         # t*q+1 globally-RAREST grams of each probe (rare-first
         # minimizes fanout; any subset is correct) against all
-        # candidate grams — an equi-join on a 2-char key, no cross
+        # candidate grams — an equi-join on a short string key, no cross
         # product, and the only strategy here that stays sub-quadratic
         # when the length distribution is narrow (length banding prunes
         # nothing when every string has the same length).
-        qg = 2
+        # q=3: trigrams are ~36x rarer than bigrams, so the prefix
+        # join's fanout (sum of document frequencies over the prefix)
+        # drops by that factor; the bound stays exact since one edit
+        # destroys at most q distinct q-grams for ANY q
+        qg = 3
         prefix_n = t * qg + 1
         # probes too short to own t*q+1 grams get the band fallback;
         # any candidate within t of such a probe is also short, so the
@@ -104,7 +109,9 @@ def tiered_fuzzy_join(
         short_p = p.filter(F.length("_nq") < min_len)
 
         def _grams(df: DataFrame, id_col: str, nrm: str) -> DataFrame:
-            return df.select(
+            # fan-out repartition: the gram explode inflates a few file
+            # splits into |text|-fold rows (see partitioning.py)
+            return df.repartition(_fanout_partitions(df), F.col(id_col)).select(
                 id_col,
                 F.explode(
                     F.expr(

@@ -187,6 +187,38 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Supplier dimension rollup (completes table coverage; broadcast-dim
+# join + HAVING-style post-aggregation filter).
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_ORACLE = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(*) > 1
+"""
+
+
+@query("suppliers_by_nation", oracle=_SUPPLIER_ORACLE)
+def suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double").alias(
+                "total_acctbal"
+            ),
+        )
+        .filter(F.col("n_suppliers") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact quantiles (percentile with linear interpolation — both engines
 # implement the same continuous-quantile definition, so values match to
 # the double; rounded to 6 dp for belt-and-braces hash stability).
