@@ -72,6 +72,36 @@ def append_sink(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
+    """S4 as a real sink MERGE: rows whose key already exists in the
+    sink are replaced by the incoming row; new keys are appended.
+
+    Parquet has no transactional MERGE, so this is read → anti-join →
+    union → rewrite THROUGH A STAGING PATH: overwriting the path being
+    lazily read would race, so the merged result is first fully
+    materialized at ``path + "_staging"``, then copied over. Fully
+    distributed — nothing funnels through the driver. On a lakehouse
+    table format (Delta/Iceberg) this collapses to ``MERGE INTO ...
+    WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` — same semantics,
+    transactional, and without rewriting untouched files."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+    if not exists:
+        df.write.mode("overwrite").parquet(path)
+        return
+    staging = path.rstrip("/") + "_staging"
+    kept = existing.join(df.select(key_col).distinct(), key_col, "left_anti")
+    kept.unionByName(df).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+
+
 def with_row_ids(df: DataFrame, order_cols: list[str], partition_cols: list[str] | None = None, name: str = "row_id") -> DataFrame:
     """P4: deterministic dense 1-based row ids over an explicit total
     order. Partitioned when possible (scales); global otherwise."""

@@ -100,6 +100,25 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_upsert_sink_merge_semantics(spark, tmp_path):
+    """upsert_sink: existing keys are replaced, new keys appended, and
+    untouched rows survive the rewrite."""
+    from data_finder_comparator_spark.operators.curation import upsert_sink
+
+    path = str(tmp_path / "merge_sink")
+    v1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "sku string, price double"
+    )
+    upsert_sink(v1, path, "sku")
+    v2 = spark.createDataFrame(
+        [("b", 20.0), ("d", 4.0)], "sku string, price double"
+    )
+    upsert_sink(v2, path, "sku")
+    got = {r.sku: r.price for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1.0, "b": 20.0, "c": 3.0, "d": 4.0}
+    assert not os.path.exists(path + "_staging")
+
+
 def test_partition_pruning(spark, tmp_path):
     """Hive-style partitioned writes must prune at plan time: a filter
     on the partition column appears as a PartitionFilter (not a data

@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB design depends on, so a refactor that silently reintroduces a
+full scan, drops a broadcast, or un-prunes a column fails CI — not a
+cluster bill. (`.explain`-auditing made executable.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_finder_comparator_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _executed_plan(QUERIES["pricing_summary"](spark, SF))
+    # the shipdate predicate reaches the parquet reader...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan reads only the needed columns (no l_comment etc.)
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in scan and "l_comment" not in scan and "l_tax" not in scan
+
+
+def test_revenue_star_join_broadcasts_dims(spark):
+    plan = _executed_plan(QUERIES["revenue_by_nation"](spark, SF))
+    # every dimension joins as a broadcast — the fact table is never
+    # shuffled for a dim lookup
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # region filter applied at its scan, not after the join
+    assert "r_name" in plan.split("PushedFilters")[-1].splitlines()[0] or "In(r_name" in plan
+
+
+def test_fuzzy_flagship_no_cartesian(spark):
+    plan = _executed_plan(QUERIES["fuzzy_join_tiers"](spark, SF))
+    # the length-band predicate must keep the pairing out of
+    # CartesianProduct territory (BroadcastNestedLoopJoin with the band
+    # condition is the expected shape for the broadcast strategy)
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_are_partial_before_exchange(spark):
+    plan = _executed_plan(QUERIES["suppliers_by_nation"](spark, SF))
+    # map-side combine: a HashAggregate must appear below the Exchange
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in pre_exchange
+
+
+@pytest.mark.parametrize("name", ["doc_fingerprints", "text_quality_signals"])
+def test_map_side_ops_have_no_shuffle(spark, name):
+    plan = _executed_plan(QUERIES[name](spark, SF))
+    assert "Exchange" not in plan, plan
