@@ -192,6 +192,20 @@ def exact_canonical_map(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def drop_hot_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles appearing in more than ``max_df`` documents —
+    the standard skew guard for shingle equi-joins: a shingle present
+    in f documents contributes f_probe x f_cand join rows, so ubiquitous
+    shingles (boilerplate, common words) dominate the pair fanout while
+    carrying almost no similarity signal. This CHANGES the measured
+    intersection (documented approximation — callers must apply the same
+    cap to every side and to any oracle)."""
+    hot = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") > max_df
+    )
+    return shingles.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+
+
 def jaccard_pairs(
     probe_shingles: DataFrame,
     cand_shingles: DataFrame,

@@ -126,6 +126,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard with the hot-shingle cap — the scale variant. Shingles
+# in > 5% of docs are dropped BEFORE the equi-join on both sides (and
+# identically in the oracle): the ubiquitous-shingle fanout is the part
+# of the all-pairs join that doesn't survive 100 TB, and the dropped
+# shingles carry ~no similarity signal.
+# ---------------------------------------------------------------------------
+
+_JACCARD_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE.strip()},
+n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM shingles),
+cool AS (
+  SELECT s.* FROM shingles s
+  JOIN (SELECT shingle FROM shingles, n_docs
+        GROUP BY shingle, nd HAVING count(*) <= nd * 0.05) c
+  USING (shingle)
+),
+probe_sh AS (SELECT * FROM cool WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM cool GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM probe_sh p JOIN cool c ON p.shingle = c.shingle AND p.doc_id <> c.doc_id
+  GROUP BY p.doc_id, c.doc_id
+)
+SELECT doc_a, doc_b, inter_n,
+       CAST(sa.n + sb.n - inter_n AS BIGINT) AS union_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_n * 4 >= (sa.n + sb.n - inter_n) * 1
+"""
+
+
+@query("dedup_ngram_jaccard_capped", oracle=_JACCARD_CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import drop_hot_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5)
+    n_docs = sh.select("doc_id").distinct().count()
+    cool = drop_hot_shingles(sh, max_df=int(n_docs * 0.05)).persist()
+    probes = cool.filter(F.col("doc_id") % 10 == 0)
+    return jaccard_pairs(probes, cool, num=1, den=4)
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (32-bit, md5-nibble majority vote).
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,20 @@ def test_empty_candidate_side(spark):
     assert tiered_fuzzy_join(probe, cand, threshold=3).count() == 0
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "band", "qgram"])
+def test_null_keys_excluded(spark, strategy):
+    """NULL keys on either side are excluded from matching (the
+    reference would crash on a NaN cell; the engine defines nulls out),
+    and a null candidate doesn't perturb the poor fallback."""
+    probe = spark.createDataFrame([(1, None), (2, "abc")], "probe_id long, probe string")
+    cand = spark.createDataFrame([(10, "abc"), (11, None)], "cand_id long, cand string")
+    rows = tiered_fuzzy_join(probe, cand, threshold=3, strategy=strategy).collect()
+    assert sorted((r.probe_id, r.cand_id, r.tier) for r in rows) == [
+        (2, 10, "exact"),
+        (2, 10, "poor"),  # no positive within-threshold pair -> quirk overlap
+    ]
+
+
 def test_exact_poor_overlap_quirk(spark):
     """A probe whose only close candidate is at distance 0 must appear
     in BOTH exact and poor (main.py:218-228 rescans all candidates)."""
