@@ -1,17 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
 North-star extension (BASELINE.json): approximate-nearest-neighbor over
-the ``embeddings`` table. Two paths:
+the ``embeddings`` table. Three paths:
 
 * ``cosine_topk`` — brute-force top-k: probe x candidate cross join
   scored with built-in array expressions (zip_with + aggregate — all
   JVM-side codegen, no Python), ranked per probe. Correctness baseline
   and perfectly adequate when either side is small enough to broadcast.
-* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH
+* ``lsh_bucketed_topk`` — scale path A: random-hyperplane LSH
   (SimHash for vectors) buckets both sides; only same-bucket (plus
   optional neighboring-bucket) pairs are scored. Sub-linear candidate
   volume at the cost of recall — the standard trade, tunable by
   n_planes / n_tables.
+* ``ivf_topk`` — scale path B: inverted-file cells from a deterministic
+  coarse quantizer; probes search their nprobe nearest cells. The
+  FAISS-style layout, here with sampled centroids instead of k-means.
 
 All arithmetic is double precision with a deterministic left-to-right
 fold, so the DuckDB oracle (list_dot_product over DOUBLE[]) matches
