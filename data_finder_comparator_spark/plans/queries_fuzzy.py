@@ -30,16 +30,26 @@ _VARIANTS = [
 
 
 def _part_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four perturbation variants from ONE aggregation pass: the
+    variants explode from an inline array instead of unioning four
+    copies of the groupBy (which would scan and aggregate part 4x and
+    union their output partitions)."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
-    out = None
-    for v, tmpl in enumerate(_VARIANTS):
-        sel = names.select(
-            (F.col("name_id") * 4 + v).cast("long").alias("probe_id"),
-            F.expr(tmpl.format(name="p_name")).alias("probe"),
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("v"), F.expr(tmpl.format(name="p_name")).alias("probe")
+            )
+            for v, tmpl in enumerate(_VARIANTS)
+        ]
+    )
+    return names.select(
+        F.explode(variants).alias("s"), "name_id"
+    ).select(
+        (F.col("name_id") * 4 + F.col("s.v")).cast("long").alias("probe_id"),
+        F.col("s.probe").alias("probe"),
+    )
 
 
 def _part_cands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,14 +26,19 @@ def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name against its source name (F3/F5/F6 in SURVEY.md §2.4)."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
-    out = None
-    for v, tmpl in enumerate(_VARIANTS):
-        sel = names.select(
-            (F.col("name_id") * 4 + v).cast("long").alias("probe_id"),
-            F.expr(tmpl.format(name="p_name")).alias("probe"),
-            F.col("p_name").alias("cand"),
-        )
-        out = sel if out is None else out.unionByName(sel)
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("v"), F.expr(tmpl.format(name="p_name")).alias("probe")
+            )
+            for v, tmpl in enumerate(_VARIANTS)
+        ]
+    )
+    out = names.select(F.explode(variants).alias("s"), "name_id", "p_name").select(
+        (F.col("name_id") * 4 + F.col("s.v")).cast("long").alias("probe_id"),
+        F.col("s.probe").alias("probe"),
+        F.col("p_name").alias("cand"),
+    )
     withal = out.withColumn("al", alignment_udf("probe", "cand")).withColumn(
         "splices", splices_udf("probe", "cand")
     )
