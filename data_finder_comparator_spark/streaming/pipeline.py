@@ -90,10 +90,13 @@ def windowed_event_counts(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
+        # one-shot drain: process everything available, then terminate —
+        # no idle trigger polling between micro-batches
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     # materialize before the in-memory sink table goes away
