@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling probe: run the scale-path operators on synthetically
+inflated copies of the documents corpus (self-union with shifted ids —
+same distribution, n times the rows) and print per-size timings as one
+JSON line. The point is the growth CURVE, not the absolute numbers: an
+operator whose time grows ~linearly in rows here has no hidden
+quadratic pair-blowup, which is the property that decides survival at
+100 TB.
+
+Usage: python scale_check.py  [SPARK_GRAFT_SF_DIR=... for the base corpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_finder_comparator_spark.operators.dedup import (  # noqa: E402
+    char_shingles,
+    lsh_candidate_pairs,
+    minhash_lsh_bands,
+    simhash32,
+)
+from data_finder_comparator_spark.operators.fuzzy_join import (  # noqa: E402
+    tiered_fuzzy_join,
+)
+from data_finder_comparator_spark.session import get_spark  # noqa: E402
+from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
+
+
+def inflate(docs, times: int):
+    """n copies with distinct doc_ids (same text distribution)."""
+    out = None
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    for i in range(times):
+        c = docs.select(
+            (F.col("doc_id") + i * base).alias("doc_id"), "text"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    results: dict[str, dict[str, float]] = {}
+    for times in (1, 4, 16):
+        docs = inflate(docs0, times).persist()
+        n = docs.count()
+        tag = f"x{times}"
+        results[tag] = {"rows": n}
+
+        t0 = time.perf_counter()
+        sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
+        lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3)).count()
+        results[tag]["minhash_lsh"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        docs = inflate(docs0, times).persist()
+
+        t0 = time.perf_counter()
+        simhash32(docs, "doc_id", "text").count()
+        results[tag]["simhash"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("text", 1, 24).alias("probe"),
+        )
+        cands = docs.select(
+            F.col("doc_id").alias("cand_id"), F.substring("text", 1, 24).alias("cand")
+        )
+        tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram").count()
+        results[tag]["fuzzy_qgram"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        docs.unpersist()
+
+    print(json.dumps({"base_sf_dir": sf_dir, "sizes": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
