@@ -85,21 +85,22 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` — same semantics,
     transactional, and without rewriting untouched files."""
     spark = df.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-        exists = True
-    except Exception:
-        exists = False
-    if not exists:
+    # Existence is decided by an explicit filesystem check, NOT by
+    # catching read errors: a transient read failure (object-store 503,
+    # permission hiccup) misclassified as "no sink yet" would overwrite
+    # the path and destroy every previously-sunk row.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         df.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     staging = path.rstrip("/") + "_staging"
     kept = existing.join(df.select(key_col).distinct(), key_col, "left_anti")
     kept.unionByName(df).write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(staging)
-    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def with_row_ids(df: DataFrame, order_cols: list[str], partition_cols: list[str] | None = None, name: str = "row_id") -> DataFrame:

@@ -123,12 +123,19 @@ def minhash_lsh_bands(
     whole shuffle of pure bookkeeping. Identical output to the unfused
     pair (property-tested)."""
     wide = _minhash_wide(shingles, n_hashes)
-    n_bands = n_hashes // rows_per_band
+    # ceil: when rows_per_band doesn't divide n_hashes the tail seeds
+    # form a partial final band, exactly as lsh_bands' seed div
+    # rows_per_band grouping produces (the fused and unfused paths must
+    # stay result-identical)
+    n_bands = -(-n_hashes // rows_per_band)
     band_sigs = ", ".join(
         "{b}, md5(concat_ws('|', {ms}))".format(
             b=b,
             ms=", ".join(
-                f"m{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                f"m{s}"
+                for s in range(
+                    b * rows_per_band, min((b + 1) * rows_per_band, n_hashes)
+                )
             ),
         )
         for b in range(n_bands)

@@ -72,12 +72,18 @@ def tiered_fuzzy_join(
     cand_val: str = "cand",
     threshold: int = 3,
     strategy: str = "broadcast",
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Score every probe against the candidate set and classify matches
     into exact / best / potential / poor tiers (reference semantics).
 
     probe must have (probe_id, probe_val); cand (cand_id, cand_val).
     Returns OUT_COLS with ``dist`` as long and ``tier`` as string.
+
+    ``cache_intermediate=False`` skips the phase-1 persist — required
+    by repeated callers that never clear the cache (e.g. one call per
+    streaming micro-batch), where persisted blocks would otherwise
+    accumulate without bound.
     """
     t = threshold
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
@@ -174,7 +180,8 @@ def tiered_fuzzy_join(
     # consumed twice (tier classification + matched-probe anti-join);
     # persist so the banded scoring pass runs once, not twice — at
     # cluster scale this would be a checkpoint/exchange reuse
-    within = within.persist()
+    if cache_intermediate:
+        within = within.persist()
 
     w = Window.partitionBy("probe_id")
     within = within.withColumn(

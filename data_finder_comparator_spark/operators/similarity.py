@@ -110,12 +110,15 @@ def ivf_topk(
     )
 
     def nearest_cells(df: DataFrame, id_col: str, vec: str, n: int) -> DataFrame:
+        # self-norm once per row BEFORE the centroid cross join (not
+        # once per row x centroid — same fix as cosine_topk)
         sim = F.round(
-            dot(vec, "vec_cent") / F.sqrt(dot(vec, vec) * F.col("_ncent")), 6
+            dot(vec, "vec_cent") / F.sqrt(F.col("_nself") * F.col("_ncent")), 6
         )
         w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "cent_id")
         return (
             df.repartition(_fanout_partitions(df), F.col(id_col))
+            .withColumn("_nself", dot(vec, vec))
             .crossJoin(F.broadcast(cents))
             .withColumn("_csim", sim)
             .withColumn("_crn", F.row_number().over(w))

@@ -36,11 +36,12 @@ def salted_aggregate(
     ``aggs`` maps output column -> (input column, fn) with fn in
     {sum, count, min, max} (the re-aggregatable functions: phase 2
     sums partial sums/counts and min/maxes partial min/maxes).
+    ``count`` follows SQL count(col) semantics — non-null values of
+    the named column — matching the unsalted aggregate exactly.
     """
     recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1 = [
-        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
-        for out, (col, fn) in aggs.items()
+        getattr(F, fn)(col).alias(out) for out, (col, fn) in aggs.items()
     ]
     partial = (
         df.withColumn("_salt", _salt(df.columns, n_salt))
@@ -64,7 +65,16 @@ def salted_join(
     salt, the small side is replicated n_salt times, and the join runs
     on (key, salt) — hot keys spread over n_salt tasks instead of one.
     Use when the small side is too big to broadcast but the skewed
-    side's hot keys would blow a single reducer."""
+    side's hot keys would blow a single reducer.
+
+    Only join types that never emit unmatched SMALL-side rows are
+    valid: an unmatched small-side key exists in all n_salt replicas,
+    so right/full outer would emit it n_salt times instead of once."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "small-side rows would appear once per salt replica"
+        )
     s = skewed.withColumn("_salt", _salt(skewed.columns, n_salt))
     r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -15,8 +15,6 @@ when probes arrive as a live feed).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,25 +34,29 @@ def read_folder(spark: SparkSession, folder: str) -> DataFrame:
     """S2/U1: read every parquet table in a folder and union by column
     name, null-filling columns missing from any file — the pandas
     concat semantics of /root/reference/main.py:690-696 without the
-    driver-side loop."""
+    driver-side loop.
+
+    Listing goes through the Hadoop FileSystem API, so any scheme Spark
+    can read works (file://, hdfs://, s3a://) — os.listdir would bind
+    this to driver-local paths. Hidden/metadata entries (underscore and
+    dot prefixes) are skipped."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(folder)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     paths = sorted(
-        os.path.join(folder, f)
-        for f in os.listdir(folder)
-        if not f.startswith(("_", "."))
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if not st.getPath().getName().startswith(("_", "."))
     )
+    if not paths:
+        raise ValueError(f"no tables under {folder}")
     return union_by_name([spark.read.parquet(p) for p in paths])
 
 
-def run_find_compare(
-    spark: SparkSession, cfg: EngineConfig, upsert: bool = False
+def _curate(
+    spark: SparkSession, search: DataFrame, data: DataFrame, cfg: EngineConfig
 ) -> DataFrame:
-    """Execute the full find/compare/curate workflow per ``cfg`` and
-    return the curated search table (written to ``cfg.output_path``
-    when set). ``upsert=True`` uses the keyed-merge sink (Replace
-    updates rows in place); otherwise rows append."""
-    search = spark.read.parquet(cfg.search_path)
-    data = read_folder(spark, cfg.data_folder)
-
+    """One find/compare/curate pass over a (search, candidates) pair."""
     # deterministic row identity for the probe side (P4 — Spark has no
     # positional rows; impose a total order on (key, payload order))
     search_ids = with_row_ids(search, [cfg.search_key_col, *search.columns])
@@ -64,15 +66,73 @@ def run_find_compare(
     cands = with_row_ids(data, [cfg.data_key_col, *data.columns]).select(
         F.col("row_id").alias("cand_id"), F.col(cfg.data_key_col).alias("cand")
     )
-
     tiers = tiered_fuzzy_join(
-        probes, cands, threshold=cfg.threshold, strategy=cfg.strategy
+        probes,
+        cands,
+        threshold=cfg.threshold,
+        strategy=cfg.strategy,
+        # streaming mode calls this per micro-batch; never leak cache
+        cache_intermediate=not cfg.streaming,
     )
     decisions = curation_decisions(tiers)
-    curated = apply_curation(
-        search_ids, decisions, "row_id", cfg.search_key_col
-    ).drop("row_id")
+    curated = apply_curation(search_ids, decisions, "row_id", cfg.search_key_col)
+    if cfg.output_distances:
+        # config.ini's output-distance flag (/root/reference/config.ini:6-8):
+        # carry each probe's best match distance into the output
+        best_d = (
+            tiers.filter(F.col("tier").isin("best", "exact"))
+            .groupBy("probe_id")
+            .agg(F.min("dist").alias("match_dist"))
+            .withColumnRenamed("probe_id", "row_id")
+        )
+        curated = curated.join(F.broadcast(best_d), "row_id", "left")
+    return curated.drop("row_id")
 
+
+def run_find_compare(
+    spark: SparkSession, cfg: EngineConfig, upsert: bool = False
+) -> DataFrame:
+    """Execute the full find/compare/curate workflow per ``cfg`` and
+    return the curated search table (written to ``cfg.output_path``
+    when set). ``upsert=True`` uses the keyed-merge sink (Replace
+    updates rows in place); otherwise rows append.
+
+    ``cfg.streaming=True`` (the reference's multithreading pipeline,
+    T1) processes the search path as a file stream instead: each
+    micro-batch of probe files is curated against the static candidate
+    table and appended to the sink; requires ``cfg.output_path``. Row
+    identity is per-batch in this mode. ``cfg.spark_conf`` entries are
+    applied as runtime session confs before execution."""
+    for k, v in cfg.spark_conf.items():
+        spark.conf.set(k, v)
+    data = read_folder(spark, cfg.data_folder)
+
+    if cfg.streaming:
+        if not cfg.output_path:
+            raise ValueError("streaming mode requires output_path (sink)")
+        schema = spark.read.parquet(cfg.search_path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # Queue(3)-style bounded in-flight
+            .parquet(cfg.search_path)
+        )
+
+        def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            append_sink(_curate(spark, batch_df, data, cfg), cfg.output_path)
+
+        q = (
+            stream.writeStream.foreachBatch(run_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return spark.read.parquet(cfg.output_path)
+
+    search = spark.read.parquet(cfg.search_path)
+    curated = _curate(spark, search, data, cfg)
     if cfg.output_path:
         if upsert:
             upsert_sink(curated, cfg.output_path, cfg.search_key_col)

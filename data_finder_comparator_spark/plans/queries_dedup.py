@@ -164,7 +164,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import drop_hot_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", k=5)
+    # persisted BEFORE the count action: the explode is consumed three
+    # times (doc count, hot-shingle agg, anti-join input)
+    sh = char_shingles(docs, "doc_id", "text", k=5).persist()
     n_docs = sh.select("doc_id").distinct().count()
     cool = drop_hot_shingles(sh, max_df=int(n_docs * 0.05)).persist()
     probes = cool.filter(F.col("doc_id") % 10 == 0)

@@ -170,7 +170,12 @@ def fuzzy_match_stream(
     from ..operators.fuzzy_join import tiered_fuzzy_join
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        tiers = tiered_fuzzy_join(batch_df, cand, threshold=threshold)
+        # cache_intermediate=False: one persist per micro-batch with no
+        # unpersist would grow executor storage without bound over a
+        # long-running stream
+        tiers = tiered_fuzzy_join(
+            batch_df, cand, threshold=threshold, cache_intermediate=False
+        )
         tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
             sink_path
         )

@@ -66,6 +66,7 @@ def main() -> None:
         results[tag]["minhash_lsh"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
         docs = inflate(docs0, times).persist()
+        docs.count()  # warm the cache so simhash isn't billed for it
 
         t0 = time.perf_counter()
         simhash32(docs, "doc_id", "text").count()

@@ -203,8 +203,12 @@ def test_salted_ops_match_unsalted(spark):
         salted_join,
     )
 
-    # skewed: key 'hot' dominates
-    rows = [(("hot" if i % 10 else f"k{i}"), i, float(i)) for i in range(500)]
+    # skewed: key 'hot' dominates; nulls included (count(col) must
+    # count non-null values only, like the unsalted aggregate)
+    rows = [
+        (("hot" if i % 10 else f"k{i}"), None if i % 7 == 0 else i, float(i))
+        for i in range(500)
+    ]
     df = spark.createDataFrame(rows, "k string, v long, x double")
     got = {
         (r.k, r.n, r.s, r.mn)
@@ -215,18 +219,44 @@ def test_salted_ops_match_unsalted(spark):
     want = {
         (r.k, r.n, r.s, r.mn)
         for r in df.groupBy("k")
-        .agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.min("v").alias("mn")
-        )
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.min("v").alias("mn"))
         .collect()
     }
     assert got == want
+    with pytest.raises(ValueError):
+        salted_join(df, df.limit(1), ["k"], 4, how="full")
     dim = spark.createDataFrame([("hot", 1), ("k1", 2)], "k string, tag long")
+    key = lambda t: tuple((v is None, v if v is not None else 0) for v in t)  # noqa: E731
     got_j = sorted(
-        (r.k, r.v, r.tag) for r in salted_join(df, dim, ["k"], 8).collect()
+        ((r.k, r.v, r.tag) for r in salted_join(df, dim, ["k"], 8).collect()), key=key
     )
-    want_j = sorted((r.k, r.v, r.tag) for r in df.join(dim, "k").collect())
+    want_j = sorted(((r.k, r.v, r.tag) for r in df.join(dim, "k").collect()), key=key)
     assert got_j == want_j
+
+
+def test_minhash_fused_matches_unfused_partial_band(spark):
+    """minhash_lsh_bands must equal minhash_signatures->lsh_bands even
+    when rows_per_band does not divide n_hashes (partial tail band)."""
+    from data_finder_comparator_spark.operators.dedup import (
+        char_shingles,
+        lsh_bands,
+        minhash_lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumped"),
+         (3, "entirely different text here")],
+        "doc_id long, text string",
+    )
+    sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
+    fused = {(r.doc_id, r.band, r.sig) for r in minhash_lsh_bands(sh, 13, 3).collect()}
+    unfused = {
+        (r.doc_id, r.band, r.sig)
+        for r in lsh_bands(minhash_signatures(sh, 13), 3).collect()
+    }
+    assert fused == unfused
+    assert {b for _, b, _ in fused} == {0, 1, 2, 3, 4}  # 13 seeds -> 5 bands
 
 
 def test_stateful_first_seen_dedup(spark, tmp_path):

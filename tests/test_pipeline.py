@@ -63,6 +63,34 @@ def test_run_find_compare_end_to_end(spark, tmp_path):
     assert merged["CH-S09FTXD-BL/SC"] == 10.0  # untouched rows survive
 
 
+def test_streaming_mode_and_distances(spark, tmp_path):
+    """cfg.streaming=True processes probe files as micro-batches into
+    the sink; cfg.output_distances adds the best match distance."""
+    search_path, folder = _write_fixtures(spark, tmp_path)
+    cfg = EngineConfig(
+        search_path=search_path,
+        data_folder=folder,
+        output_path=str(tmp_path / "stream_out"),
+        threshold=3,
+        streaming=True,
+        output_distances=True,
+    )
+    out = run_find_compare(spark, cfg)
+    rows = {r.sku: r.match_dist for r in out.collect()}
+    assert rows["CH-S09FTXD-BL/SC"] == 0  # exact
+    assert rows["cold widget"] == 1  # replaced at distance 1
+    assert rows["mmmmmmmmmmmm"] is None  # poor only -> no best/exact dist
+
+    # streaming without a sink is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_find_compare(
+            spark,
+            EngineConfig(search_path=search_path, data_folder=folder, streaming=True),
+        )
+
+
 def test_read_folder_union_null_fills(spark, tmp_path):
     _, folder = _write_fixtures(spark, tmp_path)
     df = read_folder(spark, folder)
