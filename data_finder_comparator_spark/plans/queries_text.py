@@ -91,6 +91,110 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style quality signal): how dominated is a
+# document by its single most-repeated 5-gram? High ratios flag
+# boilerplate/spam for training-data curation. Shingle counting is the
+# same explode used by dedup; the ratio is exact integer/integer
+# compared via cross-multiplied ints in the filter to stay portable.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, substr(n, unnest(range(1, len(n) - 3)), 5) AS shingle
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents)
+  WHERE len(n) >= 5
+),
+freq AS (
+  SELECT doc_id, shingle, count(*) AS f
+  FROM grams GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       CAST(sum(f) AS BIGINT) AS n_grams,
+       CAST(max(f) AS BIGINT) AS max_gram_freq,
+       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS repetition_ratio
+FROM freq GROUP BY doc_id
+"""
+
+
+@query("doc_repetition", oracle=_REPETITION_ORACLE)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram repetition: total grams, the most-repeated
+    gram's count, and their ratio — the repetition quality filter of
+    large-corpus curation pipelines. Entirely map-side: the gram
+    frequency table is built inside the row with array expressions (no
+    explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.expr("regexp_replace(lower(text), '[^a-z0-9]', '')")
+    grams = F.expr(
+        "transform(sequence(1, length(_n) - 4), i -> substring(_n, i, 5))"
+    )
+    # max frequency = longest run in the SORTED gram array — an
+    # O(n log n) single fold per row (a filter-per-distinct-gram
+    # formulation would be O(n^2) in document length and die on long
+    # documents)
+    max_freq = F.expr(
+        "aggregate(array_sort(_g),"
+        " struct(cast(null as string) as prev, 0 as run, 0 as best),"
+        " (acc, x) -> struct(x,"
+        "   if(x <=> acc.prev, acc.run + 1, 1),"
+        "   greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), n.alias("_n"))
+        .filter(F.length("_n") >= 5)
+        .withColumn("_g", grams)
+        .withColumn("_mf", max_freq)
+        .select(
+            "doc_id",
+            F.size("_g").cast("long").alias("n_grams"),
+            F.col("_mf").cast("long").alias("max_gram_freq"),
+            F.round(F.col("_mf").cast("double") / F.size("_g"), 6).alias(
+                "repetition_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary stats: global token frequencies, top 50 with ties —
+# the vocabulary-coverage report every tokenizer/training-data pipeline
+# produces. Partial aggregation makes the shuffle carry one row per
+# (token, partition); rank() keeps ties like the reference's best tier.
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT tok, n, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, rank() OVER (ORDER BY n DESC, tok) AS rnk FROM freq
+) WHERE rnk <= 50
+"""
+
+
+@query("vocab_top_tokens", oracle=_VOCAB_ORACLE)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return (
+        freq.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
 _FINGERPRINT_ORACLE = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, md5(substr(n, unnest(range(1, len(n) - 6)), 8)) AS h
