@@ -43,6 +43,8 @@ HEADLINE = [
     "fuzzy_tier_assembly",
     "events_cube",
     "text_quality_signals",
+    "doc_repetition",
+    "vocab_top_tokens",
     "doc_fingerprints",
     "multimodal_features",
     "streaming_window_counts",
