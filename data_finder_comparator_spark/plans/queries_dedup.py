@@ -174,6 +174,54 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid two-stage near-dup: MinHash-LSH generates candidate pairs
+# (cheap, text-level recall), the embedding cosine verifies them
+# (semantic precision) — the staged candidate-generate-then-verify
+# shape real curation pipelines use, here end-to-end oracle-checked.
+# documents.doc_id and embeddings.vec_id are aligned 1:1.
+# ---------------------------------------------------------------------------
+
+_HYBRID_ORACLE = f"""
+WITH pairs AS ({_MINHASH_ORACLE.strip()}),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))
+                * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 6)
+           AS cos_sim
+  FROM pairs
+  JOIN embeddings p ON p.vec_id = doc_a
+  JOIN embeddings c ON c.vec_id = doc_b
+)
+SELECT doc_a, doc_b, cos_sim FROM scored WHERE cos_sim >= 0.2
+"""
+
+
+@query("dedup_hybrid_verify", oracle=_HYBRID_ORACLE)
+def dedup_hybrid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        F.col("vec_id").cast("long").alias("doc_a"), F.col("embedding").alias("_vp")
+    ).withColumn("_np", dot("_vp", "_vp"))
+    c = emb.select(
+        F.col("vec_id").cast("long").alias("doc_b"), F.col("embedding").alias("_vc")
+    ).withColumn("_nc", dot("_vc", "_vc"))
+    return (
+        pairs.join(F.broadcast(p), "doc_a")
+        .join(F.broadcast(c), "doc_b")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("_vp", "_vc") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (32-bit, md5-nibble majority vote).
 # ---------------------------------------------------------------------------
 
