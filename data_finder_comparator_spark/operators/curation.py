@@ -92,7 +92,12 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    has_data = fs.exists(jpath) and any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(jpath)
+    )  # a dir with only _temporary/_SUCCESS is a crashed first write,
+    # not a sink with rows — safe (and necessary) to overwrite
+    if not has_data:
         df.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)

@@ -73,6 +73,7 @@ def tiered_fuzzy_join(
     threshold: int = 3,
     strategy: str = "broadcast",
     cache_intermediate: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Score every probe against the candidate set and classify matches
     into exact / best / potential / poor tiers (reference semantics).
@@ -80,10 +81,13 @@ def tiered_fuzzy_join(
     probe must have (probe_id, probe_val); cand (cand_id, cand_val).
     Returns OUT_COLS with ``dist`` as long and ``tier`` as string.
 
-    ``cache_intermediate=False`` skips the phase-1 persist — required
-    by repeated callers that never clear the cache (e.g. one call per
-    streaming micro-batch), where persisted blocks would otherwise
-    accumulate without bound.
+    ``cache_intermediate=False`` skips the phase-1 persist entirely
+    (the phase-1 subtree is then recomputed by each of its three
+    consumers). Repeated callers (e.g. one call per streaming
+    micro-batch) should instead pass ``cache_registry=[]``: persisted
+    DataFrames are appended to it, and the caller unpersists them right
+    after its action — keeping the single-evaluation benefit without
+    accumulating cached blocks across calls.
     """
     t = threshold
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
@@ -182,6 +186,8 @@ def tiered_fuzzy_join(
     # cluster scale this would be a checkpoint/exchange reuse
     if cache_intermediate:
         within = within.persist()
+        if cache_registry is not None:
+            cache_registry.append(within)
 
     w = Window.partitionBy("probe_id")
     within = within.withColumn(

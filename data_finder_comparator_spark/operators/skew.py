@@ -70,7 +70,8 @@ def salted_join(
     Only join types that never emit unmatched SMALL-side rows are
     valid: an unmatched small-side key exists in all n_salt replicas,
     so right/full outer would emit it n_salt times instead of once."""
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+    safe = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross"}
+    if how.replace("_", "").lower() not in safe:
         raise ValueError(
             f"salted_join does not support how={how!r}: unmatched "
             "small-side rows would appear once per salt replica"

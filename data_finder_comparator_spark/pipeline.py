@@ -53,26 +53,34 @@ def read_folder(spark: SparkSession, folder: str) -> DataFrame:
     return union_by_name([spark.read.parquet(p) for p in paths])
 
 
+def _prep_cands(data: DataFrame, cfg: EngineConfig) -> DataFrame:
+    return with_row_ids(data, [cfg.data_key_col, *data.columns]).select(
+        F.col("row_id").alias("cand_id"), F.col(cfg.data_key_col).alias("cand")
+    )
+
+
 def _curate(
-    spark: SparkSession, search: DataFrame, data: DataFrame, cfg: EngineConfig
+    spark: SparkSession,
+    search: DataFrame,
+    cands: DataFrame,
+    cfg: EngineConfig,
+    cache_registry: list | None = None,
 ) -> DataFrame:
-    """One find/compare/curate pass over a (search, candidates) pair."""
+    """One find/compare/curate pass of a search table against a
+    PREPARED candidate table (``_prep_cands`` output — prepared once by
+    the caller so streaming mode doesn't redo it per micro-batch)."""
     # deterministic row identity for the probe side (P4 — Spark has no
     # positional rows; impose a total order on (key, payload order))
     search_ids = with_row_ids(search, [cfg.search_key_col, *search.columns])
     probes = search_ids.select(
         F.col("row_id").alias("probe_id"), F.col(cfg.search_key_col).alias("probe")
     )
-    cands = with_row_ids(data, [cfg.data_key_col, *data.columns]).select(
-        F.col("row_id").alias("cand_id"), F.col(cfg.data_key_col).alias("cand")
-    )
     tiers = tiered_fuzzy_join(
         probes,
         cands,
         threshold=cfg.threshold,
         strategy=cfg.strategy,
-        # streaming mode calls this per micro-batch; never leak cache
-        cache_intermediate=not cfg.streaming,
+        cache_registry=cache_registry,
     )
     decisions = curation_decisions(tiers)
     curated = apply_curation(search_ids, decisions, "row_id", cfg.search_key_col)
@@ -100,42 +108,63 @@ def run_find_compare(
     ``cfg.streaming=True`` (the reference's multithreading pipeline,
     T1) processes the search path as a file stream instead: each
     micro-batch of probe files is curated against the static candidate
-    table and appended to the sink; requires ``cfg.output_path``. Row
-    identity is per-batch in this mode. ``cfg.spark_conf`` entries are
-    applied as runtime session confs before execution."""
+    table — prepared and persisted ONCE before the stream starts — and
+    appended to the sink; requires ``cfg.output_path``. Row identity is
+    per-batch in this mode. ``cfg.spark_conf`` entries are applied as
+    runtime session confs for the duration of the run and restored
+    afterwards."""
+    prior_conf = {k: spark.conf.get(k, None) for k in cfg.spark_conf}
     for k, v in cfg.spark_conf.items():
         spark.conf.set(k, v)
-    data = read_folder(spark, cfg.data_folder)
+    try:
+        data = read_folder(spark, cfg.data_folder)
+        cands = _prep_cands(data, cfg)
 
-    if cfg.streaming:
-        if not cfg.output_path:
-            raise ValueError("streaming mode requires output_path (sink)")
-        schema = spark.read.parquet(cfg.search_path).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)  # Queue(3)-style bounded in-flight
-            .parquet(cfg.search_path)
-        )
+        if cfg.streaming:
+            if not cfg.output_path:
+                raise ValueError("streaming mode requires output_path (sink)")
+            cands = cands.persist()  # static side: materialize once, reuse per batch
+            schema = spark.read.parquet(cfg.search_path).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)  # Queue(3)-style bounded in-flight
+                .parquet(cfg.search_path)
+            )
 
-        def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            append_sink(_curate(spark, batch_df, data, cfg), cfg.output_path)
+            def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+                reg: list = []
+                try:
+                    append_sink(
+                        _curate(spark, batch_df, cands, cfg, cache_registry=reg),
+                        cfg.output_path,
+                    )
+                finally:
+                    for cached in reg:
+                        cached.unpersist()
 
-        q = (
-            stream.writeStream.foreachBatch(run_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        return spark.read.parquet(cfg.output_path)
+            q = (
+                stream.writeStream.foreachBatch(run_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+                cands.unpersist()
+            return spark.read.parquet(cfg.output_path)
 
-    search = spark.read.parquet(cfg.search_path)
-    curated = _curate(spark, search, data, cfg)
-    if cfg.output_path:
-        if upsert:
-            upsert_sink(curated, cfg.output_path, cfg.search_key_col)
-        else:
-            append_sink(curated, cfg.output_path)
-    return curated
+        search = spark.read.parquet(cfg.search_path)
+        curated = _curate(spark, search, cands, cfg)
+        if cfg.output_path:
+            if upsert:
+                upsert_sink(curated, cfg.output_path, cfg.search_key_col)
+            else:
+                append_sink(curated, cfg.output_path)
+        return curated
+    finally:
+        for k, prev in prior_conf.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)

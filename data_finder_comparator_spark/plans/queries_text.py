@@ -124,8 +124,10 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-corpus curation pipelines. Entirely map-side: the gram
     frequency table is built inside the row with array expressions (no
     explode, no shuffle)."""
+    from ..functions.normalize import norm_key
+
     docs = load_table(spark, sf_dir, "documents")
-    n = F.expr("regexp_replace(lower(text), '[^a-z0-9]', '')")
+    n = norm_key(F.col("text"))
     grams = F.expr(
         "transform(sequence(1, length(_n) - 4), i -> substring(_n, i, 5))"
     )
@@ -185,12 +187,19 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")).persist()
+    # global-window ranking funnels the whole vocabulary through one
+    # task; pre-cut to the 50th-highest count first so the window sees
+    # ~50 rows (ranks of retained rows are unchanged — every row above
+    # the cutoff is retained)
+    cutoff_row = freq.orderBy(F.col("n").desc(), "tok").limit(50).agg(F.min("n")).first()
+    cutoff = cutoff_row[0] if cutoff_row[0] is not None else 0
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("n").desc(), "tok")
     return (
-        freq.withColumn("rnk", F.rank().over(w).cast("long"))
+        freq.filter(F.col("n") >= cutoff)
+        .withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 50)
     )
 

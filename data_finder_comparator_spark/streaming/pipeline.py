@@ -170,14 +170,19 @@ def fuzzy_match_stream(
     from ..operators.fuzzy_join import tiered_fuzzy_join
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # cache_intermediate=False: one persist per micro-batch with no
-        # unpersist would grow executor storage without bound over a
-        # long-running stream
+        # registry: persist within THIS batch (phase 1 evaluates once,
+        # not three times), unpersist right after the write so blocks
+        # never accumulate across a long-running stream
+        reg: list = []
         tiers = tiered_fuzzy_join(
-            batch_df, cand, threshold=threshold, cache_intermediate=False
+            batch_df, cand, threshold=threshold, cache_registry=reg
         )
-        tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            sink_path
-        )
+        try:
+            tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+                sink_path
+            )
+        finally:
+            for df in reg:
+                df.unpersist()
 
     return probe_stream.writeStream.foreachBatch(run_batch).start()
