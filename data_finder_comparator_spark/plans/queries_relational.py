@@ -187,6 +187,71 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Anti join: customers that never ordered (TPC-H Q22 shape). A
+# broadcast/shuffled LEFT ANTI is the Spark-native NOT EXISTS — no
+# subquery re-execution, one pass over each side.
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+  AND c_acctbal > 0
+"""
+
+
+@query("customers_without_orders", oracle=_ANTI_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-balance customers with no 1998+ order — NOT EXISTS as a
+    left anti join; the date filter pushes below the join to the orders
+    scan."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: event counts per hour-of-day, one column per event type
+# (explicit value list — deterministic schema; Catalyst compiles it to
+# a single-pass conditional aggregation, mirrored by the oracle's CASE
+# columns).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       {", ".join(
+           f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+           for t in _EVENT_TYPES)}
+FROM events GROUP BY hour(ts)
+"""
+
+
+@query("events_pivot_by_hour", oracle=_PIVOT_ORACLE)
+def events_pivot_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_of_day", F.hour("ts").cast("long")
+    )
+    piv = (
+        ev.groupBy("hour_of_day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Supplier dimension rollup (completes table coverage; broadcast-dim
 # join + HAVING-style post-aggregation filter).
 # ---------------------------------------------------------------------------
