@@ -234,7 +234,56 @@ def test_salted_ops_match_unsalted(spark):
     assert got_j == want_j
 
 
-def test_minhash_fused_matches_unfused_partial_band(spark):
+def test_watermarked_append_windows(spark, tmp_path):
+    """withWatermark + tumbling window in APPEND mode: a window is
+    emitted exactly once, only after the watermark passes its end, and
+    events later than the watermark are dropped from already-final
+    windows — the bounded-state contract for late data."""
+    from datetime import datetime
+
+    def ev(evid, hh, mm):
+        return (evid, datetime(2026, 1, 1, hh, mm), "click", 1.0)
+
+    d = tmp_path / "wmev"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    # batch 1: two hour-0 events + one at 02:30 -> watermark 01:30,
+    # which FINALIZES the hour-0 window (end 01:00 < 01:30)
+    spark.createDataFrame(
+        [ev(1, 0, 10), ev(2, 0, 20), ev(3, 2, 30)], schema
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(d / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_append_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 completes; watermark -> 01:30
+        # batch 2 (written only after batch 1 drained): advance to
+        # 05:00 + a LATE hour-0 event, behind the 01:30 watermark and
+        # aimed at the already-final window -> dropped
+        spark.createDataFrame(
+            [ev(4, 5, 0), ev(5, 0, 40)], schema
+        ).coalesce(1).write.parquet(str(d / "f1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.ws.hour, r.n) for r in spark.table("wm_append_t").collect()]
+    # hour-0 window finalized with the 2 on-time events only (event 5,
+    # behind the watermark, is dropped); hour-2 emitted once after the
+    # watermark reaches 04:00; hour-5 still open -> absent
+    assert sorted(rows) == [(0, 2), (2, 1)]
     """minhash_lsh_bands must equal minhash_signatures->lsh_bands even
     when rows_per_band does not divide n_hashes (partial tail band)."""
     from data_finder_comparator_spark.operators.dedup import (
@@ -267,17 +316,14 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
 
     docs_dir = tmp_path / "docs"
     docs_dir.mkdir()
-    # two files -> two micro-batches (maxFilesPerTrigger=1); hash "b"
-    # recurs in batch 2 and must be suppressed there
+    # hash "b" recurs in the SECOND micro-batch (written only after the
+    # first is fully drained, so batch separation is guaranteed) and
+    # must be suppressed there by the per-key state
     spark.createDataFrame(
         [(3, "a"), (1, "b"), (2, "b")], "doc_id long, content_hash string"
     ).coalesce(1).write.parquet(str(docs_dir / "f0"))
-    spark.createDataFrame(
-        [(9, "b"), (4, "c")], "doc_id long, content_hash string"
-    ).coalesce(1).write.parquet(str(docs_dir / "f1"))
     stream = (
         spark.readStream.schema("doc_id long, content_hash string")
-        .option("maxFilesPerTrigger", 1)
         .parquet(str(docs_dir / "*"))
     )
     out = first_seen_stream(stream, "doc_id", "content_hash")
@@ -289,6 +335,10 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
+        spark.createDataFrame(
+            [(9, "b"), (4, "c")], "doc_id long, content_hash string"
+        ).coalesce(1).write.parquet(str(docs_dir / "f1"))
+        q.processAllAvailable()
     finally:
         q.stop()
     rows = {
@@ -296,7 +346,7 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         for r in spark.table("first_seen_t").collect()
         if r.content_hash is not None
     }
-    assert ("b", 1) in rows or ("b", 9) in rows  # emitted exactly once
+    assert ("b", 1) in rows  # batch-1 winner (min id), re-arrival suppressed
     assert sum(1 for h, _ in rows if h == "b") == 1
     assert ("a", 3) in rows and ("c", 4) in rows
 
