@@ -204,6 +204,33 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic content-hash sampling: the reproducible sampling scheme
+# of large corpus pipelines — a row is in the p% sample iff the first
+# md5 byte of its CONTENT falls under the cut. Unlike rand()-based
+# sampling this is engine-portable, stable across runs/partitionings,
+# and sticky under dedup (identical content samples identically).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) < 26  -- ~10%
+"""
+
+
+@query("deterministic_sample", oracle=_SAMPLE_ORACLE)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long")
+    return docs.filter(bucket < 26).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 _FINGERPRINT_ORACLE = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, md5(substr(n, unnest(range(1, len(n) - 6)), 8)) AS h
