@@ -166,6 +166,20 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram")
 
 
+@query("fuzzy_join_docs_band", oracle=_DOCS_ORACLE)
+def fuzzy_join_docs_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query, length-band blocking — strategy equivalence verified
+    at the driver level: both variants must hash-match the ONE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.substring("text", 1, 24).alias("probe")
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"), F.substring("text", 1, 24).alias("cand")
+    )
+    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="band")
+
+
 # ---------------------------------------------------------------------------
 # Top-k nearest candidates per probe (O2: rank with ties; J8/O1 ordering)
 # ---------------------------------------------------------------------------
