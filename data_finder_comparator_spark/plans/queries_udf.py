@@ -42,13 +42,26 @@ def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     withal = out.withColumn("al", alignment_udf("probe", "cand")).withColumn(
         "splices", splices_udf("probe", "cand")
     )
+    # The operator-level API returns typed arrays (sym array<int>,
+    # splices array<struct>); the registered plan serializes them to
+    # scalar strings because the driver's pandas canonicalizer cannot
+    # hash list-valued cells. sym -> "1101..." bit-string, splices ->
+    # "flag:text|flag:text" segments.
     return withal.select(
         "probe_id",
         "probe",
         "cand",
         F.col("al.dist").cast("long").alias("dist"),
-        F.col("al.sym").alias("sym"),
-        "splices",
+        F.array_join(
+            F.transform(F.col("al.sym"), lambda x: x.cast("string")), ""
+        ).alias("sym_bits"),
+        F.array_join(
+            F.transform(
+                F.col("splices"),
+                lambda s: F.concat_ws(":", s["flag"].cast("string"), s["text"]),
+            ),
+            "|",
+        ).alias("splice_segments"),
     )
 
 
@@ -57,9 +70,10 @@ SELECT doc_id,
        'text/plain' AS mime,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5,
-       list_transform(range(1, 5),
-         j -> (strpos('0123456789abcdef', substr(md5(text), CAST(j AS INTEGER), 1)) - 1) / 15.0
-       ) AS feat
+       (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) / 15.0 AS feat_0,
+       (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) / 15.0 AS feat_1,
+       (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) / 15.0 AS feat_2,
+       (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) / 15.0 AS feat_3
 FROM documents
 """
 
@@ -68,9 +82,21 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: fabricate payload + metadata, extract
     md5-derived fake features via mapInPandas (decode stubbed; the
-    Spark plumbing — Arrow batches, schema, partitioning — is real)."""
+    Spark plumbing — Arrow batches, schema, partitioning — is real).
+
+    The operator returns feat as array<double>; the registered plan
+    unnests it to feat_0..feat_3 scalar doubles (nibble/15.0 is exact
+    in IEEE double in both engines) so the driver canonicalizer can
+    hash the cells."""
     docs = load_table(spark, sf_dir, "documents")
-    return binary_features(attach_binary_payload(docs, "doc_id", "text"))
+    feats = binary_features(attach_binary_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "payload_md5",
+        *[F.col("feat")[j].alias(f"feat_{j}") for j in range(4)],
+    )
 
 
 _STREAM_ORACLE = """
