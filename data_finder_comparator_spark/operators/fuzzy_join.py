@@ -210,9 +210,11 @@ def tiered_fuzzy_join(
     #   > t >= 0). Emit them as ``poor`` straight from phase 1 — this is
     #   the reference's exact∩poor overlap, with NO rescan.
     # * probe has NO within-band pair at all — the global min exceeds t
-    #   and genuinely requires the full-candidate argmin scan. This is
-    #   the only set that pays the cross join, and it is typically a
-    #   small minority of probes.
+    #   and genuinely requires a full-candidate argmin. Resolved by
+    #   escalating band widening (below), NOT a |P|x|C| cross join: in
+    #   adversarial inputs (probe set from a different catalog) ALL
+    #   probes fall through, and a cartesian there is the one plan that
+    #   cannot survive 100 TB.
     poor_exact = (
         within.filter(F.col("min_pos").isNull())
         .withColumn("tier", F.lit("poor"))
@@ -220,19 +222,127 @@ def tiered_fuzzy_join(
     )
     seen = within.select("probe_id").distinct()
     unseen = p.join(seen, "probe_id", "left_anti")
-    fb = (
-        unseen.crossJoin(F.broadcast(c) if strategy == "broadcast" else c)
-        .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
-    )
-    wf = Window.partitionBy("probe_id")
-    poor_rescan = (
-        fb.withColumn("min_all", F.min("dist").over(wf))
-        .filter(F.col("dist") == F.col("min_all"))
-        .withColumn("tier", F.lit("poor"))
-        .select(*OUT_COLS)
+    poor_rescan = _global_argmin_escalating(
+        unseen, c, t, broadcast_cand=strategy == "broadcast", cache_registry=cache_registry
     )
 
     return tiers_within.unionByName(poor_exact).unionByName(poor_rescan)
+
+
+# Safety valve for the escalation loop: after this many doublings the
+# (by then tiny) remainder falls back to a broadcast nested-loop scan.
+_FALLBACK_MAX_ROUNDS = 8
+
+
+def _bucketed_band_pairs(
+    p_sub: DataFrame, c: DataFrame, width: int, broadcast_cand: bool
+) -> DataFrame:
+    """Length-band pairing as a bucket equi-join with 3x replication
+    regardless of band width: |len(a)-len(b)| <= W implies their
+    floor(len/(W+1)) buckets differ by at most 1, so the probe side
+    explodes into {b-1, b, b+1} and the exact band predicate filters
+    the coarse bucket matches. (The phase-1 band join explodes 2t+1
+    integer bands — right for small t; at escalated widths that
+    replication would defeat the purpose.)"""
+    bw = width + 1
+    c_b = c.withColumn("_bkt", F.floor(F.length("_nc") / bw))
+    p_b = p_sub.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(*[F.floor(F.length("_nq") / bw) + F.lit(d) for d in (-1, 0, 1)])
+        ),
+    )
+    joined = p_b.join(F.broadcast(c_b) if broadcast_cand else c_b, "_bkt").drop("_bkt")
+    return joined.filter(F.abs(F.length("_nq") - F.length("_nc")) <= width)
+
+
+def _global_argmin_escalating(
+    unseen: DataFrame,
+    c: DataFrame,
+    t: int,
+    broadcast_cand: bool,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """All-ties global argmin over the candidate set for each probe in
+    ``unseen``, via escalating band widths (2t, 4t, ...) instead of a
+    cartesian product.
+
+    Correctness of each round at width W: scoring uses the threshold DP
+    ``levenshtein(a, b, W)``, so every surviving pair has dist <= W,
+    while every candidate OUTSIDE the band has dist >= |len diff| > W.
+    Hence if a probe has any surviving pair, its global minimum d* is
+    among them, and all argmin ties satisfy |len diff| <= d* <= W — the
+    round emits the complete, exact tie set. Probes with no surviving
+    pair have global min > W and roll into the next (doubled) width.
+    Each round is a plain hash equi-join; the cross join survives only
+    as a broadcast nested-loop over the post-escalation remainder,
+    which is empty for any corpus whose lengths are within 2^8*t of a
+    candidate length.
+    """
+    spark = unseen.sparkSession
+    empty = spark.createDataFrame(
+        [], "probe_id long, probe string, cand_id long, cand string, dist long, tier string"
+    )
+
+    def _track(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        return df
+
+    # null-normalized probes are defined out of matching entirely (the
+    # reference would crash on NaN); without this they would never
+    # resolve and force every escalation round
+    remaining = _track(unseen.filter(F.col("_nq").isNotNull()))
+    if remaining.isEmpty():
+        remaining.unpersist()
+        return empty
+    if c.select("cand_id").isEmpty():
+        remaining.unpersist()
+        return empty
+
+    wf = Window.partitionBy("probe_id")
+    parts: list[DataFrame] = []
+    width = max(2 * t, 2)
+    for _ in range(_FALLBACK_MAX_ROUNDS):
+        pairs = _bucketed_band_pairs(remaining, c, width, broadcast_cand)
+        part = (
+            pairs.withColumn("dist", F.levenshtein("_nq", "_nc", width).cast("long"))
+            .filter(F.col("dist") >= 0)
+            .withColumn("_min", F.min("dist").over(wf))
+            .filter(F.col("dist") == F.col("_min"))
+            .withColumn("tier", F.lit("poor"))
+            .select(*OUT_COLS)
+        )
+        part = _track(part)
+        part.count()  # materialize before releasing the parent cache
+        parts.append(part)
+        nxt = _track(remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti"))
+        done = nxt.isEmpty()
+        remaining.unpersist()
+        remaining = nxt
+        if done:
+            remaining.unpersist()
+            break
+        width *= 2
+    else:
+        # capped remainder: broadcast the (small) surviving probe side so
+        # the nested loop is map-side over candidates — never a shuffled
+        # CartesianProduct. ``remaining`` stays persisted: the rows are
+        # needed lazily at the caller's action.
+        fb = c.crossJoin(F.broadcast(remaining))
+        parts.append(
+            fb.withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+            .withColumn("_min", F.min("dist").over(wf))
+            .filter(F.col("dist") == F.col("_min"))
+            .withColumn("tier", F.lit("poor"))
+            .select(*OUT_COLS)
+        )
+
+    out = empty
+    for part in parts:
+        out = out.unionByName(part)
+    return out
 
 
 def fuzzy_match_summary(tiers: DataFrame) -> DataFrame:

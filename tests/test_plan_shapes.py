@@ -43,6 +43,28 @@ def test_fuzzy_flagship_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_poor_fallback_never_cartesian(spark):
+    """Adversarial probe set (disjoint catalog: every probe falls
+    through to the poor fallback) must resolve via escalating band
+    equi-joins — no CartesianProduct and no nested-loop join anywhere
+    in the executed plan for the non-broadcast strategy."""
+    from data_finder_comparator_spark.operators.fuzzy_join import tiered_fuzzy_join
+
+    probe = spark.createDataFrame(
+        [(i, f"xq{i:02d}wvzzkjhp") for i in range(20)], "probe_id long, probe string"
+    )
+    cand = spark.createDataFrame(
+        [(i, f"aa{i % 7}bbbbcccc") for i in range(50)], "cand_id long, cand string"
+    )
+    out = tiered_fuzzy_join(probe, cand, threshold=3, strategy="band")
+    rows = out.collect()
+    # every probe resolved with a poor tier (global argmin found)
+    assert {r.probe_id for r in rows if r.tier == "poor"} == set(range(20))
+    plan = _executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_aggregates_are_partial_before_exchange(spark):
     plan = _executed_plan(QUERIES["suppliers_by_nation"](spark, SF))
     # map-side combine: a HashAggregate must appear below the Exchange
