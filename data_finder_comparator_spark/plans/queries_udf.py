@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.alignment import alignment_udf, splices_udf
 from ..operators.multimodal import attach_binary_payload, binary_features
 from ..sources.parquet import load_table
-from ..streaming.pipeline import windowed_event_counts
+from ..streaming.pipeline import watermarked_event_counts, windowed_event_counts
 from .catalog import query
 from .queries_fuzzy import _VARIANTS
 
@@ -116,6 +116,33 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compared against the batch-SQL oracle — stream/batch
     equivalence, the core Structured Streaming guarantee."""
     return windowed_event_counts(spark, sf_dir, "1 hour", "swc_oracle_run")
+
+
+# Append-mode oracle: only windows CLOSED by the final watermark
+# (max event time - 1h delay) are ever emitted; the batch restates
+# that contract as win_end <= max(ts) - delay.
+_WATERMARK_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT agg.* FROM agg, mx WHERE agg.win_end <= mx.m - INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_watermarked_counts", oracle=_WATERMARK_ORACLE)
+def streaming_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming shape: watermark-bounded state, APPEND
+    output mode, distributed parquet file sink (results never collect
+    through the driver). The oracle restates the append contract in
+    batch SQL: exactly the windows whose end the final watermark
+    passed."""
+    return watermarked_event_counts(spark, sf_dir, "1 hour", "1 hour")
 
 
 # Sliding (hopping) windows: every event lands in duration/slide

@@ -99,10 +99,76 @@ def windowed_event_counts(
         q.awaitTermination()
     finally:
         q.stop()
-    # materialize before the in-memory sink table goes away
+    # materialize before the in-memory sink table goes away; stream rows
+    # through the driver instead of one bulk collect (complete mode is
+    # inherently driver-sided — the production shape is
+    # watermarked_event_counts' append mode + file sink below)
     out = spark.table(query_name)
-    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    try:
+        result = spark.createDataFrame(list(out.toLocalIterator()), schema=out.schema)
+    finally:
+        spark.catalog.dropTempView(query_name)
     return result
+
+
+WINDOW_COUNTS_SCHEMA = (
+    "win_start timestamp_ntz, win_end timestamp_ntz, "
+    "event_type string, n_events long, sum_value double"
+)
+
+
+def watermarked_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    delay: str = "1 hour",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Production-shape event-time aggregation: ``withWatermark`` +
+    tumbling window in APPEND mode writing a parquet file sink — state
+    is bounded by the watermark, each window is emitted exactly once
+    after the watermark passes its end, and results never flow through
+    the driver (the returned DataFrame is a distributed scan of the
+    sink directory). Complete-mode + memory sink (above) stays only as
+    the stream/batch-equivalence harness."""
+    import tempfile
+
+    base = sink_dir or tempfile.mkdtemp(prefix="wm_event_counts_")
+    out_path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    # withWatermark requires TIMESTAMP (not NTZ); the session runs UTC,
+    # so the cast is wall-clock-identical, and the window bounds cast
+    # back to NTZ to keep one output schema across streaming queries
+    ev = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # explicit schema: the sink may be empty when no window has closed
+    return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
 
 FIRST_SEEN_SCHEMA = T.StructType(
