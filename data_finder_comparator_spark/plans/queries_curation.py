@@ -2,10 +2,14 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import curation_decisions, with_row_ids
+from ..sources.excel import read_excel, write_excel
 from ..sources.parquet import load_table
 from ..sources.union import union_by_name
 from .catalog import query
@@ -49,6 +53,49 @@ def union_by_name_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name([f0, f1, f2]).select(
         "p_partkey", "p_name", "p_brand", "p_retailprice", "p_size", "src"
     )
+
+
+# ---------------------------------------------------------------------------
+# S1: the reference's primary source — a folder of xlsx workbooks
+# (/root/reference/main.py:19-21, :688-696) — exercised for real via the
+# vendored pure-stdlib SpreadsheetML codec.
+# ---------------------------------------------------------------------------
+
+_EXCEL_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(n_nationkey AS DOUBLE) * 1.5 AS key_x
+FROM nation
+"""
+
+
+@query("excel_folder_roundtrip", oracle=_EXCEL_ORACLE)
+def excel_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the nation dim (plus a double column to exercise float
+    round-trip) into a folder of three xlsx workbooks, reads every
+    workbook back, and unions by name — the reference's ingestion loop
+    (main.py:690-696) end to end. Driver-side by design: workbooks are
+    not splittable; this path exists for small curated tables while
+    bulk data stays parquet."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (F.col("n_nationkey").cast("double") * F.lit(1.5)).alias("key_x"),
+    )
+    d = tempfile.mkdtemp(prefix="xlsx_folder_")
+    for i in range(3):
+        write_excel(
+            nation.filter(F.col("n_nationkey") % 3 == i),
+            os.path.join(d, f"f{i}.xlsx"),
+        )
+    dfs = [
+        read_excel(spark, os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".xlsx")
+    ]
+    return union_by_name(dfs)
 
 
 # ---------------------------------------------------------------------------

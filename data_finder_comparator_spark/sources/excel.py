@@ -1,47 +1,81 @@
-"""Excel source/sink (S1 parity; /root/reference/main.py:19-21).
+"""Excel source/sink (S1/S3 parity; /root/reference/main.py:19-21,
+:521-553).
 
 The reference's primary I/O is xlsx; this engine's is parquet. xlsx
-support is provided for drop-in parity but gated behind import-try:
-no xlsx engine (openpyxl/xlsxwriter) ships in this container, and on a
-real cluster xlsx is a driver-side convenience format anyway (a single
-workbook is not splittable — it is read on the driver and parallelized,
-or converted to parquet first; the `com.crealytics:spark-excel`
-connector would be the JVM-native alternative when its jar is present).
+support here is real (vendored pure-stdlib SpreadsheetML codec in
+``xlsx_lite`` — no third-party engine needed), but by design a
+driver-side convenience path: a workbook is not splittable, so it is
+decoded on the driver and parallelized into a DataFrame, or produced
+from a collected small result. Bulk data belongs in parquet; on a JVM
+cluster the ``com.crealytics:spark-excel`` connector would be the
+native alternative.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
-try:  # pragma: no cover - depends on container contents
-    import openpyxl  # noqa: F401
+from .xlsx_lite import read_grid, write_grid
 
-    HAS_XLSX = True
-except ImportError:
-    HAS_XLSX = False
+HAS_XLSX = True  # vendored codec — always available
+
+
+def _column_type(values: list) -> T.DataType:
+    """Deterministic per-column typing, pandas-read_excel-like: all
+    bools -> boolean; numerics -> long when every value is integral,
+    else double; anything mixed or stringy -> string."""
+    present = [v for v in values if v is not None]
+    if not present:
+        return T.StringType()
+    if all(isinstance(v, bool) for v in present):
+        return T.BooleanType()
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in present):
+        if all(float(v).is_integer() and abs(v) < 2**53 for v in present):
+            return T.LongType()
+        return T.DoubleType()
+    if all(isinstance(v, str) for v in present):
+        return T.StringType()
+    return T.StringType()
+
+
+def _coerce(v, dt: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dt, T.LongType):
+        return int(v)
+    if isinstance(dt, T.DoubleType):
+        return float(v)
+    if isinstance(dt, T.StringType) and not isinstance(v, str):
+        return repr(v)
+    return v
 
 
 def read_excel(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
-    """Single-sheet xlsx scan -> DataFrame (schema inferred by pandas,
-    then frozen by Spark). Driver-side read + distributed parallelize."""
-    if not HAS_XLSX:
-        raise NotImplementedError(
-            "xlsx support requires openpyxl (not installed in this "
-            "environment); convert to parquet or install an xlsx engine"
-        )
-    import pandas as pd
+    """Single-sheet xlsx scan -> DataFrame. First row is the header
+    (the reference's pd.read_excel default); column types inferred
+    from the data cells and frozen into an explicit schema."""
+    grid = read_grid(path, sheet)
+    if not grid:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [str(h) if h is not None else f"col_{j}" for j, h in enumerate(grid[0])]
+    data = grid[1:]
+    cols = [[row[j] if j < len(row) else None for row in data] for j in range(len(header))]
+    types = [_column_type(c) for c in cols]
+    schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in zip(header, types)]
+    )
+    rows = [
+        tuple(_coerce(row[j] if j < len(row) else None, types[j]) for j in range(len(header)))
+        for row in data
+    ]
+    return spark.createDataFrame(rows, schema)
 
-    pdf = pd.read_excel(path, sheet_name=sheet)
-    return spark.createDataFrame(pdf)
 
-
-def write_excel(df: DataFrame, path: str) -> None:
-    """Append-style xlsx sink (S3/S4 parity). Collects to the driver —
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """Header + rows xlsx sink (S3 parity). Collects to the driver —
     only valid for small curated outputs, exactly the reference's
     regime (its sink grew one row at a time)."""
-    if not HAS_XLSX:
-        raise NotImplementedError(
-            "xlsx support requires openpyxl (not installed in this "
-            "environment); use df.write.parquet / append_sink instead"
-        )
-    df.toPandas().to_excel(path, index=False)
+    header = list(df.columns)
+    rows = [list(r) for r in df.collect()]
+    write_grid(path, [header] + rows, sheet_name)

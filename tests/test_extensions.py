@@ -398,9 +398,50 @@ def test_read_folder_union_by_name(spark, tmp_path):
     assert read_folder_union_by_name(spark, str(hom)).count() == 2
 
 
-def test_excel_gated():
-    from data_finder_comparator_spark.sources.excel import HAS_XLSX, read_excel
+def test_excel_roundtrip_types_and_values(spark, tmp_path):
+    """Vendored xlsx codec: schema (long/double/boolean/string) and
+    values — including XML metacharacters, unicode, nulls, and exact
+    float round-trip — survive write -> read."""
+    from data_finder_comparator_spark.sources.excel import read_excel, write_excel
 
-    if not HAS_XLSX:
-        with pytest.raises(NotImplementedError):
-            read_excel(None, "/nonexistent.xlsx")
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.25, True),
+            (2, "<&> \"quoted\" 'text'", -0.5, False),
+            (3, None, None, None),
+            (4, "ünïcodé ✓ space  preserved ", 0.1 + 0.2, True),
+        ],
+        "id long, name string, score double, ok boolean",
+    )
+    p = str(tmp_path / "t.xlsx")
+    write_excel(df, p)
+    back = read_excel(spark, p)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(
+        map(tuple, df.collect()), key=repr
+    )
+
+
+def test_excel_integral_column_is_long(spark, tmp_path):
+    """A numeric column whose values are all integral reads back as
+    long (xlsx stores every number as a float)."""
+    from data_finder_comparator_spark.sources.excel import read_excel, write_excel
+
+    df = spark.createDataFrame([(10, 3.0), (20, 4.0)], "k long, v double")
+    p = str(tmp_path / "ints.xlsx")
+    write_excel(df, p)
+    back = read_excel(spark, p)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["bigint", "bigint"]
+    assert sorted(map(tuple, back.collect())) == [(10, 3), (20, 4)]
+
+
+def test_excel_sheet_selection(spark, tmp_path):
+    from data_finder_comparator_spark.sources.excel import read_excel, write_excel
+    from data_finder_comparator_spark.sources.xlsx_lite import read_grid
+
+    df = spark.createDataFrame([(1, "a")], "id long, x string")
+    p = str(tmp_path / "s.xlsx")
+    write_excel(df, p, sheet_name="curated")
+    assert read_excel(spark, p, sheet="curated").count() == 1
+    with pytest.raises(KeyError):
+        read_grid(p, "nope")
