@@ -478,3 +478,58 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("is_event") == 1).select(
         "event_id", F.col("k").alias("user_id"), "asof_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation wired into a registered query: salted shuffle join
+# (hot fact keys spread over n_salt tasks) + salted two-phase
+# aggregation (low-cardinality group key). Result-identical to the
+# unsalted SQL oracle; the executed plan shows the (key, _salt)
+# exchange instead of a single hot reducer.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(event_id) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(max(value) AS DOUBLE) AS max_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("salted_segment_stats", oracle=_SALTED_ORACLE)
+def salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment event stats through BOTH skew tools: the
+    events fact joins the customer map via salted_join (shuffle_hash
+    hint models the 100 TB regime where the map side exceeds broadcast
+    limits and hot user_ids would blow one reducer), then aggregates by
+    the 5-value mktsegment key via salted_aggregate (two-phase: partial
+    per (key, salt), recombined per key)."""
+    from ..operators.skew import salted_aggregate, salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(ev, cust, on=["user_id"], n_salt=16).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    agg = salted_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_value": ("value_dec", "sum"),
+            "max_value": ("value", "max"),
+        },
+        n_salt=16,
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

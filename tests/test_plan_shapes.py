@@ -65,6 +65,19 @@ def test_poor_fallback_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_salted_query_shows_salted_exchange(spark):
+    """salted_segment_stats must actually exercise the skew tooling:
+    the join exchange partitions on (user_id, _salt) — hot keys spread
+    across reducers — and the join is a shuffle join, not a broadcast
+    (the regime salting exists for)."""
+    import re
+
+    plan = _executed_plan(QUERIES["salted_segment_stats"](spark, SF))
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_aggregates_are_partial_before_exchange(spark):
     plan = _executed_plan(QUERIES["suppliers_by_nation"](spark, SF))
     # map-side combine: a HashAggregate must appear below the Exchange
