@@ -77,21 +77,44 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     sink are replaced by the incoming row; new keys are appended.
 
     Parquet has no transactional MERGE, so this is read → anti-join →
-    union → rewrite THROUGH A STAGING PATH: overwriting the path being
-    lazily read would race, so the merged result is first fully
-    materialized at ``path + "_staging"``, then copied over. Fully
-    distributed — nothing funnels through the driver. On a lakehouse
-    table format (Delta/Iceberg) this collapses to ``MERGE INTO ...
-    WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` — same semantics,
-    transactional, and without rewriting untouched files."""
+    union → staged write → ATOMIC DIRECTORY SWAP: the merged result is
+    fully materialized at ``path + ".staging"`` (while ``path`` is
+    still being lazily read), then promoted via two directory renames
+    (path → .old, .staging → path) — each rename is atomic on
+    HDFS/POSIX, the merged data is written exactly once (no
+    read-staging-rewrite second pass), and a crash between the renames
+    leaves the data intact in ``.staging``/``.old``, healed by the
+    recovery step on the next call. Fully distributed — nothing
+    funnels through the driver. Object stores (S3) rename by copy —
+    there, and for concurrent writers, a lakehouse table format is the
+    real answer: Delta/Iceberg ``MERGE INTO`` gives the same semantics
+    transactionally without rewriting untouched files."""
     spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging = hpath(path.rstrip("/") + ".staging")
+    old = hpath(path.rstrip("/") + ".old")
+
+    # Recovery: a previous run that crashed between the two renames
+    # left ``path`` missing. The staged merge is complete iff its
+    # _SUCCESS marker exists (the staging write finished before any
+    # rename started) — promote it; otherwise roll the old sink back.
+    if not fs.exists(jpath):
+        if fs.exists(staging) and fs.exists(hpath(str(staging) + "/_SUCCESS")):
+            fs.rename(staging, jpath)
+        elif fs.exists(old):
+            fs.rename(old, jpath)
+    # stale leftovers from completed or pre-staging crashes
+    for leftover in (staging, old):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+
     # Existence is decided by an explicit filesystem check, NOT by
     # catching read errors: a transient read failure (object-store 503,
     # permission hiccup) misclassified as "no sink yet" would overwrite
     # the path and destroy every previously-sunk row.
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     has_data = fs.exists(jpath) and any(
         not st.getPath().getName().startswith(("_", "."))
         for st in fs.listStatus(jpath)
@@ -101,11 +124,14 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
         df.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)
-    staging = path.rstrip("/") + "_staging"
     kept = existing.join(df.select(key_col).distinct(), key_col, "left_anti")
-    kept.unionByName(df).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    kept.unionByName(df).write.mode("overwrite").parquet(str(staging))
+    if not fs.rename(jpath, old):
+        raise IOError(f"upsert_sink: could not move {path} aside for swap")
+    if not fs.rename(staging, jpath):
+        fs.rename(old, jpath)  # roll back; sink unchanged
+        raise IOError(f"upsert_sink: could not promote staged merge at {staging}")
+    fs.delete(old, True)
 
 
 def with_row_ids(df: DataFrame, order_cols: list[str], partition_cols: list[str] | None = None, name: str = "row_id") -> DataFrame:

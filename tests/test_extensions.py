@@ -116,7 +116,58 @@ def test_upsert_sink_merge_semantics(spark, tmp_path):
     upsert_sink(v2, path, "sku")
     got = {r.sku: r.price for r in spark.read.parquet(path).collect()}
     assert got == {"a": 1.0, "b": 20.0, "c": 3.0, "d": 4.0}
-    assert not os.path.exists(path + "_staging")
+    assert not os.path.exists(path + ".staging")
+    assert not os.path.exists(path + ".old")
+
+
+def test_upsert_sink_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves path missing with
+    the complete merge in .staging and the old sink in .old; the next
+    call must promote the staged merge, not resurrect the old data or
+    lose the sink."""
+    import shutil
+
+    from data_finder_comparator_spark.operators.curation import upsert_sink
+
+    path = str(tmp_path / "crash_sink")
+    upsert_sink(
+        spark.createDataFrame([("a", 1.0)], "sku string, price double"), path, "sku"
+    )
+    # simulate: staged merge {a: 10.0} complete, first rename done,
+    # second rename never happened
+    staged = spark.createDataFrame([("a", 10.0)], "sku string, price double")
+    staged.write.mode("overwrite").parquet(path + ".staging")
+    shutil.move(path, path + ".old")
+    upsert_sink(
+        spark.createDataFrame([("b", 2.0)], "sku string, price double"), path, "sku"
+    )
+    got = {r.sku: r.price for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 10.0, "b": 2.0}  # staged merge won, then b merged
+    assert not os.path.exists(path + ".staging")
+    assert not os.path.exists(path + ".old")
+
+
+def test_upsert_sink_incomplete_staging_rolls_back(spark, tmp_path):
+    """An INCOMPLETE .staging (no _SUCCESS marker: crash mid-staging
+    after path was moved aside) must be discarded and the old sink
+    restored."""
+    import shutil
+
+    from data_finder_comparator_spark.operators.curation import upsert_sink
+
+    path = str(tmp_path / "rb_sink")
+    upsert_sink(
+        spark.createDataFrame([("a", 1.0)], "sku string, price double"), path, "sku"
+    )
+    staged = spark.createDataFrame([("a", 99.0)], "sku string, price double")
+    staged.write.mode("overwrite").parquet(path + ".staging")
+    os.remove(path + ".staging/_SUCCESS")
+    shutil.move(path, path + ".old")
+    upsert_sink(
+        spark.createDataFrame([("b", 2.0)], "sku string, price double"), path, "sku"
+    )
+    got = {r.sku: r.price for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1.0, "b": 2.0}  # old sink restored, 99.0 discarded
 
 
 def test_partition_pruning(spark, tmp_path):
