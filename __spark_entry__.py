@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_finder_comparator_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
+from data_finder_comparator_spark.plans.catalog import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    release_caches,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,9 +32,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["fuzzy_join_tiers"](spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Sequential-caller hygiene: drop the PREVIOUS query's tracked
+    caches when the next query is requested (its action has completed
+    by then), so a 40+-query loop never accumulates cached blocks."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _released(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

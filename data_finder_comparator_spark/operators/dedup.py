@@ -162,15 +162,20 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, cache_registry: list | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket — an
     equi-join on (band, sig), never a cross product.
 
     The self-join consumes ``bands`` twice; persist so the minhash
     pipeline upstream (shingle explode + signature aggregation — the
     expensive part) materializes once. The band table itself is tiny:
-    n_bands rows per doc."""
+    n_bands rows per doc. Long-lived callers pass ``cache_registry``
+    (a list) and unpersist its entries after their action."""
     bands = bands.persist()
+    if cache_registry is not None:
+        cache_registry.append(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (

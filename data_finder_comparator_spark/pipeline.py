@@ -27,27 +27,16 @@ from .operators.curation import (
     with_row_ids,
 )
 from .operators.fuzzy_join import tiered_fuzzy_join
-from .sources.union import union_by_name
+from .sources.union import hadoop_ls, union_by_name
 
 
 def read_folder(spark: SparkSession, folder: str) -> DataFrame:
     """S2/U1: read every parquet table in a folder and union by column
     name, null-filling columns missing from any file — the pandas
     concat semantics of /root/reference/main.py:690-696 without the
-    driver-side loop.
-
-    Listing goes through the Hadoop FileSystem API, so any scheme Spark
-    can read works (file://, hdfs://, s3a://) — os.listdir would bind
-    this to driver-local paths. Hidden/metadata entries (underscore and
-    dot prefixes) are skipped."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(folder)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    paths = sorted(
-        st.getPath().toString()
-        for st in fs.listStatus(jpath)
-        if not st.getPath().getName().startswith(("_", "."))
-    )
+    driver-side loop. Listing via the shared Hadoop-FS helper
+    (``sources.union.hadoop_ls``) — one listing path for the engine."""
+    paths = hadoop_ls(spark, folder)
     if not paths:
         raise ValueError(f"no tables under {folder}")
     return union_by_name([spark.read.parquet(p) for p in paths])

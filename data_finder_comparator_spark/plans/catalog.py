@@ -18,6 +18,26 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Caches persisted while building registered queries. A long-lived
+# caller (the driver's 40+-query correctness loop, a notebook session)
+# would otherwise accumulate cached blocks query after query;
+# ``__spark_entry__`` releases the previous query's caches at each next
+# query call, and harnesses can call ``release_caches`` directly.
+CACHES: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for a later ``release_caches``."""
+    df = df.persist()
+    CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    for df in CACHES:
+        df.unpersist()
+    CACHES.clear()
+
 
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame query, optionally with a

@@ -16,7 +16,7 @@ from ..operators.dedup import (
     simhash32,
 )
 from ..sources.parquet import load_table
-from .catalog import query
+from .catalog import CACHES, query, track
 
 _NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
@@ -88,7 +88,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is pure waste here — the explode pipelines straight into the
     # signature aggregation (oracle keeps DISTINCT; results identical)
     sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
-    return lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3))
+    return lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3), cache_registry=CACHES)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +120,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # consumed four times (probe side, candidate side, both size aggs):
     # persist the exploded+distinct shingle table once
-    sh = char_shingles(docs, "doc_id", "text", k=5).persist()
+    sh = track(char_shingles(docs, "doc_id", "text", k=5))
     probes = sh.filter(F.col("doc_id") % 10 == 0)
     return jaccard_pairs(probes, sh, num=1, den=4)
 
@@ -166,9 +166,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # persisted BEFORE the count action: the explode is consumed three
     # times (doc count, hot-shingle agg, anti-join input)
-    sh = char_shingles(docs, "doc_id", "text", k=5).persist()
+    sh = track(char_shingles(docs, "doc_id", "text", k=5))
     n_docs = sh.select("doc_id").distinct().count()
-    cool = drop_hot_shingles(sh, max_df=int(n_docs * 0.05)).persist()
+    cool = track(drop_hot_shingles(sh, max_df=int(n_docs * 0.05)))
     probes = cool.filter(F.col("doc_id") % 10 == 0)
     return jaccard_pairs(probes, cool, num=1, den=4)
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.fuzzy_join import tiered_fuzzy_join
 from ..sources.parquet import load_table
-from .catalog import query
+from .catalog import CACHES, query
 
 NORM_DUCK = "regexp_replace(lower({c}), '[^a-z0-9]', '', 'g')"
 
@@ -130,7 +130,10 @@ def fuzzy_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct part-name catalog (threshold 3, the reference default at
     /root/reference/main.py:197 and config.ini:13)."""
     return tiered_fuzzy_join(
-        _part_probes(spark, sf_dir), _part_cands(spark, sf_dir), threshold=3
+        _part_probes(spark, sf_dir),
+        _part_cands(spark, sf_dir),
+        threshold=3,
+        cache_registry=CACHES,
     )
 
 
@@ -163,7 +166,9 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qgram blocking: the corpus' 24-char prefixes all have ~the same
     # length, so length banding keeps nearly every pair; the q-gram
     # prefix filter is what actually prunes here (and at 100 TB)
-    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram")
+    return tiered_fuzzy_join(
+        probes, cands, threshold=5, strategy="qgram", cache_registry=CACHES
+    )
 
 
 @query("fuzzy_join_docs_band", oracle=_DOCS_ORACLE)
@@ -177,7 +182,9 @@ def fuzzy_join_docs_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = docs.select(
         F.col("doc_id").alias("cand_id"), F.substring("text", 1, 24).alias("cand")
     )
-    return tiered_fuzzy_join(probes, cands, threshold=5, strategy="band")
+    return tiered_fuzzy_join(
+        probes, cands, threshold=5, strategy="band", cache_registry=CACHES
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ from ..operators.textops import (
     quality_signals,
 )
 from ..sources.parquet import load_table
-from .catalog import query
+from .catalog import query, track
 
 _NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
@@ -187,7 +187,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")).persist()
+    freq = track(toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")))
     # global-window ranking funnels the whole vocabulary through one
     # task; pre-cut to the 50th-highest count first so the window sees
     # ~50 rows (ranks of retained rows are unchanged — every row above

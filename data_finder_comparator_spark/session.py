@@ -41,6 +41,11 @@ def get_spark(
         # Oracle comparison: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # session-lifetime by intent: the test parquet stores
+        # TIMESTAMP(NANOS), read as long and rebuilt as NTZ (see
+        # sources/parquet.load_table, which also sets this for
+        # externally-created sessions like the driver's)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

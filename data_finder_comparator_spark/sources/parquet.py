@@ -29,10 +29,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The test parquet stores TIMESTAMP(NANOS) which vanilla Spark
     rejects; with the legacy conf below Spark 4 reads it as
-    TIMESTAMP_NTZ (µs precision). Set at runtime so the queries also
-    work under an externally-created session. NTZ is kept end-to-end —
-    it is timezone-independent, matching DuckDB's naive timestamps
-    regardless of the session timezone.
+    TIMESTAMP_NTZ (µs precision). The conf is session-lifetime BY
+    INTENT (set in the ``get_spark`` factory too); it is re-asserted
+    here because the driver runs these queries under its own
+    externally-created session, where a restore-after-read would break
+    the lazily-executed scan that still needs it at action time.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -17,7 +17,6 @@ is one distributed scan, not 100k driver-side reads.
 
 from __future__ import annotations
 
-import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +31,21 @@ def union_by_name(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
 
+def hadoop_ls(spark: SparkSession, folder: str, suffix: str | None = None) -> list[str]:
+    """Sorted folder listing through the Hadoop FileSystem API — works
+    for any scheme Spark can read (file://, hdfs://, s3a://), where
+    os.listdir would bind to driver-local paths. Hidden/metadata
+    entries (underscore and dot prefixes) are skipped."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(folder)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if not st.getPath().getName().startswith(("_", "."))
+        and (suffix is None or st.getPath().getName().endswith(suffix))
+    )
+
+
 def read_folder_union_by_name(
     spark: SparkSession, folder: str, fmt: str = "parquet"
 ) -> DataFrame:
@@ -41,11 +55,7 @@ def read_folder_union_by_name(
     falls back to per-file reads + unionByName for heterogeneous
     folders, mirroring /root/reference/main.py:692-696.
     """
-    files = sorted(
-        os.path.join(folder, f)
-        for f in os.listdir(folder)
-        if f.endswith(f".{fmt}") or fmt == "any"
-    )
+    files = hadoop_ls(spark, folder, None if fmt == "any" else f".{fmt}")
     if not files:
         raise ValueError(f"no .{fmt} files in {folder}")
     reader = getattr(spark.read, fmt if fmt != "any" else "parquet")
