@@ -48,6 +48,11 @@ HEADLINE = [
     "doc_fingerprints",
     "multimodal_features",
     "streaming_window_counts",
+    # round 2 additions (r1 set above unchanged for comparability)
+    "alignment_pairs",
+    "streaming_watermarked_counts",
+    "salted_segment_stats",
+    "excel_folder_roundtrip",
 ]
 
 
