@@ -101,12 +101,25 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     # left ``path`` missing. The staged merge is complete iff its
     # _SUCCESS marker exists (the staging write finished before any
     # rename started) — promote it; otherwise roll the old sink back.
+    # Rename returns MUST be checked before any delete: a failed
+    # recovery rename (permissions, quota, transient FS error) followed
+    # by the leftover sweep below would destroy the only surviving copy
+    # of the sink.
     if not fs.exists(jpath):
         if fs.exists(staging) and fs.exists(hpath(str(staging) + "/_SUCCESS")):
-            fs.rename(staging, jpath)
+            if not fs.rename(staging, jpath):
+                raise IOError(
+                    f"upsert_sink: recovery promotion of {staging} failed; "
+                    "sink left untouched for manual inspection"
+                )
         elif fs.exists(old):
-            fs.rename(old, jpath)
-    # stale leftovers from completed or pre-staging crashes
+            if not fs.rename(old, jpath):
+                raise IOError(
+                    f"upsert_sink: recovery rollback of {old} failed; "
+                    "sink left untouched for manual inspection"
+                )
+    # stale leftovers from completed or pre-staging crashes (only after
+    # any recovery rename above succeeded)
     for leftover in (staging, old):
         if fs.exists(leftover):
             fs.delete(leftover, True)

@@ -223,7 +223,7 @@ def tiered_fuzzy_join(
     seen = within.select("probe_id").distinct()
     unseen = p.join(seen, "probe_id", "left_anti")
     poor_rescan = _global_argmin_escalating(
-        unseen, c, t, broadcast_cand=strategy == "broadcast", cache_registry=cache_registry
+        unseen, c, t, broadcast_cand=strategy == "broadcast"
     )
 
     return tiers_within.unionByName(poor_exact).unionByName(poor_rescan)
@@ -257,11 +257,7 @@ def _bucketed_band_pairs(
 
 
 def _global_argmin_escalating(
-    unseen: DataFrame,
-    c: DataFrame,
-    t: int,
-    broadcast_cand: bool,
-    cache_registry: list | None = None,
+    unseen: DataFrame, c: DataFrame, t: int, broadcast_cand: bool
 ) -> DataFrame:
     """All-ties global argmin over the candidate set for each probe in
     ``unseen``, via escalating band widths (2t, 4t, ...) instead of a
@@ -278,71 +274,100 @@ def _global_argmin_escalating(
     as a broadcast nested-loop over the post-escalation remainder,
     which is empty for any corpus whose lengths are within 2^8*t of a
     candidate length.
+
+    Contract note: the escalation is iterative, so BUILDING the result
+    runs Spark jobs (common case: one short job proving ``unseen`` is
+    empty; the phase-1 work it materializes is persisted and reused by
+    the caller's action). The returned rows are localCheckpoint-ed —
+    tiny (argmin ties of fallback probes only) — so every intermediate
+    cache this function creates is released before it returns.
     """
     spark = unseen.sparkSession
-    empty = spark.createDataFrame(
-        [], "probe_id long, probe string, cand_id long, cand string, dist long, tier string"
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            unseen.schema["probe_id"],
+            unseen.schema["probe"],
+            c.schema["cand_id"],
+            c.schema["cand"],
+            T.StructField("dist", T.LongType()),
+            T.StructField("tier", T.StringType()),
+        ]
     )
+    empty = spark.createDataFrame([], schema)
+
+    internal: list[DataFrame] = []
 
     def _track(df: DataFrame) -> DataFrame:
         df = df.persist()
-        if cache_registry is not None:
-            cache_registry.append(df)
+        internal.append(df)
         return df
 
-    # null-normalized probes are defined out of matching entirely (the
-    # reference would crash on NaN); without this they would never
-    # resolve and force every escalation round
-    remaining = _track(unseen.filter(F.col("_nq").isNotNull()))
-    if remaining.isEmpty():
-        remaining.unpersist()
-        return empty
-    if c.select("cand_id").isEmpty():
-        remaining.unpersist()
-        return empty
+    def _release() -> None:
+        for df in internal:
+            df.unpersist()
+        internal.clear()
 
-    wf = Window.partitionBy("probe_id")
-    parts: list[DataFrame] = []
-    width = max(2 * t, 2)
-    for _ in range(_FALLBACK_MAX_ROUNDS):
-        pairs = _bucketed_band_pairs(remaining, c, width, broadcast_cand)
-        part = (
-            pairs.withColumn("dist", F.levenshtein("_nq", "_nc", width).cast("long"))
-            .filter(F.col("dist") >= 0)
-            .withColumn("_min", F.min("dist").over(wf))
-            .filter(F.col("dist") == F.col("_min"))
-            .withColumn("tier", F.lit("poor"))
-            .select(*OUT_COLS)
-        )
-        part = _track(part)
-        part.count()  # materialize before releasing the parent cache
-        parts.append(part)
-        nxt = _track(remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti"))
-        done = nxt.isEmpty()
-        remaining.unpersist()
-        remaining = nxt
-        if done:
+    try:
+        # null-normalized probes are defined out of matching entirely
+        # (the reference would crash on NaN); without this they would
+        # never resolve and force every escalation round. Same for
+        # null-normalized candidates: if none is matchable, no probe
+        # can ever resolve — skip the loop entirely.
+        remaining = _track(unseen.filter(F.col("_nq").isNotNull()))
+        if remaining.isEmpty():
+            return empty
+        matchable = c.filter(F.col("_nc").isNotNull())
+        if matchable.isEmpty():
+            return empty
+
+        wf = Window.partitionBy("probe_id")
+        parts: list[DataFrame] = []
+        width = max(2 * t, 2)
+        for _ in range(_FALLBACK_MAX_ROUNDS):
+            pairs = _bucketed_band_pairs(remaining, matchable, width, broadcast_cand)
+            part = (
+                pairs.withColumn("dist", F.levenshtein("_nq", "_nc", width).cast("long"))
+                .filter(F.col("dist") >= 0)
+                .withColumn("_min", F.min("dist").over(wf))
+                .filter(F.col("dist") == F.col("_min"))
+                .withColumn("tier", F.lit("poor"))
+                .select(*OUT_COLS)
+            )
+            part = _track(part)
+            part.count()  # materialize before releasing the parent cache
+            parts.append(part)
+            nxt = _track(
+                remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti")
+            )
+            done = nxt.isEmpty()
             remaining.unpersist()
-            break
-        width *= 2
-    else:
-        # capped remainder: broadcast the (small) surviving probe side so
-        # the nested loop is map-side over candidates — never a shuffled
-        # CartesianProduct. ``remaining`` stays persisted: the rows are
-        # needed lazily at the caller's action.
-        fb = c.crossJoin(F.broadcast(remaining))
-        parts.append(
-            fb.withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
-            .withColumn("_min", F.min("dist").over(wf))
-            .filter(F.col("dist") == F.col("_min"))
-            .withColumn("tier", F.lit("poor"))
-            .select(*OUT_COLS)
-        )
+            remaining = nxt
+            if done:
+                break
+            width *= 2
+        else:
+            # capped remainder: broadcast the (small) surviving probe
+            # side so the nested loop is map-side over candidates —
+            # never a shuffled CartesianProduct
+            fb = matchable.crossJoin(F.broadcast(remaining))
+            parts.append(
+                fb.withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+                .withColumn("_min", F.min("dist").over(wf))
+                .filter(F.col("dist") == F.col("_min"))
+                .withColumn("tier", F.lit("poor"))
+                .select(*OUT_COLS)
+            )
 
-    out = empty
-    for part in parts:
-        out = out.unionByName(part)
-    return out
+        out = empty
+        for part in parts:
+            out = out.unionByName(part)
+        # truncate lineage so the result survives the unpersist of every
+        # internal cache (the rows are the tiny fallback tie set)
+        return out.localCheckpoint(eager=True)
+    finally:
+        _release()
 
 
 def fuzzy_match_summary(tiers: DataFrame) -> DataFrame:

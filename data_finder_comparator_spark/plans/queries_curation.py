@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,17 +86,22 @@ def excel_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey").cast("double") * F.lit(1.5)).alias("key_x"),
     )
     d = tempfile.mkdtemp(prefix="xlsx_folder_")
-    for i in range(3):
-        write_excel(
-            nation.filter(F.col("n_nationkey") % 3 == i),
-            os.path.join(d, f"f{i}.xlsx"),
-        )
-    dfs = [
-        read_excel(spark, os.path.join(d, f))
-        for f in sorted(os.listdir(d))
-        if f.endswith(".xlsx")
-    ]
-    return union_by_name(dfs)
+    try:
+        for i in range(3):
+            write_excel(
+                nation.filter(F.col("n_nationkey") % 3 == i),
+                os.path.join(d, f"f{i}.xlsx"),
+            )
+        dfs = [
+            read_excel(spark, os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".xlsx")
+        ]
+        return union_by_name(dfs)
+    finally:
+        # read_excel fully decodes on the driver (parallelized rows, no
+        # lazy file reference), so the folder is dead once read
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

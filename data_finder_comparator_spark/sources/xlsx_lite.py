@@ -89,6 +89,8 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return v.text == "1"
     if t == "str":  # cached formula result
         return v.text
+    if t == "e":  # formula error cell (#DIV/0!, #N/A, ...) -> missing
+        return None
     return float(v.text)
 
 

@@ -99,13 +99,13 @@ def windowed_event_counts(
         q.awaitTermination()
     finally:
         q.stop()
-    # materialize before the in-memory sink table goes away; stream rows
-    # through the driver instead of one bulk collect (complete mode is
-    # inherently driver-sided — the production shape is
-    # watermarked_event_counts' append mode + file sink below)
+    # materialize before the in-memory sink table goes away — complete
+    # mode is inherently driver-sided, acceptable only as the
+    # stream/batch equivalence harness; the production shape is
+    # watermarked_event_counts' append mode + file sink below
     out = spark.table(query_name)
     try:
-        result = spark.createDataFrame(list(out.toLocalIterator()), schema=out.schema)
+        result = spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         spark.catalog.dropTempView(query_name)
     return result
@@ -131,9 +131,20 @@ def watermarked_event_counts(
     the driver (the returned DataFrame is a distributed scan of the
     sink directory). Complete-mode + memory sink (above) stays only as
     the stream/batch-equivalence harness."""
+    import hashlib
+    import shutil
     import tempfile
 
-    base = sink_dir or tempfile.mkdtemp(prefix="wm_event_counts_")
+    if sink_dir is None:
+        # deterministic per-parameterization path: the returned
+        # DataFrame lazily scans the sink, so it cannot be deleted
+        # here — instead each re-run of the same parameterization
+        # clears and reuses ONE directory, bounding disk use across a
+        # long session (the driver loop, bench's repeated runs)
+        tag = hashlib.md5(f"{sf_dir}|{window}|{delay}".encode()).hexdigest()[:12]
+        sink_dir = os.path.join(tempfile.gettempdir(), f"wm_event_counts_{tag}")
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    base = sink_dir
     out_path = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     # withWatermark requires TIMESTAMP (not NTZ); the session runs UTC,

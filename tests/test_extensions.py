@@ -486,6 +486,32 @@ def test_excel_integral_column_is_long(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [(10, 3), (20, 4)]
 
 
+def test_excel_error_cells_read_as_missing(spark, tmp_path):
+    """Formula error cells (t=\"e\") in externally-produced workbooks
+    must read as nulls, not crash the numeric fallback."""
+    import zipfile
+
+    from data_finder_comparator_spark.sources.excel import read_excel, write_excel
+
+    p = str(tmp_path / "err.xlsx")
+    write_excel(spark.createDataFrame([(1.5,), (2.5,)], "v double"), p)
+    # splice an error cell into row 3 of the generated sheet
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        "</sheetData>",
+        '<row r="4"><c r="A4" t="e"><v>#DIV/0!</v></c></row></sheetData>',
+    )
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    got = [r.v for r in read_excel(spark, p).collect()]
+    assert sorted(x for x in got if x is not None) == [1.5, 2.5]
+    assert None in got
+
+
 def test_excel_sheet_selection(spark, tmp_path):
     from data_finder_comparator_spark.sources.excel import read_excel, write_excel
     from data_finder_comparator_spark.sources.xlsx_lite import read_grid

@@ -114,6 +114,19 @@ def test_null_keys_excluded(spark, strategy):
     ]
 
 
+def test_fallback_preserves_value_column_types(spark):
+    """Non-string probe/cand value columns must keep their type through
+    the poor-fallback path (the escalation's empty seed frame derives
+    its schema from the inputs, not a hardcoded string schema)."""
+    probe = spark.createDataFrame([(1, 111222333)], "probe_id long, probe long")
+    cand = spark.createDataFrame([(10, 999888777)], "cand_id long, cand long")
+    out = tiered_fuzzy_join(probe, cand, threshold=1)
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["probe"] == "bigint" and types["cand"] == "bigint"
+    rows = out.collect()
+    assert [(r.probe, r.cand, r.tier) for r in rows] == [(111222333, 999888777, "poor")]
+
+
 def test_exact_poor_overlap_quirk(spark):
     """A probe whose only close candidate is at distance 0 must appear
     in BOTH exact and poor (main.py:218-228 rescans all candidates)."""
