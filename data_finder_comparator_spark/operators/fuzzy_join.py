@@ -322,22 +322,54 @@ def _global_argmin_escalating(
         if matchable.isEmpty():
             return empty
 
+        # Upper bound on ANY remaining distance: dist(q, c) <=
+        # max(|q|, |c|) <= max observed normalized length. Once the
+        # escalated width reaches it, the band covers every pair and a
+        # FULL-DP round is guaranteed to resolve every remaining probe
+        # — so the loop terminates without the blind 8-round tail, and
+        # the broadcast-nested-loop remainder below is reachable only
+        # when the bound exceeds 2^rounds * 2t.
+        bound = max(
+            remaining.agg(F.max(F.length("_nq"))).first()[0] or 0,
+            matchable.agg(F.max(F.length("_nc"))).first()[0] or 0,
+        )
+
         wf = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []
         width = max(2 * t, 2)
         for _ in range(_FALLBACK_MAX_ROUNDS):
+            final = width >= bound
             pairs = _bucketed_band_pairs(remaining, matchable, width, broadcast_cand)
+            scored = pairs.withColumn(
+                "dist",
+                (
+                    F.levenshtein("_nq", "_nc")
+                    if final
+                    else F.levenshtein("_nq", "_nc", width)
+                ).cast("long"),
+            )
+            if not final:
+                scored = scored.filter(F.col("dist") >= 0)
             part = (
-                pairs.withColumn("dist", F.levenshtein("_nq", "_nc", width).cast("long"))
-                .filter(F.col("dist") >= 0)
-                .withColumn("_min", F.min("dist").over(wf))
+                scored.withColumn("_min", F.min("dist").over(wf))
                 .filter(F.col("dist") == F.col("_min"))
                 .withColumn("tier", F.lit("poor"))
                 .select(*OUT_COLS)
             )
             part = _track(part)
-            part.count()  # materialize before releasing the parent cache
+            part_n = part.count()  # materialize before releasing the parent cache
             parts.append(part)
+            if final:
+                # the band covered every pair and the DP was exact:
+                # every remaining probe resolved this round
+                break
+            if part_n == 0:
+                # zero pairs kept: EVERY remaining distance exceeds the
+                # width — a disjoint probe domain. Jump straight to the
+                # guaranteed-final bound round instead of doubling
+                # through widths that will also keep nothing.
+                width = max(bound, 2)
+                continue
             nxt = _track(
                 remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti")
             )
@@ -346,7 +378,7 @@ def _global_argmin_escalating(
             remaining = nxt
             if done:
                 break
-            width *= 2
+            width = min(width * 2, max(bound, 2))
         else:
             # capped remainder: broadcast the (small) surviving probe
             # side so the nested loop is map-side over candidates —

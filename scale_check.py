@@ -83,6 +83,21 @@ def main() -> None:
         tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram").count()
         results[tag]["fuzzy_qgram"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
+
+        # Adversarial all-fallback probe: a DISJOINT probe catalog (hex
+        # keys vs text candidates) means every probe misses phase 1 and
+        # resolves through the escalating band rescan — the regime that
+        # was a |P|x|C| cartesian before round 2. Growth here should be
+        # ~linear in candidate rows (each escalation round is a bucketed
+        # equi-join), not quadratic.
+        t0 = time.perf_counter()
+        adv = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring(F.md5("text"), 1, 20).alias("probe"),
+        )
+        tiered_fuzzy_join(adv, cands, threshold=3, strategy="band").count()
+        results[tag]["fuzzy_all_fallback"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
         docs.unpersist()
 
     print(json.dumps({"base_sf_dir": sf_dir, "sizes": results}))
