@@ -105,6 +105,57 @@ def excel_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2 across a third format: folder-of-CSV ingestion, fully distributed
+# on both sides (Spark csv writer -> folder of part files -> csv reader
+# with schema inference), unioned by name like the xlsx/parquet paths.
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       s_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+@query("csv_folder_roundtrip", oracle=_CSV_ORACLE)
+def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dim written to two CSV folders (distributed write, one
+    part file per task) and read back with header + schema inference,
+    then unioned by name. Unlike the xlsx path nothing touches the
+    driver; CSV doubles round-trip exactly (Java shortest-repr
+    toString). One deterministic temp dir per sf_dir, cleared on
+    re-run — the returned DataFrame scans it lazily."""
+    import hashlib
+    import tempfile
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"),
+        "s_name",
+        F.col("s_nationkey").cast("long"),
+        F.col("s_acctbal").cast("double"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"csv_folder_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    for name, part in (("even", 0), ("odd", 1)):
+        sup.filter(F.col("s_suppkey") % 2 == part).write.csv(
+            os.path.join(d, name), header=True
+        )
+    dfs = [
+        spark.read.csv(os.path.join(d, name), header=True, inferSchema=True)
+        for name in ("even", "odd")
+    ]
+    return union_by_name(dfs).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P4: deterministic row ids (positional-row replacement).
 # ---------------------------------------------------------------------------
 
