@@ -93,3 +93,49 @@ def binary_features(df: DataFrame, decode=None) -> DataFrame:
     return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_md5 string, frame_bytes long"
+
+
+def frame_sample(
+    df: DataFrame, width: int = 64, stride: int = 256, extract=None
+) -> DataFrame:
+    """Fixed-rate frame sampling over binary payloads — the video
+    frame-grab / audio windowing shape: each payload fans out into
+    its full-width frames at ``stride`` intervals (a 1:N mapInPandas,
+    so output batches are streamed, not held per-partition).
+
+    Default ``extract`` fingerprints each frame (md5 of the byte
+    slice) — deterministic and oracle-checkable; a real deployment
+    plugs a decoder emitting pixel/PCM features per frame with the
+    identical Spark plumbing."""
+
+    def fake_extract(frame: bytes) -> str:
+        return hashlib.md5(frame).hexdigest()
+
+    fp = extract or fake_extract
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for j, start in enumerate(range(0, len(data) - width + 1, stride)):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    sigs.append(fp(data[start : start + width]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_md5": sigs,
+                    "frame_bytes": [width] * len(ids),
+                }
+            )
+
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.alignment import alignment_udf, splices_udf
-from ..operators.multimodal import attach_binary_payload, binary_features
+from ..operators.multimodal import attach_binary_payload, binary_features, frame_sample
 from ..sources.parquet import load_table
 from ..streaming.pipeline import watermarked_event_counts, windowed_event_counts
 from .catalog import query
@@ -97,6 +97,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_md5",
         *[F.col("feat")[j].alias(f"feat_{j}") for j in range(4)],
     )
+
+
+# documents.text is pure ASCII in the test corpus (verified: no row has
+# octet_length(encode(text)) <> length(text)), so VARCHAR substr is a
+# byte slice and md5(varchar) hashes the same bytes the Spark side does.
+_FRAMES_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 64
+),
+frames AS (
+  SELECT doc_id, text, unnest(range(0, (n - 64) // 256 + 1)) AS j FROM sized
+)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(j * 256 + 1 AS BIGINT), 64)) AS frame_md5,
+       CAST(64 AS BIGINT) AS frame_bytes
+FROM frames
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-rate frame sampling over binary payloads (the video
+    frame-grab / audio windowing pattern): 64-byte frames every 256
+    bytes, fingerprinted per frame via 1:N mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs, "doc_id", "text"))
 
 
 _STREAM_ORACLE = """

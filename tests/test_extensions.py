@@ -486,6 +486,32 @@ def test_excel_integral_column_is_long(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [(10, 3), (20, 4)]
 
 
+def test_frame_sample_boundaries(spark):
+    """Frame fan-out: payloads shorter than the width emit no frames,
+    an exact-width payload emits one, and frame hashes match the byte
+    slices."""
+    import hashlib
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 3), (2, "y" * 8), (3, "z" * 21)], "doc_id long, text string"
+    )
+    out = frame_sample(
+        attach_binary_payload(docs, "doc_id", "text"), width=8, stride=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc  # too short
+    assert [r.frame_idx for r in sorted(by_doc[2], key=lambda r: r.frame_idx)] == [0]
+    assert [r.frame_idx for r in sorted(by_doc[3], key=lambda r: r.frame_idx)] == [0, 1]
+    assert by_doc[2][0].frame_md5 == hashlib.md5(b"y" * 8).hexdigest()
+
+
 def test_excel_error_cells_read_as_missing(spark, tmp_path):
     """Formula error cells (t=\"e\") in externally-produced workbooks
     must read as nulls, not crash the numeric fallback."""
