@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from ..functions.alignment import alignment_udf, splices_udf
 from ..operators.multimodal import attach_binary_payload, binary_features, frame_sample
 from ..sources.parquet import load_table
-from ..streaming.pipeline import watermarked_event_counts, windowed_event_counts
+from ..streaming.pipeline import (
+    first_seen_stream,
+    watermarked_event_counts,
+    windowed_event_counts,
+)
 from .catalog import query
 from .queries_fuzzy import _VARIANTS
 
@@ -144,6 +148,59 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compared against the batch-SQL oracle — stream/batch
     equivalence, the core Structured Streaming guarantee."""
     return windowed_event_counts(spark, sf_dir, "1 hour", "swc_oracle_run")
+
+
+# The custom stateful operator (applyInPandasWithState) through the
+# driver gate: over the single-file documents source every hash's first
+# sight is its min doc_id, which batch SQL can restate exactly; the
+# cross-batch suppression semantics are pinned separately by
+# test_stateful_first_seen_dedup (two-batch arrival).
+_FIRST_SEEN_ORACLE = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+@query("streaming_first_seen", oracle=_FIRST_SEEN_ORACLE)
+def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful dedup (first_seen_stream) as a real
+    streaming query over the documents file source: per-key state
+    emits each content hash exactly once with the first doc carrying
+    it. Memory sink is the equivalence harness (update-mode output);
+    production attaches foreachBatch/Delta."""
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("doc_id"),
+            F.md5(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+            ).alias("content_hash"),
+        )
+    )
+    out = first_seen_stream(docs, "doc_id", "content_hash")
+    name = "first_seen_oracle_run"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    try:
+        return spark.createDataFrame(sink.collect(), schema=sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
 
 
 # Append-mode oracle: only windows CLOSED by the final watermark
