@@ -150,6 +150,74 @@ def ivf_topk(
     )
 
 
+def sq8_rerank_topk(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact re-rank — the memory-bound
+    scale path: candidate vectors compress to 8-bit codes on a global
+    [lo, hi] affine grid (4x smaller than float32, 8x than float64 —
+    at 100 TB the difference between a candidate table that fits in
+    executor memory and one that doesn't). Stage 1 scans the
+    compressed domain: asymmetric cosine of the full-precision probe
+    against each RECONSTRUCTED candidate, per-probe top-``rerank``.
+    Stage 2 re-scores only that shortlist with full-precision cosine.
+
+    Everything is engine-portable: lo/hi are exact min/max aggregates,
+    the (x-lo)/step grid is computed in double on both engines, and
+    round() on the nonnegative grid index agrees between Spark
+    (HALF_UP) and DuckDB (half away from zero)."""
+    b = cands.agg(
+        F.min(F.expr("array_min(transform(vec_c, x -> cast(x as double)))")).alias("lo"),
+        F.max(F.expr("array_max(transform(vec_c, x -> cast(x as double)))")).alias("hi"),
+    ).first()
+    lo, hi = float(b[0]), float(b[1])
+    step = (hi - lo) / 255.0
+    # float repr round-trips exactly, so the literals parse back to the
+    # identical doubles the oracle's SQL aggregates produce
+    recon = F.expr(
+        f"transform(vec_c, x -> {lo!r} + "
+        f"cast(round((cast(x as double) - {lo!r}) / {step!r}) as double) * {step!r})"
+    )
+
+    c = cands.select(
+        "cand_id", "vec_c", recon.alias("_rc")
+    ).withColumn("_nrc", dot("_rc", "_rc"))
+    p = probes.repartition(_fanout_partitions(probes), F.col("probe_id")).withColumn(
+        "_np", dot("vec_p", "vec_p")
+    )
+    stage1 = (
+        p.crossJoin(F.broadcast(c.select("cand_id", "_rc", "_nrc")))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn(
+            "qsim",
+            F.round(dot("vec_p", "_rc") / F.sqrt(F.col("_np") * F.col("_nrc")), 6),
+        )
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.col("qsim").desc(), F.col("cand_id"))
+    shortlist = (
+        stage1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank)
+        .select("probe_id", "cand_id")
+    )
+    scored = (
+        shortlist.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
 def hyperplane_bucket(vec: str, n_planes: int, dim: int, seed_tag: str = "hp") -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
     n_planes pseudo-random hyperplanes. Hyperplane components are

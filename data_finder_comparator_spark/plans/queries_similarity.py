@@ -205,3 +205,68 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vec_c"),
     )
     return lsh_bucketed_topk(probes, cands, k=5, n_planes=4, n_tables=4, dim=64)
+
+
+# SQ8 compressed-scan + exact-rerank ANN: candidates quantize to an
+# 8-bit global affine grid; stage 1 ranks by asymmetric cosine against
+# the reconstructions, stage 2 re-scores the shortlist exactly. The
+# oracle recomputes the identical grid from SQL min/max aggregates.
+_SQ8_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) t
+),
+qc AS (
+  SELECT vec_id AS cand_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> lo + CAST(round((x - lo) / ((hi - lo) / 255.0)) AS DOUBLE)
+                  * ((hi - lo) / 255.0)) AS rc
+  FROM embeddings, bounds
+),
+stage1 AS (
+  SELECT p.vec_id AS probe_id, qc.cand_id,
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]), rc)
+           / sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                   CAST(p.embedding AS DOUBLE[]))
+                * list_dot_product(rc, rc)), 6) AS qsim
+  FROM embeddings p CROSS JOIN qc
+  WHERE p.vec_id % 25 = 0 AND p.vec_id <> qc.cand_id
+),
+shortlist AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY qsim DESC, cand_id) AS rn
+    FROM stage1
+  ) WHERE rn <= 20
+),
+scored AS (
+  SELECT probe_id, cand_id, {_DUCK_COS} AS cos_sim
+  FROM shortlist
+  JOIN embeddings p ON p.vec_id = probe_id
+  JOIN embeddings c ON c.vec_id = cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("ann_sq8_rerank_topk", oracle=_SQ8_ORACLE)
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compressed scan + exact re-rank (the memory-bound ANN scale
+    path alongside LSH and IVF)."""
+    from ..operators.similarity import sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    return sq8_rerank_topk(probes, cands, k=5, rerank=20)
