@@ -53,6 +53,10 @@ HEADLINE = [
     "streaming_watermarked_counts",
     "salted_segment_stats",
     "excel_folder_roundtrip",
+    "csv_folder_roundtrip",
+    "multimodal_frame_sample",
+    "streaming_first_seen",
+    "ann_sq8_rerank_topk",
 ]
 
 
