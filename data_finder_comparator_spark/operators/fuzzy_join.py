@@ -314,12 +314,21 @@ def _global_argmin_escalating(
         # (the reference would crash on NaN); without this they would
         # never resolve and force every escalation round. Same for
         # null-normalized candidates: if none is matchable, no probe
-        # can ever resolve — skip the loop entirely.
+        # can ever resolve — skip the loop entirely. One fused agg per
+        # side answers emptiness AND the length bound in a single job;
+        # the (already-filtered) candidate side persists so the
+        # per-round band joins don't rescan the source.
         remaining = _track(unseen.filter(F.col("_nq").isNotNull()))
-        if remaining.isEmpty():
+        n_rem, max_q = remaining.agg(
+            F.count(F.lit(1)), F.max(F.length("_nq"))
+        ).first()
+        if n_rem == 0:
             return empty
-        matchable = c.filter(F.col("_nc").isNotNull())
-        if matchable.isEmpty():
+        matchable = _track(c.filter(F.col("_nc").isNotNull()))
+        n_cand, max_c = matchable.agg(
+            F.count(F.lit(1)), F.max(F.length("_nc"))
+        ).first()
+        if n_cand == 0:
             return empty
 
         # Upper bound on ANY remaining distance: dist(q, c) <=
@@ -329,10 +338,7 @@ def _global_argmin_escalating(
         # — so the loop terminates without the blind 8-round tail, and
         # the broadcast-nested-loop remainder below is reachable only
         # when the bound exceeds 2^rounds * 2t.
-        bound = max(
-            remaining.agg(F.max(F.length("_nq"))).first()[0] or 0,
-            matchable.agg(F.max(F.length("_nc"))).first()[0] or 0,
-        )
+        bound = max(max_q or 0, max_c or 0)
 
         wf = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []

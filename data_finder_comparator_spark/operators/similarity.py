@@ -173,6 +173,10 @@ def sq8_rerank_topk(
         F.min(F.expr("array_min(transform(vec_c, x -> cast(x as double)))")).alias("lo"),
         F.max(F.expr("array_max(transform(vec_c, x -> cast(x as double)))")).alias("hi"),
     ).first()
+    if b[0] is None or b[1] is None:  # empty / all-null candidate set
+        return probes.sparkSession.createDataFrame(
+            [], "probe_id long, cand_id long, cos_sim double, rnk long"
+        )
     lo, hi = float(b[0]), float(b[1])
     step = (hi - lo) / 255.0
     # float repr round-trips exactly, so the literals parse back to the

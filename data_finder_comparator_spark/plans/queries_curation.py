@@ -125,10 +125,11 @@ def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part file per task) and read back with header + schema inference,
     then unioned by name. Unlike the xlsx path nothing touches the
     driver; CSV doubles round-trip exactly (Java shortest-repr
-    toString). One deterministic temp dir per sf_dir, cleared on
-    re-run — the returned DataFrame scans it lazily."""
-    import hashlib
-    import tempfile
+    toString) and edge whitespace is preserved (the writer's default
+    trimming is disabled). One deterministic temp dir per (process,
+    sf_dir), cleared on re-run — the returned DataFrame scans it
+    lazily."""
+    from ..util import fresh_run_dir
 
     sup = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long"),
@@ -136,11 +137,11 @@ def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("long"),
         F.col("s_acctbal").cast("double"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"csv_folder_{tag}")
-    shutil.rmtree(d, ignore_errors=True)
+    d = fresh_run_dir("csv_folder", sf_dir)
     for name, part in (("even", 0), ("odd", 1)):
-        sup.filter(F.col("s_suppkey") % 2 == part).write.csv(
+        sup.filter(F.col("s_suppkey") % 2 == part).write.mode("overwrite").option(
+            "ignoreLeadingWhiteSpace", False
+        ).option("ignoreTrailingWhiteSpace", False).csv(
             os.path.join(d, name), header=True
         )
     dfs = [

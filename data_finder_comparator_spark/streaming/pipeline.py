@@ -131,19 +131,10 @@ def watermarked_event_counts(
     the driver (the returned DataFrame is a distributed scan of the
     sink directory). Complete-mode + memory sink (above) stays only as
     the stream/batch-equivalence harness."""
-    import hashlib
-    import shutil
-    import tempfile
+    from ..util import fresh_run_dir
 
     if sink_dir is None:
-        # deterministic per-parameterization path: the returned
-        # DataFrame lazily scans the sink, so it cannot be deleted
-        # here — instead each re-run of the same parameterization
-        # clears and reuses ONE directory, bounding disk use across a
-        # long session (the driver loop, bench's repeated runs)
-        tag = hashlib.md5(f"{sf_dir}|{window}|{delay}".encode()).hexdigest()[:12]
-        sink_dir = os.path.join(tempfile.gettempdir(), f"wm_event_counts_{tag}")
-        shutil.rmtree(sink_dir, ignore_errors=True)
+        sink_dir = fresh_run_dir("wm_event_counts", f"{sf_dir}|{window}|{delay}")
     base = sink_dir
     out_path = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
