@@ -247,3 +247,78 @@ FROM sh GROUP BY doc_id
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprint(docs, "doc_id", "text", k=8)
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data curation pipeline in one driver-checked
+# row: quality filter -> exact dedup (canonical survivor) ->
+# deterministic content-hash sample -> per-language token accounting.
+# Every stage is an operator already verified standalone; this pins the
+# COMPOSITION (the shape a real corpus build runs nightly).
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces,
+         CAST({_duck_hits(STOPWORDS)} AS BIGINT) AS n_stopwords
+  FROM documents
+),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_NORM})
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, s.n_tokens, s.n_pieces
+  FROM documents d
+  JOIN sig s USING (doc_id)
+  JOIN canonical c USING (doc_id)
+  WHERE s.n_tokens >= 30 AND s.n_stopwords >= 1
+    AND CAST(concat('0x', substr(md5(d.text), 1, 2)) AS BIGINT) < 128
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces
+FROM survivors GROUP BY lang
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter (min tokens + stopword evidence), keep only each
+    content hash's canonical (min-id) doc, take the deterministic ~50%
+    content-hash sample, and account tokens per language. All shuffles
+    key on doc_id/lang; the map-side signal computation fuses into the
+    document scan."""
+    from ..operators.dedup import exact_canonical_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "n_pieces", "n_stopwords"
+    )
+    canonical = (
+        exact_canonical_map(docs, "doc_id", "text")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long").alias("_bucket"),
+    )
+    survivors = (
+        base.join(sig, "doc_id")
+        .join(canonical, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("n_stopwords") >= 1)
+            & (F.col("_bucket") < 128)
+        )
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+    )
