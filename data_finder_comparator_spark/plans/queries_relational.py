@@ -533,3 +533,47 @@ def salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located fact-fact join as a driver row: both sides are
+# persisted pre-hash-partitioned on the join key (the write pays the
+# shuffle once), and the join itself plans with NO Exchange — the
+# storage-layout answer to the recurring orders x lineitem shuffle.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("bucketed_order_revenue", oracle=_BUCKETED_ORACLE)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders and lineitem are written as 8-bucket tables hashed on the
+    orderkey (paying the shuffle once, at write), then joined WITHOUT
+    any Exchange — bucket i joins bucket i locally — and aggregated per
+    order priority. The plan-shape test pins the no-Exchange join."""
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, "b_rev_orders", "okey", n_buckets=8, sort_col="okey")
+    write_bucketed(li, "b_rev_lineitem", "okey", n_buckets=8, sort_col="okey")
+    j = bucketed_join(
+        spark, "b_rev_orders", "b_rev_lineitem", "okey", force_sort_merge=True
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        ).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )

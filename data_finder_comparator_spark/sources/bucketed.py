@@ -30,6 +30,18 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sort-ordered)
     managed table. Sorting within buckets lets SortMergeJoin skip its
     sort stage entirely."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the default in-memory catalog forgets tables between sessions
+    # while their warehouse directories persist; a stale location makes
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS — remove it
+    jvm = spark._jvm
+    wh = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = wh.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(wh):
+        fs.delete(wh, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
@@ -37,9 +49,20 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: str
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+    force_sort_merge: bool = False,
 ) -> DataFrame:
     """Equi-join two same-bucketed tables on their bucket key. With
     matching bucket counts the physical plan contains no Exchange —
-    verify with ``df.explain()`` (tests assert this)."""
-    return spark.table(left_table).join(spark.table(right_table), on)
+    verify with ``df.explain()`` (tests assert this).
+
+    ``force_sort_merge`` adds a merge hint so small test-scale inputs
+    don't plan as a broadcast join (which would hide the bucket
+    layout); at real scale the planner picks SortMergeJoin on its own."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on)

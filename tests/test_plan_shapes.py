@@ -65,6 +65,17 @@ def test_poor_fallback_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_query_joins_without_exchange(spark):
+    """bucketed_order_revenue must join the two bucketed tables with no
+    shuffle: both scans read Bucketed: true and no Exchange exists
+    below the SortMergeJoin (the only exchange is the post-join
+    aggregation)."""
+    plan = _executed_plan(QUERIES["bucketed_order_revenue"](spark, SF))
+    assert plan.count("Bucketed: true") == 2, plan
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, plan
+
+
 def test_salted_query_shows_salted_exchange(spark):
     """salted_segment_stats must actually exercise the skew tooling:
     the join exchange partitions on (user_id, _salt) — hot keys spread
