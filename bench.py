@@ -57,6 +57,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "streaming_first_seen",
     "ann_sq8_rerank_topk",
+    "corpus_curation_pipeline",
+    "bucketed_order_revenue",
 ]
 
 
