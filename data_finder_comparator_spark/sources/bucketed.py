@@ -26,23 +26,37 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort_col: str | None = None,
+    location: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-ordered)
-    managed table. Sorting within buckets lets SortMergeJoin skip its
-    sort stage entirely."""
+    table. Sorting within buckets lets SortMergeJoin skip its sort
+    stage entirely.
+
+    Default is an EXTERNAL table at a per-process scratch location —
+    the session's warehouse dir is relative to the calling process's
+    CWD, which a library cannot assume is writable; pass ``location``
+    (or pre-configure spark.sql.warehouse.dir) to control placement in
+    a real deployment. The bucket metadata lives in the catalog either
+    way, which is what lets the planner trust the layout."""
+    from ..util import fresh_run_dir
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the default in-memory catalog forgets tables between sessions
-    # while their warehouse directories persist; a stale location makes
-    # saveAsTable fail with LOCATION_ALREADY_EXISTS — remove it
-    jvm = spark._jvm
-    wh = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    if location is None:
+        location = fresh_run_dir("bucketed_table", table)
+    else:
+        # a stale directory under an explicit location would fail the
+        # CREATE with LOCATION_ALREADY_EXISTS semantics — clear it
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(location)
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    w = (
+        df.write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(n_buckets, bucket_col)
     )
-    fs = wh.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(wh):
-        fs.delete(wh, True)
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
