@@ -565,11 +565,16 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
     )
-    write_bucketed(orders, "b_rev_orders", "okey", n_buckets=8, sort_col="okey")
-    write_bucketed(li, "b_rev_lineitem", "okey", n_buckets=8, sort_col="okey")
-    j = bucketed_join(
-        spark, "b_rev_orders", "b_rev_lineitem", "okey", force_sort_merge=True
-    )
+    # table names carry the sf_dir tag: rebuilding for a different
+    # scale factor must not silently repoint a previously returned
+    # lazy DataFrame at new data
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"b_rev_orders_{tag}", f"b_rev_lineitem_{tag}"
+    write_bucketed(orders, t_orders, "okey", n_buckets=8, sort_col="okey")
+    write_bucketed(li, t_li, "okey", n_buckets=8, sort_col="okey")
+    j = bucketed_join(spark, t_orders, t_li, "okey", force_sort_merge=True)
     return j.groupBy("o_orderpriority").agg(
         F.sum(
             F.col("l_extendedprice").cast("decimal(18,6)")

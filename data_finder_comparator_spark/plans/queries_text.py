@@ -289,15 +289,15 @@ FROM survivors GROUP BY lang
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter (min tokens + stopword evidence), keep only each
     content hash's canonical (min-id) doc, take the deterministic ~50%
-    content-hash sample, and account tokens per language. All shuffles
-    key on doc_id/lang; the map-side signal computation fuses into the
-    document scan."""
+    content-hash sample, and account tokens per language. Every
+    row-local signal (token/piece/stopword counts, sample bucket) is
+    computed in ONE projection over the single document scan — the
+    only join is the genuinely necessary one against the canonical-id
+    set, keyed on doc_id."""
     from ..operators.dedup import exact_canonical_map
+    from ..operators.textops import bpe_ish_piece_count, marker_hits, token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = quality_signals(docs, "doc_id", "text").select(
-        "doc_id", "n_tokens", "n_pieces", "n_stopwords"
-    )
     canonical = (
         exact_canonical_map(docs, "doc_id", "text")
         .filter(F.col("doc_id") == F.col("canonical_id"))
@@ -306,16 +306,15 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_piece_count("text").alias("n_pieces"),
+        marker_hits("text", STOPWORDS).alias("n_stopwords"),
         F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long").alias("_bucket"),
     )
-    survivors = (
-        base.join(sig, "doc_id")
-        .join(canonical, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= 30)
-            & (F.col("n_stopwords") >= 1)
-            & (F.col("_bucket") < 128)
-        )
+    survivors = base.join(canonical, "doc_id").filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_stopwords") >= 1)
+        & (F.col("_bucket") < 128)
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

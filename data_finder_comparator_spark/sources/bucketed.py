@@ -46,11 +46,22 @@ def write_bucketed(
         location = fresh_run_dir("bucketed_table", table)
     else:
         # a stale directory under an explicit location would fail the
-        # CREATE with LOCATION_ALREADY_EXISTS semantics — clear it
+        # CREATE — but NEVER destroy a caller-supplied path that this
+        # code did not write: only a previous completed table write
+        # (marked by _SUCCESS) or an empty directory may be cleared
         jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(location)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        loc = hpath(location)
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
+            empty = not fs.listStatus(loc)
+            prior_write = fs.exists(hpath(str(loc) + "/_SUCCESS"))
+            if not (empty or prior_write):
+                raise IOError(
+                    f"write_bucketed: refusing to clear {location} — it is "
+                    "non-empty and not a previous bucketed-table write "
+                    "(no _SUCCESS marker); pass a fresh or dedicated path"
+                )
             fs.delete(loc, True)
     w = (
         df.write.mode("overwrite")

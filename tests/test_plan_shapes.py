@@ -72,6 +72,7 @@ def test_bucketed_query_joins_without_exchange(spark):
     aggregation)."""
     plan = _executed_plan(QUERIES["bucketed_order_revenue"](spark, SF))
     assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
     below_join = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, plan
 
