@@ -222,3 +222,42 @@ def curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("action")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 across a fourth format: folder-of-JSON-lines ingestion (the
+# interchange format most scraped/curated corpora arrive in).
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+FROM region
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
+"""
+
+
+@query("json_folder_roundtrip", oracle=_JSON_ORACLE)
+def json_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two differently-shaped dims written as JSON-lines folders
+    (distributed writer), read back with schema inference and unioned
+    by name — heterogeneous-source ingestion over the format scraped
+    corpora actually arrive in."""
+    from ..util import fresh_run_dir
+
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    )
+    d = fresh_run_dir("json_folder", sf_dir)
+    region.write.mode("overwrite").json(os.path.join(d, "region"))
+    nation.write.mode("overwrite").json(os.path.join(d, "nation"))
+    dfs = [
+        spark.read.json(os.path.join(d, name)) for name in ("region", "nation")
+    ]
+    return union_by_name(dfs).select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
