@@ -146,7 +146,15 @@ def run_find_compare(
         search = spark.read.parquet(cfg.search_path)
         curated = _curate(spark, search, cands, cfg)
         if cfg.output_path:
-            if upsert:
+            if cfg.output_path.endswith(".xlsx"):
+                # the reference's own sink format (output.xlsx,
+                # /root/reference/main.py:521-535): a driver-side
+                # workbook write via the vendored codec — small curated
+                # outputs only, exactly the reference's regime
+                from .sources.excel import write_excel
+
+                write_excel(curated, cfg.output_path)
+            elif upsert:
                 upsert_sink(curated, cfg.output_path, cfg.search_key_col)
             else:
                 append_sink(curated, cfg.output_path)

@@ -16,9 +16,27 @@ of the pipeline (the reference's own regime). Bulk data stays parquet.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
+
+# OOXML _xHHHH_ escaping: C0 controls other than tab/newline cannot
+# survive XML 1.0 (most are invalid even entity-escaped; \r is valid
+# but parsers normalize it to \n per the spec) — SpreadsheetML stores
+# them as _xHHHH_ and requires literal "_xHHHH_" sequences to be
+# protected as _x005F_xHHHH_.
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f]")
+_XESC_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _ooxml_encode(s: str) -> str:
+    s = _XESC_RE.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    return _CTRL_RE.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _ooxml_decode(s: str) -> str:
+    return _XESC_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _PKG_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
@@ -54,7 +72,8 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     root = ET.fromstring(data)
     # each <si> may hold one <t> or multiple rich-text <r><t> runs
     return [
-        "".join(t.text or "" for t in si.iter(f"{_NS}t")) for si in root
+        _ooxml_decode("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        for si in root
     ]
 
 
@@ -79,7 +98,7 @@ def _sheet_path(zf: zipfile.ZipFile, sheet: int | str) -> str:
 def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
-        return "".join(tn.text or "" for tn in c.iter(f"{_NS}t"))
+        return _ooxml_decode("".join(tn.text or "" for tn in c.iter(f"{_NS}t")))
     v = c.find(f"{_NS}v")
     if v is None or v.text is None:
         return None
@@ -88,7 +107,7 @@ def _cell_value(c: ET.Element, shared: list[str]):
     if t == "b":
         return v.text == "1"
     if t == "str":  # cached formula result
-        return v.text
+        return _ooxml_decode(v.text)
     if t == "e":  # formula error cell (#DIV/0!, #N/A, ...) -> missing
         return None
     return float(v.text)
@@ -155,7 +174,8 @@ def _cell_xml(ref: str, val) -> str:
     if isinstance(val, (int, float)):
         return f'<c r="{ref}"><v>{val!r}</v></c>'
     if isinstance(val, str):
-        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(val)}</t></is></c>'
+        text = escape(_ooxml_encode(val))
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
     raise TypeError(f"unsupported xlsx cell type {type(val).__name__}")
 
 

@@ -86,3 +86,41 @@ def test_splices_known_example():
     assert (1, "abc") in segs
     assert texts[0] == "XX" and flags[0] == 0
     assert "".join(texts) == "XXabcYYdef"
+
+
+# ---------------------------------------------------------------------------
+# xlsx codec property test (pure python, no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**52), max_value=2**52),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8))
+def test_xlsx_grid_roundtrip_property(tmp_path_factory, rows):
+    """write_grid -> read_grid preserves every cell: numbers come back
+    as floats with exact values (repr round-trip), strings/bools/Nones
+    verbatim; ragged rows pad with None."""
+    from data_finder_comparator_spark.sources.xlsx_lite import read_grid, write_grid
+
+    path = str(tmp_path_factory.mktemp("xlsxprop") / "t.xlsx")
+    write_grid(path, rows)
+    got = read_grid(path)
+    width = max(len(r) for r in rows)
+    for i, row in enumerate(rows):
+        for j in range(width):
+            want = row[j] if j < len(row) else None
+            have = got[i][j] if i < len(got) and j < len(got[i]) else None
+            if isinstance(want, bool) or want is None or isinstance(want, str):
+                assert have == want, (i, j, want, have)
+            else:  # int/float -> float cell, exact value
+                assert have is not None and float(want) == have, (i, j, want, have)

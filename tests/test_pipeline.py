@@ -98,3 +98,23 @@ def test_read_folder_union_null_fills(spark, tmp_path):
     rows = {r.sku: (r.stock, r.region) for r in df.collect()}
     assert rows["ch s09 ftxd-blsc"] == (1.0, None)
     assert rows["cold widget"] == (None, "EU")
+
+
+def test_run_find_compare_xlsx_sink(spark, tmp_path):
+    """An .xlsx output_path routes the curated table through the
+    vendored workbook writer — the reference's own sink format
+    (output.xlsx) — and reads back identical rows."""
+    from data_finder_comparator_spark.sources.excel import read_excel
+
+    search_path, folder = _write_fixtures(spark, tmp_path)
+    cfg = EngineConfig(
+        search_path=search_path,
+        data_folder=folder,
+        output_path=str(tmp_path / "output.xlsx"),
+        threshold=3,
+    )
+    curated = run_find_compare(spark, cfg)
+    back = read_excel(spark, cfg.output_path)
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(
+        map(tuple, curated.collect()), key=repr
+    )
