@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_sq8_rerank_topk",
     "corpus_curation_pipeline",
     "bucketed_order_revenue",
+    "dedup_clusters",
 ]
 
 

@@ -186,6 +186,104 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    candidate-pair edge list, returning (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id in the component. This is the step
+    the reference's per-probe best-match loop never needs but every
+    corpus-scale dedup does: LSH/Jaccard emit PAIRS; keeping one doc per
+    duplicate GROUP requires the transitive closure.
+
+    Algorithm: min-label propagation. label(v) starts at v; each round
+    label(v) <- min(label(v), min over neighbors' labels); stop when no
+    label changed. Rounds needed = graph diameter — tiny for dup
+    clusters (LSH buckets emit near-cliques), so this converges in 2-4
+    rounds in practice. Each round is one equi-join + one aggregation,
+    both hash-partitioned on the node id, so at cluster scale every
+    round reuses the same shuffle partitioning; nothing is ever
+    collected to the driver. For adversarial long-chain graphs the
+    literature's alternating large-star/small-star rounds (O(log^2 n))
+    drop in behind the same interface — documented, not needed for the
+    near-clique dup topology.
+
+    Convergence is detected with one scalar aggregation per round:
+    labels only ever decrease, so sum(label) is strictly monotone and
+    sum_new == sum_old iff fixpoint (no join against the previous state
+    needed). Each round's labels are ``localCheckpoint``-ed (eager) and
+    the previous round's blocks released immediately — the live
+    footprint is two label tables regardless of round count.
+
+    Lineage MUST be truncated, not merely persisted: ``labels`` appears
+    twice in each round's plan (via ``neigh_min`` and via the outer
+    join), so without a checkpoint the LOGICAL plan doubles per round —
+    O(2^rounds) tree nodes — and Catalyst analysis time explodes around
+    round ~10 even though persist() keeps the physical recompute cheap
+    (observed: a 12-node path graph ground Catalyst for >10 minutes).
+    ``localCheckpoint`` stores blocks on the executors (lost on executor
+    failure); a production cluster run with hours-long rounds would use
+    ``sparkContext.setCheckpointDir`` + reliable ``checkpoint`` at the
+    same call site.
+
+    ``nodes`` (a 1-column DataFrame of doc ids) adds isolated documents
+    as singleton clusters; pass the full corpus id set so the output is
+    a total map, not just the paired subset.
+    """
+    sym = (
+        edges.select(F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst"))
+        .union(edges.select(F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(sym)
+
+    if nodes is not None:
+        node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id")).distinct()
+    else:
+        node_ids = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = node_ids.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        # localCheckpoint (eager): materializes AND truncates lineage so
+        # the next round starts from a leaf plan — see docstring.
+        new_labels = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        # Releases the round-0 persist; for checkpointed rounds the
+        # blocks are RDD-level and the ContextCleaner frees them once
+        # this (sole) reference drops.
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    if cache_registry is not None:
+        cache_registry.append(labels)
+    return labels
+
+
 def exact_canonical_map(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup (hash-groupBy): every doc mapped to the canonical
     (min-id) doc having identical normalized content. Content compares

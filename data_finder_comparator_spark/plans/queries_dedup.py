@@ -92,6 +92,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: LSH candidate pairs -> connected components ->
+# (doc_id, cluster_id, cluster_size). Pairs alone don't dedup a corpus;
+# the transitive closure does (A~B, B~C => one cluster {A,B,C}, keep
+# min-id). Spark side is iterative min-label propagation (see
+# operators/dedup.connected_components); the oracle is DuckDB's
+# recursive CTE computing the same closure exactly.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (
+  SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3), cache_registry=CACHES)
+    labels = connected_components(
+        pairs, nodes=docs.select("doc_id"), cache_registry=CACHES
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (probes = every 10th doc), integer
 # threshold 4*|A∩B| >= |A∪B| (jaccard >= 0.25).
 # ---------------------------------------------------------------------------

@@ -548,3 +548,40 @@ def test_excel_sheet_selection(spark, tmp_path):
     assert read_excel(spark, p, sheet="curated").count() == 1
     with pytest.raises(KeyError):
         read_grid(p, "nope")
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation must close transitive chains (A-B, B-C in
+    one cluster even though A-C never paired) and keep isolated nodes as
+    singletons — the semantics the recursive-CTE oracle pins at sf0.01."""
+    from data_finder_comparator_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["doc_id"])
+    caches = []
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes=nodes, cache_registry=caches).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}
+    for df in caches:
+        df.unpersist()
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A worst-case path graph (diameter = n-1) still converges within
+    max_iter and labels everything with the chain minimum."""
+    from data_finder_comparator_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    caches = []
+    out = connected_components(edges, cache_registry=caches).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == n
+    for df in caches:
+        df.unpersist()
