@@ -60,6 +60,10 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "bucketed_order_revenue",
     "dedup_clusters",
+    "purchase_window_stats",
+    "streaming_purchase_attribution",
+    "props_json_stats",
+    "stratified_sample",
 ]
 
 

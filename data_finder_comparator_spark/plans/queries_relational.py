@@ -582,3 +582,99 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,6)").cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: per-purchase 30-minute activity windows.
+# Spark lacks a native range join — the naive BETWEEN join plans as a
+# nested-loop product; operators/range_join maps both sides onto a
+# 30-min grid and hash-joins on the cell (fanout <= 2 cells/window).
+# The oracle is the naive BETWEEN join, so a hash match proves the
+# chunked plan computes the identical relation.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH anchors AS (
+  SELECT event_id AS win_id, ts AS win_start,
+         ts + INTERVAL 30 MINUTE AS win_end
+  FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0
+)
+SELECT a.win_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS window_value
+FROM anchors a LEFT JOIN events e
+  ON e.ts >= a.win_start AND e.ts < a.win_end
+GROUP BY a.win_id
+"""
+
+
+@query("purchase_window_stats", oracle=_RANGE_ORACLE)
+def purchase_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each anchored purchase opens a [ts, ts+30min) window; count and
+    sum all event activity inside it. Inner chunked join + group-by,
+    then a left join back to the anchors resurrects zero-activity
+    windows (count 0, sum NULL — matching SQL LEFT JOIN semantics)."""
+    from ..operators.range_join import interval_point_join
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("win_end"),
+    )
+    pairs = interval_point_join(
+        anchors,
+        ev.select(F.col("event_id").alias("pt_id"), F.col("ts").alias("pt_ts"),
+                  F.col("value").alias("pt_value")),
+        "win_start", "win_end", "pt_ts", chunk_seconds=1800,
+    )
+    stats = pairs.groupBy("win_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("pt_value").cast("decimal(18,6)")).cast("double").alias("window_value"),
+    )
+    return (
+        anchors.select("win_id")
+        .join(stats, "win_id", "left")
+        .select(
+            "win_id",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            "window_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON column extraction. events.props carries a JSON
+# payload; from_json with an EXPLICIT schema parses each value exactly
+# once into a struct (columnar, codegen'd) — vs get_json_object, which
+# re-walks the JSON per extraction, and vs schema inference, which
+# needs an extra pass over 100 TB before the real job can start.
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_mod,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("props_json_stats", oracle=_PROPS_ORACLE)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column once into a typed struct, then a
+    plain partial-agg group-by on the extracted field — the
+    semi-structured scan shape of log/event pipelines."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k long").alias("p")
+    )
+    return parsed.groupBy(
+        (F.col("p.k") % 5).alias("k_mod"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("p.k").cast("long").alias("sum_k"),
+    )

@@ -321,3 +321,40 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_pieces").cast("long").alias("total_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: per-language keep rates (the
+# corpus-rebalancing move of multilingual pipelines — downsample the
+# dominant language, keep the tail). Same content-hash cut as
+# deterministic_sample so membership stays reproducible and
+# dedup-sticky; the per-stratum rate table is a broadcast map, so the
+# plan is scan + map-side filter, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 26, "de": 64, "es": 64, "fr": 64, "zh": 64}
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)
+      < CASE WHEN lang = 'en' THEN 26 ELSE 64 END
+"""
+
+
+@query("stratified_sample", oracle=_STRAT_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long")
+    cut = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _STRAT_RATES.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(64),
+    )
+    return docs.filter(bucket < cut).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -255,3 +255,30 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(
         spark, sf_dir, "2 hours", "ssc_oracle_run", slide="1 hour"
     )
+
+
+# Stream-stream join oracle: the batch restatement is a plain
+# self-join with the same key + time-range predicate — inner
+# stream-stream join under availableNow (all data within the
+# watermark horizon by construction) emits exactly the batch relation.
+_SS_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS click_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+"""
+
+
+@query("streaming_purchase_attribution", oracle=_SS_JOIN_ORACLE)
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchases x same-user
+    clicks in the prior hour) run as a real two-source Structured
+    Streaming query with a parquet file sink, vs the batch self-join
+    oracle."""
+    from ..streaming.pipeline import purchase_click_attribution
+
+    return purchase_click_attribution(spark, sf_dir, lookback_minutes=60)

@@ -254,3 +254,81 @@ def fuzzy_match_stream(
                 df.unpersist()
 
     return probe_stream.writeStream.foreachBatch(run_batch).start()
+
+
+STREAM_JOIN_SCHEMA = "purchase_id long, user_id long, click_id long, gap_us long"
+
+
+def purchase_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_minutes: int = 60,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join — the attribution shape: each purchase
+    joined to the same user's clicks in the preceding ``lookback``
+    window. Two independent file-stream sources over the same events
+    table, equi-keyed on user_id with an event-time range condition;
+    BOTH sides carry watermarks, so the state store evicts a buffered
+    row as soon as the other stream's watermark passes the end of its
+    match window — bounded state, the property that lets this run
+    forever on an unbounded stream. Append mode + parquet file sink:
+    matches never flow through the driver; the returned DataFrame is a
+    distributed scan of the sink.
+
+    No native analogue in the reference (its pipeline is a two-thread
+    queue, /root/reference/main.py:501-518); this is the Spark-first
+    extension of that producer/consumer shape to joined streams.
+    """
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir("purchase_click_join", f"{sf_dir}|{lookback_minutes}")
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    # watermark needs TIMESTAMP; session is UTC so the cast is exact
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.schema(STREAM_JOIN_SCHEMA).parquet(out_path)

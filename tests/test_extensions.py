@@ -585,3 +585,33 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == n
     for df in caches:
         df.unpersist()
+
+
+def test_interval_point_join_semantics(spark):
+    """Half-open containment, boundary exactness, multi-chunk windows,
+    and zero-length-interval pruning — with a chunk deliberately
+    smaller than the window so every interval fans out over cells."""
+    from data_finder_comparator_spark.operators.range_join import interval_point_join
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (2, "2024-01-01 00:30:00", "2024-01-01 00:30:00"),   # empty
+         (3, "2024-01-02 10:15:00", "2024-01-02 10:45:00")],
+        "win_id long, s string, e string",
+    ).select("win_id", F.col("s").cast("timestamp_ntz").alias("s"),
+             F.col("e").cast("timestamp_ntz").alias("e"))
+    pt = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00"),   # == start: included
+         (11, "2024-01-01 00:59:59"),
+         (12, "2024-01-01 01:00:00"),   # == end: excluded (half-open)
+         (13, "2024-01-02 10:44:59"),
+         (14, "2024-01-02 10:45:00")],  # == end of win 3: excluded
+        "pt_id long, t string",
+    ).select("pt_id", F.col("t").cast("timestamp_ntz").alias("t"))
+    got = sorted(
+        (r.win_id, r.pt_id)
+        for r in interval_point_join(iv, pt, "s", "e", "t", chunk_seconds=600).collect()
+    )
+    assert got == [(1, 10), (1, 11), (3, 13)]
+    with pytest.raises(ValueError):
+        interval_point_join(iv, iv.withColumnRenamed("win_id", "w2"), "s", "e", "t")

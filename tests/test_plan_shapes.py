@@ -101,3 +101,12 @@ def test_aggregates_are_partial_before_exchange(spark):
 def test_map_side_ops_have_no_shuffle(spark, name):
     plan = _executed_plan(QUERIES[name](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The chunked interval join must execute as a hash equi-join on
+    the grid cell — the whole point of the operator is avoiding the
+    nested-loop plan the naive BETWEEN join produces."""
+    plan = _executed_plan(QUERIES["purchase_window_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
