@@ -64,6 +64,7 @@ HEADLINE = [
     "streaming_purchase_attribution",
     "props_json_stats",
     "stratified_sample",
+    "table_version_diff",
 ]
 
 

@@ -261,3 +261,93 @@ def json_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name(dfs).select(
         F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-version diff — the "comparator" half of the reference's name,
+# lifted from per-cell GUI review (main.py:521-553 Keep/Replace) to
+# dataset scale: classify every key as added / deleted / changed /
+# unchanged between two table versions via ONE full-outer join on the
+# key. The "previous version" is derived deterministically from orders
+# (drop %97 keys, bump o_totalprice on %101, synthesize %103 keys
+# shifted beyond the key domain) so both engines can restate it.
+# At 100 TB both sides shuffle once on the join key; counts reduce
+# map-side. No row bodies ever reach the driver.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH prev AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+joined AS (
+  SELECT CASE
+           WHEN p.o_orderkey IS NULL THEN 'added'
+           WHEN c.o_orderkey IS NULL THEN 'deleted'
+           WHEN c.o_totalprice IS DISTINCT FROM p.o_totalprice
+             OR c.o_custkey IS DISTINCT FROM p.o_custkey
+             OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+             OR c.o_orderdate IS DISTINCT FROM p.o_orderdate
+             OR c.o_orderpriority IS DISTINCT FROM p.o_orderpriority
+           THEN 'changed'
+           ELSE 'unchanged'
+         END AS status,
+         coalesce(c.o_orderkey, p.o_orderkey) AS key
+  FROM orders c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(key) AS BIGINT) AS key_sum
+FROM joined GROUP BY status
+"""
+
+
+@query("table_version_diff", oracle=_DIFF_ORACLE)
+def table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = load_table(spark, sf_dir, "orders")
+    prev = (
+        cur.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.5
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            cur.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1000000000
+            )
+        )
+    )
+    p = prev.select(*[F.col(c).alias(f"p_{c}") for c in prev.columns])
+    j = cur.join(p, cur.o_orderkey == p.p_o_orderkey, "full_outer")
+    data_cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    # null-safe equality over every non-key column; a NULL on either
+    # side must compare as a difference, not propagate to UNKNOWN
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"p_{c}"))
+    status = (
+        F.when(F.col("p_o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("o_orderkey").isNull(), F.lit("deleted"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("o_orderkey", "p_o_orderkey").alias("key"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("key").cast("long").alias("key_sum"),
+        )
+    )
