@@ -183,19 +183,22 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_hash"),
         )
     )
+    from ..streaming.pipeline import _stream_shuffle
+
     out = first_seen_stream(docs, "doc_id", "content_hash")
     name = "first_seen_oracle_run"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     sink = spark.table(name)
     try:
         return spark.createDataFrame(sink.collect(), schema=sink.schema)

@@ -24,10 +24,33 @@ uses complete mode so every window is emitted deterministically.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Stateful-operator partition count for the local harness. Each state
+# partition is a full state-store instance paying per-micro-batch
+# checkpoint/snapshot file I/O — with the harness's KB-sized state, 32
+# instances are pure overhead (measured 5-10x the query time of 8). On
+# a cluster this is the one knob sized UP with state volume (state
+# partitioning is fixed at checkpoint creation), so it is scoped to
+# the streaming query rather than baked into the session.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Scoped shuffle-partition override for a streaming query: set at
+    plan time (stream planning reads it at ``start()``), restored after
+    the query stops — never leaks into the caller's batch plans."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -86,19 +109,20 @@ def windowed_event_counts(
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        # one-shot drain: process everything available, then terminate —
-        # no idle trigger polling between micro-batches
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            # one-shot drain: process everything available, then
+            # terminate — no idle trigger polling between micro-batches
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # materialize before the in-memory sink table goes away — complete
     # mode is inherently driver-sided, acceptable only as the
     # stream/batch equivalence harness; the production shape is
@@ -157,18 +181,19 @@ def watermarked_event_counts(
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # explicit schema: the sink may be empty when no window has closed
     return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
@@ -319,16 +344,17 @@ def purchase_click_attribution(
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.read.schema(STREAM_JOIN_SCHEMA).parquet(out_path)
