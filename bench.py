@@ -65,6 +65,7 @@ HEADLINE = [
     "props_json_stats",
     "stratified_sample",
     "table_version_diff",
+    "ivf_kmeans_centroids",
 ]
 
 

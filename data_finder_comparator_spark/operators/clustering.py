@@ -1,0 +1,107 @@
+"""Deterministic distributed k-means (Lloyd) — IVF centroid training.
+
+`operators/similarity.ivf_topk` routes queries through sampled
+centroids (its docstring: "a production system would k-means"). This
+is that trainer: a fixed number of Lloyd rounds with deterministic
+seeds (the k lowest vec_ids) and deterministic tie-breaks (argmin by
+(dist², centroid id)), so the result is exactly reproducible and
+oracle-checkable — unlike MLlib KMeans, whose random init/parallel
+reductions give run-to-run drift. MLlib remains the production answer
+when reproducibility-to-the-bit is not a requirement; the shuffle
+shape here is the same one it uses (assign via broadcast centroids,
+update via per-dimension partial aggregation).
+
+Arithmetic discipline: every cross-engine-compared sum accumulates in
+DECIMAL, because double addition is non-associative and Spark's
+partial aggregation visits rows in a different order than a
+sequential engine — with decimals the sums are exact and
+order-independent, so Spark's own retries/partitioning can never
+change the result either (same rule as the decimal sums in
+queries_relational).
+
+Data layout: vectors arrive flattened as (vec_id, dim, val) — one row
+per dimension. The explode costs ×dims rows, but both phases then
+become plain hash aggregations: distance = broadcast-join the k×dims
+centroid table on `dim` (map-side, no shuffle) + partial-agg
+sum((val-cval)²) per (vec, centroid); update = partial-agg decimal
+sums per (centroid, dim). Nothing is ever collected to the driver;
+centroids stay a k×dims DataFrame end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIST_DEC = "decimal(38,18)"
+_SUM_DEC = "decimal(28,12)"
+
+
+def flatten_vectors(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, array<float>) -> (vec_id, dim, val double), dim 1-based."""
+    return vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val")
+    )
+
+
+def kmeans_lloyd(
+    vdim: DataFrame,
+    k: int,
+    iterations: int = 2,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds over flattened vectors.
+
+    Seeds: the k smallest vec_ids' vectors. Assignment: argmin of
+    exact-decimal squared L2, ties to the lower centroid id. Update:
+    elementwise mean as exact decimal sum / count. A centroid that
+    captures no vectors drops out (standard Lloyd behavior; k shrinks).
+
+    Returns (cluster_id, dim, centroid_val double, n_vectors long) —
+    k×dims rows.
+    """
+    if cache_registry is not None:
+        vdim = vdim.persist()
+        cache_registry.append(vdim)
+
+    seed_ids = vdim.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    cent = (
+        vdim.join(seed_ids, "vec_id")
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            "dim",
+            F.col("val").alias("cval"),
+            F.lit(1).cast("long").alias("n_vectors"),
+        )
+    )
+
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+    for _ in range(iterations):
+        sq = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+        dist = (
+            vdim.join(F.broadcast(cent.select("cluster_id", "dim", "cval")), "dim")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(sq.cast(_DIST_DEC)).alias("dist2"))
+        )
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cluster_id")
+        )
+        cent = (
+            vdim.join(assign, "vec_id")
+            .groupBy("cluster_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast(_SUM_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval"),
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            )
+        )
+    return cent.select(
+        "cluster_id", "dim", F.col("cval").alias("centroid_val"), "n_vectors"
+    )

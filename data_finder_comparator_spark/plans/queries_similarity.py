@@ -270,3 +270,67 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vec_c"),
     )
     return sq8_rerank_topk(probes, cands, k=5, rerank=20)
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid TRAINING: 2 deterministic Lloyd rounds (seeds = k lowest
+# vec_ids, ties to lower centroid id, exact-decimal sums). The oracle
+# unrolls both rounds as CTEs with the identical decimal arithmetic, so
+# the match is exact — see operators/clustering.py for why MLlib KMeans
+# can't be oracle-checked and what production would use.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+_KMEANS_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+v AS (
+  SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS val
+  FROM embeddings, dims
+),
+c0 AS (
+  SELECT vec_id AS cluster_id, dim, val AS cval
+  FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
+),
+d1 AS (
+  SELECT v.vec_id, c.cluster_id,
+         sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(38,18))) AS dist2
+  FROM v JOIN c0 c USING (dim) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+    FROM d1) t WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cluster_id, v.dim,
+         CAST(sum(CAST(v.val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cval
+  FROM v JOIN a1 a USING (vec_id) GROUP BY 1, 2
+),
+d2 AS (
+  SELECT v.vec_id, c.cluster_id,
+         sum(CAST((v.val - c.cval) * (v.val - c.cval) AS DECIMAL(38,18))) AS dist2
+  FROM v JOIN c1 c USING (dim) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+    FROM d2) t WHERE rn = 1
+)
+SELECT a.cluster_id, v.dim,
+       CAST(sum(CAST(v.val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM v JOIN a2 a USING (vec_id) GROUP BY 1, 2
+"""
+
+
+@query("ivf_kmeans_centroids", oracle=_KMEANS_ORACLE)
+def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import flatten_vectors, kmeans_lloyd
+    from .catalog import CACHES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vdim = flatten_vectors(emb, "vec_id", "embedding")
+    return kmeans_lloyd(vdim, k=_KMEANS_K, iterations=2, cache_registry=CACHES)

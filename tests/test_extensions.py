@@ -615,3 +615,24 @@ def test_interval_point_join_semantics(spark):
     assert got == [(1, 10), (1, 11), (3, 13)]
     with pytest.raises(ValueError):
         interval_point_join(iv, iv.withColumnRenamed("win_id", "w2"), "s", "e", "t")
+
+
+def test_kmeans_lloyd_two_rounds(spark):
+    """Two Lloyd rounds on a 2-D toy set: seeds are the two lowest ids
+    (both in the left blob), round 1 pulls centroid 1 toward the right
+    blob, round 2 settles on the exact blob means — deterministically."""
+    from data_finder_comparator_spark.operators.clustering import (
+        flatten_vectors,
+        kmeans_lloyd,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 1.0]), (2, [10.0, 10.0]), (3, [10.0, 11.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd(flatten_vectors(vecs, "vec_id", "embedding"), k=2, iterations=2)
+    got = {(r.cluster_id, r.dim): (r.centroid_val, r.n_vectors) for r in out.collect()}
+    assert got == {
+        (0, 1): (0.0, 2), (0, 2): (0.5, 2),
+        (1, 1): (10.0, 2), (1, 2): (10.5, 2),
+    }
