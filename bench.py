@@ -66,6 +66,8 @@ HEADLINE = [
     "stratified_sample",
     "table_version_diff",
     "ivf_kmeans_centroids",
+    "tfidf_top_terms",
+    "session_type_cooccurrence",
 ]
 
 

@@ -678,3 +678,72 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("p.k").cast("long").alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session co-occurrence: which event types appear together in the same
+# user session (30-min gap sessionization reused), counted corpus-wide.
+# The pair enumeration is the triangular self-join ON THE SESSION KEY —
+# pairs explode within a session (bounded by |distinct types| = 5),
+# never across sessions, so the join stays co-partitioned on
+# (user_id, session_no) and the blowup is |session| choose 2, not
+# |corpus| choose 2.
+# ---------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+st AS (SELECT DISTINCT user_id, session_no, event_type FROM sess)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM st a JOIN st b
+  ON a.user_id = b.user_id AND a.session_no = b.session_no
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@query("session_type_cooccurrence", oracle=_COOCCUR_ORACLE)
+def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    brk = (
+        F.when(F.col("ts") - prev > F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTE"), 1)
+        .when(prev.isNull(), 1)
+        .otherwise(0)
+    )
+    st = (
+        ev.withColumn("brk", brk)
+        .withColumn(
+            "session_no",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+    )
+    a = st.select(
+        "user_id", "session_no", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "session_no", F.col("event_type").alias("type_b")
+    )
+    return (
+        a.join(b, ["user_id", "session_no"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.textops import (
@@ -357,4 +357,83 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. tf and df are integer aggregations
+# (exact, order-free); the only float is the idf formula, computed from
+# identical integers in both engines and ROUNDED BEFORE RANKING so the
+# rank order cannot be perturbed by last-ULP libm differences. Plan:
+# one tokenize pass feeds both tf (per probe doc) and df (all docs);
+# the df side reduces to |vocab| rows before the join; the corpus size
+# joins in as a broadcast 1-row aggregate, not a driver-side scalar.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+),
+tok_f AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_f GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok_f) GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE tf.doc_id % 10 = 0
+)
+SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rnk
+  FROM scored) t
+WHERE rnk <= 5
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    tok = track(tok)  # feeds tf AND df: tokenize once
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 10 == 0)
+        .join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
     )
