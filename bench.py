@@ -68,6 +68,7 @@ HEADLINE = [
     "ivf_kmeans_centroids",
     "tfidf_top_terms",
     "session_type_cooccurrence",
+    "lang_robust_length_stats",
 ]
 
 

@@ -285,3 +285,58 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.pipeline import purchase_click_attribution
 
     return purchase_click_attribution(spark, sf_dir, lookback_minutes=60)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF surface, SURVEY.md §2.10):
+# per-language robust location/spread of document length — median and
+# MAD, statistics with no builtin Spark aggregate (percentile_approx
+# is approximate; this is exact). Arrow ships each group's column once;
+# the UDAF runs vectorized per group. Lang cardinality is tiny, so the
+# shuffle carries |langs| groups; at 100 TB the same plan holds as long
+# as per-group data fits an executor — beyond that, exact medians need
+# the two-pass quantile machinery of event_value_quantiles instead.
+# The oracle restates both as DuckDB's exact median/median-of-deviations.
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT lang, median(n_chars) AS med_chars
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(any_value(m.med_chars) AS DOUBLE) AS med_chars,
+       CAST(median(abs(d.n_chars - m.med_chars)) AS DOUBLE) AS mad_chars
+FROM documents d JOIN med m USING (lang)
+GROUP BY d.lang
+"""
+
+
+@query("lang_robust_length_stats", oracle=_ROBUST_ORACLE)
+def lang_robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: `from __future__ import annotations`
+    # stringifies type hints, so signature inference can't see them
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(v):
+        return float(v.median())
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
+        return float((v - v.median()).abs().median())
+
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same Arrow
+    # batch as a third UDAF instead of a separate join
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        _n(F.col("n_chars")).alias("n_docs"),
+        _median(F.col("n_chars").cast("double")).alias("med_chars"),
+        _mad(F.col("n_chars").cast("double")).alias("mad_chars"),
+    )
