@@ -69,6 +69,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "session_type_cooccurrence",
     "lang_robust_length_stats",
+    "doc_token_chunks",
 ]
 
 

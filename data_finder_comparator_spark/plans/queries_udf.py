@@ -340,3 +340,59 @@ def lang_robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _median(F.col("n_chars").cast("double")).alias("med_chars"),
         _mad(F.col("n_chars").cast("double")).alias("mad_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function, SURVEY.md §2.10): overlapping token-
+# window chunking — the context-window segmentation step of LLM
+# training pipelines (window 16 tokens, stride 8, trailing partial
+# kept). A UDTF is the right API when one row fans out into a variable
+# number of DERIVED rows with imperative construction; for anything
+# expressible as explode(transform(...)) the builtin stays preferred
+# (this one IS also SQL-expressible — that's what makes it
+# oracle-checkable; the UDTF exists to pin the API surface end-to-end).
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 16, 8
+
+_CHUNKS_ORACLE = f"""
+WITH probe AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+  FROM documents WHERE doc_id % 50 = 0
+),
+starts AS (
+  SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_S}.0) AS BIGINT))) AS i
+  FROM probe
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(toks[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text,
+       CAST(least({_CHUNK_W}, len(toks) - i * {_CHUNK_S}) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+@query("doc_token_chunks", oracle=_CHUNKS_ORACLE)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class TokenChunks:
+        def eval(self, text: str):
+            import re
+
+            toks = [t for t in re.split(r"\s+", text) if t != ""]
+            for idx, s in enumerate(range(0, len(toks), _CHUNK_S)):
+                w = toks[s : s + _CHUNK_W]
+                yield idx, " ".join(w), len(w)
+
+    spark.udtf.register("token_chunks_udtf", TokenChunks)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    view = f"chunk_docs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        f"FROM {view} d, LATERAL token_chunks_udtf(d.text) c"
+    )
