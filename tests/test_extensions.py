@@ -636,3 +636,37 @@ def test_kmeans_lloyd_two_rounds(spark):
         (0, 1): (0.0, 2), (0, 2): (0.5, 2),
         (1, 1): (10.0, 2), (1, 2): (10.5, 2),
     }
+
+
+def test_connected_components_no_edges(spark):
+    """Empty edge list: every node is its own singleton cluster and the
+    loop exits after one no-change round."""
+    from data_finder_comparator_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {i: i for i in range(5)}
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """Identical seed vectors: every point ties to the lower centroid
+    id, the other centroid captures nothing and drops out (standard
+    Lloyd behavior, documented)."""
+    from data_finder_comparator_spark.operators.clustering import (
+        flatten_vectors,
+        kmeans_lloyd,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd(flatten_vectors(vecs, "vec_id", "embedding"), k=2, iterations=2)
+    rows = out.collect()
+    assert {r.cluster_id for r in rows} == {0}
+    got = {r.dim: (r.centroid_val, r.n_vectors) for r in rows}
+    assert got == {1: (7.0 / 3.0, 3), 2: (7.0 / 3.0, 3)}
