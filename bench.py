@@ -70,6 +70,8 @@ HEADLINE = [
     "session_type_cooccurrence",
     "lang_robust_length_stats",
     "doc_token_chunks",
+    "decontaminate_overlap",
+    "pii_redaction",
 ]
 
 

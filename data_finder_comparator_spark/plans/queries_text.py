@@ -437,3 +437,111 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "token", "tf", "df", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: flag corpus documents sharing any token n-gram with
+# a held-out benchmark set (every 100th doc stands in for the eval
+# set). The scale shape is a SEMI-JOIN on the gram hash: benchmark
+# grams (tiny side) deduplicate and broadcast; corpus grams never
+# re-aggregate beyond their own doc. 3-token grams here so the
+# synthetic corpus actually collides; a real pipeline uses 8-13 token
+# grams, identical plan.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+)
+SELECT g.doc_id,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 100 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@query("decontaminate_overlap", oracle=_DECONTAM_ORACLE)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+            )
+        ).alias("gram"),
+    )
+    grams = track(grams)  # benchmark and corpus sides share one pass
+    bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: pure map-side regex scrub (the pre-training privacy
+# pass). The corpus has no real PII, so a deterministic synthetic email
+# is injected into every 20th doc first — the redactor must remove
+# exactly those and nothing else, which the oracle (and the zero
+# false-positive arithmetic on the other docs) checks end to end.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+_REDACT_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com now'
+              ELSE text END AS text2
+  FROM documents
+),
+red AS (
+  SELECT doc_id, text2,
+         regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+  FROM staged
+)
+SELECT doc_id,
+       CAST(text2 <> redacted AS BOOLEAN) AS was_redacted,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@query("pii_redaction", oracle=_REDACT_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    red = staged.withColumn(
+        "redacted", F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>")
+    )
+    return red.select(
+        "doc_id",
+        (F.col("text2") != F.col("redacted")).alias("was_redacted"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
