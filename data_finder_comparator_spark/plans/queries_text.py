@@ -471,12 +471,18 @@ GROUP BY g.doc_id
 @query("decontaminate_overlap", oracle=_DECONTAM_ORACLE)
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Docs with <3 tokens produce ZERO grams. Without the guard,
+    # sequence(1, size-2) is DESCENDING for size<3 (e.g. [1, 0]) and
+    # slice(arr, 0, 3) throws INVALID_PARAMETER_VALUE.START; the DuckDB
+    # oracle's range(1, len-1) is simply empty for the same doc.
     grams = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
                 " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )

@@ -357,7 +357,11 @@ _CHUNK_W, _CHUNK_S = 16, 8
 
 _CHUNKS_ORACLE = f"""
 WITH probe AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+  -- list_filter drops the empty strings string_split_regex yields for
+  -- leading/trailing whitespace, matching the UDTF's `t != ""` filter;
+  -- without it every window shifts on whitespace-edged docs.
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
   FROM documents WHERE doc_id % 50 = 0
 ),
 starts AS (

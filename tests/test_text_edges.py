@@ -1,0 +1,90 @@
+"""Edge-case documents for the text-curation queries whose oracles had
+only ever seen word-soup synthetic data (ADVICE round 3):
+
+- docs with <3 whitespace tokens used to crash ``decontaminate_overlap``
+  (descending ``sequence(1, size-2)`` fed into ``slice``);
+- leading/trailing whitespace used to diverge ``doc_token_chunks`` from
+  its oracle (the UDTF filtered empty tokens, the oracle kept them).
+
+The fixture writes a single-file parquet (so DuckDB's ``read_parquet``
+sees the same bytes Spark does) and symlinks the remaining tables from
+the smoke-scale dir to satisfy the oracle's view registration.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import TABLES, compare
+
+_EDGE_DOCS = [
+    # (doc_id, text) — lang/source/n_chars filled below
+    (0, "alpha beta gamma delta"),  # bench doc (%100==0) AND chunk probe (%50==0)
+    (1, "xy"),  # single token: zero grams, must not crash
+    (2, "alpha beta"),  # two tokens: the exact descending-sequence case
+    (3, ""),  # empty text
+    (7, "alpha beta gamma delta epsilon"),  # shares 2 grams with bench doc 0
+    (50, "   alpha beta gamma   "),  # whitespace-edged chunk probe
+    (100, "  leading and trailing  "),  # ws-edged bench doc + probe
+    (150, " ".join(f"t{i}" for i in range(20))),  # probe spanning 2 chunks
+    (200, "   "),  # whitespace-only probe: zero tokens, zero chunks
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in _EDGE_DOCS], pa.int64()),
+            "text": pa.array([t for _, t in _EDGE_DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(_EDGE_DOCS), pa.string()),
+            "source": pa.array(["edge"] * len(_EDGE_DOCS), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in _EDGE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_decontaminate_short_docs_no_crash_and_parity(spark, edge_dir):
+    from data_finder_comparator_spark.plans.catalog import ORACLES, QUERIES
+
+    df = QUERIES["decontaminate_overlap"](spark, edge_dir)
+    rows = {r.doc_id: r.n_shared_grams for r in df.collect()}
+    # doc 7 shares "alpha beta gamma" + "beta gamma delta" with bench doc 0
+    assert rows.get(7) == 2
+    # short docs produce zero grams — absent from the overlap, not a crash
+    assert 1 not in rows and 2 not in rows and 3 not in rows
+    ok, msg = compare(
+        QUERIES["decontaminate_overlap"](spark, edge_dir),
+        ORACLES["decontaminate_overlap"],
+        edge_dir,
+    )
+    assert ok, msg
+
+
+def test_doc_token_chunks_whitespace_edges_parity(spark, edge_dir):
+    from data_finder_comparator_spark.plans.catalog import ORACLES, QUERIES
+
+    df = QUERIES["doc_token_chunks"](spark, edge_dir)
+    rows = [(r.doc_id, r.chunk_idx, r.n_tokens) for r in df.collect()]
+    by_doc = {}
+    for doc, idx, n in rows:
+        by_doc.setdefault(doc, []).append((idx, n))
+    # ws-edged probe: empties filtered, 3 real tokens → one chunk of 3
+    assert sorted(by_doc[50]) == [(0, 3)]
+    # 20 tokens, window 16 stride 8 → overlapping chunks at 0/8/16
+    assert sorted(by_doc[150]) == [(0, 16), (1, 12), (2, 4)]
+    # whitespace-only probe yields no chunks at all
+    assert 200 not in by_doc
+    ok, msg = compare(df, ORACLES["doc_token_chunks"], edge_dir)
+    assert ok, msg
