@@ -101,6 +101,11 @@ def kmeans_lloyd(
                 ).alias("cval"),
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
             )
+            # Truncate lineage each round: without this the next round's
+            # plan embeds this one's (assign -> dist -> prior cent), so
+            # plan depth grows with iterations — the Catalyst-analysis
+            # blow-up connected_components documents. Eager, k×dims rows.
+            .localCheckpoint()
         )
     return cent.select(
         "cluster_id", "dim", F.col("cval").alias("centroid_val"), "n_vectors"

@@ -251,6 +251,7 @@ def connected_components(
     labels = node_ids.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -276,8 +277,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        # Min-label propagation moves one hop per round; a component
+        # with diameter > max_iter would exit here with PARTIALLY
+        # propagated labels — silently-wrong cluster ids. Refuse.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter or use "
+            f"an alternating-star formulation for long-chain graphs"
+        )
 
     if cache_registry is not None:
         cache_registry.append(labels)

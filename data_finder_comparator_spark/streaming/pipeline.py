@@ -44,7 +44,15 @@ STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", 
 def _stream_shuffle(spark: SparkSession):
     """Scoped shuffle-partition override for a streaming query: set at
     plan time (stream planning reads it at ``start()``), restored after
-    the query stops — never leaks into the caller's batch plans."""
+    the query stops — never leaks into the caller's *subsequent* batch
+    plans.
+
+    NOT thread-safe: the override mutates the shared session conf, so a
+    batch query planned CONCURRENTLY on the same SparkSession (from
+    another thread) would silently plan with the streaming partition
+    count. The single-threaded driver/test loop never does this; a
+    concurrent harness should run streaming queries on
+    ``spark.newSession()`` so the conf override is isolated."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
