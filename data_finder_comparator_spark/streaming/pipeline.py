@@ -60,33 +60,48 @@ def _stream_shuffle(spark: SparkSession):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read raw
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Declared stream schema for the events table, derived from the
+    parquet FOOTER — a file-stream source must declare its schema up
+    front, and a unit mismatch (reading a timestamp[us] file through a
+    long-nanos schema) silently compresses the whole timeline by 1000×.
+    Returns (schema, nanos_long): when ``nanos_long`` the ``ts`` column
+    arrives as a raw long of nanoseconds and needs the shared
+    ``ns_long_to_ntz`` rebuild; otherwise it is a native TIMESTAMP_NTZ
+    and is used as-is (same guard the batch loader applies via observed
+    dtype, ``sources/parquet.py``)."""
+    from ..sources.parquet import stores_nanos_long
 
-_NS_TO_NTZ = (
-    "timestamp_ntz '1970-01-01 00:00:00' + "
-    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DOUBLE) / 1000000.0)"
-)
+    nanos = stores_nanos_long(sf_dir, "events", "ts")
+    ts_type = T.LongType() if nanos else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nanos
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    from ..sources.parquet import ns_long_to_ntz
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, nanos = events_stream_schema(sf_dir)
     # file-stream sources take a directory; select just the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)  # bounded in-flight work
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr(_NS_TO_NTZ))
+    if nanos:
+        raw = raw.withColumn("ts", F.expr(ns_long_to_ntz("ts")))
+    return raw
 
 
 def windowed_event_counts(
