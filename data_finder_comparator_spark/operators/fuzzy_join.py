@@ -408,6 +408,155 @@ def _global_argmin_escalating(
         _release()
 
 
+def topk_fuzzy_join(
+    probe: DataFrame,
+    cand: DataFrame,
+    k: int = 3,
+    probe_id: str = "probe_id",
+    probe_val: str = "probe",
+    cand_id: str = "cand_id",
+    cand_val: str = "cand",
+    init_width: int = 8,
+    broadcast_cand: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest candidates per probe by (edit distance,
+    cand_id) — O2 top-k-with-ties generalized from the tiered join's
+    global argmin, WITHOUT the cross join.
+
+    Same escalating-band scheme as ``_global_argmin_escalating``
+    (which is the k=1 all-ties case): round at width W scores only the
+    |len(nq)-len(nc)| <= W bucket pairs with the threshold DP
+    ``levenshtein(a, b, W)``. Every candidate outside the band or
+    rejected by the DP has dist > W; every survivor has dist <= W. So
+    if a probe has >= k survivors, its k-th smallest survivor distance
+    d_k <= W < any non-survivor distance — the round's top-k by
+    (dist, cand_id) is the GLOBAL top-k, finalized. Probes with fewer
+    than k survivors roll into the doubled width; the round at
+    W >= max normalized length covers every pair with a full DP, so
+    every probe resolves (probes with < k candidates total emit all of
+    them there).
+
+    Each round is a hash equi-join on a length bucket — at 100x data
+    this stays a shuffled (or broadcast) hash join per round, never the
+    O(P*C) full-DP cross product the naive rank() formulation pays.
+
+    Returns probe_id, probe, cand_id, cand, dist (long), rnk (long,
+    rank by (dist, cand_id) — dense since cand_id is unique).
+    Result rows are localCheckpoint-ed; every internal cache is
+    released before returning (same contract as the tiered fallback).
+    """
+    spark = probe.sparkSession
+    from pyspark.sql import types as T
+
+    p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
+    c = _prep(cand, cand_id, cand_val, "cand_id", "cand", "_nc")
+
+    out_cols = ["probe_id", "probe", "cand_id", "cand", "dist", "rnk"]
+    schema = T.StructType(
+        [
+            p.schema["probe_id"],
+            p.schema["probe"],
+            c.schema["cand_id"],
+            c.schema["cand"],
+            T.StructField("dist", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+
+    internal: list[DataFrame] = []
+
+    def _track(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        internal.append(df)
+        return df
+
+    try:
+        remaining = _track(p.filter(F.col("_nq").isNotNull()))
+        n_rem, max_q = remaining.agg(
+            F.count(F.lit(1)), F.max(F.length("_nq"))
+        ).first()
+        if n_rem == 0:
+            return empty
+        matchable = _track(c.filter(F.col("_nc").isNotNull()))
+        n_cand, max_c = matchable.agg(
+            F.count(F.lit(1)), F.max(F.length("_nc"))
+        ).first()
+        if n_cand == 0:
+            return empty
+        # dist(q, c) <= max(|q|, |c|): a round at this width is exact
+        # and covers every pair — the guaranteed-final round
+        bound = max(max_q or 0, max_c or 0)
+
+        wr = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+        wp = Window.partitionBy("probe_id")
+        parts: list[DataFrame] = []
+        width = max(init_width, 2)
+        for _ in range(_FALLBACK_MAX_ROUNDS):
+            final = width >= bound
+            pairs = _bucketed_band_pairs(remaining, matchable, width, broadcast_cand)
+            scored = pairs.withColumn(
+                "dist",
+                (
+                    F.levenshtein("_nq", "_nc")
+                    if final
+                    else F.levenshtein("_nq", "_nc", width)
+                ).cast("long"),
+            )
+            if not final:
+                scored = scored.filter(F.col("dist") >= 0)
+            ranked = scored.withColumn("rnk", F.rank().over(wr).cast("long")).withColumn(
+                "_n", F.count(F.lit(1)).over(wp)
+            )
+            resolved_pred = (
+                F.lit(True) if final else F.col("_n") >= F.lit(k)
+            )
+            part = _track(
+                ranked.filter(resolved_pred & (F.col("rnk") <= k)).select(*out_cols)
+            )
+            part_n = part.count()  # materialize before parent caches go
+            parts.append(part)
+            if final:
+                break
+            if part_n == 0:
+                # nothing reached k survivors: skip widths that would
+                # also fall short and go straight to the exact round
+                width = max(bound, 2)
+                continue
+            nxt = _track(
+                remaining.join(
+                    part.select("probe_id").distinct(), "probe_id", "left_anti"
+                )
+            )
+            done = nxt.isEmpty()
+            remaining.unpersist()
+            remaining = nxt
+            if done:
+                break
+            width = min(width * 2, max(bound, 2))
+        else:
+            # capped remainder (unreachable unless bound > 2^8 *
+            # init_width): exact scan with the small probe side
+            # broadcast — map-side nested loop, never a shuffled
+            # CartesianProduct
+            fb = matchable.crossJoin(F.broadcast(remaining))
+            parts.append(
+                fb.withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+                .withColumn("rnk", F.rank().over(wr).cast("long"))
+                .filter(F.col("rnk") <= k)
+                .select(*out_cols)
+            )
+
+        out = empty
+        for part in parts:
+            out = out.unionByName(part)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in internal:
+            df.unpersist()
+        internal.clear()
+
+
 def fuzzy_match_summary(tiers: DataFrame) -> DataFrame:
     """Grouped tier assembly (A3/J9 in SURVEY.md §2): one row per probe
     with the four tiers as sorted arrays of (cand, dist) structs —

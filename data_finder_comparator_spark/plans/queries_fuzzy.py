@@ -12,10 +12,10 @@ every tier (exact / best / potential / poor) is exercised:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.fuzzy_join import tiered_fuzzy_join
+from ..operators.fuzzy_join import tiered_fuzzy_join, topk_fuzzy_join
 from ..sources.parquet import load_table
 from .catalog import CACHES, query
 
@@ -212,28 +212,17 @@ FROM (
 @query("fuzzy_topk", oracle=_TOPK_ORACLE)
 def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 nearest candidates per probe by edit distance — the
-    window-rank formulation of the reference's best-tier argmin
-    (main.py:212-216) generalized to k, ties kept via rank()."""
-    from ..functions.normalize import norm_key
-
+    reference's best-tier argmin (main.py:212-216) generalized to k
+    with rank() tie semantics, computed via escalating length-band
+    equi-joins (no O(P*C) full-DP cross join — the naive rank()
+    formulation's plan dies at 100x)."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
     probes = names.select(
         F.col("name_id").cast("long").alias("probe_id"),
         F.expr("substring(p_name, 2)").alias("probe"),
     )
-    cands = _part_cands(spark, sf_dir)
-    scored = (
-        probes.withColumn("_nq", norm_key(F.col("probe")))
-        .crossJoin(F.broadcast(cands.withColumn("_nc", norm_key(F.col("cand")))))
-        .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
-    )
-    w = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
-    return (
-        scored.withColumn("rnk", F.rank().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("probe_id", "probe", "cand_id", "cand", "dist", "rnk")
-    )
+    return topk_fuzzy_join(probes, _part_cands(spark, sf_dir), k=3)
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,71 @@ def test_exact_poor_overlap_quirk(spark):
     assert (1, "exact") in tiers
     assert (1, "poor") in tiers
     assert (2, "poor") not in tiers
+
+
+# ---------------------------------------------------------------------------
+# topk_fuzzy_join (O2 escalating-band top-k)
+# ---------------------------------------------------------------------------
+
+def _brute_topk(probe_rows, cand_rows, k):
+    """Driver-side reference: full rank by (dist, cand_id) per probe."""
+    import re
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]", "", s.lower())
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for pid, pv in probe_rows:
+        scored = sorted(
+            (lev(norm(pv), norm(cv)), cid) for cid, cv in cand_rows
+        )
+        for rnk, (d, cid) in enumerate(scored[:k], 1):
+            out.add((pid, cid, d, rnk))
+    return out
+
+
+def test_topk_matches_brute_force(spark):
+    """Escalating-band top-k must equal the full-rank answer on a mixed
+    corpus: near matches (resolve in round 1), far-only probes (force
+    escalation), and length outliers (cross band buckets)."""
+    from data_finder_comparator_spark.operators.fuzzy_join import topk_fuzzy_join
+
+    probes = [(1, "almond blue"), (2, "xqzzwv"), (3, "a"), (4, "chocolate lace grand")]
+    cands = [
+        (10, "almond blue!"),
+        (11, "almond blues"),
+        (12, "Almond Blue"),
+        (13, "chocolate lace grande"),
+        (14, "mmmmmmmmmmmmmmmmmmmmmmmmmmmmmm"),
+        (15, "b"),
+    ]
+    got = {
+        (r.probe_id, r.cand_id, r.dist, r.rnk)
+        for r in topk_fuzzy_join(
+            spark.createDataFrame(probes, "probe_id long, probe string"),
+            spark.createDataFrame(cands, "cand_id long, cand string"),
+            k=3,
+        ).collect()
+    }
+    assert got == _brute_topk(probes, cands, 3)
+
+
+def test_topk_fewer_candidates_than_k(spark):
+    """With |C| < k every candidate is emitted, ranked, once."""
+    from data_finder_comparator_spark.operators.fuzzy_join import topk_fuzzy_join
+
+    out = topk_fuzzy_join(
+        spark.createDataFrame([(1, "abc")], "probe_id long, probe string"),
+        spark.createDataFrame([(10, "abd"), (11, "zz")], "cand_id long, cand string"),
+        k=5,
+    ).collect()
+    assert sorted((r.cand_id, r.dist, r.rnk) for r in out) == [(10, 1, 1), (11, 3, 2)]

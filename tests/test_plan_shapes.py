@@ -110,3 +110,29 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = _executed_plan(QUERIES["purchase_window_stats"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_round_is_banded_equi_join(spark):
+    """fuzzy_topk's per-round pairing must execute as a hash equi-join
+    on the length bucket — not the CartesianProduct/unpruned cross join
+    of the naive rank() formulation. (The operator's returned DataFrame
+    is localCheckpoint-ed, so the shape is pinned on the round join
+    itself.)"""
+    from data_finder_comparator_spark.operators.fuzzy_join import (
+        _bucketed_band_pairs,
+        _prep,
+    )
+
+    p = _prep(
+        spark.createDataFrame([(1, "almond blue")], "probe_id long, probe string"),
+        "probe_id", "probe", "probe_id", "probe", "_nq",
+    )
+    c = _prep(
+        spark.createDataFrame([(10, "almond blues")], "cand_id long, cand string"),
+        "cand_id", "cand", "cand_id", "cand", "_nc",
+    )
+    for broadcast_cand, expect in ((True, "BroadcastHashJoin"), (False, "Join")):
+        plan = _executed_plan(_bucketed_band_pairs(p, c, 8, broadcast_cand))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert expect in plan, plan
