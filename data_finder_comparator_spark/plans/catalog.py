@@ -68,3 +68,42 @@ from . import queries_curation  # noqa: E402,F401
 from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
+
+# Round-4 rotation: every query has been inside the driver's 50-entry
+# verified window in at least one round EXCEPT part of the relational
+# suite (green in pytest parity every round, but 5 of them have never
+# had a driver CORRECTNESS row). Park 15 triple-driver-green queries
+# (green in rounds 1, 2 AND 3; still hash-checked by
+# tests/test_oracle_parity.py on every pytest run) past the cap so the
+# whole relational suite and the new streaming session-window query sit
+# inside the verified window this round.
+_PARKED_MULTI_GREEN = [
+    "fuzzy_join_docs_band",
+    "fuzzy_tier_assembly",
+    "fuzzy_tier_counts",
+    "text_quality_signals",
+    "lang_id_confusion",
+    "doc_repetition",
+    "vocab_top_tokens",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "union_by_name_folder",
+    "deterministic_row_ids",
+    "keep_replace_curation",
+    "curation_counts",
+    "dedup_ngram_jaccard_capped",
+    "dedup_hybrid_verify",
+]
+
+
+def _rotate_parked_last() -> None:
+    order = [n for n in QUERIES if n not in _PARKED_MULTI_GREEN] + [
+        n for n in _PARKED_MULTI_GREEN if n in QUERIES
+    ]
+    for reg in (QUERIES, ORACLES):
+        snapshot = {n: reg[n] for n in order if n in reg}
+        reg.clear()
+        reg.update(snapshot)
+
+
+_rotate_parked_last()

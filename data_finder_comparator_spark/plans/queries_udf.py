@@ -287,6 +287,51 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return purchase_click_attribution(spark, sf_dir, lookback_minutes=60)
 
 
+# Session windows (F.session_window): merge while each event starts
+# within the 30-min gap of the session's running end — a gap of EXACTLY
+# 30 min still merges (verified empirically), so the batch break
+# condition is strictly `> 30 MINUTE`, same as sessionize_events; the
+# emitted window is [min ts, max ts + gap). Append mode emits only
+# sessions whose end the final watermark (max ts - 1h) passed.
+_SESSION_WINDOW_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+gaps AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sno
+  FROM gaps
+),
+agg AS (
+  SELECT user_id,
+         CAST(min(ts) AS TIMESTAMP) AS sess_start,
+         CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS sess_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM sess GROUP BY user_id, sno
+)
+SELECT agg.* FROM agg, mx WHERE agg.sess_end <= mx.m - INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_session_counts", oracle=_SESSION_WINDOW_ORACLE)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows per user (30-min inactivity gap) as a
+    real watermarked append-mode streaming query with a parquet file
+    sink — the streaming counterpart of the batch `sessionize_events`,
+    completing the window family (tumbling / sliding / session)."""
+    from ..streaming.pipeline import session_windowed_counts
+
+    return session_windowed_counts(spark, sf_dir, gap="30 minutes", delay="1 hour")
+
+
 # ---------------------------------------------------------------------------
 # Grouped-aggregate pandas UDF (the UDAF surface, SURVEY.md §2.10):
 # per-language robust location/spread of document length — median and

@@ -221,6 +221,71 @@ def watermarked_event_counts(
     return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
 
+SESSION_COUNTS_SCHEMA = (
+    "user_id long, sess_start timestamp_ntz, sess_end timestamp_ntz, "
+    "n_events long, sum_value double"
+)
+
+
+def session_windowed_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Event-time SESSION windows per user (``F.session_window``):
+    events merge into one session while each starts within ``gap`` of
+    the session's current end (a gap of exactly ``gap`` still merges;
+    the session breaks only when the inactivity gap strictly exceeds
+    it), and the emitted window is [first ts, last ts + gap). Completes
+    the window family next to tumbling/sliding (`windowed_event_counts`)
+    and the batch `sessionize_events`.
+
+    Production shape throughout: watermark-bounded session state,
+    APPEND mode (a session row is emitted exactly once, after the
+    watermark passes its end), distributed parquet file sink — results
+    never flow through the driver."""
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir("session_event_counts", f"{sf_dir}|{gap}|{delay}")
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    # watermark requires TIMESTAMP; the session runs UTC so the cast is
+    # wall-clock-identical, and the bounds cast back to NTZ on output
+    ev = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.schema(SESSION_COUNTS_SCHEMA).parquet(out_path)
+
+
 FIRST_SEEN_SCHEMA = T.StructType(
     [
         T.StructField("content_hash", T.StringType()),
