@@ -72,6 +72,8 @@ HEADLINE = [
     "doc_token_chunks",
     "decontaminate_overlap",
     "pii_redaction",
+    # round 4 additions
+    "streaming_session_counts",
 ]
 
 

@@ -69,7 +69,7 @@ def kmeans_lloyd(
 
     seed_ids = vdim.select("vec_id").distinct().orderBy("vec_id").limit(k)
     cent = (
-        vdim.join(seed_ids, "vec_id")
+        vdim.join(F.broadcast(seed_ids), "vec_id")
         .select(
             F.col("vec_id").alias("cluster_id"),
             "dim",
@@ -78,8 +78,12 @@ def kmeans_lloyd(
         )
     )
 
+    # argmin via row_number window, NOT min(struct(...)): struct min
+    # has no hash-aggregate implementation (Catalyst plans it as a
+    # SortAggregate), so the window — whole-stage-codegen'd sort within
+    # hash-partitioned vec_id groups — is the faster argmin here.
     w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
-    for _ in range(iterations):
+    for i in range(iterations):
         sq = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
         dist = (
             vdim.join(F.broadcast(cent.select("cluster_id", "dim", "cval")), "dim")
@@ -92,7 +96,12 @@ def kmeans_lloyd(
             .select("vec_id", "cluster_id")
         )
         cent = (
-            vdim.join(assign, "vec_id")
+            # assign is |V| rows of two longs — broadcast it so the
+            # (x dims bigger) flattened side never shuffles; the only
+            # exchange per round is the (cluster_id, dim) partial agg.
+            # At 100 TB |V| outgrows the broadcast cap and this becomes
+            # a shuffled hash join on vec_id — the same plan MLlib pays.
+            vdim.join(F.broadcast(assign), "vec_id")
             .groupBy("cluster_id", "dim")
             .agg(
                 (
@@ -101,12 +110,17 @@ def kmeans_lloyd(
                 ).alias("cval"),
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
             )
-            # Truncate lineage each round: without this the next round's
-            # plan embeds this one's (assign -> dist -> prior cent), so
-            # plan depth grows with iterations — the Catalyst-analysis
-            # blow-up connected_components documents. Eager, k×dims rows.
-            .localCheckpoint()
         )
+        # Truncate lineage every SECOND round: each round's plan embeds
+        # the prior one's (assign -> dist -> prior cent), so unbounded
+        # depth hits the Catalyst-analysis blow-up connected_components
+        # documents — but an eager k×dims materialization per round is
+        # pure latency. Capping embedded depth at 2 rounds keeps
+        # analysis O(1) per checkpoint at half the materializations; the
+        # final round never checkpoints (the caller's action
+        # materializes it anyway).
+        if (i + 1) % 2 == 0 and (i + 1) < iterations:
+            cent = cent.localCheckpoint()
     return cent.select(
         "cluster_id", "dim", F.col("cval").alias("centroid_val"), "n_vectors"
     )

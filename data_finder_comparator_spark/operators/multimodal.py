@@ -8,16 +8,21 @@ payload memory is bounded by batch size, not partition size; at 100 TB
 you tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for
 large blobs).
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_media`` raises NotImplementedError by design, and
-``binary_features`` computes a deterministic md5-derived fake feature
-vector so the full pipeline — schema, partitioning, UDF signature,
-Arrow batch shape — is real and oracle-checkable end to end.
+``decode_media`` REALLY decodes the two container formats parseable
+with the stdlib alone — RIFF/WAVE PCM audio and binary PPM (P6)
+images — returning the header metadata plus decoded-content fields.
+Codec formats that need real media libraries (JPEG, MP3, H.264, ...)
+still raise NotImplementedError: plugging PIL/ffmpeg/soundfile into the
+same ``decode=`` hook is the production path. ``binary_features``
+keeps its deterministic md5-derived fake feature vector as the default
+so the full pipeline — schema, partitioning, UDF signature, Arrow
+batch shape — stays oracle-checkable end to end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,12 +54,130 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Decode stub: real deployments plug PIL/ffmpeg/soundfile here."""
-    raise NotImplementedError(
-        f"media decode for {mime!r} requires codec libraries not present "
-        "in this environment; plug a decoder into binary_features(decode=...)"
+WAV_SAMPLE_RATE = 8000
+
+
+def synth_wav_payload(
+    data: bytes, sample_rate: int = WAV_SAMPLE_RATE, channels: int = 1
+) -> bytes:
+    """Build a canonical 16-bit PCM RIFF/WAVE file whose sample data is
+    ``data`` truncated to whole samples (so n_samples = len(data) // 2,
+    restatable in SQL as octet_length // 2). Used to fabricate real,
+    spec-valid audio payloads from text tables for decode tests/queries;
+    cross-checked against the stdlib ``wave`` reader in unit tests."""
+    pcm = data[: len(data) // 2 * 2]
+    block_align = channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm))
     )
+    return header + pcm
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container: walk the chunk list (no fixed
+    offsets — fmt/data may come in any order with other chunks between),
+    decode the fmt fields, and read the first PCM sample. Spec: the
+    public RIFF/WAVE format (also implemented by the stdlib ``wave``
+    module, which the unit tests cross-check against)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAVE (format {audio_format})")
+    n_samples = len(data) // block_align
+    first = (
+        struct.unpack_from("<h", data, 0)[0]
+        if bits == 16 and len(data) >= 2
+        else (data[0] if data else 0)
+    )
+    return {
+        "kind": "audio",
+        "n_channels": channels,
+        "sample_rate_hz": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_s": n_samples / rate,
+        "first_sample": first,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) image: ASCII header (magic, width,
+    height, maxval, with #-comments allowed) followed by raw RGB
+    triplets — the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": width * height,
+        "first_px": (raster[0], raster[1], raster[2]) if raster else (0, 0, 0),
+    }
+
+
+_DECODERS = {
+    "audio/wav": _decode_wav,
+    "audio/x-wav": _decode_wav,
+    "image/x-portable-pixmap": _decode_ppm,
+}
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode a binary media payload to typed metadata + first decoded
+    content values. Real (stdlib-parseable) formats: RIFF/WAVE PCM and
+    P6 PPM. Codec formats still raise — real deployments plug
+    PIL/ffmpeg/soundfile into ``binary_features(decode=...)`` with this
+    exact signature."""
+    dec = _DECODERS.get(mime)
+    if dec is None:
+        raise NotImplementedError(
+            f"media decode for {mime!r} requires codec libraries not present "
+            "in this environment; plug a decoder into binary_features(decode=...)"
+        )
+    return dec(payload)
 
 
 def binary_features(df: DataFrame, decode=None) -> DataFrame:
@@ -92,6 +215,47 @@ def binary_features(df: DataFrame, decode=None) -> DataFrame:
     # every core runs an Arrow-batched worker instead of one
     return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
         run, schema=FEATURES_SCHEMA
+    )
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate_hz long, bits_per_sample long, "
+    "n_samples long, duration_s double, first_sample long"
+)
+
+
+def wav_decode_features(df: DataFrame) -> DataFrame:
+    """Real container decode through the standard multimodal plumbing:
+    each row's binary payload is wrapped as a spec-valid RIFF/WAVE PCM
+    file (``synth_wav_payload`` — the testdata ships no media, so the
+    audio is fabricated from the payload bytes) and then DECODED by the
+    chunk-walking WAV parser, per Arrow batch inside mapInPandas. The
+    emitted fields all come out of the decoded container — fmt-chunk
+    metadata plus the first PCM sample (int16 LE) — so a parser bug
+    breaks oracle parity, not just a unit test."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_channels", "sample_rate_hz", "bits_per_sample",
+                "n_samples", "duration_s", "first_sample",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if len(data) < 2:  # no whole sample to carry
+                    continue
+                meta = decode_media(synth_wav_payload(data), "audio/wav")
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(meta["n_channels"])
+                rows["sample_rate_hz"].append(meta["sample_rate_hz"])
+                rows["bits_per_sample"].append(meta["bits_per_sample"])
+                rows["n_samples"].append(meta["n_samples"])
+                rows["duration_s"].append(meta["duration_s"])
+                rows["first_sample"].append(meta["first_sample"])
+            yield pd.DataFrame(rows)
+
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=WAV_DECODE_SCHEMA
     )
 
 

@@ -93,6 +93,7 @@ _PARKED_MULTI_GREEN = [
     "curation_counts",
     "dedup_ngram_jaccard_capped",
     "dedup_hybrid_verify",
+    "embedding_neardup_pairs",
 ]
 
 

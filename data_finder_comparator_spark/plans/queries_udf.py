@@ -131,6 +131,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(docs, "doc_id", "text"))
 
 
+# Real WAV decode: payload bytes wrapped as a spec-valid RIFF/WAVE PCM
+# file, then decoded by the chunk-walking parser. Every output field is
+# read back OUT of the container, and each is independently restatable
+# in SQL: n_samples = whole 16-bit samples = octet_length // 2;
+# first_sample = int16 LE of the first two payload bytes, which for the
+# pure-ASCII corpus (see _FRAMES_ORACLE note) is ascii(c1) + 256*ascii(c2).
+_WAV_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate_hz,
+       CAST(16 AS BIGINT) AS bits_per_sample,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+       CAST((octet_length(encode(text)) // 2) / 8000.0 AS DOUBLE) AS duration_s,
+       CAST(ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) AS BIGINT)
+           AS first_sample
+FROM documents WHERE octet_length(encode(text)) >= 2
+"""
+
+
+@query("multimodal_wav_decode", oracle=_WAV_DECODE_ORACLE)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode through the multimodal plumbing: fabricate a
+    RIFF/WAVE PCM payload per document, parse it back (chunk walk, fmt
+    decode, first PCM sample) inside mapInPandas, and verify the
+    decoded fields against the SQL restatement."""
+    from ..operators.multimodal import wav_decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_decode_features(attach_binary_payload(docs, "doc_id", "text"))
+
+
 _STREAM_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
        CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,

@@ -670,3 +670,86 @@ def test_kmeans_empty_cluster_drops(spark):
     assert {r.cluster_id for r in rows} == {0}
     got = {r.dim: (r.centroid_val, r.n_vectors) for r in rows}
     assert got == {1: (7.0 / 3.0, 3), 2: (7.0 / 3.0, 3)}
+
+
+def test_wav_decode_golden():
+    """decode_media really parses RIFF/WAVE: golden fields from a
+    hand-built file, cross-checked against the stdlib wave reader, and
+    chunk-walking verified with an extra chunk before fmt."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_payload,
+    )
+
+    pcm = struct.pack("<4h", -3, 7, 32000, -32768)
+    payload = synth_wav_payload(pcm, sample_rate=8000)
+    meta = decode_media(payload, "audio/wav")
+    assert meta == {
+        "kind": "audio",
+        "n_channels": 1,
+        "sample_rate_hz": 8000,
+        "bits_per_sample": 16,
+        "n_samples": 4,
+        "duration_s": 4 / 8000,
+        "first_sample": -3,
+    }
+    # the synthesized container is a spec-valid file: stdlib agrees
+    with wave_mod.open(io.BytesIO(payload)) as w:
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes()) == (1, 8000, 2, 4)
+        assert w.readframes(4) == pcm
+
+    # chunk walk: a LIST chunk (odd size -> word-aligned) before fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    reordered = payload[:12] + extra + payload[12:]
+    reordered = b"RIFF" + struct.pack("<I", len(reordered) - 8) + reordered[8:]
+    assert decode_media(reordered, "audio/x-wav")["n_samples"] == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")  # codec formats still stubbed
+    with _pytest.raises(ValueError):
+        decode_media(b"RIFFxxxxAVI ", "audio/wav")
+
+
+def test_ppm_decode_golden():
+    """P6 PPM decode: header with comment, exact dims and first pixel."""
+    from data_finder_comparator_spark.operators.multimodal import decode_media
+
+    raster = bytes([10, 20, 30, 200, 201, 202, 0, 0, 0, 255, 255, 255, 1, 2, 3, 4, 5, 6])
+    payload = b"P6\n# synthetic fixture\n3 2\n255\n" + raster
+    meta = decode_media(payload, "image/x-portable-pixmap")
+    assert meta == {
+        "kind": "image",
+        "width": 3,
+        "height": 2,
+        "maxval": 255,
+        "n_pixels": 6,
+        "first_px": (10, 20, 30),
+    }
+
+
+def test_wav_decode_features_distributed(spark):
+    """The mapInPandas decode path: synthesize-from-text, decode, and
+    check the decoded fields row-by-row (including the first-sample
+    little-endian read and the odd-length truncation)."""
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_binary_payload,
+        wav_decode_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "AB"), (2, "hello"), (3, "x"), (4, "")],  # odd length truncates; <2 bytes drops
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in wav_decode_features(
+        attach_binary_payload(df, "doc_id", "text")
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_samples == 1 and out[1].first_sample == ord("A") + 256 * ord("B")
+    assert out[2].n_samples == 2 and out[2].first_sample == ord("h") + 256 * ord("e")
+    assert out[2].duration_s == 2 / 8000
