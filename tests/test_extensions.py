@@ -753,3 +753,64 @@ def test_wav_decode_features_distributed(spark):
     assert out[1].n_samples == 1 and out[1].first_sample == ord("A") + 256 * ord("B")
     assert out[2].n_samples == 2 and out[2].first_sample == ord("h") + 256 * ord("e")
     assert out[2].duration_s == 2 / 8000
+
+
+def test_session_windows_merge_across_microbatches(spark, tmp_path):
+    """F.session_window state semantics across micro-batches: a session
+    open at the end of batch 1 must MERGE with batch-2 events that fall
+    within the gap, and only emit (append mode) once the watermark
+    passes its extended end — the stateful property a batch rewrite
+    can't fake."""
+    from datetime import datetime
+
+    def ev(evid, hh, mm, uid=1):
+        return (evid, datetime(2026, 1, 1, hh, mm), uid, 1.0)
+
+    d = tmp_path / "sessev"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    # batch 1: events at 00:00 and 00:20 (one session, gap 30m)
+    spark.createDataFrame([ev(1, 0, 0), ev(2, 0, 20)], schema).coalesce(
+        1
+    ).write.parquet(str(d / "f0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "user_id",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_merge_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # session [00:00, 00:50) open in state
+        # batch 2: 00:40 extends the SAME session (within 30m of 00:20);
+        # 05:00 advances the watermark to 04:00, closing it
+        spark.createDataFrame([ev(3, 0, 40), ev(4, 5, 0)], schema).coalesce(
+            1
+        ).write.parquet(str(d / "f1"))
+        q.processAllAvailable()
+        rows = {
+            (r.ss.strftime("%H:%M"), r.se.strftime("%H:%M"), r.n)
+            for r in spark.table("sess_merge_t").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("sess_merge_t")
+    # ONE merged session across both batches: [00:00, 01:10) with 3
+    # events (00:40 + 30m gap). The 05:00 session stays open (no later
+    # watermark) and must NOT have been emitted.
+    assert rows == {("00:00", "01:10", 3)}
