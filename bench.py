@@ -74,6 +74,8 @@ HEADLINE = [
     "pii_redaction",
     # round 4 additions
     "streaming_session_counts",
+    "streaming_enriched_segments",
+    "multimodal_wav_decode",
 ]
 
 

@@ -94,6 +94,7 @@ _PARKED_MULTI_GREEN = [
     "dedup_ngram_jaccard_capped",
     "dedup_hybrid_verify",
     "embedding_neardup_pairs",
+    "ann_lsh_topk",
 ]
 
 

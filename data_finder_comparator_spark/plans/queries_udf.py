@@ -352,6 +352,34 @@ SELECT agg.* FROM agg, mx WHERE agg.sess_end <= mx.m - INTERVAL 1 HOUR
 """
 
 
+# Stream-static join: batch restatement is the plain dim join + the
+# append-mode closed-window filter (same contract as _WATERMARK_ORACLE).
+_ENRICHED_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (
+  SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS win_start,
+         CAST(date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+         c.c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT agg.* FROM agg, mx WHERE agg.win_end <= mx.m - INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_enriched_segments", oracle=_ENRICHED_ORACLE)
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events stream joined (stateless,
+    broadcast) to the static customer dimension, windowed counts per
+    market segment under watermark/append — the standard streaming
+    dimension-enrichment shape, vs the batch join oracle."""
+    from ..streaming.pipeline import enriched_segment_counts
+
+    return enriched_segment_counts(spark, sf_dir)
+
+
 @query("streaming_session_counts", oracle=_SESSION_WINDOW_ORACLE)
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows per user (30-min inactivity gap) as a

@@ -286,6 +286,71 @@ def session_windowed_counts(
     return spark.read.schema(SESSION_COUNTS_SCHEMA).parquet(out_path)
 
 
+SEGMENT_COUNTS_SCHEMA = (
+    "win_start timestamp_ntz, win_end timestamp_ntz, "
+    "c_mktsegment string, n_events long, sum_value double"
+)
+
+
+def enriched_segment_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    delay: str = "1 hour",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched by the static
+    customer dimension, then watermarked tumbling counts per market
+    segment. Stream-static joins are STATELESS — each micro-batch hash
+    joins against the (broadcast) static side, no join state store, no
+    watermark needed for the join itself — which is why this is the
+    standard enrichment shape at scale: a 100 TB event stream joined to
+    a dimension table costs one broadcast per executor, not a shuffle
+    of the stream. Windowed agg state stays watermark-bounded; append
+    mode + parquet file sink as in the other production-shape queries."""
+    from ..sources.parquet import load_table
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir("enriched_segment_counts", f"{sf_dir}|{window}|{delay}")
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")  # stateless per-batch hash join
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", window), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("win_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.schema(SEGMENT_COUNTS_SCHEMA).parquet(out_path)
+
+
 FIRST_SEEN_SCHEMA = T.StructType(
     [
         T.StructField("content_hash", T.StringType()),
