@@ -1,0 +1,125 @@
+"""Property-based equivalence: the distributed fuzzy operators vs a
+driver-side brute-force reference on randomized inputs (hypothesis).
+
+The oracle-parity suite pins the operators on the fixed test corpora;
+these properties hunt the edges those corpora don't reach — duplicate
+keys, empty normalizations, extreme length spreads, all-far probes —
+and assert all THREE pairing strategies and the top-k return exactly
+the reference answer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_finder_comparator_spark.operators.fuzzy_join import (
+    tiered_fuzzy_join,
+    topk_fuzzy_join,
+)
+
+# alphabet chosen to exercise normalization (case folds, punctuation
+# strips to possibly-empty keys) and the length-band edges
+_KEY = st.text(alphabet="ab !-Z", min_size=0, max_size=12)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"[^a-z0-9]", "", s.lower())
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_tiers(probes, cands, t):
+    """Reference semantics (main.py:197-230 re-derived): exact / best /
+    potential; poor = global argmin ties only when no 0<dist<=t pair,
+    including the exact∩poor overlap."""
+    out = set()
+    for pid, pv in probes:
+        scored = [(cid, cv, _lev(_norm(pv), _norm(cv))) for cid, cv in cands]
+        pos = [d for _, _, d in scored if 0 < d <= t]
+        for cid, cv, d in scored:
+            if d == 0:
+                out.add((pid, cid, d, "exact"))
+            if pos and d == min(pos):
+                out.add((pid, cid, d, "best"))
+            elif pos and 0 < d <= t:
+                out.add((pid, cid, d, "potential"))
+        if not pos and scored:
+            m = min(d for _, _, d in scored)
+            for cid, cv, d in scored:
+                if d == m:
+                    out.add((pid, cid, d, "poor"))
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "band", "qgram"])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probe_keys=st.lists(_KEY, min_size=0, max_size=6),
+    cand_keys=st.lists(_KEY, min_size=0, max_size=8),
+    t=st.integers(min_value=1, max_value=4),
+)
+def test_tiered_join_matches_brute_force(spark, strategy, probe_keys, cand_keys, t):
+    probes = list(enumerate(probe_keys))
+    cands = [(i + 100, v) for i, v in enumerate(cand_keys)]
+    got = {
+        (r.probe_id, r.cand_id, r.dist, r.tier)
+        for r in tiered_fuzzy_join(
+            spark.createDataFrame(probes, "probe_id long, probe string")
+            if probes
+            else spark.createDataFrame([], "probe_id long, probe string"),
+            spark.createDataFrame(cands, "cand_id long, cand string")
+            if cands
+            else spark.createDataFrame([], "cand_id long, cand string"),
+            threshold=t,
+            strategy=strategy,
+        ).collect()
+    }
+    # all inputs are non-null strings, so the engine's null-key
+    # exclusion never applies; empty normalizations ('' keys) stay in
+    # and must match brute force exactly
+    assert got == _brute_tiers(probes, cands, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probe_keys=st.lists(_KEY, min_size=1, max_size=5),
+    cand_keys=st.lists(_KEY, min_size=1, max_size=8),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_topk_matches_brute_force_random(spark, probe_keys, cand_keys, k):
+    probes = list(enumerate(probe_keys))
+    cands = [(i + 100, v) for i, v in enumerate(cand_keys)]
+    got = {
+        (r.probe_id, r.cand_id, r.dist, r.rnk)
+        for r in topk_fuzzy_join(
+            spark.createDataFrame(probes, "probe_id long, probe string"),
+            spark.createDataFrame(cands, "cand_id long, cand string"),
+            k=k,
+        ).collect()
+    }
+    expect = set()
+    for pid, pv in probes:
+        scored = sorted((_lev(_norm(pv), _norm(cv)), cid) for cid, cv in cands)
+        for rnk, (d, cid) in enumerate(scored[:k], 1):
+            expect.add((pid, cid, d, rnk))
+    assert got == expect
