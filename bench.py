@@ -76,6 +76,7 @@ HEADLINE = [
     "streaming_session_counts",
     "streaming_enriched_segments",
     "multimodal_wav_decode",
+    "deterministic_shuffle",
 ]
 
 

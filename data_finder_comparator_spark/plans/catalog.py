@@ -95,6 +95,7 @@ _PARKED_MULTI_GREEN = [
     "dedup_hybrid_verify",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -551,3 +551,57 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("text2") != F.col("redacted")).alias("was_redacted"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle — the training-data ordering op:
+# a reproducible random permutation of the corpus (seeded hash order)
+# with a GLOBAL position per document. The naive formulation is
+# row_number() over a global ORDER BY — a single-task sort of the whole
+# corpus, the canonical scale-killer. The scalable two-pass pattern
+# used here (and by every distributed zip-with-index):
+#   1. bucket each row by a prefix of its shuffle key (256 range
+#      buckets over the md5 hex space — uniform by construction);
+#   2. count rows per bucket and prefix-sum the 256 counts into bucket
+#      offsets (a 256-row window — METADATA, not data);
+#   3. rank within each bucket in parallel, add the bucket's offset.
+# The only serial step touches 256 rows regardless of corpus size; the
+# per-bucket ranking is a hash-partitioned window that spreads over
+# every executor.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "seed42:"
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+@query("deterministic_shuffle", oracle=_SHUFFLE_ORACLE)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded reproducible corpus permutation with global positions,
+    computed without a global single-task sort (bucketed rank + tiny
+    offset prefix-sum; see block comment)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("_key"),
+                        F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("_bkt"))
+    # pass 1: 256-row bucket histogram -> exclusive prefix sum (the only
+    # non-parallel window, over metadata-sized input)
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_bkt", "_off")
+    )
+    # pass 2: parallel per-bucket rank + broadcast offset join
+    w_rank = Window.partitionBy("_bkt").orderBy("_key", "doc_id")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), "_bkt")
+        .select("doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_pos"))
+    )

@@ -136,3 +136,20 @@ def test_topk_round_is_banded_equi_join(spark):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert expect in plan, plan
+
+
+def test_deterministic_shuffle_has_no_global_data_sort(spark):
+    """The corpus-shuffle global index must come from the bucketed
+    two-pass pattern: the data-sized ranking window partitions on the
+    bucket (hashpartitioning(_bkt...)), and the only SinglePartition
+    exchange feeds the 256-row offset prefix-sum — never the corpus
+    itself. A refactor back to row_number() over a global ORDER BY
+    would plan rangepartitioning over doc rows and fail here."""
+    import re
+
+    plan = _executed_plan(QUERIES["deterministic_shuffle"](spark, SF))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    # the single-partition exchange exists (offset prefix sum) but must
+    # sit above the bucket AGGREGATE, not above a corpus-wide sort:
+    # no range partitioning of the full row set anywhere
+    assert "rangepartitioning" not in plan, plan
