@@ -77,6 +77,7 @@ HEADLINE = [
     "streaming_enriched_segments",
     "multimodal_wav_decode",
     "deterministic_shuffle",
+    "sequence_packing",
 ]
 
 

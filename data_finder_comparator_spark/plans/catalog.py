@@ -96,6 +96,7 @@ _PARKED_MULTI_GREEN = [
     "embedding_neardup_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -605,3 +605,73 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "_bkt")
         .select("doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the batch-assembly op of a training pipeline: lay
+# documents out contiguously (deterministic doc_id order) and cut
+# fixed-capacity training sequences, assigning each document its
+# sequence id and offset from the GLOBAL running length. Like
+# deterministic_shuffle, the naive plan is a global-ORDER-BY window
+# (single-task cumulative sum over the corpus); the scalable form
+# reuses the two-pass pattern — per-bucket sums prefix-summed into
+# bucket base offsets (metadata-sized), then a parallel within-bucket
+# running sum. Documents longer than the capacity straddle sequence
+# boundaries by design (the packer never pads or splits here; the
+# training loader slices).
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 2048  # chars per training sequence
+_PACK_BUCKET = 64  # doc_ids per bucket: >=76 buckets at sf0.001, dense ids
+
+_PACKING_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_chars AS start_off
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(start_off % {_PACK_CAPACITY} AS BIGINT) AS seq_off
+FROM cum
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous layout of the corpus into fixed-capacity
+    training sequences without a global single-task window (bucketed
+    two-pass running sum; see block comment)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    keyed = docs.withColumn("_bkt", F.floor(F.col("doc_id") / _PACK_BUCKET))
+    # pass 1: per-bucket totals -> exclusive prefix sum over the tiny
+    # bucket table (metadata, not data)
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_bkt").agg(F.sum("n_chars").alias("_n"))
+        .withColumn("_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_bkt", "_base")
+    )
+    # pass 2: parallel within-bucket running sum (exclusive) + base
+    w_run = (
+        Window.partitionBy("_bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (F.col("_base") + F.coalesce(F.sum("n_chars").over(w_run), F.lit(0))).cast(
+        "long"
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "n_chars",
+            start.alias("start_off"),
+            (start / _PACK_CAPACITY).cast("long").alias("seq_id"),
+            (start % _PACK_CAPACITY).cast("long").alias("seq_off"),
+        )
+    )

@@ -153,3 +153,14 @@ def test_deterministic_shuffle_has_no_global_data_sort(spark):
     # sit above the bucket AGGREGATE, not above a corpus-wide sort:
     # no range partitioning of the full row set anywhere
     assert "rangepartitioning" not in plan, plan
+
+
+def test_sequence_packing_has_no_global_data_sort(spark):
+    """Same contract as deterministic_shuffle: the corpus-wide running
+    sum must come from the bucketed two-pass pattern — data windows
+    partition on _bkt, no range partitioning of the row set."""
+    import re
+
+    plan = _executed_plan(QUERIES["sequence_packing"](spark, SF))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    assert "rangepartitioning" not in plan, plan
