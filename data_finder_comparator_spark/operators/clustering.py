@@ -96,12 +96,16 @@ def kmeans_lloyd(
             .select("vec_id", "cluster_id")
         )
         cent = (
-            # assign is |V| rows of two longs — broadcast it so the
+            # assign is |V| rows of two longs — tiny at harness scale, so
+            # AQE picks a broadcast join from the observed size and the
             # (x dims bigger) flattened side never shuffles; the only
             # exchange per round is the (cluster_id, dim) partial agg.
-            # At 100 TB |V| outgrows the broadcast cap and this becomes
-            # a shuffled hash join on vec_id — the same plan MLlib pays.
-            vdim.join(F.broadcast(assign), "vec_id")
+            # Deliberately NO explicit broadcast() hint: Spark honors a
+            # user hint unconditionally, so at 100 TB (|V| past the 8 GB
+            # broadcast cap) a hinted plan hard-fails instead of falling
+            # back — size-based planning degrades to the shuffled hash
+            # join on vec_id that MLlib pays, which is what you want.
+            vdim.join(assign, "vec_id")
             .groupBy("cluster_id", "dim")
             .agg(
                 (

@@ -379,7 +379,11 @@ def _global_argmin_escalating(
             nxt = _track(
                 remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti")
             )
-            done = nxt.isEmpty()
+            # count(), not isEmpty(): isEmpty materializes only the first
+            # partition, so unpersisting the parent below would force
+            # later rounds to recompute nxt's uncached partitions from
+            # the full lineage back to the source join
+            done = nxt.count() == 0
             remaining.unpersist()
             remaining = nxt
             if done:
@@ -528,7 +532,9 @@ def topk_fuzzy_join(
                     part.select("probe_id").distinct(), "probe_id", "left_anti"
                 )
             )
-            done = nxt.isEmpty()
+            # count() forces full materialization into the cache before
+            # the parent unpersists (isEmpty touches one partition only)
+            done = nxt.count() == 0
             remaining.unpersist()
             remaining = nxt
             if done:

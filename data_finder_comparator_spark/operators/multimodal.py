@@ -96,6 +96,14 @@ def _decode_wav(payload: bytes) -> dict:
     while off + 8 <= len(payload):
         cid = payload[off : off + 4]
         (size,) = struct.unpack_from("<I", payload, off + 4)
+        if off + 8 + size > len(payload):
+            # a truncated payload (or lying chunk size) would otherwise
+            # yield a silently short body slice — under-counted samples
+            # with no error, and shifted offsets for later chunks
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - off - 8} remain"
+            )
         body = payload[off + 8 : off + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)

@@ -667,11 +667,16 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         keyed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("start_off", start)
+        # integer `div`/`%` on the long column, not float division:
+        # (start / cap).cast("long") is exact only while cap is a power
+        # of two and totals stay under 2^53 — `div` matches the oracle's
+        # `//` for any capacity and any corpus size
         .select(
             "doc_id",
             "n_chars",
-            start.alias("start_off"),
-            (start / _PACK_CAPACITY).cast("long").alias("seq_id"),
-            (start % _PACK_CAPACITY).cast("long").alias("seq_off"),
+            "start_off",
+            F.expr(f"start_off div {_PACK_CAPACITY}").alias("seq_id"),
+            (F.col("start_off") % _PACK_CAPACITY).cast("long").alias("seq_off"),
         )
     )

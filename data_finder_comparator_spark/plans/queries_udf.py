@@ -24,10 +24,10 @@ from .catalog import query
 from .queries_fuzzy import _VARIANTS
 
 
-@query("alignment_pairs")
-def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-character alignment + diff splices for each perturbed part
-    name against its source name (F3/F5/F6 in SURVEY.md §2.4)."""
+def _alignment_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair generation for the alignment-UDF queries: each
+    distinct part name against its four perturbation variants
+    (queries_fuzzy._VARIANTS), one row per (probe, source-name) pair."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
     variants = F.array(
@@ -38,11 +38,18 @@ def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v, tmpl in enumerate(_VARIANTS)
         ]
     )
-    out = names.select(F.explode(variants).alias("s"), "name_id", "p_name").select(
+    return names.select(F.explode(variants).alias("s"), "name_id", "p_name").select(
         (F.col("name_id") * 4 + F.col("s.v")).cast("long").alias("probe_id"),
         F.col("s.probe").alias("probe"),
         F.col("p_name").alias("cand"),
     )
+
+
+@query("alignment_pairs")
+def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-character alignment + diff splices for each perturbed part
+    name against its source name (F3/F5/F6 in SURVEY.md §2.4)."""
+    out = _alignment_pair_table(spark, sf_dir)
     withal = out.withColumn("al", alignment_udf("probe", "cand")).withColumn(
         "splices", splices_udf("probe", "cand")
     )
@@ -66,6 +73,47 @@ def alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "|",
         ).alias("splice_segments"),
+    )
+
+
+# Driver-checkable surface of the alignment UDF: its DP distance must
+# equal plain Levenshtein on the normalized strings (the walk only READS
+# the finished matrix; /root/reference/main.py:24-70 returns d[m][n]).
+# DuckDB recomputes that distance natively, giving the F3 operator a
+# real CORRECTNESS row; the symbol walk itself is not SQL-expressible
+# and stays pinned by the golden unit tests (tests/test_alignment.py).
+_ALIGNMENT_DIST_ORACLE = """
+WITH names AS (SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY p_name),
+pairs AS (
+  SELECT CAST(name_id * 4 + 0 AS BIGINT) AS probe_id,
+         upper(replace(p_name, ' ', '-')) AS probe, p_name AS cand FROM names
+  UNION ALL
+  SELECT CAST(name_id * 4 + 1 AS BIGINT), substr(p_name, 2), p_name FROM names
+  UNION ALL
+  SELECT CAST(name_id * 4 + 2 AS BIGINT), reverse(p_name), p_name FROM names
+  UNION ALL
+  SELECT CAST(name_id * 4 + 3 AS BIGINT), p_name || ' xq', p_name FROM names
+)
+SELECT probe_id, probe, cand,
+       CAST(levenshtein(regexp_replace(lower(probe), '[^a-z0-9]', '', 'g'),
+                        regexp_replace(lower(cand), '[^a-z0-9]', '', 'g'))
+            AS BIGINT) AS dist
+FROM pairs
+"""
+
+
+@query("alignment_dist", oracle=_ALIGNMENT_DIST_ORACLE)
+def alignment_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to ``alignment_pairs``: the same pair generation, with
+    the DISTANCE produced by the alignment pandas UDF itself projected
+    for the oracle to recompute via DuckDB ``levenshtein`` — the
+    SQL-expressible half of F3, driver-verified end-to-end."""
+    out = _alignment_pair_table(spark, sf_dir)
+    return out.withColumn("al", alignment_udf("probe", "cand")).select(
+        "probe_id",
+        "probe",
+        "cand",
+        F.col("al.dist").cast("long").alias("dist"),
     )
 
 
