@@ -274,6 +274,59 @@ def fuzzy_tier_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# T1 (the reference's producer/consumer pipeline, main.py:501-518) as a
+# driver-checked query: the SAME probe set flows through a bounded file
+# STREAM in disjoint micro-batches, each batch tier-joined against the
+# static candidate table and appended to a parquet sink. The tiered join
+# is per-probe independent, so the union over epochs equals the batch
+# flagship result — which is why the batch flagship oracle checks it.
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_fuzzy_tiers", oracle=_FLAGSHIP_ORACLE)
+def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_match_stream end-to-end: probes written as 4 parquet files,
+    streamed one file per trigger (maxFilesPerTrigger — the reference's
+    Queue(maxsize=3) backpressure analogue), tier tables appended per
+    epoch via foreachBatch, drained with availableNow. Returns a scan of
+    the sink (epoch column dropped for the oracle comparison)."""
+    import os
+
+    from ..streaming.pipeline import _stream_confs, fuzzy_match_stream
+    from ..util import fresh_run_dir
+
+    base = fresh_run_dir("fuzzy_stream", sf_dir)
+    probes_dir = os.path.join(base, "probes")
+    sink = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    # materialize the probe set as a 4-file stream source: each file
+    # becomes one micro-batch (disjoint probe subsets)
+    _part_probes(spark, sf_dir).repartition(4).write.parquet(probes_dir)
+    stream = (
+        spark.readStream.schema("probe_id long, probe string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(probes_dir)
+    )
+    with _stream_confs(spark):
+        q = fuzzy_match_stream(
+            spark,
+            stream,
+            _part_cands(spark, sf_dir),
+            sink,
+            threshold=3,
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.parquet(sink).select(
+        "probe_id", "probe", "cand_id", "cand", "dist", "tier"
+    )
+
+
 @query("fuzzy_tier_counts", oracle=_TIER_COUNTS_ORACLE)
 def fuzzy_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = fuzzy_join_tiers(spark, sf_dir)

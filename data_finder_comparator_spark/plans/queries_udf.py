@@ -223,8 +223,9 @@ FROM events GROUP BY 1, 2, 3
 @query("streaming_window_counts", oracle=_STREAM_ORACLE)
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type, computed by a
-    real Structured Streaming query (memory sink, driven to completion)
-    and compared against the batch-SQL oracle — stream/batch
+    real Structured Streaming query (complete mode through a
+    foreachBatch parquet sink — distributed writes, nothing through the
+    driver) and compared against the batch-SQL oracle — stream/batch
     equivalence, the core Structured Streaming guarantee."""
     return windowed_event_counts(spark, sf_dir, "1 hour", "swc_oracle_run")
 
@@ -246,8 +247,14 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful dedup (first_seen_stream) as a real
     streaming query over the documents file source: per-key state
     emits each content hash exactly once with the first doc carrying
-    it. Memory sink is the equivalence harness (update-mode output);
-    production attaches foreachBatch/Delta."""
+    it. Production shape throughout: each micro-batch's emissions are
+    APPENDED to a parquet sink via foreachBatch (distributed write —
+    the emission set is one row per distinct hash, corpus-sized at
+    100 TB, so it must never flow through the driver) and the returned
+    DataFrame is a scan of the sink."""
+    from ..streaming.pipeline import first_seen_to_parquet
+    from ..util import fresh_run_dir
+
     docs = (
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string, n_chars long"
@@ -262,27 +269,10 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_hash"),
         )
     )
-    from ..streaming.pipeline import _stream_shuffle
-
     out = first_seen_stream(docs, "doc_id", "content_hash")
-    name = "first_seen_oracle_run"
-    with _stream_shuffle(spark):
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    sink = spark.table(name)
-    try:
-        return spark.createDataFrame(sink.collect(), schema=sink.schema)
-    finally:
-        spark.catalog.dropTempView(name)
+    return first_seen_to_parquet(
+        spark, out, fresh_run_dir("first_seen", sf_dir)
+    )
 
 
 # Append-mode oracle: only windows CLOSED by the final watermark

@@ -40,12 +40,22 @@ from pyspark.sql import types as T
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 
+# Conf the events file-stream needs while its micro-batches execute:
+# the test parquet stores TIMESTAMP(NANOS), which Spark reads as a raw
+# long only under the legacy conf (the batch loader keeps it
+# session-lifetime by intent — its scans execute lazily after return;
+# a streaming query instead runs to completion INSIDE the wrapper, so
+# it can and does restore the caller's value on exit).
+_NANOS_CONF = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+
+
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
-    """Scoped shuffle-partition override for a streaming query: set at
-    plan time (stream planning reads it at ``start()``), restored after
-    the query stops — never leaks into the caller's *subsequent* batch
-    plans.
+def _stream_confs(spark: SparkSession, extra: dict[str, str] | None = None):
+    """Scoped conf overrides for a streaming query: shuffle partitions
+    (always) plus any ``extra`` entries, set at plan time (stream
+    planning reads them at ``start()``), restored — or unset, if they
+    had no prior value — after the query stops. Nothing leaks into the
+    caller's *subsequent* batch plans.
 
     NOT thread-safe: the override mutates the shared session conf, so a
     batch query planned CONCURRENTLY on the same SparkSession (from
@@ -53,12 +63,27 @@ def _stream_shuffle(spark: SparkSession):
     count. The single-threaded driver/test loop never does this; a
     concurrent harness should run streaming queries on
     ``spark.newSession()`` so the conf override is isolated."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    confs = {
+        "spark.sql.shuffle.partitions": str(STREAM_SHUFFLE_PARTITIONS),
+        **(extra or {}),
+    }
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, prior in old.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
+
+
+# Backwards-compatible alias (shuffle partitions only).
+_stream_shuffle = _stream_confs
+
 
 def events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """Declared stream schema for the events table, derived from the
@@ -88,9 +113,11 @@ def events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """Plan-only: builds the streaming scan; the nanosAsLong conf the
+    scan needs at EXECUTION time is scoped by the caller's
+    ``_stream_confs(spark, _NANOS_CONF)`` around start()/await."""
     from ..sources.parquet import ns_long_to_ntz
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema, nanos = events_stream_schema(sf_dir)
     # file-stream sources take a directory; select just the events file
     raw = (
@@ -104,21 +131,15 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> Data
     return raw
 
 
-def windowed_event_counts(
-    spark: SparkSession,
-    sf_dir: str,
-    window: str = "1 hour",
-    query_name: str = "windowed_event_counts",
-    slide: str | None = None,
+def _windowed_counts_agg(
+    spark: SparkSession, sf_dir: str, window: str, slide: str | None
 ) -> DataFrame:
-    """Tumbling (or, with ``slide``, sliding/hopping) event-time window
-    counts per event_type, driven to completion synchronously against
-    the static events table; returns the final result as a batch
-    DataFrame (window start/end + counts).
-    """
+    """The streaming tumbling/sliding window aggregation plan, shared by
+    the production file-sink query and the memory-sink equivalence
+    harness in tests."""
     ev = _events_stream(spark, sf_dir)
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
-    agg = (
+    return (
         ev.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -132,11 +153,45 @@ def windowed_event_counts(
             "sum_value",
         )
     )
-    with _stream_shuffle(spark):
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "windowed_event_counts",
+    slide: str | None = None,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window
+    counts per event_type, driven to completion synchronously against
+    the static events table.
+
+    Without a watermark every window stays open, so the query runs in
+    COMPLETE mode — but the complete result never flows through the
+    driver: ``foreachBatch`` rewrites a parquet sink with each epoch's
+    full table (distributed write, mode("overwrite") keeps epochs
+    idempotent), and the returned DataFrame is a scan of the final
+    epoch's sink. The old memory-sink + collect() shape survives only
+    inside tests as the stream/batch equivalence harness
+    (tests/test_stream_schema.py)."""
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir("windowed_counts", f"{sf_dir}|{window}|{slide}")
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    agg = _windowed_counts_agg(spark, sf_dir, window, slide)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    with _stream_confs(spark, _NANOS_CONF):
         q = (
             agg.writeStream.outputMode("complete")
-            .format("memory")
+            .foreachBatch(write_epoch)
             .queryName(query_name)
+            .option("checkpointLocation", ckpt)
             # one-shot drain: process everything available, then
             # terminate — no idle trigger polling between micro-batches
             .trigger(availableNow=True)
@@ -146,16 +201,7 @@ def windowed_event_counts(
             q.awaitTermination()
         finally:
             q.stop()
-    # materialize before the in-memory sink table goes away — complete
-    # mode is inherently driver-sided, acceptable only as the
-    # stream/batch equivalence harness; the production shape is
-    # watermarked_event_counts' append mode + file sink below
-    out = spark.table(query_name)
-    try:
-        result = spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        spark.catalog.dropTempView(query_name)
-    return result
+    return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
 
 WINDOW_COUNTS_SCHEMA = (
@@ -204,7 +250,7 @@ def watermarked_event_counts(
             "sum_value",
         )
     )
-    with _stream_shuffle(spark):
+    with _stream_confs(spark, _NANOS_CONF):
         q = (
             agg.writeStream.outputMode("append")
             .format("parquet")
@@ -270,7 +316,7 @@ def session_windowed_counts(
             "sum_value",
         )
     )
-    with _stream_shuffle(spark):
+    with _stream_confs(spark, _NANOS_CONF):
         q = (
             agg.writeStream.outputMode("append")
             .format("parquet")
@@ -335,7 +381,7 @@ def enriched_segment_counts(
             "sum_value",
         )
     )
-    with _stream_shuffle(spark):
+    with _stream_confs(spark, _NANOS_CONF):
         q = (
             agg.writeStream.outputMode("append")
             .format("parquet")
@@ -398,12 +444,45 @@ def first_seen_stream(docs_stream: DataFrame, id_col: str, hash_col: str):
     )
 
 
+def first_seen_to_parquet(
+    spark: SparkSession, out_stream: DataFrame, sink_dir: str
+) -> DataFrame:
+    """Drive a ``first_seen_stream`` output to completion with each
+    micro-batch's emissions APPENDED to a parquet sink via foreachBatch
+    — a distributed write per epoch, nothing through the driver. Safe
+    because the stateful operator emits each key at most once across
+    the stream's lifetime, so appends never duplicate. At 100 TB the
+    emission set is corpus-sized (one row per distinct content hash);
+    this is the only shape that survives that cardinality."""
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    with _stream_confs(spark):
+        q = (
+            out_stream.writeStream.outputMode("update")
+            .foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.schema(FIRST_SEEN_SCHEMA).parquet(out_path)
+
+
 def fuzzy_match_stream(
     spark: SparkSession,
     probe_stream: DataFrame,
     cand: DataFrame,
     sink_path: str,
     threshold: int = 3,
+    checkpoint: str | None = None,
+    available_now: bool = False,
 ):
     """T1: per-micro-batch tiered fuzzy join via foreachBatch. The
     candidate table is broadcast once per batch; each batch's tier
@@ -411,7 +490,10 @@ def fuzzy_match_stream(
     checkpointing in a real deployment; Delta MERGE would give the
     Replace-upsert variant).
 
-    Returns the started StreamingQuery (caller drives/stops it).
+    Returns the started StreamingQuery (caller drives/stops it). With
+    ``available_now`` the trigger drains everything available then
+    terminates — the bounded-run shape the driver-checked query uses;
+    ``checkpoint`` makes epochs exactly-once across restarts.
     """
     from ..operators.fuzzy_join import tiered_fuzzy_join
 
@@ -431,7 +513,12 @@ def fuzzy_match_stream(
             for df in reg:
                 df.unpersist()
 
-    return probe_stream.writeStream.foreachBatch(run_batch).start()
+    writer = probe_stream.writeStream.foreachBatch(run_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 STREAM_JOIN_SCHEMA = "purchase_id long, user_id long, click_id long, gap_us long"
@@ -497,7 +584,7 @@ def purchase_click_attribution(
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    with _stream_shuffle(spark):
+    with _stream_confs(spark, _NANOS_CONF):
         q = (
             out.writeStream.outputMode("append")
             .format("parquet")
