@@ -26,6 +26,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,6 +188,63 @@ def lsh_candidate_pairs(
     )
 
 
+# Edge-count cutover between the single-task union-find solve and the
+# iterative distributed loop. A dedup candidate graph is SPARSE (LSH
+# emits ~O(dups) pairs, not O(corpus)); even a 100 TB corpus with a few
+# hundred million near-dup pairs sits under a single fat task's memory,
+# and a one-task union-find beats dozens of cluster-wide barrier rounds
+# by orders of magnitude. Past the cap, the label-propagation loop is
+# the (unchanged) scale path. Tunable per deployment.
+CC_LOCAL_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "10000000"))
+
+
+def _local_union_find(sym: DataFrame) -> DataFrame:
+    """Single-task connected components: the symmetric edge list is
+    coalesced into one partition and solved with path-halving union-find
+    inside ``mapInPandas`` (Arrow batches in, one (doc_id, cluster_id)
+    table out). Union attaches the LARGER root under the smaller, so
+    every final root is its component's min id — same contract as the
+    iterative path. O(E α(E)) work in one task instead of
+    O(diameter) cluster-wide barrier rounds."""
+
+    def solve(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            # path-halving: point the walked chain at the root
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set[int] = set()
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                s, d = int(s), int(d)
+                seen.add(s)
+                seen.add(d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        nodes = sorted(seen)
+        yield pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return (
+        sym.select("src", "dst")
+        .coalesce(1)
+        .mapInPandas(solve, "doc_id long, cluster_id long")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -193,6 +252,7 @@ def connected_components(
     b: str = "doc_b",
     max_iter: int = 25,
     cache_registry: list | None = None,
+    local_edge_cap: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     candidate-pair edge list, returning (doc_id, cluster_id) where
@@ -201,35 +261,53 @@ def connected_components(
     corpus-scale dedup does: LSH/Jaccard emit PAIRS; keeping one doc per
     duplicate GROUP requires the transitive closure.
 
-    Algorithm: min-label propagation. label(v) starts at v; each round
-    label(v) <- min(label(v), min over neighbors' labels); stop when no
-    label changed. Rounds needed = graph diameter — tiny for dup
-    clusters (LSH buckets emit near-cliques), so this converges in 2-4
-    rounds in practice. Each round is one equi-join + one aggregation,
-    both hash-partitioned on the node id, so at cluster scale every
-    round reuses the same shuffle partitioning; nothing is ever
-    collected to the driver. For adversarial long-chain graphs the
-    literature's alternating large-star/small-star rounds (O(log^2 n))
-    drop in behind the same interface — documented, not needed for the
-    near-clique dup topology.
+    TWO-LEVEL scheme. Dedup graphs are sparse, so the edge list is
+    usually tiny relative to the corpus: at or under
+    ``local_edge_cap`` (default CC_LOCAL_EDGE_CAP) edges the whole
+    graph is solved by a single-task union-find (``_local_union_find``
+    — O(E α(E)) in one task, zero barrier rounds); above it, the
+    iterative min-label propagation below is the scale path. Both
+    produce identical labels (test_connected_components_paths_agree).
+
+    Iterative path: min-label propagation, TWO hops per materialization
+    round, iterated over PAIRED nodes only. label(v) starts at v; each
+    hop sets label(v) <- min over {v's label} ∪ {neighbors' labels} —
+    expressed as one equi-join (neighbor contributions) + one union +
+    one groupBy-min, i.e. exactly two shuffles per hop, both
+    hash-partitioned on the node id so every round reuses the same
+    partitioning. Stop when no label changed; hops needed = graph
+    diameter (measured ~11 on the sf0.1 LSH graph — dup graphs chain
+    through shared shingles more than the near-clique intuition
+    suggests). Two hops per round halves the checkpoint +
+    convergence-scalar count — the per-round latency floor locally and
+    the barrier count on a cluster. Isolated documents never change
+    labels, so the loop domain is nodes(sym) — at 100 TB that shrinks
+    the iterated state from |corpus| to |paired nodes| (dedup graphs
+    are sparse; this is usually orders of magnitude) — and singletons
+    union back in once, after convergence. For adversarial long-chain
+    graphs the literature's alternating large-star/small-star rounds
+    (O(log^2 n)) drop in behind the same interface — documented, not
+    needed at the measured diameters.
 
     Convergence is detected with one scalar aggregation per round:
     labels only ever decrease, so sum(label) is strictly monotone and
-    sum_new == sum_old iff fixpoint (no join against the previous state
-    needed). Each round's labels are ``localCheckpoint``-ed (eager) and
-    the previous round's blocks released immediately — the live
-    footprint is two label tables regardless of round count.
+    sum_new == sum_old iff fixpoint over BOTH hops (no join against the
+    previous state needed). Each round's labels are
+    ``localCheckpoint``-ed (eager) and the previous round's blocks
+    released immediately; the mid-round hop is persist()ed (it is
+    referenced twice by the second hop) and released the same round —
+    the live footprint is bounded by three label tables regardless of
+    round count.
 
     Lineage MUST be truncated, not merely persisted: ``labels`` appears
-    twice in each round's plan (via ``neigh_min`` and via the outer
-    join), so without a checkpoint the LOGICAL plan doubles per round —
-    O(2^rounds) tree nodes — and Catalyst analysis time explodes around
-    round ~10 even though persist() keeps the physical recompute cheap
-    (observed: a 12-node path graph ground Catalyst for >10 minutes).
-    ``localCheckpoint`` stores blocks on the executors (lost on executor
-    failure); a production cluster run with hours-long rounds would use
-    ``sparkContext.setCheckpointDir`` + reliable ``checkpoint`` at the
-    same call site.
+    twice in each hop's plan, so without a per-round checkpoint the
+    LOGICAL plan doubles per hop — O(2^hops) tree nodes — and Catalyst
+    analysis time explodes around hop ~10 even though persist() keeps
+    the physical recompute cheap (observed: a 12-node path graph ground
+    Catalyst for >10 minutes). ``localCheckpoint`` stores blocks on the
+    executors (lost on executor failure); a production cluster run with
+    hours-long rounds would use ``sparkContext.setCheckpointDir`` +
+    reliable ``checkpoint`` at the same call site.
 
     ``nodes`` (a 1-column DataFrame of doc ids) adds isolated documents
     as singleton clusters; pass the full corpus id set so the output is
@@ -244,33 +322,50 @@ def connected_components(
     if cache_registry is not None:
         cache_registry.append(sym)
 
-    if nodes is not None:
-        node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id")).distinct()
-    else:
-        node_ids = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = node_ids.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    cap = CC_LOCAL_EDGE_CAP if local_edge_cap is None else local_edge_cap
+    n_edges = sym.count()  # also materializes the persist
+    if n_edges <= cap:
+        # Small sparse graph: one-task union-find (see CC_LOCAL_EDGE_CAP
+        # rationale) — no barrier rounds, no checkpoints.
+        labels = _local_union_find(sym).persist()
+        return _with_singletons(labels, nodes, cache_registry)
+
+    # Loop domain: nodes with at least one edge. sym is symmetric, so
+    # src alone covers every endpoint.
+    paired = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = paired.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+
+    def _hop(lab: DataFrame) -> DataFrame:
+        # min over self ∪ neighbor labels via union + groupBy — no
+        # left-outer join back onto lab (one fewer shuffle per hop than
+        # the join-least-coalesce formulation)
+        contrib = sym.join(
+            lab.select(F.col("doc_id").alias("_lid"), "cluster_id"),
+            sym.src == F.col("_lid"),
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        return (
+            lab.select("doc_id", "cluster_id")
+            .union(contrib)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
 
     converged = False
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("_nmin"))
-        )
-        # localCheckpoint (eager): materializes AND truncates lineage so
-        # the next round starts from a leaf plan — see docstring.
-        new_labels = (
-            labels.join(neigh_min, labels.doc_id == neigh_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
-            .localCheckpoint()
-        )
+        # TWO hops per materialization round: labels move two graph hops
+        # before paying the checkpoint + convergence-scalar round trip.
+        # The inner hop is persist()ed (NOT checkpointed): the second
+        # hop references it twice (join + union), and the cache makes
+        # that one computation instead of two while the round's
+        # localCheckpoint below still truncates the logical plan to a
+        # leaf. Convergence stays sound: labels only ever decrease, so
+        # an unchanged sum over the double hop means BOTH hops were
+        # no-ops — a fixpoint.
+        mid = _hop(labels).persist()
+        new_labels = _hop(mid).localCheckpoint()
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        mid.unpersist()
         # Releases the round-0 persist; for checkpointed rounds the
         # blocks are RDD-level and the ContextCleaner frees them once
         # this (sole) reference drops.
@@ -282,14 +377,33 @@ def connected_components(
         prev_sum = new_sum
 
     if not converged:
-        # Min-label propagation moves one hop per round; a component
-        # with diameter > max_iter would exit here with PARTIALLY
+        # Min-label propagation moves two hops per round; a component
+        # with diameter > 2*max_iter would exit here with PARTIALLY
         # propagated labels — silently-wrong cluster ids. Refuse.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(component diameter exceeds max_iter); raise max_iter or use "
-            f"an alternating-star formulation for long-chain graphs"
+            f"({2 * max_iter} hops — component diameter exceeds that); raise "
+            f"max_iter or use an alternating-star formulation for long-chain "
+            f"graphs"
         )
+
+    return _with_singletons(labels, nodes, cache_registry)
+
+
+def _with_singletons(
+    labels: DataFrame, nodes: DataFrame | None, cache_registry: list | None
+) -> DataFrame:
+    """Union isolated documents (no edges) back in as singleton
+    clusters — one left-anti + union AFTER convergence, never inside
+    the loop (singleton labels can't change)."""
+    if nodes is not None:
+        node_ids = nodes.select(
+            F.col(nodes.columns[0]).cast("long").alias("doc_id")
+        ).distinct()
+        singles = node_ids.join(labels, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+        labels = labels.union(singles).persist()
 
     if cache_registry is not None:
         cache_registry.append(labels)

@@ -638,6 +638,41 @@ def test_kmeans_lloyd_two_rounds(spark):
     }
 
 
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find fast path and the iterative
+    label-propagation scale path must produce identical labels —
+    including on a long chain (diameter 10) plus a separate clique and
+    an isolated node."""
+    from data_finder_comparator_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)]  # chain 20..30
+        + [(1, 2), (2, 3), (1, 3)],  # clique {1,2,3}
+        ["doc_a", "doc_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 40] + list(range(20, 31))], ["doc_id"]
+    )
+    caches: list = []
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, nodes=nodes, cache_registry=caches
+        ).collect()
+    }
+    # local_edge_cap=-1 forces the iterative loop even for this tiny graph
+    iterative = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, nodes=nodes, cache_registry=caches, local_edge_cap=-1
+        ).collect()
+    }
+    for df in caches:
+        df.unpersist()
+    assert local == iterative
+    assert local[30] == 20 and local[3] == 1 and local[40] == 40
+
+
 def test_connected_components_no_edges(spark):
     """Empty edge list: every node is its own singleton cluster and the
     loop exits after one no-change round."""
