@@ -78,6 +78,9 @@ HEADLINE = [
     "multimodal_wav_decode",
     "deterministic_shuffle",
     "sequence_packing",
+    # round 5 additions
+    "alignment_dist",
+    "streaming_fuzzy_tiers",
 ]
 
 

@@ -69,34 +69,39 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 
-# Round-4 rotation: every query has been inside the driver's 50-entry
-# verified window in at least one round EXCEPT part of the relational
-# suite (green in pytest parity every round, but 5 of them have never
-# had a driver CORRECTNESS row). Park 15 triple-driver-green queries
-# (green in rounds 1, 2 AND 3; still hash-checked by
-# tests/test_oracle_parity.py on every pytest run) past the cap so the
-# whole relational suite and the new streaming session-window query sit
-# inside the verified window this round.
+# Round-5 rotation (invariant: every parked query was driver-green in
+# the ROUND THAT JUST RAN, so parking it still leaves a driver
+# CORRECTNESS row within the last two rounds; all parked queries stay
+# hash-checked by tests/test_oracle_parity.py on every pytest run).
+# This round: the 19 queries parked in r4 (last driver rows r1-r3)
+# return to the window, every query whose code changed this round sits
+# in the window (alignment_dist + streaming_fuzzy_tiers are NEW;
+# alignment_pairs, the reworked streaming sinks, dedup_clusters, the
+# fuzzy escalation family, sequence_packing, ivf_kmeans_centroids,
+# multimodal_wav_decode all changed), and these 21 r4-green queries
+# park past the cap.
 _PARKED_MULTI_GREEN = [
-    "fuzzy_join_docs_band",
-    "fuzzy_tier_assembly",
-    "fuzzy_tier_counts",
-    "text_quality_signals",
-    "lang_id_confusion",
-    "doc_repetition",
-    "vocab_top_tokens",
-    "deterministic_sample",
-    "doc_fingerprints",
-    "union_by_name_folder",
-    "deterministic_row_ids",
-    "keep_replace_curation",
-    "curation_counts",
-    "dedup_ngram_jaccard_capped",
-    "dedup_hybrid_verify",
-    "embedding_neardup_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_ngram_jaccard",
+    "excel_folder_roundtrip",
+    "csv_folder_roundtrip",
+    "json_folder_roundtrip",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_priority",
+    "orders_rollup",
+    "customers_without_orders",
+    "events_pivot_by_hour",
+    "suppliers_by_nation",
+    "events_cube",
+    "sessionize_events",
+    "asof_latest_order",
+    "salted_segment_stats",
+    "bucketed_order_revenue",
+    "purchase_window_stats",
+    "props_json_stats",
+    "session_type_cooccurrence",
 ]
 
 
