@@ -581,12 +581,10 @@ FROM documents
 """
 
 
-@query("deterministic_shuffle", oracle=_SHUFFLE_ORACLE)
-def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded reproducible corpus permutation with global positions,
-    computed without a global single-task sort (bucketed rank + tiny
-    offset prefix-sum; see block comment)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def bucketed_shuffle_positions(docs: DataFrame) -> DataFrame:
+    """The two-pass bucketed global-position plan over any (doc_id)
+    table — shared by the registered query and scale_check's inflated
+    corpus probe."""
     key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("_key"),
                         F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("_bkt"))
@@ -604,6 +602,16 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("_rn", F.row_number().over(w_rank))
         .join(F.broadcast(offsets), "_bkt")
         .select("doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("shuffle_pos"))
+    )
+
+
+@query("deterministic_shuffle", oracle=_SHUFFLE_ORACLE)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded reproducible corpus permutation with global positions,
+    computed without a global single-task sort (bucketed rank + tiny
+    offset prefix-sum; see block comment)."""
+    return bucketed_shuffle_positions(
+        load_table(spark, sf_dir, "documents").select("doc_id")
     )
 
 
@@ -640,14 +648,10 @@ FROM cum
 """
 
 
-@query("sequence_packing", oracle=_PACKING_ORACLE)
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global contiguous layout of the corpus into fixed-capacity
-    training sequences without a global single-task window (bucketed
-    two-pass running sum; see block comment)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
+def bucketed_packing_layout(docs: DataFrame) -> DataFrame:
+    """The two-pass bucketed running-sum packing plan over any
+    (doc_id, n_chars) table — shared by the registered query and
+    scale_check's inflated corpus probe."""
     keyed = docs.withColumn("_bkt", F.floor(F.col("doc_id") / _PACK_BUCKET))
     # pass 1: per-bucket totals -> exclusive prefix sum over the tiny
     # bucket table (metadata, not data)
@@ -678,5 +682,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_off",
             F.expr(f"start_off div {_PACK_CAPACITY}").alias("seq_id"),
             (F.col("start_off") % _PACK_CAPACITY).cast("long").alias("seq_off"),
+        )
+    )
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous layout of the corpus into fixed-capacity
+    training sequences without a global single-task window (bucketed
+    two-pass running sum; see block comment)."""
+    return bucketed_packing_layout(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
     )

@@ -16,9 +16,13 @@ Spark-native equivalents:
 
 Event-time analytics the reference lacks (but a stream engine needs)
 ride on the same machinery: ``windowed_event_counts`` is a tumbling
-event-time window aggregation; in production it would run in append
-mode with ``withWatermark`` bounding state; the batch-equivalence test
-uses complete mode so every window is emitted deterministically.
+event-time window aggregation (complete mode, since without a watermark
+every window stays open — results land in a foreachBatch parquet sink,
+never the driver); ``watermarked_event_counts`` is the production shape
+(``withWatermark`` bounding state, append mode, file sink). Every
+registered streaming query in this module returns a distributed scan of
+its sink; the only memory-sink use left is the stream/batch equivalence
+harness inside tests.
 """
 
 from __future__ import annotations

@@ -31,6 +31,10 @@ from data_finder_comparator_spark.operators.fuzzy_join import (  # noqa: E402
     tiered_fuzzy_join,
     topk_fuzzy_join,
 )
+from data_finder_comparator_spark.plans.queries_text import (  # noqa: E402
+    bucketed_packing_layout,
+    bucketed_shuffle_positions,
+)
 from data_finder_comparator_spark.session import get_spark  # noqa: E402
 from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
 
@@ -39,9 +43,10 @@ def inflate(docs, times: int):
     """n copies with distinct doc_ids (same text distribution)."""
     out = None
     base = docs.agg(F.max("doc_id")).first()[0] + 1
+    payload = [c for c in docs.columns if c != "doc_id"]
     for i in range(times):
         c = docs.select(
-            (F.col("doc_id") + i * base).alias("doc_id"), "text"
+            (F.col("doc_id") + i * base).alias("doc_id"), *payload
         )
         out = c if out is None else out.unionByName(c)
     return out
@@ -52,10 +57,22 @@ def main() -> None:
     spark = get_spark(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
+    sizes = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_SCALE_SIZES", "1,4,16,64").split(",")
+    ]
     results: dict[str, dict[str, float]] = {}
-    for times in (1, 4, 16):
+    for times in sizes:
+        # The adversarial/cross-join regimes are intentionally capped at
+        # 16x: their cost is the measured intrinsic (documented in
+        # SCALE.md §4/§6), and the 64x rung exists to decide the GROWTH
+        # CURVE of the production paths (qgram fuzzy, LSH, the two-pass
+        # shuffle/packing pattern).
+        heavy = times <= 16
         docs = inflate(docs0, times).persist()
         n = docs.count()
         tag = f"x{times}"
@@ -72,6 +89,17 @@ def main() -> None:
         t0 = time.perf_counter()
         simhash32(docs, "doc_id", "text").count()
         results[tag]["simhash"] = round(time.perf_counter() - t0, 2)
+
+        # The bucketed two-pass global-position / running-sum pattern
+        # (deterministic_shuffle + sequence_packing): the serial step
+        # touches a fixed bucket histogram regardless of rows, so the
+        # curve should be flat-to-linear with no global-sort blowup.
+        t0 = time.perf_counter()
+        bucketed_shuffle_positions(docs.select("doc_id")).count()
+        results[tag]["shuffle_two_pass"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        bucketed_packing_layout(docs.select("doc_id", "n_chars")).count()
+        results[tag]["packing_two_pass"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
         probes = docs.filter(F.col("doc_id") % 50 == 0).select(
@@ -91,14 +119,15 @@ def main() -> None:
         # was a |P|x|C| cartesian before round 2. Growth here should be
         # ~linear in candidate rows (each escalation round is a bucketed
         # equi-join), not quadratic.
-        t0 = time.perf_counter()
-        adv = docs.filter(F.col("doc_id") % 50 == 0).select(
-            F.col("doc_id").alias("probe_id"),
-            F.substring(F.md5("text"), 1, 20).alias("probe"),
-        )
-        tiered_fuzzy_join(adv, cands, threshold=3, strategy="band").count()
-        results[tag]["fuzzy_all_fallback"] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
+        if heavy:
+            t0 = time.perf_counter()
+            adv = docs.filter(F.col("doc_id") % 50 == 0).select(
+                F.col("doc_id").alias("probe_id"),
+                F.substring(F.md5("text"), 1, 20).alias("probe"),
+            )
+            tiered_fuzzy_join(adv, cands, threshold=3, strategy="band").count()
+            results[tag]["fuzzy_all_fallback"] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
 
         # Escalating-band top-k vs the naive cross join it replaced:
         # both exact; the banded plan's work tracks band occupancy
@@ -106,27 +135,28 @@ def main() -> None:
         # cross join is strictly |P|x|C| full DP. The curve — not the
         # 1x point, where multi-round job overhead dominates — is what
         # decides 100 TB.
-        t0 = time.perf_counter()
-        topk_fuzzy_join(probes, cands, k=3, broadcast_cand=False).count()
-        results[tag]["topk_banded"] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
+        if heavy:
+            t0 = time.perf_counter()
+            topk_fuzzy_join(probes, cands, k=3, broadcast_cand=False).count()
+            results[tag]["topk_banded"] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
 
-        t0 = time.perf_counter()
-        from data_finder_comparator_spark.functions.normalize import norm_key
-        from pyspark.sql import Window
+            t0 = time.perf_counter()
+            from data_finder_comparator_spark.functions.normalize import norm_key
+            from pyspark.sql import Window
 
-        p = probes.withColumn("_nq", norm_key(F.col("probe")))
-        c = cands.withColumn("_nc", norm_key(F.col("cand")))
-        w = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
-        (
-            p.crossJoin(F.broadcast(c))
-            .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
-            .withColumn("rnk", F.rank().over(w))
-            .filter(F.col("rnk") <= 3)
-            .count()
-        )
-        results[tag]["topk_crossjoin"] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
+            p = probes.withColumn("_nq", norm_key(F.col("probe")))
+            c = cands.withColumn("_nc", norm_key(F.col("cand")))
+            w = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+            (
+                p.crossJoin(F.broadcast(c))
+                .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+                .withColumn("rnk", F.rank().over(w))
+                .filter(F.col("rnk") <= 3)
+                .count()
+            )
+            results[tag]["topk_crossjoin"] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
         docs.unpersist()
 
     print(json.dumps({"base_sf_dir": sf_dir, "sizes": results}))
