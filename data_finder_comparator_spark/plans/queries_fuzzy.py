@@ -308,11 +308,18 @@ def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(probes_dir)
     )
+    # the candidate table is STATIC across epochs — persist it once so
+    # each micro-batch broadcasts the cached rows instead of re-running
+    # the distinct-name aggregation (the standard cached-dimension shape
+    # for a long-running stream; released by the registry's next-query
+    # cache sweep)
+    cands = _part_cands(spark, sf_dir).persist()
+    CACHES.append(cands)
     with _stream_confs(spark):
         q = fuzzy_match_stream(
             spark,
             stream,
-            _part_cands(spark, sf_dir),
+            cands,
             sink,
             threshold=3,
             checkpoint=ckpt,
