@@ -751,6 +751,31 @@ def test_wav_decode_golden():
         decode_media(b"RIFFxxxxAVI ", "audio/wav")
 
 
+def test_wav_decode_truncated_raises():
+    """A truncated payload (or a chunk declaring more bytes than
+    remain) must raise, never silently under-count samples from a short
+    body slice (advisor finding r4)."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_payload,
+    )
+
+    payload = synth_wav_payload(struct.pack("<4h", 1, 2, 3, 4), sample_rate=8000)
+    with _pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_media(payload[:-3], "audio/wav")  # cut mid-data-chunk
+    # a lying data-chunk size (declares 4 extra bytes) must also raise
+    lying = bytearray(payload)
+    data_off = payload.index(b"data")
+    (size,) = struct.unpack_from("<I", payload, data_off + 4)
+    struct.pack_into("<I", lying, data_off + 4, size + 4)
+    with _pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_media(bytes(lying), "audio/wav")
+
+
 def test_ppm_decode_golden():
     """P6 PPM decode: header with comment, exact dims and first pixel."""
     from data_finder_comparator_spark.operators.multimodal import decode_media

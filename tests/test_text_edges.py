@@ -88,3 +88,24 @@ def test_doc_token_chunks_whitespace_edges_parity(spark, edge_dir):
     assert 200 not in by_doc
     ok, msg = compare(df, ORACLES["doc_token_chunks"], edge_dir)
     assert ok, msg
+
+
+def test_sequence_packing_non_power_of_two_capacity(spark, monkeypatch):
+    """seq_id/seq_off use integer div/% — exact for ANY capacity, not
+    just powers of two (advisor finding r4: the old float-division form
+    was exact only because 2048 is a power of two)."""
+    from data_finder_comparator_spark.plans import queries_text as qt
+
+    monkeypatch.setattr(qt, "_PACK_CAPACITY", 1000)  # not a power of two
+    docs = spark.createDataFrame(
+        [(i, 333 + (i * 7) % 500) for i in range(64)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.start_off, r.seq_id, r.seq_off)
+        for r in qt.bucketed_packing_layout(docs).collect()
+    }
+    off = 0
+    for i in range(64):
+        n = 333 + (i * 7) % 500
+        assert got[i] == (off, off // 1000, off % 1000), i
+        off += n
