@@ -81,6 +81,7 @@ HEADLINE = [
     # round 5 additions
     "alignment_dist",
     "streaming_fuzzy_tiers",
+    "line_dedup_stats",
 ]
 
 

@@ -81,6 +81,7 @@ from . import queries_relational  # noqa: E402,F401
 # multimodal_wav_decode all changed), and these 21 r4-green queries
 # park past the cap.
 _PARKED_MULTI_GREEN = [
+    "stratified_sample",
     "excel_folder_roundtrip",
     "csv_folder_roundtrip",
     "json_folder_roundtrip",

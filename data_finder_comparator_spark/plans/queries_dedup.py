@@ -302,3 +302,89 @@ FROM votes GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash32(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (the C4-style curation step): split each
+# document into '.'-separated lines, keep a line only at its GLOBALLY
+# first occurrence (min (doc_id, pos) over every document containing
+# that normalized line), and report per-document survival stats plus a
+# fingerprint of the reassembled text. The reference has no analogue;
+# this is the intra-corpus boilerplate-removal pass every large
+# training-data pipeline runs before near-dup detection.
+#
+# Scale shape: first occurrences come from a HASH AGGREGATION
+# (groupBy(line_hash).agg(min(struct(doc_id, pos)))) rather than a
+# rank-1 window — partial aggregation combines hot boilerplate lines
+# map-side, so a line appearing in millions of documents never
+# serializes one sort partition; the join back on the line hash is
+# AQE-skew-splittable. Output cardinality is |documents| (stats +
+# fingerprint), never the line table.
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_ORACLE = """
+WITH parts AS (SELECT doc_id, string_split(text, '.') AS p FROM documents),
+idx AS (SELECT doc_id, p, unnest(range(0, len(p))) AS pos FROM parts),
+lines AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, trim(p[pos + 1]) AS line
+  FROM idx WHERE trim(p[pos + 1]) <> ''
+),
+keyed AS (SELECT *, md5(lower(line)) AS lkey FROM lines),
+firstdoc AS (SELECT lkey, min(doc_id) AS fd FROM keyed GROUP BY lkey),
+firstpos AS (
+  SELECT k.lkey, f.fd, min(k.pos) AS fp
+  FROM keyed k JOIN firstdoc f ON k.lkey = f.lkey AND k.doc_id = f.fd
+  GROUP BY k.lkey, f.fd
+),
+flagged AS (
+  SELECT k.doc_id, k.pos, k.line,
+         (k.doc_id = fp.fd AND k.pos = fp.fp) AS keep
+  FROM keyed k JOIN firstpos fp ON k.lkey = fp.lkey
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(
+           string_agg(CASE WHEN keep THEN line END, '.' ORDER BY pos), ''
+       )) AS kept_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("line_dedup_stats", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select("doc_id", F.posexplode(F.split("text", "\\.")).alias("pos", "line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "line")
+        .withColumn("lkey", F.md5(F.lower("line")))
+    )
+    lines = track(lines)  # consumed twice: first-occurrence agg + join back
+    # hash-agg argmin (partial agg absorbs boilerplate-line skew
+    # map-side; a rank-1 window would sort one hot partition per
+    # popular line). struct-min plans as SortAggregate locally — the
+    # skew robustness is worth it on this corpus-sized key space.
+    firsts = lines.groupBy("lkey").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    flagged = lines.join(firsts, "lkey").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id")) & (F.col("pos") == F.col("first.pos")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                ".",
+            )
+        ).alias("kept_md5"),
+    )
