@@ -82,6 +82,9 @@ HEADLINE = [
     "alignment_dist",
     "streaming_fuzzy_tiers",
     "line_dedup_stats",
+    "source_domain_caps",
+    "mixture_token_budget",
+    "duplicate_spans",
 ]
 
 

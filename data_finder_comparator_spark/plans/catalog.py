@@ -81,6 +81,12 @@ from . import queries_relational  # noqa: E402,F401
 # multimodal_wav_decode all changed), and these 21 r4-green queries
 # park past the cap.
 _PARKED_MULTI_GREEN = [
+    # parked mid-round-5 to make window room for the three NEW queries
+    # (source_domain_caps, mixture_token_budget, duplicate_spans):
+    # r4-green and their code is untouched this round
+    "event_value_quantiles",
+    "table_version_diff",
+    "corpus_curation_pipeline",
     "stratified_sample",
     "excel_folder_roundtrip",
     "csv_folder_roundtrip",

@@ -696,3 +696,210 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps — the web-corpus "domain cap" (bound any one
+# domain's share of the corpus; here capped per (source, lang) group so
+# the synthetic table exercises both regimes). The naive plan is one
+# row_number window over EVERY row — at 100 TB that global window sorts
+# the whole corpus even though most groups are nowhere near the cap,
+# and a heavy-hitter domain (the reason caps exist at all) makes the
+# sort skewed precisely where it is biggest. The scalable shape splits
+# on a first-pass count: under-cap groups keep all rows with NO
+# per-row sort (a broadcast semi-join against the metadata-sized group
+# table), and only over-cap rows — the rare heavy hitters — enter the
+# ranking window. Membership order is the deterministic content-hash
+# (md5) so the kept set is reproducible and dedup-sticky, like
+# deterministic_sample.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 8
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= {_SOURCE_CAP}
+"""
+
+
+def capped_per_group(
+    df: DataFrame, group_cols: list[str], order_col, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, ranked by ``order_col``,
+    without pulling under-cap groups through a window: pass 1 counts
+    rows per group (partial-agg shuffle of group-count rows only);
+    under-cap groups pass through via a broadcast semi-join, and only
+    over-cap groups' rows are ranked."""
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
+    under = counts.filter(F.col("_gn") <= cap).select(*group_cols)
+    over = counts.filter(F.col("_gn") > cap).select(*group_cols)
+    kept_small = df.join(F.broadcast(under), group_cols, "left_semi")
+    w = Window.partitionBy(*group_cols).orderBy(order_col, "doc_id")
+    kept_big = (
+        df.join(F.broadcast(over), group_cols, "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return kept_small.unionByName(kept_big)
+
+
+@query("source_domain_caps", oracle=_SOURCE_CAP_ORACLE)
+def source_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang", "text"
+    )
+    return capped_per_group(
+        docs, ["source", "lang"], F.md5("text"), _SOURCE_CAP
+    ).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Mixture / token-budget allocation — the data-mixing step that decides
+# per-language sampling rates for a fixed training-token budget.
+# Availability is exact integer token counts (one partial-agg pass);
+# the budget is half the corpus total; each language's target is its
+# mixture weight's share, clipped by availability into a keep-rate.
+# All floats derive from identical integers via identical IEEE-double
+# expressions on both engines, and rates round before comparison. The
+# plan is one groupBy(lang) + a broadcast 1-row total — nothing here
+# grows with the corpus except the scan.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.30, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+
+_MIX_ORACLE = """
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+           AS available_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(available_tokens) // 2 AS BIGINT) AS budget
+        FROM per_lang)
+SELECT lang, n_docs, available_tokens,
+       CAST(floor(CASE lang WHEN 'en' THEN 0.30 ELSE 0.175 END * budget)
+            AS BIGINT) AS target_tokens,
+       round(least(
+         1.0,
+         floor(CASE lang WHEN 'en' THEN 0.30 ELSE 0.175 END * budget)
+           / available_tokens), 6) AS keep_rate
+FROM per_lang CROSS JOIN tot
+"""
+
+
+@query("mixture_token_budget", oracle=_MIX_ORACLE)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).cast("long").alias("available_tokens"),
+    )
+    tot = per_lang.agg(
+        F.expr("sum(available_tokens) div 2").cast("long").alias("budget")
+    )
+    weight = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv])[
+            F.col("lang")
+        ],
+        F.lit(0.175),
+    )
+    target = F.floor(weight * F.col("budget")).cast("long")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(F.lit(1.0), F.col("target_tokens") / F.col("available_tokens")),
+                6,
+            ),
+        )
+        .select("lang", "n_docs", "available_tokens", "target_tokens", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate spans — the diagnosis pass behind substring
+# dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"): which exact token spans recur across many documents
+# (boilerplate, licenses, templates)? 3-token spans here so the
+# synthetic corpus collides; a real pipeline uses 50-token spans over
+# token ids — identical plan. The gram count is a combinable partial
+# agg; the global top-50 does NOT sort the full gram table: a
+# hash-salted per-partition top-k prunes to <=32*50 rows first, and
+# only that sliver enters the single-task final ranking window.
+# ---------------------------------------------------------------------------
+
+_SPAN_MIN_DOCS = 3
+_SPAN_TOP_K = 50
+_SPAN_SALTS = 32
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+counted AS (
+  SELECT gram,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM grams GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+)
+SELECT gram, n_docs, n_occurrences, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC,
+                               gram) AS rk
+  FROM counted) t
+WHERE rk <= {_SPAN_TOP_K}
+"""
+
+
+@query("duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counted = (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+    )
+    order = [F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram")]
+    # stage 1: per-salt top-k (parallel) prunes the candidate set to
+    # <= _SPAN_SALTS * _SPAN_TOP_K rows before any global ordering
+    w_salt = Window.partitionBy("_salt").orderBy(*order)
+    pruned = (
+        counted.withColumn("_salt", F.pmod(F.hash("gram"), F.lit(_SPAN_SALTS)))
+        .withColumn("_srk", F.row_number().over(w_salt))
+        .filter(F.col("_srk") <= _SPAN_TOP_K)
+    )
+    # stage 2: final rank over the pruned sliver only
+    w_all = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("rk") <= _SPAN_TOP_K)
+        .select("gram", "n_docs", "n_occurrences", "rk")
+    )

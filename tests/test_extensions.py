@@ -874,3 +874,38 @@ def test_session_windows_merge_across_microbatches(spark, tmp_path):
     # events (00:40 + 30m gap). The 05:00 session stays open (no later
     # watermark) and must NOT have been emitted.
     assert rows == {("00:00", "01:10", 3)}
+
+
+def test_capped_per_group_matches_direct_window(spark):
+    """The skew-split cap plan (under-cap groups skip the ranking
+    window entirely) must keep exactly the rows a direct global
+    row_number window keeps — including on a heavy-hitter group far
+    over the cap and a group exactly AT the cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.plans.queries_text import capped_per_group
+
+    rows = (
+        [(i, "big", "en", f"t{i:03d}") for i in range(40)]  # 5x over cap
+        + [(100 + i, "atcap", "en", f"a{i}") for i in range(8)]  # exactly cap
+        + [(200 + i, "small", "de", f"s{i}") for i in range(3)]  # under cap
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = capped_per_group(df, ["source", "lang"], F.md5("text"), 8)
+
+    w = Window.partitionBy("source", "lang").orderBy(F.md5("text"), "doc_id")
+    want = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 8)
+        .drop("_rk")
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    # per-group cap is enforced
+    per = {
+        (r.source, r.lang): r.n
+        for r in got.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {("big", "en"): 8, ("atcap", "en"): 8, ("small", "de"): 3}
