@@ -164,3 +164,40 @@ def test_sequence_packing_has_no_global_data_sort(spark):
     plan = _executed_plan(QUERIES["sequence_packing"](spark, SF))
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_source_caps_window_is_skew_split(spark):
+    """source_domain_caps must rank ONLY the over-cap branch: exactly
+    one Window node in the plan (the heavy-hitter side), both group
+    pass-through joins executed as broadcasts, and no range
+    partitioning of the document rows anywhere — a refactor back to a
+    single global row_number window over every row fails here."""
+    plan = _executed_plan(QUERIES["source_domain_caps"](spark, SF))
+    # one ranking Window (over-cap branch only); WindowGroupLimit nodes
+    # are Spark's partial top-k pushdown around it — a bonus, not a rank
+    assert plan.count("Window [") == 1, plan
+    assert "WindowGroupLimit" in plan, plan  # rank-limit pushed below the exchange
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_duplicate_spans_salted_topk_prunes_before_global_rank(spark):
+    """duplicate_spans' global top-k must be two-stage: the data-sized
+    ranking window partitions on the salt (hashpartitioning(_salt...))
+    and only the pruned sliver crosses the SinglePartition exchange for
+    the final rank. A refactor to one global ORDER BY window over the
+    full gram table would range-partition the gram rows and fail."""
+    import re
+
+    plan = _executed_plan(QUERIES["duplicate_spans"](spark, SF))
+    assert re.search(r"hashpartitioning\(_salt", plan), plan
+    assert plan.count("Window [") == 2, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_mixture_budget_total_is_broadcast(spark):
+    """The corpus-total token budget joins in as a broadcast 1-row
+    aggregate — never a shuffled join, never a driver-side scalar."""
+    plan = _executed_plan(QUERIES["mixture_token_budget"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
