@@ -343,6 +343,15 @@ def _global_argmin_escalating(
         wf = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []
         width = max(2 * t, 2)
+        # One action per round, not two: the round's fused agg counts
+        # rows AND distinct resolved probes, so the remainder size is
+        # known arithmetically (a probe either resolves with its full
+        # tie set in a round or emits nothing) — no separate job to
+        # count the anti-join. The anti-join parent stays cached one
+        # extra round (`prev`) so the NEXT round's action materializes
+        # the (persisted) remainder against cached inputs, never from
+        # lineage back to the source join.
+        prev: DataFrame | None = None
         for _ in range(_FALLBACK_MAX_ROUNDS):
             final = width >= bound
             pairs = _bucketed_band_pairs(remaining, matchable, width, broadcast_cand)
@@ -363,8 +372,14 @@ def _global_argmin_escalating(
                 .select(*OUT_COLS)
             )
             part = _track(part)
-            part_n = part.count()  # materialize before releasing the parent cache
+            part_n, resolved = part.agg(
+                F.count(F.lit(1)), F.count_distinct("probe_id")
+            ).first()
             parts.append(part)
+            # this action materialized `remaining`; its parent can go
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if final:
                 # the band covered every pair and the DP was exact:
                 # every remaining probe resolved this round
@@ -376,18 +391,14 @@ def _global_argmin_escalating(
                 # through widths that will also keep nothing.
                 width = max(bound, 2)
                 continue
+            n_rem -= resolved
+            if n_rem == 0:
+                break
             nxt = _track(
                 remaining.join(part.select("probe_id").distinct(), "probe_id", "left_anti")
             )
-            # count(), not isEmpty(): isEmpty materializes only the first
-            # partition, so unpersisting the parent below would force
-            # later rounds to recompute nxt's uncached partitions from
-            # the full lineage back to the source join
-            done = nxt.count() == 0
-            remaining.unpersist()
+            prev = remaining
             remaining = nxt
-            if done:
-                break
             width = min(width * 2, max(bound, 2))
         else:
             # capped remainder: broadcast the (small) surviving probe
@@ -496,6 +507,7 @@ def topk_fuzzy_join(
         wp = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []
         width = max(init_width, 2)
+        prev: DataFrame | None = None
         for _ in range(_FALLBACK_MAX_ROUNDS):
             final = width >= bound
             pairs = _bucketed_band_pairs(remaining, matchable, width, broadcast_cand)
@@ -518,8 +530,19 @@ def topk_fuzzy_join(
             part = _track(
                 ranked.filter(resolved_pred & (F.col("rnk") <= k)).select(*out_cols)
             )
-            part_n = part.count()  # materialize before parent caches go
+            # one action per round (see _global_argmin_escalating): the
+            # fused agg yields the row count AND how many probes
+            # resolved, so the remainder size is known without a
+            # second job over the anti-join; the parent cache is held
+            # one extra round so the next action materializes the
+            # persisted remainder against cached inputs
+            part_n, resolved = part.agg(
+                F.count(F.lit(1)), F.count_distinct("probe_id")
+            ).first()
             parts.append(part)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if final:
                 break
             if part_n == 0:
@@ -527,18 +550,16 @@ def topk_fuzzy_join(
                 # also fall short and go straight to the exact round
                 width = max(bound, 2)
                 continue
+            n_rem -= resolved
+            if n_rem == 0:
+                break
             nxt = _track(
                 remaining.join(
                     part.select("probe_id").distinct(), "probe_id", "left_anti"
                 )
             )
-            # count() forces full materialization into the cache before
-            # the parent unpersists (isEmpty touches one partition only)
-            done = nxt.count() == 0
-            remaining.unpersist()
+            prev = remaining
             remaining = nxt
-            if done:
-                break
             width = min(width * 2, max(bound, 2))
         else:
             # capped remainder (unreachable unless bound > 2^8 *

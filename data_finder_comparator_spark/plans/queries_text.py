@@ -867,8 +867,12 @@ WHERE rk <= {_SPAN_TOP_K}
 
 @query("duplicate_spans", oracle=_DUP_SPANS_ORACLE)
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fanout_partitions
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # document tables arrive in few file-splits; spread docs BEFORE the
+    # ~|tokens|-fold explode (same fan-out move as char_shingles)
+    grams = docs.repartition(fanout_partitions(docs), "doc_id").select(
         "doc_id",
         F.explode(
             F.expr(
@@ -879,11 +883,18 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # (n_docs, n_occurrences) via two stacked aggs instead of
+    # count_distinct-next-to-count: the single-agg form plans an Expand
+    # that doubles every exploded gram row before the exchange; the
+    # stacked form partial-aggregates (gram, doc_id) map-side first, so
+    # the shuffle carries per-doc gram counts, not raw gram rows
     counted = (
-        grams.groupBy("gram")
+        grams.groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .groupBy("gram")
         .agg(
-            F.count_distinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_occ").cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
     )

@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from data_finder_comparator_spark.operators.dedup import (  # noqa: E402
@@ -34,6 +35,7 @@ from data_finder_comparator_spark.operators.fuzzy_join import (  # noqa: E402
 from data_finder_comparator_spark.plans.queries_text import (  # noqa: E402
     bucketed_packing_layout,
     bucketed_shuffle_positions,
+    capped_per_group,
 )
 from data_finder_comparator_spark.session import get_spark  # noqa: E402
 from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
@@ -60,6 +62,8 @@ def main() -> None:
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
         F.col("n_chars").cast("long").alias("n_chars"),
+        "source",
+        "lang",
     )
     sizes = [
         int(s)
@@ -100,6 +104,52 @@ def main() -> None:
         t0 = time.perf_counter()
         bucketed_packing_layout(docs.select("doc_id", "n_chars")).count()
         results[tag]["packing_two_pass"] = round(time.perf_counter() - t0, 2)
+
+        # Skew-split per-group cap: inflation multiplies every
+        # (source, lang) group's size, so at 4x+ EVERY group is over
+        # cap — the worst case for the split (the whole corpus enters
+        # the ranking window). The curve must stay ~linear because the
+        # window partitions by group, never globally.
+        t0 = time.perf_counter()
+        capped_per_group(docs, ["source", "lang"], F.md5("text"), 8).count()
+        results[tag]["source_caps"] = round(time.perf_counter() - t0, 2)
+
+        # Salted two-stage top-k over the cross-doc gram table: the
+        # data-sized stage is a combinable agg + per-salt
+        # WindowGroupLimit; only <=32*50 rows reach the single-task
+        # final rank, so growth tracks the gram-count agg.
+        t0 = time.perf_counter()
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                    " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                    " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        counted = (
+            grams.groupBy("gram")
+            .agg(
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= 3)
+        )
+        order = [F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram")]
+        w_salt = Window.partitionBy("_salt").orderBy(*order)
+        w_all = Window.orderBy(*order)
+        (
+            counted.withColumn("_salt", F.pmod(F.hash("gram"), F.lit(32)))
+            .withColumn("_srk", F.row_number().over(w_salt))
+            .filter(F.col("_srk") <= 50)
+            .withColumn("rk", F.row_number().over(w_all))
+            .filter(F.col("rk") <= 50)
+            .count()
+        )
+        results[tag]["span_topk"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
         probes = docs.filter(F.col("doc_id") % 50 == 0).select(
