@@ -233,6 +233,14 @@ def tiered_fuzzy_join(
 # (by then tiny) remainder falls back to a broadcast nested-loop scan.
 _FALLBACK_MAX_ROUNDS = 8
 
+# Adaptive shortcut for the escalation loops: when the remaining-probe
+# x candidate product is at most this many pairs, the exact final-width
+# round costs less than ONE doubling round's scheduling overhead — jump
+# straight to it. The plan stays a bucketed band equi-join (never a
+# cartesian); only the width choice adapts, exactly like AQE choosing a
+# broadcast join from an observed size.
+_FALLBACK_SMALL_PRODUCT = 1 << 20
+
 
 def _bucketed_band_pairs(
     p_sub: DataFrame, c: DataFrame, width: int, broadcast_cand: bool
@@ -343,6 +351,9 @@ def _global_argmin_escalating(
         wf = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []
         width = max(2 * t, 2)
+        if n_rem * n_cand <= _FALLBACK_SMALL_PRODUCT:
+            # tiny remainder: one exact round beats the doubling ladder
+            width = max(bound, 2)
         # One action per round, not two: the round's fused agg counts
         # rows AND distinct resolved probes, so the remainder size is
         # known arithmetically (a probe either resolves with its full
@@ -507,6 +518,9 @@ def topk_fuzzy_join(
         wp = Window.partitionBy("probe_id")
         parts: list[DataFrame] = []
         width = max(init_width, 2)
+        if n_rem * n_cand <= _FALLBACK_SMALL_PRODUCT:
+            # tiny remainder: one exact round beats the doubling ladder
+            width = max(bound, 2)
         prev: DataFrame | None = None
         for _ in range(_FALLBACK_MAX_ROUNDS):
             final = width >= bound
