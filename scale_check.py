@@ -193,7 +193,6 @@ def main() -> None:
 
             t0 = time.perf_counter()
             from data_finder_comparator_spark.functions.normalize import norm_key
-            from pyspark.sql import Window
 
             p = probes.withColumn("_nq", norm_key(F.col("probe")))
             c = cands.withColumn("_nc", norm_key(F.col("cand")))
