@@ -85,6 +85,7 @@ HEADLINE = [
     "source_domain_caps",
     "mixture_token_budget",
     "duplicate_spans",
+    "orc_folder_roundtrip",
 ]
 
 

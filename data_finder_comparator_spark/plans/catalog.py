@@ -87,6 +87,7 @@ _PARKED_MULTI_GREEN = [
     "event_value_quantiles",
     "table_version_diff",
     "corpus_curation_pipeline",
+    "dedup_exact",
     "stratified_sample",
     "excel_folder_roundtrip",
     "csv_folder_roundtrip",

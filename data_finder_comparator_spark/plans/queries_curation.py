@@ -157,6 +157,47 @@ def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2 across a fourth format: folder-of-ORC ingestion. ORC is Spark's
+# other first-class columnar format (predicate pushdown, column
+# pruning, vectorized reader all work like parquet); the roundtrip
+# proves the engine's folder-scan machinery is format-agnostic. DuckDB
+# cannot read ORC, so the oracle reads the SAME rows from the original
+# parquet table — a hash match proves the ORC write+scan is lossless.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+"""
+
+
+@query("orc_folder_roundtrip", oracle=_ORC_ORACLE)
+def orc_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim written to two ORC folders (distributed write) and
+    read back, unioned by name — the same split/scan/union shape as the
+    csv/json/xlsx/parquet paths. ORC round-trips longs and doubles
+    bit-exactly, so the parquet-derived oracle hash must match."""
+    from ..util import fresh_run_dir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    d = fresh_run_dir("orc_folder", sf_dir)
+    for name, part in (("even", 0), ("odd", 1)):
+        cust.filter(F.col("c_custkey") % 2 == part).write.mode("overwrite").orc(
+            os.path.join(d, name)
+        )
+    dfs = [spark.read.orc(os.path.join(d, name)) for name in ("even", "odd")]
+    return union_by_name(dfs)
+
+
+# ---------------------------------------------------------------------------
 # P4: deterministic row ids (positional-row replacement).
 # ---------------------------------------------------------------------------
 
