@@ -86,6 +86,9 @@ HEADLINE = [
     "mixture_token_budget",
     "duplicate_spans",
     "orc_folder_roundtrip",
+    "partitioned_lang_roundtrip",
+    "event_funnel",
+    "streaming_dedup_events",
 ]
 
 

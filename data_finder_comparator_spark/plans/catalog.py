@@ -85,6 +85,13 @@ _PARKED_MULTI_GREEN = [
     # (source_domain_caps, mixture_token_budget, duplicate_spans):
     # r4-green and their code is untouched this round
     "event_value_quantiles",
+    # parked late-round-5 for the next three NEW queries
+    # (partitioned_lang_roundtrip, event_funnel, streaming_dedup_events):
+    # all three parked are r4-green and their implementations are
+    # untouched this round (similarity.py / the simhash path)
+    "ann_cosine_topk",
+    "ann_sq8_rerank_topk",
+    "dedup_simhash",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

@@ -198,6 +198,52 @@ def orc_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hive-style partitioned layout + partition pruning: the on-disk
+# organization a 100 TB corpus actually uses. Documents are written
+# ``partitionBy("lang")`` (one directory per language, written
+# distributed), and the read-back filters two languages — Spark prunes
+# at the DIRECTORY level (PartitionFilters in the scan, pinned by
+# tests/test_plan_shapes.py), so the other partitions' files are never
+# opened. At scale this is the difference between scanning 2/5 of the
+# corpus and scanning all of it.
+# ---------------------------------------------------------------------------
+
+_PARTITIONED_ORACLE = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang IN ('en', 'fr')
+GROUP BY lang, source
+"""
+
+
+@query("partitioned_lang_roundtrip", oracle=_PARTITIONED_ORACLE)
+def partitioned_lang_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written to a hive-partitioned parquet layout
+    (``partitionBy("lang")``) and read back with a two-language filter
+    that prunes at the partition-directory level, then aggregated per
+    (lang, source). The oracle recomputes from the flat table — a hash
+    match proves the partitioned roundtrip is lossless and the pruned
+    scan complete."""
+    from ..util import fresh_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    d = fresh_run_dir("part_lang", sf_dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(d)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # P4: deterministic row ids (positional-row replacement).
 # ---------------------------------------------------------------------------
 

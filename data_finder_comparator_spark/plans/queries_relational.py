@@ -747,3 +747,88 @@ def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: per-user ordered stage progression (view -> click ->
+# purchase, each stage strictly after the one before). The classic
+# product-analytics operator — and a single-shuffle plan: ONE groupBy
+# on user_id collects each user's (ts, event_type) timeline and a
+# JVM-side F.aggregate fold runs the stage machine over the sorted
+# array. The naive formulation (the oracle) is three self-joins of the
+# fact table against itself — three shuffles and two join-explosion
+# risks at 100 TB; the fold shuffles each event exactly once and keeps
+# per-user state O(1). Per-user timelines are bounded (product
+# analytics, not firehose telemetry), so the collected array is small;
+# equal-timestamp events never advance a later stage (strict >), which
+# is exactly the oracle's join condition.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@query("event_funnel", oracle=_FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel stage (0-3) in one shuffle: collect the user's
+    timeline, sort it, fold a stage machine over it with F.aggregate —
+    all JVM-side, no UDF. A stage advances only on the matching event
+    type STRICTLY after the previous stage's timestamp, matching the
+    oracle's three-join restatement."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def step(acc, x):
+        def adv(stage):
+            return F.struct(
+                F.lit(stage).alias("stage"), x["ts"].alias("at")
+            )
+
+        return (
+            F.when(
+                (acc["stage"] == F.lit(0)) & (x["event_type"] == F.lit("view")),
+                adv(1),
+            )
+            .when(
+                (acc["stage"] == F.lit(1))
+                & (x["event_type"] == F.lit("click"))
+                & (x["ts"] > acc["at"]),
+                adv(2),
+            )
+            .when(
+                (acc["stage"] == F.lit(2))
+                & (x["event_type"] == F.lit("purchase"))
+                & (x["ts"] > acc["at"]),
+                adv(3),
+            )
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp_ntz").alias("at"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate("evs", init, step)["stage"].cast("int").alias("funnel_stage"),
+        )
+    )

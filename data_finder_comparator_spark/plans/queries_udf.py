@@ -429,6 +429,31 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windowed_counts(spark, sf_dir, gap="30 minutes", delay="1 hour")
 
 
+# Exactly-once repair: the doubled stream (every event delivered twice,
+# the at-least-once redelivery pattern) collapses back to one row per
+# event_id, so the batch restatement is simply the original table.
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
+
+@query("streaming_dedup_events", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup (`dropDuplicatesWithinWatermark`) over
+    an at-least-once source that delivers every event twice: first
+    arrival emitted exactly once in append mode to a parquet file sink,
+    duplicate suppressed by watermark-bounded keyed state. Completes
+    the stateful-operator family next to the custom
+    applyInPandasWithState first-seen operator."""
+    from ..streaming.pipeline import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Grouped-aggregate pandas UDF (the UDAF surface, SURVEY.md §2.10):
 # per-language robust location/spread of document length — median and

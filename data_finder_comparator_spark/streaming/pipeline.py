@@ -602,3 +602,63 @@ def purchase_click_attribution(
         finally:
             q.stop()
     return spark.read.schema(STREAM_JOIN_SCHEMA).parquet(out_path)
+
+
+DEDUP_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, event_type string, value double"
+)
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "1 hour",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Streaming exactly-once repair for an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` on the event key over a stream
+    that delivers every event TWICE (each row fanned out through a
+    2-element explode — the redelivery pattern a replayed Kafka offset
+    or a retried producer actually produces). The first arrival of each
+    event_id is emitted immediately in APPEND mode; the duplicate is
+    suppressed by keyed state, and the watermark bounds that state:
+    a key's tombstone is dropped once the watermark passes its event
+    time + delay, so state never grows with the stream's lifetime —
+    the property that makes this run forever at 100 TB/day. Emissions
+    go straight to a parquet file sink (distributed write, nothing
+    through the driver); the returned DataFrame scans the sink."""
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir("dedup_events", f"{sf_dir}|{delay}")
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    ev = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    # at-least-once simulation: every event arrives twice in-stream
+    doubled = ev.withColumn(
+        "delivery", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("delivery")
+    out = (
+        doubled.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    with _stream_confs(spark, _NANOS_CONF):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.schema(DEDUP_EVENTS_SCHEMA).parquet(out_path)

@@ -909,3 +909,44 @@ def test_capped_per_group_matches_direct_window(spark):
         for r in got.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
     }
     assert per == {("big", "en"): 8, ("atcap", "en"): 8, ("small", "de"): 3}
+
+
+def test_streaming_dedup_cross_batch_suppression(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery in a LATER
+    micro-batch (arriving before the watermark passes the event's time
+    + delay) must be suppressed by the keyed state, while new keys
+    still flow through."""
+    from datetime import datetime
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 30, 0)
+    spark.createDataFrame(
+        [(1, t0, "click", 1.0), (2, t0, "view", 2.0)], schema
+    ).coalesce(1).write.parquet(str(ev_dir / "f0"))
+    stream = spark.readStream.schema(schema).parquet(str(ev_dir / "*"))
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event 1 redelivered (same event time, watermark has
+        # not yet passed ts+delay) plus a genuinely new event
+        spark.createDataFrame(
+            [(1, t0, "click", 1.0), (3, t1, "purchase", 3.0)], schema
+        ).coalesce(1).write.parquet(str(ev_dir / "f1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [r.event_id for r in spark.table("dedup_stream_t").collect()]
+    assert sorted(ids) == [1, 2, 3]  # each exactly once; redelivery dropped

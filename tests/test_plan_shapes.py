@@ -201,3 +201,19 @@ def test_mixture_budget_total_is_broadcast(spark):
     plan = _executed_plan(QUERIES["mixture_token_budget"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    # the lang filter must hit the scan as a PARTITION filter (directory
+    # pruning), not a data filter evaluated after reading every file
+    plan = _executed_plan(QUERIES["partitioned_lang_roundtrip"](spark, SF))
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in part and ("IN" in part.upper() or "in(" in part)
+
+
+def test_event_funnel_single_shuffle_no_join(spark):
+    # the funnel is ONE groupBy fold, never the three-self-join plan the
+    # oracle restates — no join operator and exactly one data exchange
+    plan = _executed_plan(QUERIES["event_funnel"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
