@@ -89,6 +89,8 @@ HEADLINE = [
     "partitioned_lang_roundtrip",
     "event_funnel",
     "streaming_dedup_events",
+    "hourly_gapfill",
+    "orders_grouping_sets",
 ]
 
 

@@ -92,6 +92,10 @@ _PARKED_MULTI_GREEN = [
     "ann_cosine_topk",
     "ann_sq8_rerank_topk",
     "dedup_simhash",
+    # parked for hourly_gapfill + orders_grouping_sets: r4-green, their
+    # UDAF/UDTF implementations untouched (module only appended to)
+    "lang_robust_length_stats",
+    "doc_token_chunks",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

@@ -832,3 +832,99 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("evs", init, step)["stage"].cast("int").alias("funnel_stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: the resample operator — a dense hourly grid per
+# event_type with zeros where no events landed (dashboards and
+# anomaly-detection windows need the empty hours, not just the observed
+# ones). Single-shuffle plan: ONE scan+aggregate of the fact table
+# produces the hourly counts; the grid (types x hours), the bounds, and
+# the distinct types all derive from that already-aggregated,
+# metadata-sized table, so the fact table is read exactly once and
+# everything after the groupBy is broadcast-sized at any scale (the
+# grid is |types| * |hours| rows — thousands, even for years of data).
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn,
+                  date_trunc('hour', max(ts)) AS mx FROM events),
+h AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
+t AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT t.event_type,
+       CAST(h.hr AS TIMESTAMP) AS hr,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM t CROSS JOIN h
+LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
+"""
+
+
+@query("hourly_gapfill", oracle=_GAPFILL_ORACLE)
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with explicit zero rows for
+    empty hours. The fact table is scanned once (the hourly groupBy);
+    bounds, type list, and the sequence-exploded grid all come from
+    that aggregated table, and the final left join's probe side is the
+    tiny grid — no second pass over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    counts = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    counts = counts.persist()
+    from .catalog import CACHES
+
+    CACHES.append(counts)
+    bounds = counts.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    return grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: the explicit-set member of the multi-level aggregation
+# trio (rollup `orders_rollup`, cube `events_cube`). One shuffle: Spark
+# expands the sets map-side and aggregates all levels in a single pass,
+# exactly like rollup/cube; grouping_id disambiguates levels where a
+# grouping column is genuinely NULL.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("orders_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — (status, priority), (status), grand
+    total — in one aggregation pass, with grouping_id exposed so
+    consumers can tell a subtotal row from a NULL group value. The
+    DuckDB oracle uses the same set list and bit convention (first
+    grouping column = most significant bit)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -217,3 +217,22 @@ def test_event_funnel_single_shuffle_no_join(spark):
     plan = _executed_plan(QUERIES["event_funnel"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gapfill_scans_fact_table_once(spark):
+    # bounds/types/grid all derive from the persisted hourly aggregate:
+    # every appearance of the raw events FileScan is INSIDE a cached
+    # InMemoryRelation's build plan (printed once per consumer), so the
+    # parquet is physically read once — the three consumers read the
+    # cache (InMemoryTableScan), never the file
+    plan = _executed_plan(QUERIES["hourly_gapfill"](spark, SF))
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
+    assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    # all three levels aggregate in one Expand+HashAggregate pass —
+    # never one job per set unioned together
+    plan = _executed_plan(QUERIES["orders_grouping_sets"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
