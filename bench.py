@@ -91,6 +91,7 @@ HEADLINE = [
     "streaming_dedup_events",
     "hourly_gapfill",
     "orders_grouping_sets",
+    "hll_distinct_sketch",
 ]
 
 

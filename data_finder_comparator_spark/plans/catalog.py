@@ -96,6 +96,9 @@ _PARKED_MULTI_GREEN = [
     # UDAF/UDTF implementations untouched (module only appended to)
     "lang_robust_length_stats",
     "doc_token_chunks",
+    # parked for hll_distinct_sketch: r4-green, sliding-window path
+    # untouched (pipeline.py only appended to this round)
+    "streaming_sliding_counts",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

@@ -388,3 +388,89 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — the mergeable-cardinality operator
+# (corpus-wide distinct URLs/hashes/tokens without a count-distinct
+# shuffle of the raw values). p=8 -> m=256 registers; the register
+# update is pure map-side arithmetic on an md5-derived 60-bit value and
+# the shuffle carries AT MOST 256 partially-merged rows per partition —
+# at 100 TB the network moves kilobytes. Registers are mergeable across
+# shards/days by construction (max per register). Unlike the built-in
+# approx_count_distinct (whose HLL++ internals an external engine can't
+# reproduce), every step here is deterministic and restated exactly in
+# the DuckDB oracle: same md5, same bit-slices, same integer-scaled
+# harmonic sum (sum of 2^(25-rho) as BIGINT — one float division at the
+# very end), same baked-in alpha*m^2*2^25 literal, so even the float
+# estimate hash-matches. The standard small-range linear-counting
+# correction (est < 2.5m with empty registers) applies on both sides.
+# ---------------------------------------------------------------------------
+
+_HLL_C = "1579498136381.3938"  # 0.7213/(1+1.079/256) * 256^2 * 2^25
+_HLL_ORACLE = f"""
+WITH v AS (SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS v
+           FROM documents),
+b AS (SELECT v // 4503599627370496 AS register_id,
+             v % 4503599627370496 AS w FROM v),
+r AS (SELECT register_id,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM b),
+reg AS (SELECT register_id, CAST(max(rho) AS BIGINT) AS max_rho
+        FROM r GROUP BY register_id),
+s AS (SELECT count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (25 - least(max_rho, 25))) AS ssum
+      FROM reg),
+e AS (SELECT 256 - n_present AS n_zeros,
+             {_HLL_C} / (ssum + (256 - n_present) * 33554432) AS raw
+      FROM s)
+SELECT reg.register_id, reg.max_rho,
+       CAST(e.n_zeros AS BIGINT) AS n_zeros,
+       CAST(round(CASE WHEN e.n_zeros > 0 AND e.raw < 640.0
+                       THEN 256 * ln(256.0 / e.n_zeros)
+                       ELSE e.raw END, 4) AS DOUBLE) AS est_distinct
+FROM reg CROSS JOIN e
+"""
+
+
+@query("hll_distinct_sketch", oracle=_HLL_ORACLE)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL (p=8) over document texts: md5 -> 60-bit value
+    -> (register, leading-zero rank) map-side, max per register, integer
+    -scaled harmonic sum, one closing division. Returns the full
+    register table (the mergeable sketch state) with the zero-register
+    count and the corrected estimate attached."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    v = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    d = docs.select(v.alias("v")).select(
+        F.shiftright("v", 52).alias("register_id"),
+        F.expr("v & 4503599627370495").alias("w"),
+    )
+    pos = F.instr(F.lpad(F.bin("w"), 52, "0"), "1")
+    rho = F.when(pos == 0, F.lit(53)).otherwise(pos)
+    reg = (
+        d.select("register_id", rho.alias("rho"))
+        .groupBy("register_id")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    reg = track(reg)
+    summary = reg.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 25 - least(max_rho, 25))")
+        ).alias("ssum"),
+    ).select(
+        (256 - F.col("n_present")).cast("long").alias("n_zeros"),
+        (
+            F.lit(float(_HLL_C))
+            / (F.col("ssum") + (256 - F.col("n_present")) * 33554432)
+        ).alias("raw"),
+    )
+    est = F.when(
+        (F.col("n_zeros") > 0) & (F.col("raw") < 640.0),
+        256 * F.log(256.0 / F.col("n_zeros")),
+    ).otherwise(F.col("raw"))
+    return reg.crossJoin(
+        F.broadcast(summary.select("n_zeros", F.round(est, 4).alias("est_distinct")))
+    )

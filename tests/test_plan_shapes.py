@@ -236,3 +236,13 @@ def test_grouping_sets_single_expand_pass(spark):
     plan = _executed_plan(QUERIES["orders_grouping_sets"](spark, SF))
     assert plan.count("Expand") >= 1
     assert "Union" not in plan
+
+
+def test_hll_sketch_shuffles_registers_not_values(spark):
+    # the register max is partially aggregated BEFORE the exchange (the
+    # shuffle carries <=256 merged rows per partition, never raw
+    # values), and the summary attaches by broadcast, not a sorted join
+    plan = _executed_plan(QUERIES["hll_distinct_sketch"](spark, SF))
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_max" in pre_exchange, plan
+    assert "SortMergeJoin" not in plan, plan
