@@ -92,6 +92,7 @@ HEADLINE = [
     "hourly_gapfill",
     "orders_grouping_sets",
     "hll_distinct_sketch",
+    "cms_heavy_hitters",
 ]
 
 

@@ -99,6 +99,8 @@ _PARKED_MULTI_GREEN = [
     # parked for hll_distinct_sketch: r4-green, sliding-window path
     # untouched (pipeline.py only appended to this round)
     "streaming_sliding_counts",
+    # parked for cms_heavy_hitters: r4-green, enrichment path untouched
+    "streaming_enriched_segments",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

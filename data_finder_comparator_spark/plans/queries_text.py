@@ -914,3 +914,105 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SPAN_TOP_K)
         .select("gram", "n_docs", "n_occurrences", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — the second member of the sketch
+# family (with `hll_distinct_sketch`): fixed 4x1024 counter matrix,
+# md5-salted row hashes, point estimate = min over rows. The counter
+# build is a |vocab|-row shuffle into at most 4096 cells (map-side
+# partial sums first), and the estimate pass joins the vocabulary
+# against the BROADCAST counter table — at 100 TB the sketch state the
+# network moves is kilobytes, and the matrix is mergeable across
+# shards/days by cell-wise addition. Every hash, counter, and estimate
+# is integer-exact and restated verbatim in the DuckDB oracle; the
+# output keeps the true count next to the estimate, pinning the CMS
+# one-sided-error guarantee (est >= true) in data the driver hashes.
+# A token is reported heavy when its estimate clears 0.5% of the
+# stream (est * 200 >= total), in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+hashed AS (
+  SELECT tok, n,
+    CAST(concat('0x', substr(md5(concat('r0:', tok)), 1, 15)) AS BIGINT) % 1024 AS b0,
+    CAST(concat('0x', substr(md5(concat('r1:', tok)), 1, 15)) AS BIGINT) % 1024 AS b1,
+    CAST(concat('0x', substr(md5(concat('r2:', tok)), 1, 15)) AS BIGINT) % 1024 AS b2,
+    CAST(concat('0x', substr(md5(concat('r3:', tok)), 1, 15)) AS BIGINT) % 1024 AS b3
+  FROM freq
+),
+counters AS (
+  SELECT r, b, sum(n) AS c FROM (
+    SELECT 0 AS r, b0 AS b, n FROM hashed UNION ALL
+    SELECT 1, b1, n FROM hashed UNION ALL
+    SELECT 2, b2, n FROM hashed UNION ALL
+    SELECT 3, b3, n FROM hashed
+  ) GROUP BY r, b
+),
+est AS (
+  SELECT h.tok, h.n, least(c0.c, c1.c, c2.c, c3.c) AS e
+  FROM hashed h
+  JOIN counters c0 ON c0.r = 0 AND c0.b = h.b0
+  JOIN counters c1 ON c1.r = 1 AND c1.b = h.b1
+  JOIN counters c2 ON c2.r = 2 AND c2.b = h.b2
+  JOIN counters c3 ON c3.r = 3 AND c3.b = h.b3
+),
+tot AS (SELECT sum(n) AS t FROM freq)
+SELECT est.tok, est.n AS n_true, CAST(est.e AS BIGINT) AS n_est
+FROM est, tot WHERE est.e * 200 >= tot.t
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document token stream: 4
+    md5-salted hash rows x 1024 buckets, cell-wise summed counters,
+    min-of-rows point estimates, 0.5%-of-stream report threshold — all
+    integer arithmetic, bit-identical to the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = track(toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def bucket(r: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"r{r}:"), F.col("tok"))), 1, 15)
+        return (F.conv(hx, 16, 10).cast("long") % 1024).alias(f"b{r}")
+
+    hashed = track(freq.select("tok", "n", bucket(0), bucket(1), bucket(2), bucket(3)))
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), F.col(f"b{r}").alias("b"))
+                    for r in range(4)
+                ]
+            )
+        ).alias("cell"),
+        "n",
+    ).select("cell.r", "cell.b", "n")
+    counters = cells.groupBy("r", "b").agg(F.sum("n").alias("c"))
+    est = hashed
+    for r in range(4):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("b").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(cr), f"b{r}")
+    total = freq.agg(F.sum("n").alias("t"))
+    return (
+        est.select(
+            "tok",
+            F.col("n").alias("n_true"),
+            F.least("c0", "c1", "c2", "c3").cast("long").alias("n_est"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_est") * 200 >= F.col("t"))
+        .drop("t")
+    )

@@ -246,3 +246,12 @@ def test_hll_sketch_shuffles_registers_not_values(spark):
     pre_exchange = plan.split("Exchange hashpartitioning")[1]
     assert "partial_max" in pre_exchange, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_estimates_join_broadcast_counters(spark):
+    # the 4 estimate lookups join the vocabulary against the <=4096-row
+    # counter table as broadcasts — never a sorted shuffle join of the
+    # vocabulary per hash row
+    plan = _executed_plan(QUERIES["cms_heavy_hitters"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
