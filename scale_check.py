@@ -151,6 +151,56 @@ def main() -> None:
         )
         results[tag]["span_topk"] = round(time.perf_counter() - t0, 2)
 
+        # Sketch builds (HLL registers / CMS counters): state is a fixed
+        # 256 / 4096 cells regardless of rows, so the curve must track
+        # the map-side scan alone — any superlinear growth means the
+        # partial aggregation stopped combining before the exchange.
+        t0 = time.perf_counter()
+        v = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        hb = docs.select(v.alias("v")).select(
+            F.shiftright("v", 52).alias("register_id"),
+            F.expr("v & 4503599627370495").alias("w"),
+        )
+        pos = F.instr(F.lpad(F.bin("w"), 52, "0"), "1")
+        rho = F.when(pos == 0, F.lit(53)).otherwise(pos)
+        hb.select("register_id", rho.alias("rho")).groupBy("register_id").agg(
+            F.max("rho")
+        ).count()
+        results[tag]["hll_registers"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        cells = freq.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(F.concat(F.lit(f"r{r}:"), F.col("tok"))),
+                                        1,
+                                        15,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % 1024
+                            ).alias("b"),
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("cell"),
+            "n",
+        ).select("cell.r", "cell.b", "n")
+        cells.groupBy("r", "b").agg(F.sum("n")).count()
+        results[tag]["cms_counters"] = round(time.perf_counter() - t0, 2)
+
         t0 = time.perf_counter()
         probes = docs.filter(F.col("doc_id") % 50 == 0).select(
             F.col("doc_id").alias("probe_id"),
