@@ -93,6 +93,7 @@ HEADLINE = [
     "orders_grouping_sets",
     "hll_distinct_sketch",
     "cms_heavy_hitters",
+    "bloom_decontaminate",
 ]
 
 

@@ -101,6 +101,9 @@ _PARKED_MULTI_GREEN = [
     "streaming_sliding_counts",
     # parked for cms_heavy_hitters: r4-green, enrichment path untouched
     "streaming_enriched_segments",
+    # parked for bloom_decontaminate: r4-green, session-window path
+    # untouched
+    "streaming_session_counts",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

@@ -1016,3 +1016,94 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_est") * 200 >= F.col("t"))
         .drop("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the scale path for the eval-overlap
+# pass. `decontaminate_overlap` broadcasts the distinct eval GRAMS
+# (strings — gigabytes for a large benchmark suite); this variant
+# broadcasts their BLOOM BITS instead: k=4 md5-salted hashes into a
+# 2^16-bit array, materialized as a distinct-positions table (<=256 KB
+# of longs however big the eval set's text is). A corpus gram is
+# flagged when all 4 of its positions are set — one-sided error, so
+# every truly-shared gram is flagged and the deterministic false
+# positives are the documented Bloom trade. All integer arithmetic,
+# restated verbatim in the DuckDB oracle; the membership test is four
+# broadcast LEFT SEMI joins, fully map-side.
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0),
+bits AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat(s, gram)), 1, 15)) AS BIGINT)
+         % 65536 AS b
+  FROM bench, (VALUES ('b0:'), ('b1:'), ('b2:'), ('b3:')) AS salts(s)
+),
+corp AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 100 <> 0
+),
+flagged AS (
+  SELECT doc_id, gram FROM corp
+  WHERE CAST(concat('0x', substr(md5(concat('b0:', gram)), 1, 15)) AS BIGINT) % 65536
+          IN (SELECT b FROM bits)
+    AND CAST(concat('0x', substr(md5(concat('b1:', gram)), 1, 15)) AS BIGINT) % 65536
+          IN (SELECT b FROM bits)
+    AND CAST(concat('0x', substr(md5(concat('b2:', gram)), 1, 15)) AS BIGINT) % 65536
+          IN (SELECT b FROM bits)
+    AND CAST(concat('0x', substr(md5(concat('b3:', gram)), 1, 15)) AS BIGINT) % 65536
+          IN (SELECT b FROM bits)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe_grams
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("bloom_decontaminate", oracle=_BLOOM_ORACLE)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document count of 3-grams that pass the eval set's Bloom
+    filter (k=4, m=2^16): the broadcast is the bit-position table, not
+    the eval text. Four broadcast left-semi joins; no shuffle of the
+    corpus grams except the final per-doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    grams = track(grams)  # eval and corpus sides share one pass
+
+    def pos(r: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
+        return (F.conv(hx, 16, 10).cast("long") % 65536).alias(f"p{r}")
+
+    bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    bits = bench.select(
+        F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+    ).distinct()
+    corp = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .select("doc_id", "gram")
+        .distinct()
+        .select("doc_id", "gram", pos(0), pos(1), pos(2), pos(3))
+    )
+    flagged = corp
+    for r in range(4):
+        flagged = flagged.join(
+            F.broadcast(bits.withColumnRenamed("b", f"p{r}")), f"p{r}", "left_semi"
+        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_maybe_grams")
+    )

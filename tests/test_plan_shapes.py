@@ -255,3 +255,12 @@ def test_cms_estimates_join_broadcast_counters(spark):
     plan = _executed_plan(QUERIES["cms_heavy_hitters"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_membership_is_broadcast_semi_joins(spark):
+    # the bit-position table attaches as broadcast LEFT SEMI joins —
+    # the corpus grams never shuffle for the membership test
+    plan = _executed_plan(QUERIES["bloom_decontaminate"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
