@@ -94,6 +94,7 @@ HEADLINE = [
     "hll_distinct_sketch",
     "cms_heavy_hitters",
     "bloom_decontaminate",
+    "rolling_user_activity",
 ]
 
 

@@ -104,6 +104,9 @@ _PARKED_MULTI_GREEN = [
     # parked for bloom_decontaminate: r4-green, session-window path
     # untouched
     "streaming_session_counts",
+    # parked for rolling_user_activity: r4-green, frame-sample path
+    # untouched (multimodal.py's round-5 change is the WAV validator)
+    "multimodal_frame_sample",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

@@ -928,3 +928,51 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing-interval rolling aggregate per entity —
+# the per-user "activity in the last hour" feature every online-ML
+# pipeline computes. RANGE BETWEEN INTERVAL ... PRECEDING is the one
+# window-frame family the suite didn't yet pin (ROWS frames and
+# unbounded running sums are covered elsewhere). Partitioning is by
+# user_id — entity keys grow with the data, so the window parallelizes
+# at any scale (a frame keyed on the 5-value event_type would funnel
+# 100 TB through 5 tasks). The frame is expressed in exact microseconds
+# on both sides (Spark rangeBetween on unix_micros; DuckDB INTERVAL on
+# its native microsecond timestamps), sums accumulate in decimal, and
+# RANGE semantics make timestamp ties peer-inclusive in both engines —
+# deterministic output.
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_user_activity", oracle=_ROLLING_ORACLE)
+def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour sum/count over the same user's
+    events — a RANGE frame in exact microseconds, decimal-accumulated
+    so the double output hash-matches the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+    )
