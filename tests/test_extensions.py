@@ -950,3 +950,34 @@ def test_streaming_dedup_cross_batch_suppression(spark, tmp_path):
         q.stop()
     ids = [r.event_id for r in spark.table("dedup_stream_t").collect()]
     assert sorted(ids) == [1, 2, 3]  # each exactly once; redelivery dropped
+
+
+def test_event_funnel_ties_never_advance_later_stage(spark, tmp_path):
+    """A click sharing the first view's timestamp (or a purchase
+    sharing the click's) must NOT advance the funnel — stages require
+    strictly-later events, matching the oracle's t > prev join."""
+    from datetime import datetime
+
+    from data_finder_comparator_spark.plans.queries_relational import event_funnel
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 13, 0, 0)
+    t2 = datetime(2024, 1, 1, 14, 0, 0)
+    rows = [
+        # user 1: click tied with the first view never fires, so the
+        # later purchase has no stage-2 to build on -> stuck at stage 1
+        (1, t0, "view"), (1, t0, "click"), (1, t2, "purchase"),
+        # user 2: clean strict progression -> stage 3
+        (2, t0, "view"), (2, t1, "click"), (2, t2, "purchase"),
+        # user 3: purchase tied with the click -> stage 2
+        (3, t0, "view"), (3, t1, "click"), (3, t1, "purchase"),
+        # user 4: click before any view -> stage 1 only
+        (4, t1, "view"), (4, t0, "click"),
+        # user 5: no view at all -> stage 0
+        (5, t0, "click"), (5, t1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    d = tmp_path / "ev"
+    df.write.parquet(str(d / "events.parquet"))
+    out = {r.user_id: r.funnel_stage for r in event_funnel(spark, str(d)).collect()}
+    assert out == {1: 1, 2: 3, 3: 2, 4: 1, 5: 0}
