@@ -1093,11 +1093,17 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = bench.select(
         F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
     ).distinct()
-    corp = (
-        grams.filter(F.col("doc_id") % 100 != 0)
-        .select("doc_id", "gram")
-        .distinct()
-        .select("doc_id", "gram", pos(0), pos(1), pos(2), pos(3))
+    # no distinct before the membership test: the semi joins are pure
+    # map-side, so filtering every OCCURRENCE first and deduplicating
+    # only the flagged survivors (count_distinct in the final agg)
+    # shuffles the flagged set instead of the whole gram stream. On the
+    # synthetic corpus the two shapes tie (~3.5 vs ~4.0 s at sf0.1 —
+    # the repeated texts make most grams eval-overlapping, so the semi
+    # join barely filters); on a real corpus eval overlap is rare, the
+    # filter drops ~everything, and the pre-distinct would shuffle the
+    # full 100 TB gram stream for nothing
+    corp = grams.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", "gram", pos(0), pos(1), pos(2), pos(3)
     )
     flagged = corp
     for r in range(4):
@@ -1105,5 +1111,5 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(bits.withColumnRenamed("b", f"p{r}")), f"p{r}", "left_semi"
         )
     return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_maybe_grams")
+        F.count_distinct("gram").cast("long").alias("n_maybe_grams")
     )
