@@ -95,6 +95,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_decontaminate",
     "rolling_user_activity",
+    "histogram_quantiles",
 ]
 
 

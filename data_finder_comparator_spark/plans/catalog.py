@@ -107,6 +107,9 @@ _PARKED_MULTI_GREEN = [
     # parked for rolling_user_activity: r4-green, frame-sample path
     # untouched (multimodal.py's round-5 change is the WAV validator)
     "multimodal_frame_sample",
+    # parked for histogram_quantiles: r4-green, stream-stream join path
+    # untouched
+    "streaming_purchase_attribution",
     "table_version_diff",
     "corpus_curation_pipeline",
     "dedup_exact",

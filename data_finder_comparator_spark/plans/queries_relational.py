@@ -976,3 +976,83 @@ def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("roll_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the quantile member of the sketch family
+# (Bloom = membership, HLL = cardinality, CMS = frequency): a 4096-bin
+# equi-width histogram of the value column, quantiles read off the
+# cumulative bin counts. The data-sized work is ONE scan + a 4096-cell
+# aggregate (map-side partial counts; the shuffle moves at most 4096
+# merged rows per partition) and the cumulative walk runs over the
+# metadata-sized histogram — where the exact-quantile query
+# (`event_value_quantiles`) must sort data, the sketch never does, and
+# histograms from shards/days merge by cell-wise addition. Bins and
+# thresholds are the same IEEE double expressions on both engines, so
+# the oracle hash-matches bins, thresholds, and approximations alike.
+# ---------------------------------------------------------------------------
+
+_HISTQ_ORACLE = """
+WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx,
+                       CAST(count(*) AS BIGINT) AS n FROM events),
+bins AS (
+  SELECT least(CAST(floor((value - mn) / ((mx - mn) / 4096)) AS BIGINT), 4095) AS bin
+  FROM events, bounds
+),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM bins GROUP BY bin),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM hist),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT q, min(bin) AS bin
+  FROM cum CROSS JOIN qs CROSS JOIN bounds
+  WHERE cc >= ceil(q * n) GROUP BY q
+)
+SELECT CAST(sel.q AS DOUBLE) AS q,
+       sel.bin,
+       CAST(mn + (sel.bin + 1) * ((mx - mn) / 4096) AS DOUBLE) AS approx_value
+FROM sel CROSS JOIN bounds
+"""
+
+
+@query("histogram_quantiles", oracle=_HISTQ_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate value quantiles from a 4096-bin equi-width
+    histogram: one scan, one tiny aggregate, cumulative walk over the
+    bins — identical double arithmetic to the oracle, so even the
+    approximations hash-match."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095)
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    hist = bins.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = hist.select(
+        "bin",
+        F.sum("c").over(Window.orderBy("bin")).alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.9, 0.99)])
+        ).alias("q")
+    )
+    sel = (
+        cum.crossJoin(qs)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return sel.crossJoin(F.broadcast(bounds)).select(
+        F.col("q").cast("double").alias("q"),
+        "bin",
+        (F.col("mn") + (F.col("bin") + 1) * width).cast("double").alias("approx_value"),
+    )

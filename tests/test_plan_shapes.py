@@ -264,3 +264,13 @@ def test_bloom_membership_is_broadcast_semi_joins(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_histogram_quantiles_aggregates_before_exchange(spark):
+    # the 4096-cell histogram must partially aggregate map-side — the
+    # shuffle carries merged cells, never raw value rows — and the
+    # cumulative walk's single-partition window sees only the histogram
+    plan = _executed_plan(QUERIES["histogram_quantiles"](spark, SF))
+    pre = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in pre, plan
+    assert "SortMergeJoin" not in plan, plan
