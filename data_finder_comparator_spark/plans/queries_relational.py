@@ -996,7 +996,9 @@ _HISTQ_ORACLE = """
 WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx,
                        CAST(count(*) AS BIGINT) AS n FROM events),
 bins AS (
-  SELECT least(CAST(floor((value - mn) / ((mx - mn) / 4096)) AS BIGINT), 4095) AS bin
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) / ((mx - mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
   FROM events, bounds
 ),
 hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM bins GROUP BY bin),
@@ -1027,9 +1029,14 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     width = (F.col("mx") - F.col("mn")) / 4096
+    # degenerate corpus (all values equal): width 0 would put NaN bins
+    # through floor; everything lands in bin 0 on both engines instead
     bins = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095)
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095)
+            )
         )
         .cast("long")
         .alias("bin")

@@ -981,3 +981,36 @@ def test_event_funnel_ties_never_advance_later_stage(spark, tmp_path):
     df.write.parquet(str(d / "events.parquet"))
     out = {r.user_id: r.funnel_stage for r in event_funnel(spark, str(d)).collect()}
     assert out == {1: 1, 2: 3, 3: 2, 4: 1, 5: 0}
+
+
+def test_histogram_quantiles_degenerate_and_empty(spark, tmp_path):
+    """All-equal values must land in bin 0 with approx == the value on
+    BOTH engines (width-0 guard); an empty table yields zero rows."""
+    import duckdb
+
+    from data_finder_comparator_spark.plans.catalog import ORACLES, QUERIES
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    d1 = tmp_path / "flat"
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t, 1, "view", 7.25, "{}") for i in range(10)], schema
+    ).write.parquet(str(d1 / "events.parquet"))
+    out = QUERIES["histogram_quantiles"](spark, str(d1)).collect()
+    assert len(out) == 5
+    assert all(r.bin == 0 and r.approx_value == 7.25 for r in out)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d1}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(ORACLES["histogram_quantiles"]).fetchall()
+    assert sorted((q, b, v) for q, b, v in oracle) == sorted(
+        (r.q, r.bin, r.approx_value) for r in out
+    )
+
+    d2 = tmp_path / "empty"
+    spark.createDataFrame([], schema).write.parquet(str(d2 / "events.parquet"))
+    assert QUERIES["histogram_quantiles"](spark, str(d2)).count() == 0
+    assert QUERIES["hourly_gapfill"](spark, str(d2)).count() == 0

@@ -123,3 +123,63 @@ def test_topk_matches_brute_force_random(spark, probe_keys, cand_keys, k):
         for rnk, (d, cid) in enumerate(scored[:k], 1):
             expect.add((pid, cid, d, rnk))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Funnel fold vs a driver-side reference state machine: random per-user
+# timelines (including timestamp ties, repeated stages, stage types
+# arriving out of order) must produce exactly the reference's strict-
+# ordering stage, for every user.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
+
+
+def _funnel_ref(timeline):
+    """Reference: scan (ts, type) sorted like the fold (ts, then type),
+    advancing only on a strictly-later matching event."""
+    stage, at = 0, None
+    need = {0: "view", 1: "click", 2: "purchase"}
+    for ts, et in sorted(timeline):
+        if stage < 3 and et == need[stage] and (stage == 0 or ts > at):
+            stage, at = stage + 1, ts
+    return stage
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),       # user
+            st.integers(min_value=0, max_value=6),       # hour (ties likely)
+            st.sampled_from(_EVENT_TYPES),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_event_funnel_matches_reference_state_machine(spark, tmp_path_factory, data):
+    from datetime import datetime, timedelta
+
+    from data_finder_comparator_spark.plans.queries_relational import event_funnel
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(hours=h), et) for u, h, et in data
+    ]
+    d = tmp_path_factory.mktemp("funnel")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r.user_id: r.funnel_stage for r in event_funnel(spark, str(d)).collect()
+    }
+    want = {}
+    for u, h, et in data:
+        want.setdefault(u, []).append((base + timedelta(hours=h), et))
+    want = {u: _funnel_ref(tl) for u, tl in want.items()}
+    assert got == want
