@@ -38,3 +38,31 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rotation_invariant_parked_queries_have_driver_rows():
+    """Every parked query must have at least one green driver
+    CORRECTNESS row from a previous round (parking is only for
+    already-driver-verified queries), and the registry must leave
+    exactly 50 queries inside the driver's verified window."""
+    import glob
+    import json
+    import os
+
+    from data_finder_comparator_spark.plans.catalog import (
+        _PARKED_MULTI_GREEN,
+        QUERIES,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        return  # fresh clone without driver artifacts
+    green: set[str] = set()
+    for f in files:
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match"):
+                green.add(name)
+    never_green = [n for n in _PARKED_MULTI_GREEN if n not in green]
+    assert not never_green, f"parked without any driver-green row: {never_green}"
+    assert len(QUERIES) - len(_PARKED_MULTI_GREEN) == 50
