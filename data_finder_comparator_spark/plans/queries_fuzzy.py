@@ -312,7 +312,9 @@ def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each micro-batch broadcasts the cached rows instead of re-running
     # the distinct-name aggregation (the standard cached-dimension shape
     # for a long-running stream; released by the registry's next-query
-    # cache sweep)
+    # cache sweep). fuzzy_match_stream additionally precomputes the
+    # normalized/filtered candidate frames + fallback stats once
+    # (prepare_candidates) so no epoch re-runs candidate-side jobs.
     cands = _part_cands(spark, sf_dir).persist()
     CACHES.append(cands)
     with _stream_confs(spark):
@@ -324,6 +326,7 @@ def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=3,
             checkpoint=ckpt,
             available_now=True,
+            cache_registry=CACHES,
         )
         try:
             q.awaitTermination()

@@ -487,6 +487,7 @@ def fuzzy_match_stream(
     threshold: int = 3,
     checkpoint: str | None = None,
     available_now: bool = False,
+    cache_registry: list | None = None,
 ):
     """T1: per-micro-batch tiered fuzzy join via foreachBatch. The
     candidate table is broadcast once per batch; each batch's tier
@@ -494,12 +495,22 @@ def fuzzy_match_stream(
     checkpointing in a real deployment; Delta MERGE would give the
     Replace-upsert variant).
 
+    The candidate side is STATIC across the stream's lifetime, so its
+    normalization, null-filter, and the escalation fallback's fused
+    count/max-length stats are computed ONCE here (prepare_candidates)
+    before the stream starts — each epoch's tiered join reuses the
+    persisted frames and scalar stats instead of re-running ~2 extra
+    candidate-side jobs per micro-batch. Pass ``cache_registry`` to
+    reclaim the persisted candidate blocks after the stream drains.
+
     Returns the started StreamingQuery (caller drives/stops it). With
     ``available_now`` the trigger drains everything available then
     terminates — the bounded-run shape the driver-checked query uses;
     ``checkpoint`` makes epochs exactly-once across restarts.
     """
-    from ..operators.fuzzy_join import tiered_fuzzy_join
+    from ..operators.fuzzy_join import prepare_candidates, tiered_fuzzy_join
+
+    prepared = prepare_candidates(cand, cache_registry=cache_registry)
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # registry: persist within THIS batch (phase 1 evaluates once,
@@ -507,7 +518,8 @@ def fuzzy_match_stream(
         # never accumulate across a long-running stream
         reg: list = []
         tiers = tiered_fuzzy_join(
-            batch_df, cand, threshold=threshold, cache_registry=reg
+            batch_df, cand, threshold=threshold, cache_registry=reg,
+            prepared=prepared,
         )
         try:
             tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(

@@ -207,3 +207,64 @@ def test_topk_fewer_candidates_than_k(spark):
         k=5,
     ).collect()
     assert sorted((r.cand_id, r.dist, r.rnk) for r in out) == [(10, 1, 1), (11, 3, 2)]
+
+
+def test_dense_prepared_path_matches_reference(spark):
+    """The dense one-pass path (prepared candidates under the
+    broadcast-small cap — the streaming micro-batch regime) must produce
+    exactly the banded plan's tiers, including the exact∩poor overlap
+    and null exclusion."""
+    from data_finder_comparator_spark.operators.fuzzy_join import prepare_candidates
+
+    probe = spark.createDataFrame(
+        PROBES + [(16, None)], "probe_id long, probe string"
+    )
+    cand = spark.createDataFrame(
+        CANDS + [(6, None)], "cand_id long, cand string"
+    )
+    reg: list = []
+    prepared = prepare_candidates(cand, cache_registry=reg)
+    try:
+        got = tiered_fuzzy_join(
+            probe, cand, threshold=3, prepared=prepared
+        ).collect()
+    finally:
+        for df in reg:
+            df.unpersist()
+    got_set = {(r.probe_id, r.cand_id, r.tier) for r in got}
+    want = set()
+    for pid, q in PROBES:
+        if q is None:
+            continue
+        for cid, tier in reference_tiers(q, CANDS, 3):
+            want.add((pid, cid, tier))
+    assert got_set == want
+    for r in got:
+        assert r.dist == _lev(r.probe, r.cand)
+
+
+def test_dense_path_gated_on_candidate_count(spark):
+    """Above _DENSE_CAND_MAX the prepared path must still take the
+    banded two-phase plan (the dense cross product is only the right
+    trade under the broadcast-small cap)."""
+    from data_finder_comparator_spark.operators import fuzzy_join as fj
+
+    probe = spark.createDataFrame(PROBES, "probe_id long, probe string")
+    cand = spark.createDataFrame(CANDS, "cand_id long, cand string")
+    reg: list = []
+    prepared = fj.prepare_candidates(cand, cache_registry=reg)
+    old = fj._DENSE_CAND_MAX
+    fj._DENSE_CAND_MAX = 0  # force the banded path even though prepared
+    try:
+        got = fj.tiered_fuzzy_join(
+            probe, cand, threshold=3, prepared=prepared
+        ).collect()
+    finally:
+        fj._DENSE_CAND_MAX = old
+        for df in reg:
+            df.unpersist()
+    want = set()
+    for pid, q in PROBES:
+        for cid, tier in reference_tiers(q, CANDS, 3):
+            want.add((pid, cid, tier))
+    assert {(r.probe_id, r.cand_id, r.tier) for r in got} == want
