@@ -134,18 +134,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    _archive(payload)
     spark.stop()
+
+
+def _archive(payload: dict) -> None:
+    """Self-archive the per-query dict to bench_history/r{N}.json —
+    the driver's BENCH_r{N}.json capture has truncated the stdout JSON
+    line before (r4 recorded only trailing log noise), which made
+    round-over-round per-query regression diffs unrecoverable. The
+    round number comes from $SPARK_GRAFT_ROUND when set, else one past
+    the newest BENCH_r*.json the driver has recorded here."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    hist = os.path.join(here, "bench_history")
+    os.makedirs(hist, exist_ok=True)
+    with open(os.path.join(hist, f"r{int(rnd)}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

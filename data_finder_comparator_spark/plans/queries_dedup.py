@@ -401,13 +401,18 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_count_distinct (whose HLL++ internals an external engine can't
 # reproduce), every step here is deterministic and restated exactly in
 # the DuckDB oracle: same md5, same bit-slices, same integer-scaled
-# harmonic sum (sum of 2^(25-rho) as BIGINT — one float division at the
-# very end), same baked-in alpha*m^2*2^25 literal, so even the float
+# harmonic sum (sum of 2^(50-rho) as BIGINT — one float division at the
+# very end), same baked-in alpha*m^2*2^50 literal, so even the float
 # estimate hash-matches. The standard small-range linear-counting
 # correction (est < 2.5m with empty registers) applies on both sides.
+# The 2^50 scale covers rho up to 50 before the integer sum floors
+# (sums stay exact: <= 256 * 2^50 = 2^58 < BIGINT max), so the
+# estimate saturates only around alpha*m*2^50 ~ 2e17 distinct — above
+# any 100 TB corpus cardinality. (A 2^25 scale would plateau at ~6e9.)
 # ---------------------------------------------------------------------------
 
-_HLL_C = "1579498136381.3938"  # 0.7213/(1+1.079/256) * 256^2 * 2^25
+_HLL_C = "5.2999162811336204e+19"  # 0.7213/(1+1.079/256) * 256^2 * 2^50
+_HLL_EMPTY = 1125899906842624  # 2^50: an empty register's sum term (rho=0)
 _HLL_ORACLE = f"""
 WITH v AS (SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS v
            FROM documents),
@@ -420,10 +425,10 @@ r AS (SELECT register_id,
 reg AS (SELECT register_id, CAST(max(rho) AS BIGINT) AS max_rho
         FROM r GROUP BY register_id),
 s AS (SELECT count(*) AS n_present,
-             sum(CAST(1 AS BIGINT) << (25 - least(max_rho, 25))) AS ssum
+             sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
       FROM reg),
 e AS (SELECT 256 - n_present AS n_zeros,
-             {_HLL_C} / (ssum + (256 - n_present) * 33554432) AS raw
+             {_HLL_C} / (ssum + (256 - n_present) * {_HLL_EMPTY}) AS raw
       FROM s)
 SELECT reg.register_id, reg.max_rho,
        CAST(e.n_zeros AS BIGINT) AS n_zeros,
@@ -434,37 +439,34 @@ FROM reg CROSS JOIN e
 """
 
 
-@query("hll_distinct_sketch", oracle=_HLL_ORACLE)
-def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HLL (p=8) over document texts: md5 -> 60-bit value
-    -> (register, leading-zero rank) map-side, max per register, integer
-    -scaled harmonic sum, one closing division. Returns the full
-    register table (the mergeable sketch state) with the zero-register
-    count and the corrected estimate attached."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+def _hll_rho_rows(docs: DataFrame) -> DataFrame:
+    """(register_id, rho) per document text: md5 -> 60-bit value, top 8
+    bits pick the register, leading-zero rank of the low 52 bits."""
     v = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    d = docs.select(v.alias("v")).select(
+    d = docs.select(v.alias("v"), *[c for c in docs.columns if c != "text"]).select(
         F.shiftright("v", 52).alias("register_id"),
         F.expr("v & 4503599627370495").alias("w"),
+        *[c for c in docs.columns if c != "text"],
     )
     pos = F.instr(F.lpad(F.bin("w"), 52, "0"), "1")
     rho = F.when(pos == 0, F.lit(53)).otherwise(pos)
-    reg = (
-        d.select("register_id", rho.alias("rho"))
-        .groupBy("register_id")
-        .agg(F.max("rho").cast("long").alias("max_rho"))
-    )
-    reg = track(reg)
+    return d.select("register_id", rho.alias("rho"), *[c for c in docs.columns if c != "text"])
+
+
+def _hll_finalize(reg: DataFrame) -> DataFrame:
+    """Attach (n_zeros, est_distinct) to a merged register table via the
+    integer-scaled harmonic sum + linear-counting correction. ``reg``
+    must have (register_id, max_rho); extra columns pass through."""
     summary = reg.agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), 25 - least(max_rho, 25))")
+            F.expr("shiftleft(CAST(1 AS BIGINT), 50 - least(max_rho, 50))")
         ).alias("ssum"),
     ).select(
         (256 - F.col("n_present")).cast("long").alias("n_zeros"),
         (
             F.lit(float(_HLL_C))
-            / (F.col("ssum") + (256 - F.col("n_present")) * 33554432)
+            / (F.col("ssum") + (256 - F.col("n_present")) * _HLL_EMPTY)
         ).alias("raw"),
     )
     est = F.when(
@@ -474,3 +476,83 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.crossJoin(
         F.broadcast(summary.select("n_zeros", F.round(est, 4).alias("est_distinct")))
     )
+
+
+@query("hll_distinct_sketch", oracle=_HLL_ORACLE)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL (p=8) over document texts: md5 -> 60-bit value
+    -> (register, leading-zero rank) map-side, max per register, integer
+    -scaled harmonic sum, one closing division. Returns the full
+    register table (the mergeable sketch state) with the zero-register
+    count and the corrected estimate attached."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    reg = (
+        _hll_rho_rows(docs)
+        .groupBy("register_id")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    reg = track(reg)
+    return _hll_finalize(reg)
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability, driver-pinned: build one register table PER SOURCE
+# SHARD (the per-day / per-shard sketch a 100 TB pipeline would persist),
+# then merge by register-wise max — the operation that lets yesterday's
+# sketch absorb today's without rescanning either corpus. The merged
+# estimate must equal the direct single-pass sketch's (max is
+# associative), and the oracle restates the same two-level aggregation,
+# so the driver hash-checks the merge algebra itself, not just the
+# docstring claim.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = f"""
+WITH v AS (SELECT source,
+                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS v
+           FROM documents),
+b AS (SELECT source, v // 4503599627370496 AS register_id,
+             v % 4503599627370496 AS w FROM v),
+r AS (SELECT source, register_id,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM b),
+shard AS (SELECT source, register_id, max(rho) AS shard_rho
+          FROM r GROUP BY source, register_id),
+reg AS (SELECT register_id,
+               CAST(max(shard_rho) AS BIGINT) AS max_rho,
+               CAST(count(*) AS BIGINT) AS n_shards
+        FROM shard GROUP BY register_id),
+s AS (SELECT count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
+      FROM reg),
+e AS (SELECT 256 - n_present AS n_zeros,
+             {{c}} / (ssum + (256 - n_present) * {{empty}}) AS raw
+      FROM s)
+SELECT reg.register_id, reg.max_rho, reg.n_shards,
+       CAST(e.n_zeros AS BIGINT) AS n_zeros,
+       CAST(round(CASE WHEN e.n_zeros > 0 AND e.raw < 640.0
+                       THEN 256 * ln(256.0 / e.n_zeros)
+                       ELSE e.raw END, 4) AS DOUBLE) AS est_distinct
+FROM reg CROSS JOIN e
+""".format(c=_HLL_C, empty=_HLL_EMPTY)
+
+
+@query("hll_merge_shards", oracle=_HLL_MERGE_ORACLE)
+def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL: per-source shard sketches (max rho per (source,
+    register) — map-side partials, <=256 rows per shard through the
+    exchange), merged by register-wise max into one corpus sketch whose
+    estimate is finalized identically to the direct sketch. n_shards
+    per register pins that a real multi-shard merge happened."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    shard = (
+        _hll_rho_rows(docs)
+        .groupBy("source", "register_id")
+        .agg(F.max("rho").alias("shard_rho"))
+    )
+    reg = shard.groupBy("register_id").agg(
+        F.max("shard_rho").cast("long").alias("max_rho"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    reg = track(reg)
+    return _hll_finalize(reg)

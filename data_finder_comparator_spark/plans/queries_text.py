@@ -17,6 +17,36 @@ from .catalog import query, track
 _NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
 
+def salted_global_topk(
+    df: DataFrame,
+    order: list,
+    k: int,
+    rank_col: str,
+    salt_src: str,
+    salts: int = 32,
+    rank_fn=F.row_number,
+) -> DataFrame:
+    """Global top-k without funneling the full table through one task
+    and without driver-side cutoff probes: stage 1 ranks hash-salted
+    slices in parallel and keeps each slice's top k (any row in the
+    global top k necessarily ranks <= k within its own slice — with
+    ``F.rank`` the per-slice cut keeps ties, so the guarantee holds for
+    non-total orders too); stage 2 applies the final rank over the
+    <= salts*k survivors only. Zero extra Spark actions."""
+    w_salt = Window.partitionBy("_salt").orderBy(*order)
+    pruned = (
+        df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salts)))
+        .withColumn("_srk", rank_fn().over(w_salt))
+        .filter(F.col("_srk") <= k)
+    )
+    w_all = Window.orderBy(*order)
+    return (
+        pruned.withColumn(rank_col, rank_fn().over(w_all).cast("long"))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt", "_srk")
+    )
+
+
 def _duck_hits(markers: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
     return (
@@ -187,20 +217,19 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    freq = track(toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")))
-    # global-window ranking funnels the whole vocabulary through one
-    # task; pre-cut to the 50th-highest count first so the window sees
-    # ~50 rows (ranks of retained rows are unchanged — every row above
-    # the cutoff is retained)
-    cutoff_row = freq.orderBy(F.col("n").desc(), "tok").limit(50).agg(F.min("n")).first()
-    cutoff = cutoff_row[0] if cutoff_row[0] is not None else 0
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n").desc(), "tok")
-    return (
-        freq.filter(F.col("n") >= cutoff)
-        .withColumn("rnk", F.rank().over(w).cast("long"))
-        .filter(F.col("rnk") <= 50)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # salted two-stage top-k: per-slice pruning in parallel, then the
+    # final rank over <= 32*50 survivors — no driver cutoff probe, no
+    # global window over the full vocabulary. F.rank keeps the oracle's
+    # tie semantics (the (n desc, tok) order is total, so rank ==
+    # row_number here, but the helper stays faithful).
+    return salted_global_topk(
+        freq,
+        [F.col("n").desc(), F.col("tok")],
+        50,
+        "rnk",
+        "tok",
+        rank_fn=F.rank,
     )
 
 
@@ -899,21 +928,12 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
     )
     order = [F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram")]
-    # stage 1: per-salt top-k (parallel) prunes the candidate set to
-    # <= _SPAN_SALTS * _SPAN_TOP_K rows before any global ordering
-    w_salt = Window.partitionBy("_salt").orderBy(*order)
-    pruned = (
-        counted.withColumn("_salt", F.pmod(F.hash("gram"), F.lit(_SPAN_SALTS)))
-        .withColumn("_srk", F.row_number().over(w_salt))
-        .filter(F.col("_srk") <= _SPAN_TOP_K)
-    )
-    # stage 2: final rank over the pruned sliver only
-    w_all = Window.orderBy(*order)
-    return (
-        pruned.withColumn("rk", F.row_number().over(w_all).cast("long"))
-        .filter(F.col("rk") <= _SPAN_TOP_K)
-        .select("gram", "n_docs", "n_occurrences", "rk")
-    )
+    # shared salted two-stage top-k (see salted_global_topk): per-salt
+    # pruning to <= _SPAN_SALTS * _SPAN_TOP_K rows, final rank over the
+    # sliver only — no global sort of the gram table
+    return salted_global_topk(
+        counted, order, _SPAN_TOP_K, "rk", "gram", salts=_SPAN_SALTS
+    ).select("gram", "n_docs", "n_occurrences", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -1015,6 +1035,92 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("n_est") * 200 >= F.col("t"))
         .drop("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS mergeability, driver-pinned: one counter matrix PER SOURCE SHARD
+# (the per-day sketch a 100 TB pipeline persists), merged by cell-wise
+# SUM — the operation that folds a new day's matrix into the running
+# one without rescanning history. The merged matrix must equal the
+# direct single-pass build (sum is associative); the oracle restates
+# the same two-level aggregation, so the driver hash-checks the merge
+# algebra itself. n_shards per cell pins that a real multi-shard merge
+# happened.
+# ---------------------------------------------------------------------------
+
+_CMS_MERGE_ORACLE = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY source, tok
+),
+hashed AS (
+  SELECT source, tok, n,
+    CAST(concat('0x', substr(md5(concat('r0:', tok)), 1, 15)) AS BIGINT) % 1024 AS b0,
+    CAST(concat('0x', substr(md5(concat('r1:', tok)), 1, 15)) AS BIGINT) % 1024 AS b1,
+    CAST(concat('0x', substr(md5(concat('r2:', tok)), 1, 15)) AS BIGINT) % 1024 AS b2,
+    CAST(concat('0x', substr(md5(concat('r3:', tok)), 1, 15)) AS BIGINT) % 1024 AS b3
+  FROM freq
+),
+shard AS (
+  SELECT source, r, b, sum(n) AS c FROM (
+    SELECT source, 0 AS r, b0 AS b, n FROM hashed UNION ALL
+    SELECT source, 1, b1, n FROM hashed UNION ALL
+    SELECT source, 2, b2, n FROM hashed UNION ALL
+    SELECT source, 3, b3, n FROM hashed
+  ) GROUP BY source, r, b
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+       CAST(sum(c) AS BIGINT) AS c,
+       CAST(count(*) AS BIGINT) AS n_shards
+FROM shard GROUP BY r, b
+"""
+
+
+@query("cms_merge_shards", oracle=_CMS_MERGE_ORACLE)
+def cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level CMS: per-source 4x1024 counter matrices (map-side
+    partials, <=4096 rows per shard through the exchange), merged
+    cell-wise by SUM into the corpus matrix. The merged cells equal the
+    direct build's; n_shards pins the multi-shard path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def bucket(r: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"r{r}:"), F.col("tok"))), 1, 15)
+        return (F.conv(hx, 16, 10).cast("long") % 1024).alias(f"b{r}")
+
+    hashed = freq.select("source", "n", bucket(0), bucket(1), bucket(2), bucket(3))
+    cells = hashed.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), F.col(f"b{r}").alias("b"))
+                    for r in range(4)
+                ]
+            )
+        ).alias("cell"),
+        "n",
+    ).select("source", "cell.r", "cell.b", "n")
+    shard = cells.groupBy("source", "r", "b").agg(F.sum("n").alias("c"))
+    return shard.groupBy("r", "b").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    ).select(
+        F.col("r").cast("long").alias("r"),
+        F.col("b").cast("long").alias("b"),
+        "c",
+        "n_shards",
     )
 
 
