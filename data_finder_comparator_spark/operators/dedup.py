@@ -205,7 +205,14 @@ def _local_union_find(sym: DataFrame) -> DataFrame:
     table out). Union attaches the LARGER root under the smaller, so
     every final root is its component's min id — same contract as the
     iterative path. O(E α(E)) work in one task instead of
-    O(diameter) cluster-wide barrier rounds."""
+    O(diameter) cluster-wide barrier rounds.
+
+    Memory at the cap: the task holds one Python dict over the edge
+    endpoints — <= 2 entries per symmetric edge row, so at the 10M-edge
+    default cap worst case ~20M int->int entries ≈ 2-4 GB of executor
+    heap (dict + int boxing). Deployments with smaller executors should
+    lower SPARK_GRAFT_CC_LOCAL_EDGES accordingly; routing past the cap
+    degrades to the propagation loop, never to an OOM."""
 
     def solve(batches):
         import pandas as pd

@@ -69,72 +69,58 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 
-# Round-5 rotation (invariant: every parked query was driver-green in
+# Round-6 rotation (invariant: every parked query was driver-green in
 # the ROUND THAT JUST RAN, so parking it still leaves a driver
 # CORRECTNESS row within the last two rounds; all parked queries stay
 # hash-checked by tests/test_oracle_parity.py on every pytest run).
-# This round: the 19 queries parked in r4 (last driver rows r1-r3)
-# return to the window, every query whose code changed this round sits
-# in the window (alignment_dist + streaming_fuzzy_tiers are NEW;
-# alignment_pairs, the reworked streaming sinks, dedup_clusters, the
-# fuzzy escalation family, sequence_packing, ivf_kmeans_centroids,
-# multimodal_wav_decode all changed), and these 21 r4-green queries
-# park past the cap.
+# This round: ALL 36 queries parked in r5 (last driver rows r4) return
+# to the window; every query whose code changed this round sits in the
+# window (the fuzzy family + streaming_fuzzy_tiers via the dense
+# prepared-candidates path, vocab_top_tokens + duplicate_spans via the
+# shared salted top-k, hll_distinct_sketch via the 2^50 rescale,
+# event_funnel via the hot-key cap, and the NEW hll_merge_shards /
+# cms_merge_shards); alignment_pairs stays in the window because its
+# rows-only check exists ONLY as a driver row. These 38 r5-green
+# queries (CORRECTNESS_r05.json, zero exceptions) park past the cap.
 _PARKED_MULTI_GREEN = [
-    # parked mid-round-5 to make window room for the three NEW queries
-    # (source_domain_caps, mixture_token_budget, duplicate_spans):
-    # r4-green and their code is untouched this round
-    "event_value_quantiles",
-    # parked late-round-5 for the next three NEW queries
-    # (partitioned_lang_roundtrip, event_funnel, streaming_dedup_events):
-    # all three parked are r4-green and their implementations are
-    # untouched this round (similarity.py / the simhash path)
-    "ann_cosine_topk",
-    "ann_sq8_rerank_topk",
-    "dedup_simhash",
-    # parked for hourly_gapfill + orders_grouping_sets: r4-green, their
-    # UDAF/UDTF implementations untouched (module only appended to)
-    "lang_robust_length_stats",
-    "doc_token_chunks",
-    # parked for hll_distinct_sketch: r4-green, sliding-window path
-    # untouched (pipeline.py only appended to this round)
-    "streaming_sliding_counts",
-    # parked for cms_heavy_hitters: r4-green, enrichment path untouched
-    "streaming_enriched_segments",
-    # parked for bloom_decontaminate: r4-green, session-window path
-    # untouched
-    "streaming_session_counts",
-    # parked for rolling_user_activity: r4-green, frame-sample path
-    # untouched (multimodal.py's round-5 change is the WAV validator)
-    "multimodal_frame_sample",
-    # parked for histogram_quantiles: r4-green, stream-stream join path
-    # untouched
-    "streaming_purchase_attribution",
-    "table_version_diff",
-    "corpus_curation_pipeline",
-    "dedup_exact",
-    "stratified_sample",
-    "excel_folder_roundtrip",
-    "csv_folder_roundtrip",
-    "json_folder_roundtrip",
-    "tfidf_top_terms",
-    "decontaminate_overlap",
-    "pii_redaction",
-    "pricing_summary",
-    "revenue_by_nation",
-    "topk_orders_per_priority",
-    "orders_rollup",
-    "customers_without_orders",
-    "events_pivot_by_hour",
-    "suppliers_by_nation",
-    "events_cube",
-    "sessionize_events",
-    "asof_latest_order",
-    "salted_segment_stats",
-    "bucketed_order_revenue",
-    "purchase_window_stats",
-    "props_json_stats",
-    "session_type_cooccurrence",
+    "alignment_dist",
+    "multimodal_features",
+    "multimodal_wav_decode",
+    "streaming_window_counts",
+    "streaming_first_seen",
+    "streaming_watermarked_counts",
+    "streaming_dedup_events",
+    "text_quality_signals",
+    "lang_id_confusion",
+    "doc_repetition",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "deterministic_shuffle",
+    "sequence_packing",
+    "source_domain_caps",
+    "mixture_token_budget",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "union_by_name_folder",
+    "orc_folder_roundtrip",
+    "partitioned_lang_roundtrip",
+    "deterministic_row_ids",
+    "keep_replace_curation",
+    "curation_counts",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_hybrid_verify",
+    "line_dedup_stats",
+    "embedding_neardup_pairs",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ivf_kmeans_centroids",
+    "hourly_gapfill",
+    "orders_grouping_sets",
+    "rolling_user_activity",
+    "histogram_quantiles",
 ]
 
 

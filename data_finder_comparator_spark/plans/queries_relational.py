@@ -752,16 +752,17 @@ def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Funnel analysis: per-user ordered stage progression (view -> click ->
 # purchase, each stage strictly after the one before). The classic
-# product-analytics operator — and a single-shuffle plan: ONE groupBy
-# on user_id collects each user's (ts, event_type) timeline and a
-# JVM-side F.aggregate fold runs the stage machine over the sorted
-# array. The naive formulation (the oracle) is three self-joins of the
-# fact table against itself — three shuffles and two join-explosion
-# risks at 100 TB; the fold shuffles each event exactly once and keeps
-# per-user state O(1). Per-user timelines are bounded (product
-# analytics, not firehose telemetry), so the collected array is small;
-# equal-timestamp events never advance a later stage (strict >), which
-# is exactly the oracle's join condition.
+# product-analytics operator — and a single-shuffle, O(1)-state plan:
+# the stage timestamps satisfy a min-recurrence (t1 = min view ts,
+# t2 = min click ts > t1, t3 = min purchase ts > t2), so three stacked
+# whole-partition window MINs over ONE hashpartitioning(user_id)
+# exchange compute them with constant per-user running state — no
+# collected timeline, so a hot key (bot / service account) with
+# millions of events costs CPU, never executor memory. The naive
+# formulation (the oracle) is three self-joins of the fact table
+# against itself — three shuffles and two join-explosion risks at
+# 100 TB. Equal-timestamp events never advance a later stage
+# (strict >), exactly the oracle's join condition.
 # ---------------------------------------------------------------------------
 
 _FUNNEL_ORACLE = """
@@ -787,50 +788,39 @@ LEFT JOIN p ON u.user_id = p.user_id
 
 @query("event_funnel", oracle=_FUNNEL_ORACLE)
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user funnel stage (0-3) in one shuffle: collect the user's
-    timeline, sort it, fold a stage machine over it with F.aggregate —
-    all JVM-side, no UDF. A stage advances only on the matching event
-    type STRICTLY after the previous stage's timestamp, matching the
-    oracle's three-join restatement."""
+    """Per-user funnel stage (0-3) in one shuffle with O(1) per-user
+    state: t1/t2/t3 via three stacked whole-partition window mins (each
+    a running min, never a collected array), then one per-user row —
+    the trailing aggregate reuses the window's hashpartitioning, so the
+    executed plan still has exactly one exchange and no join. A stage
+    advances only on the matching event type STRICTLY after the
+    previous stage's timestamp (null-safe: ts > null is null, so a
+    missing earlier stage blocks all later ones), matching the oracle's
+    three-join restatement."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-
-    def step(acc, x):
-        def adv(stage):
-            return F.struct(
-                F.lit(stage).alias("stage"), x["ts"].alias("at")
-            )
-
-        return (
-            F.when(
-                (acc["stage"] == F.lit(0)) & (x["event_type"] == F.lit("view")),
-                adv(1),
-            )
-            .when(
-                (acc["stage"] == F.lit(1))
-                & (x["event_type"] == F.lit("click"))
-                & (x["ts"] > acc["at"]),
-                adv(2),
-            )
-            .when(
-                (acc["stage"] == F.lit(2))
-                & (x["event_type"] == F.lit("purchase"))
-                & (x["ts"] > acc["at"]),
-                adv(3),
-            )
-            .otherwise(acc)
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        ev.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w),
         )
-
-    init = F.struct(
-        F.lit(0).alias("stage"),
-        F.lit(None).cast("timestamp_ntz").alias("at"),
+        .withColumn(
+            "t3",
+            F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
     )
     return (
-        ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
-        .select(
-            "user_id",
-            F.aggregate("evs", init, step)["stage"].cast("int").alias("funnel_stage"),
-        )
+        staged.select("user_id", stage.alias("_stage"))
+        .groupBy("user_id")
+        .agg(F.max("_stage").cast("int").alias("funnel_stage"))
     )
 
 

@@ -952,6 +952,52 @@ def test_streaming_dedup_cross_batch_suppression(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3]  # each exactly once; redelivery dropped
 
 
+def test_streaming_dedup_post_watermark_state_eviction(spark, tmp_path):
+    """The watermark must actually BOUND the dedup state: once the
+    watermark passes a key's event time + delay, its tombstone is
+    dropped, so a later redelivery of the same key (with an in-horizon
+    timestamp) is emitted AGAIN. This is the state-eviction half of the
+    dropDuplicatesWithinWatermark contract — without it the suppression
+    test above would also pass with unbounded keep-forever state."""
+    from datetime import datetime
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)    # first arrival of key 1
+    t_adv = datetime(2024, 1, 1, 14, 30, 0)  # advances watermark to 13:30
+    t_re = datetime(2024, 1, 1, 14, 0, 0)   # redelivery, not late (>= wm)
+    spark.createDataFrame([(1, t0, "click", 1.0)], schema).coalesce(1).write.parquet(
+        str(ev_dir / "f0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(ev_dir / "*"))
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_evict_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # b1: emit key 1, wm -> 11:00
+        spark.createDataFrame(
+            [(9, t_adv, "view", 2.0)], schema
+        ).coalesce(1).write.parquet(str(ev_dir / "f1"))
+        q.processAllAvailable()  # b2: wm -> 13:30 > 12:00+1h, key 1 evicted
+        spark.createDataFrame(
+            [(1, t_re, "click", 1.0)], schema
+        ).coalesce(1).write.parquet(str(ev_dir / "f2"))
+        q.processAllAvailable()  # b3: key 1 state is gone -> emitted again
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.table("dedup_evict_t").collect())
+    assert ids == [1, 1, 9], ids
+
+
 def test_event_funnel_ties_never_advance_later_stage(spark, tmp_path):
     """A click sharing the first view's timestamp (or a purchase
     sharing the click's) must NOT advance the funnel — stages require
@@ -1014,3 +1060,40 @@ def test_histogram_quantiles_degenerate_and_empty(spark, tmp_path):
     spark.createDataFrame([], schema).write.parquet(str(d2 / "events.parquet"))
     assert QUERIES["histogram_quantiles"](spark, str(d2)).count() == 0
     assert QUERIES["hourly_gapfill"](spark, str(d2)).count() == 0
+
+
+def test_connected_components_cap_boundary_routing(spark, monkeypatch):
+    """At exactly the local-edge cap the one-task union-find runs; one
+    edge past it the propagation loop takes over — both with correct
+    labels. Pins the routing arithmetic (cap is compared against the
+    SYMMETRIC distinct edge count, <= keeps local)."""
+    from data_finder_comparator_spark.operators import dedup as dd
+
+    # path graph 0-1-2-3 plus isolated pair 10-11: 5 undirected edges
+    # -> 10 symmetric rows
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (3, 0)],
+        "doc_a long, doc_b long",
+    )
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+    calls: list[str] = []
+    real_local = dd._local_union_find
+
+    def spy(sym):
+        calls.append("local")
+        return real_local(sym)
+
+    monkeypatch.setattr(dd, "_local_union_find", spy)
+
+    for cap, expect_local in [(10, True), (9, False)]:
+        calls.clear()
+        reg: list = []
+        out = dd.connected_components(
+            edges, cache_registry=reg, local_edge_cap=cap
+        )
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+        for df in reg:
+            df.unpersist()
+        assert got == want, (cap, got)
+        assert (len(calls) > 0) == expect_local, (cap, calls)
