@@ -96,6 +96,9 @@ HEADLINE = [
     "bloom_decontaminate",
     "rolling_user_activity",
     "histogram_quantiles",
+    # round 6 additions
+    "hll_merge_shards",
+    "cms_merge_shards",
 ]
 
 

@@ -180,11 +180,16 @@ def tiered_fuzzy_join(
         long_p = p.filter(F.length("_nq") >= min_len)
         short_p = p.filter(F.length("_nq") < min_len)
 
-        def _grams(df: DataFrame, id_col: str, nrm: str) -> DataFrame:
+        def _grams(df: DataFrame, id_col: str, nrm: str, len_col: str) -> DataFrame:
             # fan-out repartition: the gram explode inflates a few file
-            # splits into |text|-fold rows (see partitioning.py)
+            # splits into |text|-fold rows (see partitioning.py). Each
+            # gram row carries its string's normalized length so the
+            # length-band check can run ON the gram join, BEFORE the
+            # pair-distinct exchange (length-incompatible pairs — the
+            # majority under wide length distributions — never shuffle).
             return df.repartition(_fanout_partitions(df), F.col(id_col)).select(
                 id_col,
+                F.length(nrm).alias(len_col),
                 F.explode(
                     F.expr(
                         f"array_distinct(transform(sequence(1, length({nrm}) - {qg - 1}),"
@@ -193,8 +198,8 @@ def tiered_fuzzy_join(
                 ).alias("gram"),
             )
 
-        cg = _grams(c.filter(F.length("_nc") >= qg), "cand_id", "_nc")
-        pg = _grams(long_p, "probe_id", "_nq")
+        cg = _grams(c.filter(F.length("_nc") >= qg), "cand_id", "_nc", "_lc")
+        pg = _grams(long_p, "probe_id", "_nq", "_lq")
         gram_df = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
         wq = Window.partitionBy("probe_id").orderBy("_df", "gram")
         prefix = (
@@ -202,9 +207,14 @@ def tiered_fuzzy_join(
             .fillna(0, ["_df"])
             .withColumn("_rn", F.row_number().over(wq))
             .filter(F.col("_rn") <= prefix_n)
-            .select("probe_id", "gram")
+            .select("probe_id", "_lq", "gram")
         )
-        pair_ids = prefix.join(cg, "gram").select("probe_id", "cand_id").distinct()
+        pair_ids = (
+            prefix.join(cg, "gram")
+            .filter(F.abs(F.col("_lq") - F.col("_lc")) <= t)
+            .select("probe_id", "cand_id")
+            .distinct()
+        )
         banded_long = pair_ids.join(long_p, "probe_id").join(c, "cand_id")
         c_short = c.filter(F.length("_nc") < min_len + t).withColumn(
             "_band",

@@ -41,6 +41,26 @@ from data_finder_comparator_spark.session import get_spark  # noqa: E402
 from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
 
 
+def _spill_totals(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all completed
+    stages, read from the live AppStatusStore (no UI/REST needed).
+    Deltas around a probe attribute its spill."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()  # all statuses
+    mem = disk = 0
+    # Scala default args don't exist at the JVM call site: py4j needs
+    # the full arity, with each default fetched from its synthesized
+    # ``stageList$default$N`` accessor
+    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    it = store.stageList(empty, *defaults).iterator()
+    while it.hasNext():
+        s = it.next()
+        mem += s.memoryBytesSpilled()
+        disk += s.diskBytesSpilled()
+    return mem, disk
+
+
 def inflate(docs, times: int):
     """n copies with distinct doc_ids (same text distribution)."""
     out = None
@@ -201,6 +221,7 @@ def main() -> None:
         cells.groupBy("r", "b").agg(F.sum("n")).count()
         results[tag]["cms_counters"] = round(time.perf_counter() - t0, 2)
 
+        sp_mem0, sp_disk0 = _spill_totals(spark)
         t0 = time.perf_counter()
         probes = docs.filter(F.col("doc_id") % 50 == 0).select(
             F.col("doc_id").alias("probe_id"),
@@ -211,6 +232,13 @@ def main() -> None:
         )
         tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram").count()
         results[tag]["fuzzy_qgram"] = round(time.perf_counter() - t0, 2)
+        sp_mem1, sp_disk1 = _spill_totals(spark)
+        results[tag]["fuzzy_qgram_spill_mem_mb"] = round(
+            (sp_mem1 - sp_mem0) / 1e6, 1
+        )
+        results[tag]["fuzzy_qgram_spill_disk_mb"] = round(
+            (sp_disk1 - sp_disk0) / 1e6, 1
+        )
         spark.catalog.clearCache()
 
         # Adversarial all-fallback probe: a DISJOINT probe catalog (hex

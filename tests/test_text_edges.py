@@ -109,3 +109,50 @@ def test_sequence_packing_non_power_of_two_capacity(spark, monkeypatch):
         n = 333 + (i * 7) % 500
         assert got[i] == (off, off // 1000, off % 1000), i
         off += n
+
+
+def test_salted_global_topk_rank_keeps_cross_slice_ties(spark):
+    """With rank_fn=F.rank, rows tied on the order key must ALL survive
+    — including ties split across different hash-salt slices — and the
+    final ranks must equal a direct global rank. (The per-slice cut
+    keeps ties because rank, unlike row_number, never splits a tie
+    group across the <= k boundary.)"""
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.plans.queries_text import salted_global_topk
+
+    # 40 keys share the top score (ties straddle many of the 8 slices),
+    # then a strictly lower tail
+    rows = [(f"t{i:02d}", 100) for i in range(40)] + [
+        (f"z{i:02d}", 50 - i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "tok string, n long")
+    got = salted_global_topk(
+        df,
+        [F.col("n").desc()],  # NON-total order: all t* rows tie
+        5,
+        "rnk",
+        "tok",
+        salts=8,
+        rank_fn=F.rank,
+    ).collect()
+    # every tied-at-top row survives with rank 1; nothing else has rank <= 5
+    assert len(got) == 40
+    assert all(r.rnk == 1 and r.tok.startswith("t") for r in got)
+
+
+def test_salted_global_topk_row_number_exact_k(spark):
+    """With the default row_number on a total order the helper returns
+    exactly k rows in global order."""
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.plans.queries_text import salted_global_topk
+
+    rows = [(f"w{i:03d}", 1000 - i) for i in range(200)]
+    df = spark.createDataFrame(rows, "tok string, n long")
+    got = salted_global_topk(
+        df, [F.col("n").desc(), F.col("tok")], 7, "rk", "tok", salts=16
+    ).collect()
+    assert [(r.tok, r.rk) for r in sorted(got, key=lambda r: r.rk)] == [
+        (f"w{i:03d}", i + 1) for i in range(7)
+    ]
