@@ -46,6 +46,8 @@ Output: one row per (probe, candidate, tier) membership —
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -305,8 +307,11 @@ def tiered_fuzzy_join(
 # any broadcast threshold, so the full cross product per micro-batch is
 # |batch| * n_cand <= |batch| * 4096 cheap JVM DP evaluations — the
 # same asymptotics as the reference's per-probe scan (main.py:197-230)
-# but vectorized and without per-call planning overhead.
-_DENSE_CAND_MAX = 4096
+# but vectorized and without per-call planning overhead. Env-tunable
+# like the union-find edge cap: deployments with longer strings (full
+# DP is O(len^2) per pair on far pairs) can lower it; ones with short
+# keys and bigger dimension tables can raise it.
+_DENSE_CAND_MAX = int(_os.environ.get("SPARK_GRAFT_DENSE_CANDS", "4096"))
 
 
 def _dense_tiers(p: DataFrame, c: DataFrame, t: int) -> DataFrame:
@@ -353,8 +358,6 @@ def _dense_tiers(p: DataFrame, c: DataFrame, t: int) -> DataFrame:
 _FALLBACK_MAX_ROUNDS = 8
 
 # Diagnostics: per-round progress of the escalation loop on stderr.
-import os as _os  # noqa: E402
-
 _FALLBACK_DEBUG = bool(_os.environ.get("SPARK_GRAFT_FUZZY_DEBUG"))
 
 # Adaptive shortcut for the escalation loops: when the remaining-probe

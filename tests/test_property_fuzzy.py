@@ -125,6 +125,52 @@ def test_topk_matches_brute_force_random(spark, probe_keys, cand_keys, k):
     assert got == expect
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probe_keys=st.lists(_KEY, min_size=0, max_size=6),
+    cand_keys=st.lists(_KEY, min_size=0, max_size=8),
+    t=st.integers(min_value=1, max_value=4),
+)
+def test_dense_prepared_matches_brute_force(spark, probe_keys, cand_keys, t):
+    """The dense one-pass path (prepared + broadcast-small — the
+    streaming micro-batch plan) on randomized inputs, including empty
+    sides, empty-normalizing keys, and duplicate values, must equal the
+    same brute-force reference as the banded strategies."""
+    from data_finder_comparator_spark.operators.fuzzy_join import (
+        prepare_candidates,
+    )
+
+    probes = list(enumerate(probe_keys))
+    cands = [(i + 100, v) for i, v in enumerate(cand_keys)]
+    p_df = (
+        spark.createDataFrame(probes, "probe_id long, probe string")
+        if probes
+        else spark.createDataFrame([], "probe_id long, probe string")
+    )
+    c_df = (
+        spark.createDataFrame(cands, "cand_id long, cand string")
+        if cands
+        else spark.createDataFrame([], "cand_id long, cand string")
+    )
+    reg: list = []
+    prepared = prepare_candidates(c_df, cache_registry=reg)
+    try:
+        got = {
+            (r.probe_id, r.cand_id, r.dist, r.tier)
+            for r in tiered_fuzzy_join(
+                p_df, c_df, threshold=t, prepared=prepared
+            ).collect()
+        }
+    finally:
+        for df in reg:
+            df.unpersist()
+    assert got == _brute_tiers(probes, cands, t)
+
+
 # ---------------------------------------------------------------------------
 # Funnel fold vs a driver-side reference state machine: random per-user
 # timelines (including timestamp ties, repeated stages, stage types
