@@ -274,3 +274,38 @@ def test_histogram_quantiles_aggregates_before_exchange(spark):
     pre = plan.split("Exchange hashpartitioning")[-1]
     assert "HashAggregate" in pre, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dense_fuzzy_path_minimal_plan(spark):
+    """The dense prepared-candidates tier path (the streaming
+    micro-batch plan) must stay at its latency floor: ONE broadcast of
+    the candidate side feeding a nested-loop cross product, ONE hash
+    exchange (the probe_id window), and no extra aggregation/join
+    machinery from the banded two-phase plan."""
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.operators.fuzzy_join import (
+        prepare_candidates,
+        tiered_fuzzy_join,
+    )
+
+    probe = spark.range(0, 64).select(
+        F.col("id").alias("probe_id"), F.concat(F.lit("k"), "id").alias("probe")
+    )
+    cand = spark.range(0, 32).select(
+        F.col("id").alias("cand_id"), F.concat(F.lit("k"), "id").alias("cand")
+    )
+    reg: list = []
+    prepared = prepare_candidates(cand, cache_registry=reg)
+    try:
+        out = tiered_fuzzy_join(probe, cand, threshold=3, prepared=prepared)
+        out.count()  # finalize the adaptive plan before reading it
+        plan = _executed_plan(out)
+    finally:
+        for df in reg:
+            df.unpersist()
+    assert "BroadcastNestedLoopJoin" in plan  # the dense cross product
+    assert plan.count("Exchange hashpartitioning") <= 1, plan  # window only
+    # none of the banded plan's phase machinery leaked in
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
