@@ -535,3 +535,34 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
     )
+
+
+def cluster_canonical(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivor selection on top of `connected_components`: one
+    canonical document per duplicate cluster — the longest text, ties
+    broken by the smallest doc id (deterministic, engine-portable).
+
+    One equi-join (labels x docs on the id) and one hash aggregation
+    keyed on cluster_id: the argmax rides a single max(struct) partial
+    aggregate (combinable map-side — no per-cluster window, so a giant
+    duplicate cluster costs CPU, never executor memory). Returns
+    (cluster_id, canonical_id, n_members).
+    """
+    joined = labels.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.length(text_col).cast("long").alias("_len"),
+        ),
+        "doc_id",
+    )
+    # max(struct(len, -id)) == longest text, then smallest id on ties
+    pick = F.max(F.struct(F.col("_len"), (-F.col("doc_id")).alias("_nid")))
+    return joined.groupBy("cluster_id").agg(
+        (-pick["_nid"]).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

@@ -118,3 +118,94 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
             F.size("_h").cast("long").alias("n_shingles"),
         )
     )
+
+
+def scrub_hot_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    span: int = 3,
+) -> DataFrame:
+    """C4-style duplicate-span REMOVAL (the scrub `duplicate_spans`
+    only diagnoses): drop from every document each token covered by any
+    ``span``-gram that occurs in >= ``min_docs`` distinct documents.
+
+    Deterministic, order-free semantics (a token is removed iff SOME
+    hot gram covers it — no left-to-right scan state), so the whole
+    transform is expressible as joins/aggregations in ANY engine:
+
+    1. grams:   (doc, start_pos, gram) from the whitespace token list;
+    2. hot:     grams with count(DISTINCT doc) >= min_docs (equi-join
+                back, never a broadcast of the corpus vocabulary);
+    3. covered: each hot start marks positions [start, start+span-1];
+    4. output per doc: token count, removed count, and the md5 of the
+       surviving tokens joined by single spaces (portable fingerprint
+       of the cleaned text — the full text column stays available by
+       joining back on doc_id in a pipeline).
+
+    Scale: every stage keys on doc_id or gram — the same fan-out /
+    hash-agg shapes as `duplicate_spans`; per-doc state is bounded by
+    the token count, and the hot-gram table is corpus-frequency-sized
+    (tiny after the >=min_docs filter).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    )
+    tok_pos = base.select(
+        "doc_id", F.posexplode("_t").alias("pos", "tok")
+    )
+    grams = base.filter(F.size("_t") >= span).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_t) - {span}),"
+                f" j -> struct(j AS start, array_join(slice(_t, j + 1, {span}), ' ') AS gram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start", "g.gram")
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = tok_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
+        )
+    )

@@ -1097,3 +1097,83 @@ def test_connected_components_cap_boundary_routing(spark, monkeypatch):
             df.unpersist()
         assert got == want, (cap, got)
         assert (len(calls) > 0) == expect_local, (cap, calls)
+
+
+def test_scrub_hot_spans_reference_semantics(spark):
+    """C4-style span scrub vs a pure-Python restatement: a token is
+    removed iff any hot 3-gram (>= min_docs distinct docs) covers it;
+    cleaned_md5 fingerprints the surviving tokens joined by spaces."""
+    import hashlib
+
+    from data_finder_comparator_spark.operators.textops import scrub_hot_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox sat still"),
+        (3, "quick brown fox again and again"),
+        (4, "totally unrelated words here"),
+        (5, "xy"),           # single token, no grams
+        (6, "quick brown"),  # too short for a 3-gram
+    ]
+    min_docs, span = 3, 3
+
+    # reference
+    docs = {i: [t for t in txt.split() if t] for i, txt in rows}
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in docs.items():
+        for j in range(len(toks) - span + 1):
+            gram_docs[" ".join(toks[j : j + span])].add(i)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    want = {}
+    for i, toks in docs.items():
+        covered = set()
+        for j in range(len(toks) - span + 1):
+            if " ".join(toks[j : j + span]) in hot:
+                covered.update(range(j, j + span))
+        kept = [t for k, t in enumerate(toks) if k not in covered]
+        want[i] = (
+            len(toks),
+            len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in scrub_hot_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=min_docs,
+            span=span,
+        ).collect()
+    }
+    assert got == want
+    # sanity: "quick brown fox" occurs in docs 1-3 -> hot; doc 4 untouched
+    assert got[4][1] == 0 and got[1][1] >= 3
+
+
+def test_cluster_canonical_longest_then_min_id(spark):
+    """Survivor per duplicate cluster: longest text wins, ties break to
+    the smallest doc id; singletons are their own canonical."""
+    from data_finder_comparator_spark.operators.dedup import cluster_canonical
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),       # len 4
+            (2, "bbbbbb"),     # len 6  -> canonical of cluster 1
+            (3, "cccc"),       # len 4
+            (7, "x"),          # singleton
+            (9, "tie"),        # len 3, tie with 10 -> min id 9 wins
+            (10, "eit"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.cluster_id: (r.canonical_id, r.n_members)
+        for r in cluster_canonical(labels, docs).collect()
+    }
+    assert got == {1: (2, 3), 7: (7, 1), 9: (9, 2)}
