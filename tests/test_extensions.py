@@ -1177,3 +1177,89 @@ def test_cluster_canonical_longest_then_min_id(spark):
         for r in cluster_canonical(labels, docs).collect()
     }
     assert got == {1: (2, 3), 7: (7, 1), 9: (9, 2)}
+
+
+def test_scrub_hot_spans_oracle_ready(spark):
+    """Driver-oracle dress rehearsal for the staged scrub operator: the
+    Spark result must hash-match a DuckDB restatement at sf0.01 — the
+    exact contract a future @query registration will use (the 50-query
+    window is full this round, so the check runs here instead)."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import scrub_hot_spans
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    sql = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok_pos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM base, unnest(range(1, len(t) + 1)) AS r(i)
+),
+grams AS (
+  SELECT doc_id, j - 1 AS start, array_to_string(t[j : j + 2], ' ') AS gram
+  FROM base, unnest(range(1, len(t) - 1)) AS r(j)
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.start + k AS pos
+  FROM grams g JOIN hot USING (gram), unnest([0, 1, 2]) AS u(k)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+),
+cleaned AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok_pos GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.n_tokens - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+FROM totals t LEFT JOIN cleaned c USING (doc_id)
+"""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ok, msg = compare(scrub_hot_spans(docs, min_docs=3, span=3), sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_cluster_canonical_oracle_ready(spark):
+    """Same dress rehearsal for the staged survivor-selection operator,
+    composed over the existing recursive-CTE cluster oracle."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.dedup import cluster_canonical
+    from data_finder_comparator_spark.plans.catalog import QUERIES, release_caches
+    from data_finder_comparator_spark.plans.queries_dedup import _CLUSTERS_ORACLE
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    sql = f"""
+WITH cl AS ({_CLUSTERS_ORACLE}),
+ranked AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY length(text) DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM cl JOIN documents USING (doc_id)
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS canonical_id,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+    labels = QUERIES["dedup_clusters"](spark, SF_ORACLE).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, SF_ORACLE, "documents")
+    try:
+        ok, msg = compare(cluster_canonical(labels, docs), sql, SF_ORACLE)
+    finally:
+        release_caches()
+    assert ok, msg
