@@ -1263,3 +1263,159 @@ FROM ranked WHERE rn = 1
     finally:
         release_caches()
     assert ok, msg
+
+
+def test_grouped_hll_by_lang_oracle_ready(spark):
+    """Staged round-7 query: per-language HLL distinct-text estimates —
+    the GROUPED sketch shape (GROUP BY key, register) a per-domain /
+    per-day cardinality report needs. Same 2^50 integer-scaled
+    arithmetic as hll_distinct_sketch, hash-matched against DuckDB at
+    sf0.01 ahead of catalog registration."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.plans.queries_dedup import (
+        _HLL_C,
+        _HLL_EMPTY,
+        _hll_rho_rows,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("lang", "text")
+    reg = (
+        _hll_rho_rows(docs)
+        .groupBy("lang", "register_id")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    summary = (
+        reg.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 50 - least(max_rho, 50))")
+            ).alias("ssum"),
+        )
+        .select(
+            "lang",
+            (256 - F.col("n_present")).cast("long").alias("n_zeros"),
+            (
+                F.lit(float(_HLL_C))
+                / (F.col("ssum") + (256 - F.col("n_present")) * _HLL_EMPTY)
+            ).alias("raw"),
+        )
+    )
+    est = F.when(
+        (F.col("n_zeros") > 0) & (F.col("raw") < 640.0),
+        256 * F.log(256.0 / F.col("n_zeros")),
+    ).otherwise(F.col("raw"))
+    got = summary.select(
+        "lang", "n_zeros", F.round(est, 4).alias("est_distinct")
+    )
+    sql = f"""
+WITH v AS (SELECT lang, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS v
+           FROM documents),
+b AS (SELECT lang, v // 4503599627370496 AS register_id,
+             v % 4503599627370496 AS w FROM v),
+r AS (SELECT lang, register_id,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM b),
+reg AS (SELECT lang, register_id, CAST(max(rho) AS BIGINT) AS max_rho
+        FROM r GROUP BY lang, register_id),
+s AS (SELECT lang, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
+      FROM reg GROUP BY lang),
+e AS (SELECT lang, 256 - n_present AS n_zeros,
+             {_HLL_C} / (ssum + (256 - n_present) * {_HLL_EMPTY}) AS raw
+      FROM s)
+SELECT lang, CAST(n_zeros AS BIGINT) AS n_zeros,
+       CAST(round(CASE WHEN n_zeros > 0 AND raw < 640.0
+                       THEN 256 * ln(256.0 / n_zeros)
+                       ELSE raw END, 4) AS DOUBLE) AS est_distinct
+FROM e
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_grouped_histogram_quantiles_oracle_ready(spark):
+    """Staged round-7 query: per-event-type histogram quantiles — the
+    grouped variant of histogram_quantiles (per-group bounds, per-group
+    cumulative walk; every stage keyed on event_type so the sketch
+    parallelizes per group). Hash-matched against DuckDB at sf0.01."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = bins.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")).alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])).alias("q")
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(qs))
+        .join(F.broadcast(bounds), "event_type")
+        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    got = sel.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("q").cast("double").alias("q"),
+        "bin",
+        (F.col("mn") + (F.col("bin") + 1) * width).cast("double").alias("approx_value"),
+    )
+    sql = """
+WITH bounds AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type),
+bins AS (
+  SELECT e.event_type,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
+  FROM events e JOIN bounds b USING (event_type)
+),
+hist AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+         FROM bins GROUP BY event_type, bin),
+cum AS (SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+        FROM hist),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT c.event_type, q, min(bin) AS bin
+  FROM cum c CROSS JOIN qs JOIN bounds b USING (event_type)
+  WHERE cc >= ceil(q * b.n) GROUP BY c.event_type, q
+)
+SELECT sel.event_type, CAST(sel.q AS DOUBLE) AS q, sel.bin,
+       CAST(b.mn + (sel.bin + 1) * ((b.mx - b.mn) / 4096) AS DOUBLE) AS approx_value
+FROM sel JOIN bounds b USING (event_type)
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
