@@ -500,8 +500,11 @@ def fuzzy_match_stream(
     count/max-length stats are computed ONCE here (prepare_candidates)
     before the stream starts — each epoch's tiered join reuses the
     persisted frames and scalar stats instead of re-running ~2 extra
-    candidate-side jobs per micro-batch. Pass ``cache_registry`` to
-    reclaim the persisted candidate blocks after the stream drains.
+    candidate-side jobs per micro-batch. Pass ``cache_registry`` (a
+    list) and unpersist its entries after the stream stops — without
+    it the two prepared-candidate cached tables live until the session
+    ends (acceptable for a run-forever production stream, a leak for a
+    harness that starts many short streams).
 
     Returns the started StreamingQuery (caller drives/stops it). With
     ``available_now`` the trigger drains everything available then

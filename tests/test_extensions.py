@@ -89,11 +89,14 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
         .parquet(str(probes_dir))
     )
     sink = str(tmp_path / "sink")
-    q = fuzzy_match_stream(spark, stream, cand, sink, threshold=3)
+    reg: list = []
+    q = fuzzy_match_stream(spark, stream, cand, sink, threshold=3, cache_registry=reg)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        for df in reg:
+            df.unpersist()
     out = spark.read.parquet(sink).collect()
     tiers = {(r.probe_id, r.cand_id, r.tier) for r in out}
     assert (2, 11, "exact") in tiers
