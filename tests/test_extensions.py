@@ -1422,3 +1422,77 @@ FROM sel JOIN bounds b USING (event_type)
 """
     ok, msg = compare(got, sql, SF_ORACLE)
     assert ok, msg
+
+
+def test_inverted_index_oracle_ready(spark):
+    """Staged round-7 query: capped inverted index — token ->
+    (document frequency, occurrence count, the K smallest posting doc
+    ids) — the lookup structure attribution / decontamination passes
+    build. Per-token grouped top-k keeps hot-token postings bounded;
+    every stage keys on token or (token, doc_id). Hash-matched against
+    DuckDB at sf0.01 ahead of registration."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    K = 8
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    postings = (
+        per_doc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= K)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                "|",
+            ).alias("postings")
+        )
+    )
+    got = stats.join(postings, "token")
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS occ
+  FROM toks WHERE token <> '' GROUP BY token, doc_id
+),
+stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(occ) AS BIGINT) AS n_occurrences
+  FROM per_doc GROUP BY token
+),
+capped AS (
+  SELECT token, doc_id FROM (
+    SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM per_doc
+  ) WHERE rn <= {K}
+),
+postings AS (
+  SELECT token, string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+  FROM capped GROUP BY token
+)
+SELECT s.token, s.df, s.n_occurrences, p.postings
+FROM stats s JOIN postings p USING (token)
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
