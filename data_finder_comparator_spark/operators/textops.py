@@ -194,8 +194,12 @@ def scrub_hot_spans(
             )
         ).alias("cleaned_md5"),
     )
-    totals = tok_pos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # totals come from size(_t) on the UN-exploded rows — the exploded
+    # re-aggregation would pay a token-cardinality hash agg just to
+    # recover a count each source row already carries. Zero-token docs
+    # are therefore included (n_tokens 0, cleaned_md5 of '').
+    totals = base.select(
+        "doc_id", F.size("_t").cast("long").alias("n_tokens")
     )
     empty_md5 = F.md5(F.lit(""))
     return (

@@ -802,6 +802,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     et, ts = F.col("event_type"), F.col("ts")
     staged = (
         ev.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        # stage 1 is granted on the EXISTENCE of a view row (the oracle's
+        # v CTE emits the user even when min(ts) is null); t1 stays the
+        # null-skipping min, so a null-ts view can never anchor stage 2
+        .withColumn("hasv", F.max(F.when(et == "view", 1)).over(w))
         .withColumn(
             "t2",
             F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w),
@@ -814,7 +818,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = (
         F.when(F.col("t3").isNotNull(), 3)
         .when(F.col("t2").isNotNull(), 2)
-        .when(F.col("t1").isNotNull(), 1)
+        .when(F.col("hasv") == 1, 1)
         .otherwise(0)
     )
     return (

@@ -76,7 +76,13 @@ def inflate(docs, times: int):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="scale-check")
+    # retainedStages default (1000) could evict baseline stages between
+    # the two _spill_totals snapshots on a long multi-size run, which
+    # would under-report (or negate) the spill delta — keep every stage
+    spark = get_spark(
+        app_name="scale-check",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -1222,7 +1222,7 @@ cleaned AS (
   FROM kept GROUP BY doc_id
 ),
 totals AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok_pos GROUP BY doc_id
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base
 )
 SELECT t.doc_id, t.n_tokens,
        CAST(t.n_tokens - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
@@ -1496,3 +1496,30 @@ FROM stats s JOIN postings p USING (token)
 """
     ok, msg = compare(got, sql, SF_ORACLE)
     assert ok, msg
+
+
+def test_event_funnel_null_ts_view_grants_stage_one(spark, tmp_path):
+    """A user whose only view has a NULL timestamp still reaches stage
+    1 (the oracle's v CTE emits the user on row EXISTENCE; min(ts) is
+    null so later stages can never anchor on it) — review finding from
+    the window-min rewrite, which originally keyed stage 1 on t1
+    being non-null."""
+    from data_finder_comparator_spark.plans.queries_relational import event_funnel
+
+    from datetime import datetime
+
+    t1 = datetime(2024, 1, 1, 13, 0, 0)
+    rows = [
+        (1, None, "view"),       # null-ts view -> stage 1, nothing more
+        (1, t1, "click"),        # cannot fire: t1 anchor is null
+        (2, None, "click"),      # null-ts click, no view -> stage 0
+        (3, None, "view"),       # null + real view: real min anchors
+        (3, datetime(2024, 1, 1, 12, 0, 0), "view"),
+        (3, t1, "click"),
+    ]
+    d = tmp_path / "fnull"
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {r.user_id: r.funnel_stage for r in event_funnel(spark, str(d)).collect()}
+    assert got == {1: 1, 2: 0, 3: 2}
