@@ -310,7 +310,11 @@ def tiered_fuzzy_join(
 # but vectorized and without per-call planning overhead. Env-tunable
 # like the union-find edge cap: deployments with longer strings (full
 # DP is O(len^2) per pair on far pairs) can lower it; ones with short
-# keys and bigger dimension tables can raise it.
+# keys and bigger dimension tables can raise it. Measured envelope at
+# 4000 candidates (SCALE.md §8): dense wins 2.3x at 32-probe batches,
+# crosses over ~1000 probes/call, loses a bounded ~1.5x past it — so
+# the gate needs only the candidate count (batch size is unknowable at
+# plan time); large-batch callers simply don't pass ``prepared``.
 _DENSE_CAND_MAX = int(_os.environ.get("SPARK_GRAFT_DENSE_CANDS", "4096"))
 
 
