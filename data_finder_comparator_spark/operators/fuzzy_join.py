@@ -352,9 +352,7 @@ def _dense_tiers(p: DataFrame, c: DataFrame, t: int) -> DataFrame:
             )
         )
     ).alias("tier")
-    return scored.select("probe_id", "probe", "cand_id", "cand", "dist", tier).select(
-        *OUT_COLS
-    )
+    return scored.select("probe_id", "probe", "cand_id", "cand", "dist", tier)
 
 
 # Safety valve for the escalation loop: after this many doublings the

@@ -441,16 +441,18 @@ FROM reg CROSS JOIN e
 
 def _hll_rho_rows(docs: DataFrame) -> DataFrame:
     """(register_id, rho) per document text: md5 -> 60-bit value, top 8
-    bits pick the register, leading-zero rank of the low 52 bits."""
+    bits pick the register, leading-zero rank of the low 52 bits.
+    Non-text columns (e.g. a shard key) pass through."""
+    extra = [c for c in docs.columns if c != "text"]
     v = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    d = docs.select(v.alias("v"), *[c for c in docs.columns if c != "text"]).select(
+    d = docs.select(v.alias("v"), *extra).select(
         F.shiftright("v", 52).alias("register_id"),
         F.expr("v & 4503599627370495").alias("w"),
-        *[c for c in docs.columns if c != "text"],
+        *extra,
     )
     pos = F.instr(F.lpad(F.bin("w"), 52, "0"), "1")
     rho = F.when(pos == 0, F.lit(53)).otherwise(pos)
-    return d.select("register_id", rho.alias("rho"), *[c for c in docs.columns if c != "text"])
+    return d.select("register_id", rho.alias("rho"), *extra)
 
 
 def _hll_finalize(reg: DataFrame) -> DataFrame:
@@ -526,7 +528,7 @@ s AS (SELECT count(*) AS n_present,
              sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
       FROM reg),
 e AS (SELECT 256 - n_present AS n_zeros,
-             {{c}} / (ssum + (256 - n_present) * {{empty}}) AS raw
+             {_HLL_C} / (ssum + (256 - n_present) * {_HLL_EMPTY}) AS raw
       FROM s)
 SELECT reg.register_id, reg.max_rho, reg.n_shards,
        CAST(e.n_zeros AS BIGINT) AS n_zeros,
@@ -534,7 +536,7 @@ SELECT reg.register_id, reg.max_rho, reg.n_shards,
                        THEN 256 * ln(256.0 / e.n_zeros)
                        ELSE e.raw END, 4) AS DOUBLE) AS est_distinct
 FROM reg CROSS JOIN e
-""".format(c=_HLL_C, empty=_HLL_EMPTY)
+"""
 
 
 @query("hll_merge_shards", oracle=_HLL_MERGE_ORACLE)
