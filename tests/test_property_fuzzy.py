@@ -229,3 +229,124 @@ def test_event_funnel_matches_reference_state_machine(spark, tmp_path_factory, d
         want.setdefault(u, []).append((base + timedelta(hours=h), et))
     want = {u: _funnel_ref(tl) for u, tl in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Staged-operator properties: randomized inputs vs pure-Python
+# references for the round-7 registration candidates.
+# ---------------------------------------------------------------------------
+
+_WORD = st.sampled_from(["a", "b", "c", "dd", "ee"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(st.lists(_WORD, min_size=0, max_size=12), min_size=1, max_size=10),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+def test_scrub_hot_spans_property(spark, data, min_docs):
+    """Randomized corpora (tiny alphabet -> dense gram collisions,
+    overlapping hot spans, whole-doc removals, empty docs): the scrub
+    must match the order-free reference exactly."""
+    import hashlib
+
+    from data_finder_comparator_spark.operators.textops import scrub_hot_spans
+
+    span = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in enumerate(data):
+        for j in range(len(toks) - span + 1):
+            gram_docs[" ".join(toks[j : j + span])].add(i)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    want = {}
+    for i, toks in enumerate(data):
+        covered = set()
+        for j in range(len(toks) - span + 1):
+            if " ".join(toks[j : j + span]) in hot:
+                covered.update(range(j, j + span))
+        kept = [t for k, t in enumerate(toks) if k not in covered]
+        want[i] = (
+            len(toks),
+            len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in scrub_hot_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=min_docs,
+            span=span,
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15
+    ),
+    lengths=st.lists(st.integers(0, 6), min_size=10, max_size=10),
+)
+def test_cluster_canonical_property(spark, edges, lengths):
+    """Random graphs + random text lengths: the canonical per component
+    must be the longest text with ties to the smallest id, and every
+    node lands in exactly one cluster."""
+    from data_finder_comparator_spark.operators.dedup import (
+        cluster_canonical,
+        connected_components,
+    )
+
+    docs = [(i, "x" * lengths[i]) for i in range(10)]
+    e = [(a, b) for a, b in edges if a != b]
+    # reference union-find
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i in range(10):
+        comps.setdefault(find(i), []).append(i)
+    want = {}
+    for root, members in comps.items():
+        best = max(members, key=lambda m: (lengths[m], -m))
+        want[min(members)] = (best, len(members))
+
+    edges_df = (
+        spark.createDataFrame(e, "doc_a long, doc_b long")
+        if e
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    reg: list = []
+    labels = connected_components(
+        edges_df, nodes=docs_df.select("doc_id"), cache_registry=reg
+    )
+    try:
+        got = {
+            r.cluster_id: (r.canonical_id, r.n_members)
+            for r in cluster_canonical(labels, docs_df).collect()
+        }
+    finally:
+        for df in reg:
+            df.unpersist()
+    assert got == want
