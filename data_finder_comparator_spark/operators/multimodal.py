@@ -311,3 +311,64 @@ def frame_sample(
     return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, n_in long, n_out long, rate_in long, rate_out long, "
+    "out_first long, out_last long, out_md5 string"
+)
+
+
+def pcm_resample_features(
+    df: DataFrame, rate_in: int = WAV_SAMPLE_RATE, rate_out: int = 16000
+) -> DataFrame:
+    """Deterministic PCM resampling — the sample-rate standardization
+    pass an audio training pipeline runs on every clip (everything to
+    16 kHz mono before featurization). Linear interpolation over the
+    int16 stream, vectorized with numpy inside ``mapInPandas`` (Arrow
+    batches, fan-out repartition — the same plumbing as the decoders):
+    output grid j * rate_in/rate_out for j in [0, n_out), with
+    n_out = floor((n_in-1) * rate_out / rate_in) + 1 so the grid never
+    extrapolates past the last input sample. Values are rounded
+    half-to-even (np.rint) and clamped to int16 — every step
+    deterministic, so the emitted md5 of the resampled byte stream is a
+    portable fingerprint (golden-tested against a pure-Python
+    reference; no SQL oracle — interpolation is not reasonably
+    SQL-expressible, the alignment-walk precedent).
+
+    As with ``wav_decode_features`` the testdata ships no real audio,
+    so the PCM stream is fabricated from the payload bytes (int16 LE),
+    exactly the byte-interpretation ``synth_wav_payload`` embeds."""
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_in", "n_out", "rate_in", "rate_out",
+                "out_first", "out_last", "out_md5",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_in = len(data) // 2
+                if n_in < 2:  # nothing to interpolate between
+                    continue
+                x = np.frombuffer(data[: n_in * 2], dtype="<i2").astype(np.float64)
+                n_out = (n_in - 1) * rate_out // rate_in + 1
+                pos = np.arange(n_out, dtype=np.float64) * rate_in / rate_out
+                y = np.interp(pos, np.arange(n_in, dtype=np.float64), x)
+                yi = np.clip(np.rint(y), -32768, 32767).astype("<i2")
+                rows["doc_id"].append(doc_id)
+                rows["n_in"].append(n_in)
+                rows["n_out"].append(int(n_out))
+                rows["rate_in"].append(rate_in)
+                rows["rate_out"].append(rate_out)
+                rows["out_first"].append(int(yi[0]))
+                rows["out_last"].append(int(yi[-1]))
+                rows["out_md5"].append(hashlib.md5(yi.tobytes()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=RESAMPLE_SCHEMA
+    )

@@ -1523,3 +1523,61 @@ def test_event_funnel_null_ts_view_grants_stage_one(spark, tmp_path):
     ).write.parquet(str(d / "events.parquet"))
     got = {r.user_id: r.funnel_stage for r in event_funnel(spark, str(d)).collect()}
     assert got == {1: 1, 2: 0, 3: 2}
+
+
+def test_pcm_resample_matches_pure_python_reference(spark):
+    """Linear-interp resampling vs an index-by-index pure-Python
+    reference (no numpy), covering upsample (8k->16k), downsample
+    (8k->6k), and the 2-sample minimum. Pins grid construction
+    (never extrapolates), half-to-even rounding, and int16 clamping."""
+    import hashlib
+    import struct
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_binary_payload,
+        pcm_resample_features,
+    )
+
+    texts = [
+        (0, "abcdefgh123"),   # odd byte tail dropped
+        (1, "zz"),            # exactly one int16 sample -> skipped
+        (2, "The quick brown fox jumps over the lazy dog!"),
+        (3, "ab"),            # one sample -> skipped
+        (4, "abcd"),          # exactly two samples
+    ]
+    df = attach_binary_payload(
+        spark.createDataFrame(texts, "doc_id long, text string"), "doc_id", "text"
+    )
+
+    def ref(data: bytes, rate_in: int, rate_out: int):
+        n_in = len(data) // 2
+        if n_in < 2:
+            return None
+        x = [
+            struct.unpack("<h", data[2 * i : 2 * i + 2])[0] for i in range(n_in)
+        ]
+        n_out = (n_in - 1) * rate_out // rate_in + 1
+        out = []
+        for j in range(n_out):
+            p = j * rate_in / rate_out
+            lo = int(p)
+            hi = min(lo + 1, n_in - 1)
+            v = x[lo] + (x[hi] - x[lo]) * (p - lo)
+            # numpy rint = round half to even; Python round() matches
+            r = round(v)
+            out.append(max(-32768, min(32767, r)))
+        blob = b"".join(struct.pack("<h", v) for v in out)
+        return n_out, out[0], out[-1], hashlib.md5(blob).hexdigest()
+
+    payloads = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    for rate_out in (16000, 6000):
+        got = {
+            r.doc_id: (r.n_out, r.out_first, r.out_last, r.out_md5)
+            for r in pcm_resample_features(df, rate_out=rate_out).collect()
+        }
+        want = {
+            i: ref(p, 8000, rate_out)
+            for i, p in payloads.items()
+            if ref(p, 8000, rate_out) is not None
+        }
+        assert got == want, rate_out
