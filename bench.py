@@ -149,16 +149,18 @@ def main() -> None:
     spark.stop()
 
 
-def _archive(payload: dict) -> None:
+def _archive(payload: dict, here: str | None = None) -> None:
     """Self-archive the per-query dict to bench_history/r{N}.json —
     the driver's BENCH_r{N}.json capture has truncated the stdout JSON
     line before (r4 recorded only trailing log noise), which made
     round-over-round per-query regression diffs unrecoverable. The
     round number comes from $SPARK_GRAFT_ROUND when set, else one past
-    the newest BENCH_r*.json the driver has recorded here."""
+    the newest BENCH_r*.json the driver has recorded here. ``here``
+    overrides the repo root (tests)."""
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         seen = [

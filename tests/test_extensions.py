@@ -1581,3 +1581,24 @@ def test_pcm_resample_matches_pure_python_reference(spark):
             if ref(p, 8000, rate_out) is not None
         }
         assert got == want, rate_out
+
+
+def test_bench_archive_round_inference(tmp_path, monkeypatch):
+    """bench.py's history archive: $SPARK_GRAFT_ROUND wins when set;
+    otherwise the round is one past the newest driver BENCH_r*.json —
+    so the archive lands beside the round the driver is ABOUT to
+    record, whatever its stdout capture does."""
+    import json
+
+    import bench
+
+    payload = {"value": 1.0, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    bench._archive(payload, here=str(tmp_path))
+    assert json.load(open(tmp_path / "bench_history" / "r12.json")) == payload
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    bench._archive(payload, here=str(tmp_path))
+    assert (tmp_path / "bench_history" / "r7.json").exists()
