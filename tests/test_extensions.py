@@ -1602,3 +1602,112 @@ def test_bench_archive_round_inference(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
     bench._archive(payload, here=str(tmp_path))
     assert (tmp_path / "bench_history" / "r7.json").exists()
+
+
+def test_bloom_merge_shards_oracle_ready(spark):
+    """Staged round-7 query completing the mergeable-sketch family
+    symmetry (HLL merges by register-max, CMS by cell-sum — landed this
+    round): Bloom filters merge by bit-position UNION. Per-source bit
+    tables, merged by distinct union, with per-bit shard counts; the
+    merged table must equal the filter built over all sources at once
+    (union is associative). Hash-matched against DuckDB at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+
+    def pos(r: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
+        return (F.conv(hx, 16, 10).cast("long") % 65536).alias("b")
+
+    shard_bits = (
+        grams.select(
+            "source", F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+        )
+        .distinct()  # per-shard filter state: distinct (source, bit)
+    )
+    got = shard_bits.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards")
+    )
+    sql = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT source, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+shard_bits AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(concat(s, gram)), 1, 15)) AS BIGINT)
+           % 65536 AS b
+  FROM grams, (VALUES ('b0:'), ('b1:'), ('b2:'), ('b3:')) AS salts(s)
+)
+SELECT b, CAST(count(*) AS BIGINT) AS n_shards
+FROM shard_bits GROUP BY b
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_histogram_merge_shards_oracle_ready(spark):
+    """Staged round-7 query: per-source event-value histograms over the
+    GLOBAL bin grid merged by cell-wise sum — the shard-merge shape for
+    the quantile sketch (bins only merge when shards share the grid, so
+    the global bounds are computed first, exactly how a production
+    pipeline pins a grid before sharding). Hash-matched at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "value")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    shard = bins.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    got = shard.groupBy("bin").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    sql = """
+WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+bins AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) / ((mx - mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
+  FROM events, bounds
+),
+shard AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+          FROM bins GROUP BY event_type, bin)
+SELECT bin, CAST(sum(c) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n_shards
+FROM shard GROUP BY bin
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
