@@ -126,6 +126,7 @@ def scrub_hot_spans(
     text_col: str = "text",
     min_docs: int = 3,
     span: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """C4-style duplicate-span REMOVAL (the scrub `duplicate_spans`
     only diagnoses): drop from every document each token covered by any
@@ -147,24 +148,39 @@ def scrub_hot_spans(
     Scale: every stage keys on doc_id or gram — the same fan-out /
     hash-agg shapes as `duplicate_spans`; per-doc state is bounded by
     the token count, and the hot-gram table is corpus-frequency-sized
-    (tiny after the >=min_docs filter).
+    (tiny after the >=min_docs filter). ``base`` (the tokenized corpus,
+    three consumers) and ``grams`` (the span explode, two consumers)
+    persist via the repo's ``cache_registry`` contract so one call
+    tokenizes and explodes once, not 4x/2x; the caller unpersists the
+    registry entries after its action.
     """
+    def _track(frame: DataFrame) -> DataFrame:
+        if cache_registry is None:
+            return frame
+        frame = frame.persist()
+        cache_registry.append(frame)
+        return frame
+
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    base = _track(
+        df.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
     )
     tok_pos = base.select(
         "doc_id", F.posexplode("_t").alias("pos", "tok")
     )
-    grams = base.filter(F.size("_t") >= span).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(_t) - {span}),"
-                f" j -> struct(j AS start, array_join(slice(_t, j + 1, {span}), ' ') AS gram))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.start", "g.gram")
+    grams = _track(
+        base.filter(F.size("_t") >= span)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_t) - {span}),"
+                    f" j -> struct(j AS start, array_join(slice(_t, j + 1, {span}), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.start", "g.gram")
+    )
     hot = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("_nd"))

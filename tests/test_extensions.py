@@ -1230,8 +1230,18 @@ SELECT t.doc_id, t.n_tokens,
 FROM totals t LEFT JOIN cleaned c USING (doc_id)
 """
     docs = load_table(spark, SF_ORACLE, "documents")
-    ok, msg = compare(scrub_hot_spans(docs, min_docs=3, span=3), sql, SF_ORACLE)
+    reg: list = []
+    try:
+        ok, msg = compare(
+            scrub_hot_spans(docs, min_docs=3, span=3, cache_registry=reg),
+            sql,
+            SF_ORACLE,
+        )
+    finally:
+        for frame in reg:
+            frame.unpersist()
     assert ok, msg
+    assert len(reg) == 2  # base + grams persisted via the registry
 
 
 def test_cluster_canonical_oracle_ready(spark):
