@@ -1721,3 +1721,38 @@ FROM shard GROUP BY bin
 """
     ok, msg = compare(got, sql, SF_ORACLE)
     assert ok, msg
+
+
+def test_pcm_resample_layout_oracle_ready(spark):
+    """Staged round-7 partial oracle for the resampler: the layout
+    columns (n_in from the payload byte length, the n_out grid formula,
+    the rates) are SQL-computable, so the driver can hash-check them
+    while the interpolated values stay golden-tested (the alignment
+    split: SQL-expressible surface ⊕-checked, imperative core pinned by
+    unit tests). Docs under two samples are excluded on both sides."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_binary_payload,
+        pcm_resample_features,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = pcm_resample_features(
+        attach_binary_payload(docs, "doc_id", "text"), rate_out=16000
+    ).select("doc_id", "n_in", "n_out", "rate_in", "rate_out")
+    sql = """
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) // 2 AS n_in FROM documents
+)
+SELECT doc_id, CAST(n_in AS BIGINT) AS n_in,
+       CAST((n_in - 1) * 16000 // 8000 + 1 AS BIGINT) AS n_out,
+       CAST(8000 AS BIGINT) AS rate_in,
+       CAST(16000 AS BIGINT) AS rate_out
+FROM sized WHERE n_in >= 2
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
