@@ -69,58 +69,69 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 
-# Round-6 rotation (invariant: every parked query was driver-green in
+# Round-7 rotation (invariant: every parked query was driver-green in
 # the ROUND THAT JUST RAN, so parking it still leaves a driver
 # CORRECTNESS row within the last two rounds; all parked queries stay
 # hash-checked by tests/test_oracle_parity.py on every pytest run).
-# This round: ALL 36 queries parked in r5 (last driver rows r4) return
-# to the window; every query whose code changed this round sits in the
-# window (the fuzzy family + streaming_fuzzy_tiers via the dense
-# prepared-candidates path, vocab_top_tokens + duplicate_spans via the
-# shared salted top-k, hll_distinct_sketch via the 2^50 rescale,
-# event_funnel via the hot-key cap, and the NEW hll_merge_shards /
-# cms_merge_shards); alignment_pairs stays in the window because its
-# rows-only check exists ONLY as a driver row. These 38 r5-green
-# queries (CORRECTNESS_r05.json, zero exceptions) park past the cap.
+# This round: ALL 38 queries parked in r6 (last driver rows r5) return
+# to the window, joined by the 8 newly registered round-7 queries
+# (scrub_hot_spans, cluster_canonical, grouped_hll_by_lang,
+# grouped_histogram_quantiles, inverted_index, bloom_merge_shards,
+# histogram_merge_shards, pcm_resample_layout — new code is always
+# in-window). alignment_pairs stays in the window because its
+# rows-only check exists ONLY as a driver row, and three r6-green
+# queries whose shared code the round's advisor fixes touch stay in
+# too: vocab_top_tokens + duplicate_spans (salted_global_topk) and
+# streaming_fuzzy_tiers (fuzzy_match_stream's cache_registry default).
+# The remaining 46 r6-green queries (CORRECTNESS_r06.json, zero
+# exceptions) park past the cap: 38 + 8 + 1 + 3 = 50 exactly.
 _PARKED_MULTI_GREEN = [
-    "alignment_dist",
-    "multimodal_features",
-    "multimodal_wav_decode",
-    "streaming_window_counts",
-    "streaming_first_seen",
-    "streaming_watermarked_counts",
-    "streaming_dedup_events",
-    "text_quality_signals",
-    "lang_id_confusion",
-    "doc_repetition",
-    "deterministic_sample",
-    "doc_fingerprints",
-    "deterministic_shuffle",
-    "sequence_packing",
-    "source_domain_caps",
-    "mixture_token_budget",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "union_by_name_folder",
-    "orc_folder_roundtrip",
-    "partitioned_lang_roundtrip",
-    "deterministic_row_ids",
-    "keep_replace_curation",
-    "curation_counts",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_hybrid_verify",
-    "line_dedup_stats",
-    "embedding_neardup_pairs",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ivf_kmeans_centroids",
-    "hourly_gapfill",
-    "orders_grouping_sets",
-    "rolling_user_activity",
-    "histogram_quantiles",
+    "fuzzy_join_tiers",
+    "fuzzy_join_docs",
+    "fuzzy_join_docs_band",
+    "fuzzy_topk",
+    "fuzzy_tier_assembly",
+    "fuzzy_tier_counts",
+    "multimodal_frame_sample",
+    "streaming_sliding_counts",
+    "streaming_purchase_attribution",
+    "streaming_enriched_segments",
+    "streaming_session_counts",
+    "lang_robust_length_stats",
+    "doc_token_chunks",
+    "corpus_curation_pipeline",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "cms_merge_shards",
+    "excel_folder_roundtrip",
+    "csv_folder_roundtrip",
+    "json_folder_roundtrip",
+    "table_version_diff",
+    "dedup_exact",
+    "dedup_simhash",
+    "hll_distinct_sketch",
+    "hll_merge_shards",
+    "ann_cosine_topk",
+    "ann_sq8_rerank_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_priority",
+    "orders_rollup",
+    "customers_without_orders",
+    "events_pivot_by_hour",
+    "suppliers_by_nation",
+    "event_value_quantiles",
+    "events_cube",
+    "sessionize_events",
+    "asof_latest_order",
+    "salted_segment_stats",
+    "bucketed_order_revenue",
+    "purchase_window_stats",
+    "props_json_stats",
+    "session_type_cooccurrence",
+    "event_funnel",
 ]
 
 

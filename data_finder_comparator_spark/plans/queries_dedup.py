@@ -558,3 +558,114 @@ def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reg = track(reg)
     return _hll_finalize(reg)
+
+
+# ---------------------------------------------------------------------------
+# Cluster survivor selection: one canonical document per duplicate
+# cluster (longest text, smallest id on ties) on top of the connected-
+# components labels — the "which copy do we keep" step that turns
+# dedup_clusters' diagnosis into a curation decision. The oracle
+# restates the survivor rule as a window over the same recursive-CTE
+# closure; the Spark side is one equi-join + one max(struct) hash agg
+# (no per-cluster window — a giant cluster costs CPU, never memory).
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+WITH cl AS ({_CLUSTERS_ORACLE}),
+ranked AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY length(text) DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM cl JOIN documents USING (doc_id)
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS canonical_id,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("cluster_canonical", oracle=_CANONICAL_ORACLE)
+def cluster_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor per duplicate cluster, composed over the same LSH ->
+    connected-components labels as dedup_clusters (shared subtrees
+    persist via the CACHES registry)."""
+    from ..operators.dedup import cluster_canonical, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3), cache_registry=CACHES)
+    labels = connected_components(
+        pairs, nodes=docs.select("doc_id"), cache_registry=CACHES
+    )
+    return cluster_canonical(labels, docs)
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: per-language distinct-text estimates — the GROUPED
+# sketch shape (GROUP BY key, register) a per-domain / per-day
+# cardinality report needs at 100 TB: state is 256 registers PER GROUP,
+# partials combine map-side, and the finalize is a per-group aggregate
+# (no broadcast of a global summary — every stage keys on lang).
+# ---------------------------------------------------------------------------
+
+_GROUPED_HLL_ORACLE = f"""
+WITH v AS (SELECT lang, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS v
+           FROM documents),
+b AS (SELECT lang, v // 4503599627370496 AS register_id,
+             v % 4503599627370496 AS w FROM v),
+r AS (SELECT lang, register_id,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM b),
+reg AS (SELECT lang, register_id, CAST(max(rho) AS BIGINT) AS max_rho
+        FROM r GROUP BY lang, register_id),
+s AS (SELECT lang, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
+      FROM reg GROUP BY lang),
+e AS (SELECT lang, 256 - n_present AS n_zeros,
+             {_HLL_C} / (ssum + (256 - n_present) * {_HLL_EMPTY}) AS raw
+      FROM s)
+SELECT lang, CAST(n_zeros AS BIGINT) AS n_zeros,
+       CAST(round(CASE WHEN n_zeros > 0 AND raw < 640.0
+                       THEN 256 * ln(256.0 / n_zeros)
+                       ELSE raw END, 4) AS DOUBLE) AS est_distinct
+FROM e
+"""
+
+
+@query("grouped_hll_by_lang", oracle=_GROUPED_HLL_ORACLE)
+def grouped_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL distinct-text estimate: same 2^50 integer-scaled
+    register arithmetic as hll_distinct_sketch, grouped on lang at
+    every stage so the sketch parallelizes per group."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    reg = (
+        _hll_rho_rows(docs)
+        .groupBy("lang", "register_id")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    summary = (
+        reg.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 50 - least(max_rho, 50))")
+            ).alias("ssum"),
+        )
+        .select(
+            "lang",
+            (256 - F.col("n_present")).cast("long").alias("n_zeros"),
+            (
+                F.lit(float(_HLL_C))
+                / (F.col("ssum") + (256 - F.col("n_present")) * _HLL_EMPTY)
+            ).alias("raw"),
+        )
+    )
+    est = F.when(
+        (F.col("n_zeros") > 0) & (F.col("raw") < 640.0),
+        256 * F.log(256.0 / F.col("n_zeros")),
+    ).otherwise(F.col("raw"))
+    return summary.select(
+        "lang", "n_zeros", F.round(est, 4).alias("est_distinct")
+    )

@@ -1057,3 +1057,138 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         (F.col("mn") + (F.col("bin") + 1) * width).cast("double").alias("approx_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped histogram quantiles: histogram_quantiles' per-event-type
+# variant — per-group bounds, per-group 4096-bin histogram, per-group
+# cumulative walk. Every stage keys on event_type, so the sketch
+# parallelizes across groups; identical double arithmetic to the oracle
+# hash-matches the approximations themselves.
+# ---------------------------------------------------------------------------
+
+_GROUPED_HISTQ_ORACLE = """
+WITH bounds AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type),
+bins AS (
+  SELECT e.event_type,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
+  FROM events e JOIN bounds b USING (event_type)
+),
+hist AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+         FROM bins GROUP BY event_type, bin),
+cum AS (SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+        FROM hist),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT c.event_type, q, min(bin) AS bin
+  FROM cum c CROSS JOIN qs JOIN bounds b USING (event_type)
+  WHERE cc >= ceil(q * b.n) GROUP BY c.event_type, q
+)
+SELECT sel.event_type, CAST(sel.q AS DOUBLE) AS q, sel.bin,
+       CAST(b.mn + (sel.bin + 1) * ((b.mx - b.mn) / 4096) AS DOUBLE) AS approx_value
+FROM sel JOIN bounds b USING (event_type)
+"""
+
+
+@query("grouped_histogram_quantiles", oracle=_GROUPED_HISTQ_ORACLE)
+def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per event_type from per-group equi-width histograms.
+    The per-group bounds table is group-cardinality-sized, so it
+    broadcasts; the cumulative walk windows on (event_type, bin) with
+    at most 4096 rows per partition."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = bins.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")).alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])).alias("q")
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(qs))
+        .join(F.broadcast(bounds), "event_type")
+        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return sel.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("q").cast("double").alias("q"),
+        "bin",
+        (F.col("mn") + (F.col("bin") + 1) * width).cast("double").alias("approx_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram shard merge: per-source (here per-event-type) histograms
+# over the GLOBAL bin grid merged by cell-wise sum — the shard-merge
+# shape for the quantile sketch. Bins only merge when shards share the
+# grid, so the global bounds are computed first, exactly how a
+# production pipeline pins a grid before sharding.
+# ---------------------------------------------------------------------------
+
+_HIST_MERGE_ORACLE = """
+WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+bins AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) / ((mx - mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
+  FROM events, bounds
+),
+shard AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+          FROM bins GROUP BY event_type, bin)
+SELECT bin, CAST(sum(c) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n_shards
+FROM shard GROUP BY bin
+"""
+
+
+@query("histogram_merge_shards", oracle=_HIST_MERGE_ORACLE)
+def histogram_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard histograms on a pinned global grid, merged by cell
+    sum (integer-exact, associative). Shard state through every
+    exchange is <=4096 cells — the fixed-size merge the sketches exist
+    for."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    shard = bins.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return shard.groupBy("bin").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )

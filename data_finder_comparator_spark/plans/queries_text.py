@@ -12,7 +12,7 @@ from ..operators.textops import (
     quality_signals,
 )
 from ..sources.parquet import load_table
-from .catalog import query, track
+from .catalog import CACHES, query, track
 
 _NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
@@ -1218,4 +1218,198 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return flagged.groupBy("doc_id").agg(
         F.count_distinct("gram").cast("long").alias("n_maybe_grams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style hot-span SCRUB (duplicate_spans diagnoses; this one removes):
+# every token covered by a >=3-doc 3-gram is dropped, and the query
+# emits per-doc (token count, removed count, md5 of the surviving
+# tokens). Deterministic order-free semantics make the whole transform
+# a join/agg composition restatable in SQL — see
+# operators/textops.scrub_hot_spans for the plan-shape notes.
+# ---------------------------------------------------------------------------
+
+_SCRUB_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok_pos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM base, unnest(range(1, len(t) + 1)) AS r(i)
+),
+grams AS (
+  SELECT doc_id, j - 1 AS start, array_to_string(t[j : j + 2], ' ') AS gram
+  FROM base, unnest(range(1, len(t) - 1)) AS r(j)
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.start + k AS pos
+  FROM grams g JOIN hot USING (gram), unnest([0, 1, 2]) AS u(k)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+),
+cleaned AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.n_tokens - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+FROM totals t LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+@query("scrub_hot_spans", oracle=_SCRUB_ORACLE)
+def scrub_hot_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-span removal over the documents table; the tokenized corpus
+    and the gram explode persist via the CACHES registry (shared
+    subtrees, unpersisted by the harness after the action)."""
+    from ..operators.textops import scrub_hot_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_hot_spans(docs, min_docs=3, span=3, cache_registry=CACHES)
+
+
+# ---------------------------------------------------------------------------
+# Capped inverted index: token -> (document frequency, occurrence
+# count, the 8 smallest posting doc ids) — the lookup structure
+# attribution / decontamination passes build. The per-token top-k cap
+# keeps hot-token postings bounded (a stopword's posting list would
+# otherwise be corpus-sized); every stage keys on token or
+# (token, doc_id), so the index parallelizes like any hash agg.
+# ---------------------------------------------------------------------------
+
+_INVERTED_INDEX_K = 8
+
+_INVERTED_INDEX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS occ
+  FROM toks WHERE token <> '' GROUP BY token, doc_id
+),
+stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(occ) AS BIGINT) AS n_occurrences
+  FROM per_doc GROUP BY token
+),
+capped AS (
+  SELECT token, doc_id FROM (
+    SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM per_doc
+  ) WHERE rn <= {_INVERTED_INDEX_K}
+),
+postings AS (
+  SELECT token, string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+  FROM capped GROUP BY token
+)
+SELECT s.token, s.df, s.n_occurrences, p.postings
+FROM stats s JOIN postings p USING (token)
+"""
+
+
+@query("inverted_index", oracle=_INVERTED_INDEX_ORACLE)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> (df, occurrences, capped postings). The postings cap is
+    a per-token row_number window over (token, doc_id) PAIRS (already
+    deduplicated by the first agg), so the window partition is bounded
+    by the doc frequency, not the raw token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = track(
+        toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    postings = (
+        per_doc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _INVERTED_INDEX_K)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                "|",
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "token")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter shard merge — completes the mergeable-sketch family
+# symmetry (HLL merges by register-max, CMS by cell-sum, Bloom by
+# bit-position UNION). Per-source bit tables merge by distinct union;
+# per-bit shard counts pin that a real multi-shard merge happened, and
+# union associativity means the merged table equals the filter built
+# over all sources at once.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MERGE_ORACLE = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT source, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+shard_bits AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(concat(s, gram)), 1, 15)) AS BIGINT)
+           % 65536 AS b
+  FROM grams, (VALUES ('b0:'), ('b1:'), ('b2:'), ('b3:')) AS salts(s)
+)
+SELECT b, CAST(count(*) AS BIGINT) AS n_shards
+FROM shard_bits GROUP BY b
+"""
+
+
+@query("bloom_merge_shards", oracle=_BLOOM_MERGE_ORACLE)
+def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom bit tables (4 salted md5 positions per 3-gram,
+    2^16 bits) merged by distinct union. Shard state is <=2^16 rows per
+    source through every exchange — the fixed-size property that makes
+    the filter shippable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
+                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+
+    def pos(r: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
+        return (F.conv(hx, 16, 10).cast("long") % 65536).alias("b")
+
+    shard_bits = grams.select(
+        "source", F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+    ).distinct()
+    return shard_bits.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards")
     )

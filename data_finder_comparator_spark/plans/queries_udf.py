@@ -567,3 +567,40 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
         f"FROM {view} d, LATERAL token_chunks_udtf(d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# PCM resample, layout projection — the partial-oracle split the
+# alignment family uses: the resampler's LAYOUT columns (n_in from the
+# payload byte length, the never-extrapolating output-grid formula, the
+# rates) are SQL-computable, so the driver hash-checks them, while the
+# interpolated sample values (out_first/out_last/out_md5) stay pinned
+# by the pure-Python golden test
+# (test_pcm_resample_matches_pure_python_reference). Docs under two
+# samples are excluded on both sides (the resampler needs two grid
+# points).
+# ---------------------------------------------------------------------------
+
+_PCM_LAYOUT_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) // 2 AS n_in FROM documents
+)
+SELECT doc_id, CAST(n_in AS BIGINT) AS n_in,
+       CAST((n_in - 1) * 16000 // 8000 + 1 AS BIGINT) AS n_out,
+       CAST(8000 AS BIGINT) AS rate_in,
+       CAST(16000 AS BIGINT) AS rate_out
+FROM sized WHERE n_in >= 2
+"""
+
+
+@query("pcm_resample_layout", oracle=_PCM_LAYOUT_ORACLE)
+def pcm_resample_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 kHz -> 16 kHz linear-interp resampling through the real
+    mapInPandas plumbing (Arrow batches, numpy vectorized), projected
+    to the SQL-computable layout columns for the driver hash."""
+    from ..operators.multimodal import pcm_resample_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pcm_resample_features(
+        attach_binary_payload(docs, "doc_id", "text"), rate_out=16000
+    ).select("doc_id", "n_in", "n_out", "rate_in", "rate_out")

@@ -55,14 +55,20 @@ def test_rotation_invariant_parked_queries_have_driver_rows():
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    files = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda f: int("".join(ch for ch in os.path.basename(f) if ch.isdigit())),
+    )
     if not files:
         return  # fresh clone without driver artifacts
-    green: set[str] = set()
-    for f in files:
-        for name, row in json.load(open(f)).items():
-            if row.get("hash_match"):
-                green.add(name)
-    never_green = [n for n in _PARKED_MULTI_GREEN if n not in green]
-    assert not never_green, f"parked without any driver-green row: {never_green}"
+    # The invariant is two-round freshness: a parked query must have
+    # been driver-green in the round that JUST ran, so its driver row
+    # is never more than one round old.
+    latest_green = {
+        name
+        for name, row in json.load(open(files[-1])).items()
+        if row.get("hash_match")
+    }
+    stale = [n for n in _PARKED_MULTI_GREEN if n not in latest_green]
+    assert not stale, f"parked without a driver-green row in the last round: {stale}"
     assert len(QUERIES) - len(_PARKED_MULTI_GREEN) == 50
