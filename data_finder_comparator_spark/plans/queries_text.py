@@ -24,19 +24,26 @@ def salted_global_topk(
     rank_col: str,
     salt_src: str,
     salts: int = 32,
-    rank_fn=F.row_number,
+    rank_fn=F.rank,
 ) -> DataFrame:
     """Global top-k without funneling the full table through one task
     and without driver-side cutoff probes: stage 1 ranks hash-salted
     slices in parallel and keeps each slice's top k (any row in the
-    global top k necessarily ranks <= k within its own slice — with
-    ``F.rank`` the per-slice cut keeps ties, so the guarantee holds for
-    non-total orders too); stage 2 applies the final rank over the
-    <= salts*k survivors only. Zero extra Spark actions."""
+    global top k necessarily ranks <= k within its own slice); stage 2
+    applies the final ``rank_fn`` over the <= salts*k survivors only.
+    Zero extra Spark actions.
+
+    The stage-1 cut always uses ``F.rank``: rank never splits a tie
+    group across the <= k boundary, so the pruning guarantee holds for
+    NON-total orders too, whatever final ``rank_fn`` the caller picks.
+    ``rank_fn`` itself defaults to ``F.rank`` for the same reason; pass
+    ``F.row_number`` only when ``order`` is total (unique tie-break
+    column) — under ties row_number's final cut is nondeterministic by
+    construction."""
     w_salt = Window.partitionBy("_salt").orderBy(*order)
     pruned = (
         df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salts)))
-        .withColumn("_srk", rank_fn().over(w_salt))
+        .withColumn("_srk", F.rank().over(w_salt))
         .filter(F.col("_srk") <= k)
     )
     w_all = Window.orderBy(*order)

@@ -501,10 +501,10 @@ def fuzzy_match_stream(
     before the stream starts — each epoch's tiered join reuses the
     persisted frames and scalar stats instead of re-running ~2 extra
     candidate-side jobs per micro-batch. Pass ``cache_registry`` (a
-    list) and unpersist its entries after the stream stops — without
-    it the two prepared-candidate cached tables live until the session
-    ends (acceptable for a run-forever production stream, a leak for a
-    harness that starts many short streams).
+    list) to take ownership of the two prepared-candidate cached
+    tables (unpersist them after the stream stops); WITHOUT a registry
+    the function owns them and unpersists on the query's termination
+    event, so short-lived callers can't leak cached blocks by default.
 
     Returns the started StreamingQuery (caller drives/stops it). With
     ``available_now`` the trigger drains everything available then
@@ -513,6 +513,9 @@ def fuzzy_match_stream(
     """
     from ..operators.fuzzy_join import prepare_candidates, tiered_fuzzy_join
 
+    own_registry = cache_registry is None
+    if own_registry:
+        cache_registry = []
     prepared = prepare_candidates(cand, cache_registry=cache_registry)
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -537,7 +540,35 @@ def fuzzy_match_stream(
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    started = writer.start()
+    if own_registry:
+        _release_on_termination(spark, str(started.id), cache_registry)
+    return started
+
+
+def _release_on_termination(spark: SparkSession, query_id: str, frames: list) -> None:
+    """Unpersist ``frames`` when the streaming query with ``query_id``
+    terminates, then deregister — the opt-out cache hygiene behind
+    fuzzy_match_stream's registry-less path."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == query_id:
+                for df in frames:
+                    df.unpersist()
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Release())
 
 
 STREAM_JOIN_SCHEMA = "purchase_id long, user_id long, click_id long, gap_us long"

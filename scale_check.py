@@ -41,24 +41,33 @@ from data_finder_comparator_spark.session import get_spark  # noqa: E402
 from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
 
 
-def _spill_totals(spark) -> tuple[int, int]:
+def _spill_totals(spark) -> tuple[int | None, int | None]:
     """(memoryBytesSpilled, diskBytesSpilled) summed over all completed
     stages, read from the live AppStatusStore (no UI/REST needed).
-    Deltas around a probe attribute its spill."""
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    empty = sc._jvm.java.util.ArrayList()  # all statuses
-    mem = disk = 0
-    # Scala default args don't exist at the JVM call site: py4j needs
-    # the full arity, with each default fetched from its synthesized
-    # ``stageList$default$N`` accessor
-    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    it = store.stageList(empty, *defaults).iterator()
-    while it.hasNext():
-        s = it.next()
-        mem += s.memoryBytesSpilled()
-        disk += s.diskBytesSpilled()
-    return mem, disk
+    Deltas around a probe attribute its spill.
+
+    The probe reaches into Scala-synthesized default-arg accessors
+    (``stageList$default$N``) via py4j — a private ABI that can change
+    between Spark minor versions — so any failure degrades to
+    (None, None) and the caller emits null spill columns instead of
+    crashing the whole scale run."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()  # all statuses
+        mem = disk = 0
+        # Scala default args don't exist at the JVM call site: py4j needs
+        # the full arity, with each default fetched from its synthesized
+        # ``stageList$default$N`` accessor
+        defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+        it = store.stageList(empty, *defaults).iterator()
+        while it.hasNext():
+            s = it.next()
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+        return mem, disk
+    except Exception:
+        return None, None
 
 
 def inflate(docs, times: int):
@@ -239,11 +248,12 @@ def main() -> None:
         tiered_fuzzy_join(probes, cands, threshold=5, strategy="qgram").count()
         results[tag]["fuzzy_qgram"] = round(time.perf_counter() - t0, 2)
         sp_mem1, sp_disk1 = _spill_totals(spark)
-        results[tag]["fuzzy_qgram_spill_mem_mb"] = round(
-            (sp_mem1 - sp_mem0) / 1e6, 1
+        spill_ok = None not in (sp_mem0, sp_disk0, sp_mem1, sp_disk1)
+        results[tag]["fuzzy_qgram_spill_mem_mb"] = (
+            round((sp_mem1 - sp_mem0) / 1e6, 1) if spill_ok else None
         )
-        results[tag]["fuzzy_qgram_spill_disk_mb"] = round(
-            (sp_disk1 - sp_disk0) / 1e6, 1
+        results[tag]["fuzzy_qgram_spill_disk_mb"] = (
+            round((sp_disk1 - sp_disk0) / 1e6, 1) if spill_ok else None
         )
         spark.catalog.clearCache()
 

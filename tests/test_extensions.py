@@ -103,6 +103,47 @@ def test_streaming_fuzzy_pipeline(spark, tmp_path):
     assert (1, 10, "best") in tiers
 
 
+def test_streaming_fuzzy_registryless_releases_caches(spark, tmp_path):
+    """Without a cache_registry, fuzzy_match_stream owns the two
+    prepared-candidate cached tables and unpersists them when the query
+    terminates (listener-driven), so short-lived callers can't leak
+    cached blocks — the safe-by-default behavior, not opt-in."""
+    import time
+
+    from data_finder_comparator_spark.streaming.pipeline import fuzzy_match_stream
+
+    def n_cached() -> int:
+        jsc = spark.sparkContext._jsc
+        return jsc.getPersistentRDDs().size()
+
+    probes_dir = tmp_path / "probes_nr"
+    spark.createDataFrame(
+        [(1, "cold widgetx")], "probe_id long, probe string"
+    ).write.parquet(str(probes_dir))
+    cand = spark.createDataFrame(
+        [(10, "cold widget")], "cand_id long, cand string"
+    )
+    stream = spark.readStream.schema("probe_id long, probe string").parquet(
+        str(probes_dir)
+    )
+    before = n_cached()
+    q = fuzzy_match_stream(
+        spark,
+        stream,
+        cand,
+        str(tmp_path / "sink_nr"),
+        threshold=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+    q.stop()
+    # the release listener runs on the listener-bus thread; poll
+    deadline = time.time() + 15
+    while n_cached() > before and time.time() < deadline:
+        time.sleep(0.2)
+    assert n_cached() <= before, "prepared-candidate caches leaked"
+
+
 def test_upsert_sink_merge_semantics(spark, tmp_path):
     """upsert_sink: existing keys are replaced, new keys appended, and
     untouched rows survive the rewrite."""

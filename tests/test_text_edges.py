@@ -142,8 +142,9 @@ def test_salted_global_topk_rank_keeps_cross_slice_ties(spark):
 
 
 def test_salted_global_topk_row_number_exact_k(spark):
-    """With the default row_number on a total order the helper returns
-    exactly k rows in global order."""
+    """With an explicit row_number on a total order the helper returns
+    exactly k rows in global order (the stage-1 cut is always F.rank,
+    which on a total order keeps the same rows)."""
     from pyspark.sql import functions as F
 
     from data_finder_comparator_spark.plans.queries_text import salted_global_topk
@@ -151,7 +152,13 @@ def test_salted_global_topk_row_number_exact_k(spark):
     rows = [(f"w{i:03d}", 1000 - i) for i in range(200)]
     df = spark.createDataFrame(rows, "tok string, n long")
     got = salted_global_topk(
-        df, [F.col("n").desc(), F.col("tok")], 7, "rk", "tok", salts=16
+        df,
+        [F.col("n").desc(), F.col("tok")],
+        7,
+        "rk",
+        "tok",
+        salts=16,
+        rank_fn=F.row_number,
     ).collect()
     assert [(r.tok, r.rk) for r in sorted(got, key=lambda r: r.rk)] == [
         (f"w{i:03d}", i + 1) for i in range(7)
