@@ -1372,3 +1372,57 @@ def test_sketch_merge_family_registered_with_oracles():
         "pcm_resample_layout",
     ):
         assert name in QUERIES and name in ORACLES, name
+
+
+def test_hll_estimate_grows_past_former_saturation(spark):
+    """Round-5 advisor: the 2^25 integer scale saturated the HLL
+    estimate around ~6.2e9 because registers with rho > 25 all
+    contributed the same floor term. The 2^50 rescale fixes the
+    arithmetic, but no corpus test feeds rho anywhere near 50 — so
+    drive _hll_finalize directly with synthetic saturated register
+    tables and assert the estimate keeps growing up to the new rho=50
+    cap (and only then plateaus), with DuckDB computing the identical
+    closed form on the same synthetic registers."""
+    import duckdb
+
+    from data_finder_comparator_spark.plans.queries_dedup import (
+        _HLL_C,
+        _HLL_EMPTY,
+        _hll_finalize,
+    )
+
+    def estimate(rho: int) -> float:
+        reg = spark.createDataFrame(
+            [(i, rho) for i in range(256)], "register_id long, max_rho long"
+        )
+        return _hll_finalize(reg).select("est_distinct").first()[0]
+
+    got = {rho: estimate(rho) for rho in (20, 30, 40, 48, 50, 53)}
+
+    # past the former 2^25 ceiling the estimate must keep growing...
+    assert got[30] > 6.5e9, got  # above the old ~6.2e9 plateau
+    assert got[40] > 900 * got[30] and got[48] > 200 * got[40], got
+    assert got[50] > 3 * got[48], got
+    # ...and plateau only at the rho=50 arithmetic cap (~2e17, far
+    # above any 100 TB corpus cardinality)
+    assert got[53] == got[50] > 1e17, got
+
+    # DuckDB parity on the same synthetic registers, same closed form
+    con = duckdb.connect()
+    for rho, want in got.items():
+        d = con.execute(
+            f"""
+WITH reg AS (SELECT unnest(range(0, 256)) AS register_id, {rho} AS max_rho),
+s AS (SELECT count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (50 - least(max_rho, 50))) AS ssum
+      FROM reg),
+e AS (SELECT 256 - n_present AS n_zeros,
+             {_HLL_C} / (ssum + (256 - n_present) * {_HLL_EMPTY}) AS raw
+      FROM s)
+SELECT round(CASE WHEN n_zeros > 0 AND raw < 640.0
+                  THEN 256 * ln(256.0 / n_zeros) ELSE raw END, 4)
+FROM e
+"""
+        ).fetchone()[0]
+        assert d == pytest.approx(want, rel=1e-12), (rho, d, want)
+    con.close()
