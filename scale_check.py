@@ -24,9 +24,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from data_finder_comparator_spark.operators.dedup import (  # noqa: E402
     char_shingles,
+    cluster_canonical,
     lsh_candidate_pairs,
     minhash_lsh_bands,
     simhash32,
+)
+from data_finder_comparator_spark.operators.textops import (  # noqa: E402
+    scrub_hot_spans,
 )
 from data_finder_comparator_spark.operators.fuzzy_join import (  # noqa: E402
     tiered_fuzzy_join,
@@ -235,6 +239,52 @@ def main() -> None:
         ).select("cell.r", "cell.b", "n")
         cells.groupBy("r", "b").agg(F.sum("n")).count()
         results[tag]["cms_counters"] = round(time.perf_counter() - t0, 2)
+
+        # C4-style hot-span scrub (round-7 registration): the shapes to
+        # watch are the span-gram explode fanout (token-count-sized) and
+        # the per-doc anti-join + collect_list re-aggregation. Hot-gram
+        # count grows with inflation (every gram trivially crosses the
+        # >=3-doc bar once times >= 4), so covered-position volume ~
+        # token volume — the curve should be linear in rows.
+        sc_mem0, sc_disk0 = _spill_totals(spark)
+        t0 = time.perf_counter()
+        scrub_reg: list = []
+        scrub_hot_spans(docs, min_docs=3, span=3, cache_registry=scrub_reg).count()
+        results[tag]["scrub_spans"] = round(time.perf_counter() - t0, 2)
+        sc_mem1, sc_disk1 = _spill_totals(spark)
+        sc_ok = None not in (sc_mem0, sc_disk0, sc_mem1, sc_disk1)
+        results[tag]["scrub_spans_spill_mem_mb"] = (
+            round((sc_mem1 - sc_mem0) / 1e6, 1) if sc_ok else None
+        )
+        results[tag]["scrub_spans_spill_disk_mb"] = (
+            round((sc_disk1 - sc_disk0) / 1e6, 1) if sc_ok else None
+        )
+        for frame in scrub_reg:
+            frame.unpersist()
+
+        # Cluster survivor selection (round-7 registration): labels are
+        # synthesized as doc_id % base, which under inflate() puts the
+        # `times` exact copies of each base doc into one cluster — so
+        # cluster SIZE grows with the inflation factor, the giant-
+        # cluster regime the max(struct) hash agg exists for (a window
+        # formulation would buffer per-cluster partitions; the agg's
+        # per-cluster state is one struct regardless of members).
+        cc_mem0, cc_disk0 = _spill_totals(spark)
+        t0 = time.perf_counter()
+        base_mod = docs0.agg(F.max("doc_id")).first()[0] + 1
+        labels = docs.select(
+            "doc_id", (F.col("doc_id") % base_mod).alias("cluster_id")
+        )
+        cluster_canonical(labels, docs).count()
+        results[tag]["cluster_canonical"] = round(time.perf_counter() - t0, 2)
+        cc_mem1, cc_disk1 = _spill_totals(spark)
+        cc_ok = None not in (cc_mem0, cc_disk0, cc_mem1, cc_disk1)
+        results[tag]["cluster_canonical_spill_mem_mb"] = (
+            round((cc_mem1 - cc_mem0) / 1e6, 1) if cc_ok else None
+        )
+        results[tag]["cluster_canonical_spill_disk_mb"] = (
+            round((cc_disk1 - cc_disk0) / 1e6, 1) if cc_ok else None
+        )
 
         sp_mem0, sp_disk0 = _spill_totals(spark)
         t0 = time.perf_counter()
