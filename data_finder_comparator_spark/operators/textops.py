@@ -229,3 +229,138 @@ def scrub_hot_spans(
             F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
         )
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws u ~ Uniform(0,1] from an
+    md5 hash of its id and ranks by the key ln(u)/w — the top-k by that
+    key is a weighted sample where a row's inclusion probability is
+    proportional to its weight. The hash replaces the RNG, so the
+    sample is a pure function of the data: reproducible across runs,
+    engines, and partitionings (the seed-discipline every training-data
+    pipeline wants for its mixture draws).
+
+    Plan shape: one map-side key computation + a per-group top-k window
+    (rank over group partitions — parallel in the number of groups; for
+    a low-group-count corpus the salted two-stage top-k composes the
+    same way). ln(u) and the division are the same IEEE doubles in any
+    engine, so a SQL oracle reproduces the exact sample.
+
+    Reference basis: Efraimidis & Spirakis, "Weighted random sampling
+    with a reservoir" (IPL 2006) — key u^(1/w), order-equivalent to
+    ln(u)/w for w > 0.
+    """
+    from pyspark.sql import Window
+
+    # 60-bit md5 prefix -> u in (0, 1]: (v + 1) / 2^60 never yields 0.
+    # v + 1 happens in LONG before the double cast: double(v) + 1.0 and
+    # double(v + 1) can round differently above 2^53, and the oracle
+    # computes the integer form
+    v = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_sk").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_sk", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            group_col,
+            F.col(id_col),
+            F.round("_sk", 10).alias("sample_key"),
+            F.col("_rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the whitespace-token
+    distribution (nats) — the repetition/diversity quality signal: near
+    0 for degenerate repeated-token docs, ln(n_tokens) for all-distinct
+    docs. One explode + two keyed aggregations (doc_id, then doc_id x
+    token — both corpus-distributed); entropy comes from
+    sum(c*ln(c))/n arithmetic so the oracle reproduces identical IEEE
+    doubles:  H = ln(n) - (1/n) * sum_t c_t ln(c_t).
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # each c*ln(c) term is rounded then summed as DECIMAL: double
+    # addition is not associative, so a raw double sum would depend on
+    # partitioning/row order and could diverge from the oracle's sum at
+    # the last ulp — the decimal sum is exact and order-free (the same
+    # stabilization the streaming sum_value columns use)
+    term = F.round(F.col("c") * F.log("c"), 6).cast("decimal(28,6)")
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(term).alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clogc").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheapest LM-quality score a curation pipeline
+    runs (docs of common words score high; rare-token noise scores
+    low). Two passes over one tokenized frame: (1) corpus token counts
+    -> log p(t) = ln(c_t / N); (2) per-doc mean over its tokens via an
+    equi-join on token. The model table is vocabulary-sized — for a
+    natural-language corpus it broadcasts; the join stays an equi-join
+    either way. Exact IEEE restatement in SQL."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n"))
+    scored = toks.join(model, "tok").crossJoin(F.broadcast(total))
+    # per-token terms rounded then summed as DECIMAL (order-free exact
+    # sum; see token_entropy) before the final mean
+    term = F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).cast(
+        "decimal(28,6)"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(term).alias("_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_logprob"),
+        )
+    )

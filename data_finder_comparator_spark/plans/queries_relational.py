@@ -1192,3 +1192,79 @@ def histogram_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("c"),
         F.count(F.lit(1)).cast("long").alias("n_shards"),
     )
+
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (round-8 registration candidate): winsorized per-event-
+    type statistics — mean/min/max after clamping values to the
+    [p01, p99] thresholds read off each group's 4096-bin equi-width
+    histogram (the outlier-robust aggregate a telemetry pipeline
+    publishes instead of a raw mean one corrupt reading can move).
+
+    Two scans, every stage keyed on event_type: (1) bounds + histogram
+    + cumulative walk -> per-group lo/hi thresholds (identical
+    arithmetic to grouped_histogram_quantiles, so the thresholds
+    restate exactly in SQL); (2) clamp + aggregate. The threshold
+    table is group-cardinality-sized and broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 4096
+    bins = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = bins.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")).alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.01), F.lit(0.99))).alias("q")
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(qs))
+        .join(F.broadcast(bounds), "event_type")
+        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "q",
+            (F.col("mn") + (F.col("bin") + 1) * width).alias("thr"),
+        )
+    )
+    thresholds = sel.groupBy("event_type").agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("thr"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.99, F.col("thr"))).alias("hi"),
+    )
+    # the clamped value goes through DECIMAL before summation: a raw
+    # double sum is order-dependent (non-associative addition) and
+    # could diverge from the oracle's sum at the last ulp
+    clamped = ev.join(F.broadcast(thresholds), "event_type").select(
+        "event_type",
+        F.least(F.greatest("value", F.col("lo")), F.col("hi"))
+        .cast("decimal(28,6)")
+        .alias("v"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+        F.min("v").cast("double").alias("clamped_min"),
+        F.max("v").cast("double").alias("clamped_max"),
+    )

@@ -708,3 +708,66 @@ def dedup_events_stream(
         finally:
             q.stop()
     return spark.read.schema(DEDUP_EVENTS_SCHEMA).parquet(out_path)
+
+
+def hll_register_stream(spark: SparkSession, sf_dir: str, run_tag: str) -> DataFrame:
+    """Streaming HLL: the distinct-text sketch maintained over a
+    document STREAM — per micro-batch, compute the batch's register
+    partials (<=256 tiny rows) and append them to a parquet sink; the
+    final sketch is the register-wise max over everything the stream
+    ever appended, finalized identically to the batch sketch.
+
+    Because register-max is associative and commutative, the merged
+    result is INDEPENDENT of how the stream happened to micro-batch the
+    corpus — so the streaming sketch must equal `hll_distinct_sketch`'s
+    batch answer exactly, and the same DuckDB oracle checks both
+    (stream/batch equivalence, extended to sketch state). State per
+    epoch through the sink is kilobytes regardless of corpus size: the
+    shape that lets a 100 TB ingest keep a live cardinality estimate
+    without ever rescanning.
+    """
+    from ..plans.queries_dedup import _hll_finalize, _hll_rho_rows
+    from ..util import fresh_run_dir
+
+    base = fresh_run_dir("hll_stream", run_tag)
+    docs_dir = os.path.join(base, "docs")
+    sink = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    from ..sources.parquet import load_table
+
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            _hll_rho_rows(batch_df.select("text"))
+            .groupBy("register_id")
+            .agg(F.max("rho").cast("long").alias("rho"))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    with _stream_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    reg = (
+        spark.read.schema("register_id long, rho long")
+        .parquet(sink)
+        .groupBy("register_id")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    return _hll_finalize(reg)

@@ -1426,3 +1426,187 @@ FROM e
         ).fetchone()[0]
         assert d == pytest.approx(want, rel=1e-12), (rho, d, want)
     con.close()
+
+
+def test_weighted_reservoir_sample_oracle_ready(spark):
+    """Staged round-8 query: deterministic Efraimidis-Spirakis weighted
+    sampling (k per language, weight = n_chars) — the md5-derived
+    uniform replaces the RNG, so the DuckDB restatement reproduces the
+    EXACT sample, keys and all."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import (
+        weighted_reservoir_sample,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = weighted_reservoir_sample(docs, "lang", "n_chars", k=5)
+    sql = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) + 1) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS sk
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, sk,
+         row_number() OVER (PARTITION BY lang ORDER BY sk DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(round(sk, 10) AS DOUBLE) AS sample_key,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_token_entropy_oracle_ready(spark):
+    """Staged round-8 query: per-document token-distribution Shannon
+    entropy (nats) with decimal-stabilized c*ln(c) sums so the double
+    arithmetic restates exactly in SQL."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import token_entropy
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sql = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS clogc
+  FROM per_tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(round(ln(CAST(n_tokens AS DOUBLE)) - CAST(clogc AS DOUBLE) / n_tokens,
+                  6) AS DOUBLE) AS entropy_nats
+FROM agg
+"""
+    ok, msg = compare(token_entropy(docs), sql, SF_ORACLE)
+    assert ok, msg
+    # degenerate shapes: one repeated token -> 0; all distinct -> ln(n)
+    import math
+
+    tiny = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in token_entropy(tiny).collect()}
+    assert got[1].entropy_nats == 0.0 and got[1].n_distinct == 1
+    assert got[2].entropy_nats == round(math.log(4), 6)
+
+
+def test_unigram_logprob_oracle_ready(spark):
+    """Staged round-8 query: per-document mean unigram log-probability
+    under the corpus's own unigram model (the cheap LM quality score),
+    decimal-stabilized term sums."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import unigram_logprob
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sql = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+filtered AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+model AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM filtered GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
+scored AS (
+  SELECT f.doc_id,
+         CAST(round(ln(CAST(m.c AS DOUBLE) / t.n), 6) AS DECIMAL(28,6)) AS term
+  FROM filtered f JOIN model m USING (tok) CROSS JOIN total t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+    ok, msg = compare(unigram_logprob(docs), sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_winsorized_event_stats_oracle_ready(spark):
+    """Staged round-8 query: per-event-type winsorized mean — values
+    clamped to histogram-derived [p01, p99] thresholds (identical
+    arithmetic to grouped_histogram_quantiles), decimal-stabilized
+    sums."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.plans.queries_relational import (
+        winsorized_event_stats,
+    )
+
+    sql = """
+WITH bounds AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type),
+bins AS (
+  SELECT e.event_type,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 4096)) AS BIGINT),
+                         4095) END AS bin
+  FROM events e JOIN bounds b USING (event_type)
+),
+hist AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+         FROM bins GROUP BY event_type, bin),
+cum AS (SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+        FROM hist),
+qs AS (SELECT unnest([0.01, 0.99]) AS q),
+sel AS (
+  SELECT c.event_type, q, min(bin) AS bin
+  FROM cum c CROSS JOIN qs JOIN bounds b USING (event_type)
+  WHERE cc >= ceil(q * b.n) GROUP BY c.event_type, q
+),
+thr AS (
+  SELECT sel.event_type,
+         min(CASE WHEN q = 0.01
+                  THEN b.mn + (sel.bin + 1) * ((b.mx - b.mn) / 4096) END) AS lo,
+         min(CASE WHEN q = 0.99
+                  THEN b.mn + (sel.bin + 1) * ((b.mx - b.mn) / 4096) END) AS hi
+  FROM sel JOIN bounds b USING (event_type) GROUP BY sel.event_type
+),
+clamped AS (
+  SELECT e.event_type,
+         CAST(least(greatest(e.value, t.lo), t.hi) AS DECIMAL(28,6)) AS v
+  FROM events e JOIN thr t USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS winsorized_mean,
+       CAST(min(v) AS DOUBLE) AS clamped_min,
+       CAST(max(v) AS DOUBLE) AS clamped_max
+FROM clamped GROUP BY event_type
+"""
+    ok, msg = compare(winsorized_event_stats(spark, SF_ORACLE), sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_streaming_hll_matches_batch_oracle(spark):
+    """Staged round-8 query: the streaming HLL sketch (per-micro-batch
+    register partials appended to a sink, merged by register-max at
+    read time) must equal the BATCH sketch exactly — register-max is
+    associative/commutative, so the merged state is independent of how
+    the stream micro-batched the corpus. Checked against the same
+    DuckDB oracle the batch hll_distinct_sketch uses."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.plans.queries_dedup import _HLL_ORACLE
+    from data_finder_comparator_spark.streaming.pipeline import hll_register_stream
+
+    got = hll_register_stream(spark, SF_ORACLE, "hll_stream_test")
+    ok, msg = compare(got, _HLL_ORACLE, SF_ORACLE)
+    assert ok, msg
