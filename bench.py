@@ -99,6 +99,15 @@ HEADLINE = [
     # round 6 additions
     "hll_merge_shards",
     "cms_merge_shards",
+    # round 7 additions
+    "scrub_hot_spans",
+    "cluster_canonical",
+    "grouped_hll_by_lang",
+    "grouped_histogram_quantiles",
+    "inverted_index",
+    "bloom_merge_shards",
+    "histogram_merge_shards",
+    "pcm_resample_layout",
 ]
 
 
