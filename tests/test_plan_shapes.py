@@ -309,3 +309,51 @@ def test_dense_fuzzy_path_minimal_plan(spark):
     # none of the banded plan's phase machinery leaked in
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_cluster_canonical_survivor_is_agg_not_window(spark):
+    """The survivor per duplicate cluster rides a max(struct) hash
+    aggregation — combinable map-side, one struct of state per cluster
+    — never a per-cluster window (whose partition buffer scales with
+    cluster size; a pathological giant cluster would hold one
+    executor's memory hostage)."""
+    from data_finder_comparator_spark.operators.dedup import cluster_canonical
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    labels = docs.select("doc_id", (F.col("doc_id") % 10).alias("cluster_id"))
+    plan = _executed_plan(cluster_canonical(labels, docs))
+    assert "Window" not in plan, plan
+    # struct-max compiles to SortAggregate (not hash-aggregable), but
+    # the property that matters survives: a PARTIAL max combines
+    # map-side before the exchange, so per-cluster state through the
+    # shuffle is one struct regardless of cluster size
+    assert "partial_max(struct" in plan, plan
+
+
+def test_grouped_hll_never_single_partitions(spark):
+    """The grouped sketch's scaling property: every stage keys on lang,
+    so no Exchange SinglePartition appears anywhere — unlike the global
+    sketch, whose final 256-register fold is a deliberate one-row
+    summary. A refactor that computes a global summary and joins it
+    back would reintroduce the serial stage this variant exists to
+    avoid."""
+    plan = _executed_plan(QUERIES["grouped_hll_by_lang"](spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_inverted_index_postings_window_is_on_pairs(spark):
+    """The per-token postings cap windows over the DEDUPLICATED
+    (token, doc_id) pairs — partition size bounded by document
+    frequency — never over the raw token stream (where a stopword's
+    partition would be occurrence-count-sized). Pinned by requiring the
+    aggregation to come BEFORE the window in the executed plan."""
+    plan = _executed_plan(QUERIES["inverted_index"](spark, SF))
+    win = plan.find("Window")
+    assert win != -1
+    # a HashAggregate (the per-(token, doc_id) occ count) must sit
+    # BELOW the window operator in the tree — i.e. appear after it in
+    # the top-down plan string
+    assert "HashAggregate" in plan[win:], plan
