@@ -364,3 +364,113 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def gram_tfidf_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    probe_mod: int = 20,
+    df_cap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k document similarity over the 3-token
+    gram vocabulary — the text-side counterpart of the embedding ANN
+    family: every probe doc (id % probe_mod == 0) gets its k most
+    similar candidate docs by cosine over gram TF-IDF vectors.
+
+    The vocabulary is CAPPED at document frequency <= df_cap: grams in
+    more docs than that are boilerplate (their idf is near zero anyway)
+    and, critically, they are what makes the sparse dot-product join
+    quadratic — sum(df^2) pair fanout. With the cap, posting lists are
+    bounded, the gram equi-join fans out at most df_cap candidates per
+    probe gram, and the plan survives any corpus size. The cap is part
+    of the operator's SEMANTICS (cosine over the capped vocabulary,
+    df=1 grams still contribute to norms), so the SQL restatement is
+    exact, not approximate.
+
+    Determinism: weights are rounded then handled as DECIMAL, so dot
+    products and squared norms are exact order-free sums; the only
+    doubles are the final sqrt/divide, identical IEEE in any engine.
+    """
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    grams = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 2),"
+                    " i -> array_join(slice(_t, i, 3), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    tf = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # corpus size rides a broadcast one-row frame (no driver-side
+    # count() action — the plan stays fully lazy and distributed)
+    n_docs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("_n")
+    )
+    dfreq = (
+        tf.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= df_cap)
+    )
+    w = (
+        tf.join(dfreq, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "gram",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    probes = w.filter(F.col("doc_id") % probe_mod == 0).select(
+        F.col("doc_id").alias("probe_id"), "gram", F.col("w").alias("wa")
+    )
+    cands = w.filter(F.col("doc_id") % probe_mod != 0).select(
+        F.col("doc_id").alias("cand_id"), "gram", F.col("w").alias("wb")
+    )
+    dots = (
+        probes.join(cands, "gram")
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("probe_id"), F.col("n2").alias("na2")),
+            "probe_id",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("cand_id"), F.col("n2").alias("nb2")),
+            "cand_id",
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    rk = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1610,3 +1610,68 @@ def test_streaming_hll_matches_batch_oracle(spark):
     got = hll_register_stream(spark, SF_ORACLE, "hll_stream_test")
     ok, msg = compare(got, _HLL_ORACLE, SF_ORACLE)
     assert ok, msg
+
+
+def test_gram_tfidf_cosine_topk_oracle_ready(spark):
+    """Staged round-8 query: sparse TF-IDF cosine top-k document
+    similarity over the df-capped 3-gram vocabulary — the text-side
+    ANN counterpart. Decimal-exact dot products / norms make the DuckDB
+    restatement bit-faithful."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import (
+        gram_tfidf_cosine_topk,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = gram_tfidf_cosine_topk(docs, k=5, probe_mod=20, df_cap=32)
+    sql = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+tf AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY doc_id, gram
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+dfreq AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY gram HAVING count(*) <= 32
+),
+w AS (
+  SELECT tf.doc_id, tf.gram,
+         CAST(round(tf.tf * ln(n.n / dfreq.df), 6) AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfreq USING (gram) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS probe_id, b.doc_id AS cand_id, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (gram)
+  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT d.probe_id, d.cand_id,
+         CAST(round(CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                    6) AS DOUBLE) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.probe_id
+  JOIN norms nb ON nb.doc_id = d.cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
