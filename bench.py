@@ -180,7 +180,11 @@ def _archive(payload: dict, here: str | None = None) -> None:
         rnd = str(max(seen, default=0) + 1)
     hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
-    with open(os.path.join(hist, f"r{int(rnd)}.json"), "w") as fh:
+    # non-default scale factors archive under a suffixed name so a
+    # cross-SF sweep can't clobber the round's headline sf0.1 archive
+    sf = payload.get("sf")
+    suffix = "" if sf in (None, 0.1) else f"_sf{sf}"
+    with open(os.path.join(hist, f"r{int(rnd)}{suffix}.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
