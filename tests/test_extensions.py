@@ -1675,3 +1675,30 @@ FROM (
 """
     ok, msg = compare(got, sql, SF_ORACLE)
     assert ok, msg
+
+
+def test_staged_float_reductions_are_partition_invariant(spark):
+    """The staged operators' decimal-stabilization claim, tested
+    directly: identical results whatever the partitioning — double
+    addition is not associative, so a raw-double formulation would let
+    repartitioning change the last ulp (and, post-rounding, sometimes
+    the emitted value). One partition vs 13 must agree EXACTLY."""
+    from data_finder_comparator_spark.operators.textops import (
+        gram_tfidf_cosine_topk,
+        token_entropy,
+        unigram_logprob,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op in (token_entropy, unigram_logprob):
+        a = rows(op(docs.repartition(1)))
+        b = rows(op(docs.repartition(13)))
+        assert a == b, op.__name__
+    a = rows(gram_tfidf_cosine_topk(docs.repartition(1), k=5))
+    b = rows(gram_tfidf_cosine_topk(docs.repartition(13), k=5))
+    assert a == b
