@@ -163,3 +163,57 @@ def test_salted_global_topk_row_number_exact_k(spark):
     assert [(r.tok, r.rk) for r in sorted(got, key=lambda r: r.rk)] == [
         (f"w{i:03d}", i + 1) for i in range(7)
     ]
+
+
+def test_round7_doc_queries_edge_corpus_parity(spark, edge_dir):
+    """The round-7 registrations against the edge corpus (empty text,
+    single-token docs, whitespace-edged text): every doc-based query
+    must survive AND still hash-match its oracle on data its sf0.01
+    dress rehearsal never saw — zero-gram docs through the scrub's
+    left join, sub-two-sample payloads through the resampler's
+    exclusion, single-lang grouped HLL, short docs through the gram
+    explodes."""
+    from data_finder_comparator_spark.plans.catalog import (
+        ORACLES,
+        QUERIES,
+        release_caches,
+    )
+
+    for name in (
+        "scrub_hot_spans",
+        "inverted_index",
+        "bloom_merge_shards",
+        "grouped_hll_by_lang",
+        "pcm_resample_layout",
+    ):
+        try:
+            ok, msg = compare(QUERIES[name](spark, edge_dir), ORACLES[name], edge_dir)
+        finally:
+            release_caches()
+        assert ok, f"{name}: {msg}"
+
+
+def test_staged_text_ops_edge_corpus_parity(spark, edge_dir):
+    """The staged round-8 text operators on the same edge corpus:
+    zero-token and single-token docs must flow through entropy (a
+    one-token doc has H=0), the unigram LM, and the gram-based cosine
+    (zero grams -> absent from the vocabulary, not a crash)."""
+    from data_finder_comparator_spark.operators.textops import (
+        gram_tfidf_cosine_topk,
+        token_entropy,
+        unigram_logprob,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, edge_dir, "documents")
+    ent = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert 3 not in ent and 200 not in ent  # zero-token docs drop out
+    assert ent[1].entropy_nats == 0.0  # single token -> zero entropy
+    lp = {r.doc_id: r.n_tokens for r in unigram_logprob(docs).collect()}
+    assert lp[2] == 2 and 3 not in lp
+    # gram cosine: probe 0/50/100/150/200 exist; doc 200 (no grams) and
+    # doc 1 (single token) never appear on either side
+    rows = gram_tfidf_cosine_topk(docs, k=3, probe_mod=50, df_cap=32).collect()
+    ids = {r.probe_id for r in rows} | {r.cand_id for r in rows}
+    assert 200 not in ids and 1 not in ids
+    assert all(r.rnk <= 3 for r in rows)
