@@ -1,0 +1,97 @@
+"""Property-based equivalence for the text-curation operators vs
+driver-side pure-Python references on randomized corpora (hypothesis).
+
+The oracle-parity suite pins scrub_hot_spans on the fixed corpora;
+these properties hunt the edges those corpora don't reach — repeated
+grams inside ONE document (count_distinct vs count), overlapping hot
+spans, spans at document boundaries, hot grams covering a whole
+document — and assert the distributed answer equals the reference
+exactly."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny vocabulary so 3-grams collide across docs often (hot grams are
+# the interesting case); varied doc lengths hit the <span boundary
+_DOC = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=9
+)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=7)
+
+
+def _ref_scrub(corpus: list[list[str]], min_docs: int, span: int):
+    """Order-free reference: a token is removed iff some hot gram
+    covers it; hot = gram in >= min_docs DISTINCT docs."""
+    grams = {}  # gram -> set(doc)
+    for d, toks in enumerate(corpus):
+        for j in range(len(toks) - span + 1):
+            grams.setdefault(" ".join(toks[j : j + span]), set()).add(d)
+    hot = {g for g, docs in grams.items() if len(docs) >= min_docs}
+    out = {}
+    for d, toks in enumerate(corpus):
+        covered = set()
+        for j in range(len(toks) - span + 1):
+            if " ".join(toks[j : j + span]) in hot:
+                covered.update(range(j, j + span))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[d] = (
+            len(toks),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS, min_docs=st.integers(1, 3))
+def test_scrub_hot_spans_matches_reference(spark, corpus, min_docs):
+    from data_finder_comparator_spark.operators.textops import scrub_hot_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in scrub_hot_spans(df, min_docs=min_docs, span=3).collect()
+    }
+    assert got == _ref_scrub(corpus, min_docs, 3)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS)
+def test_token_entropy_matches_reference(spark, corpus):
+    from data_finder_comparator_spark.operators.textops import token_entropy
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_nats)
+        for r in token_entropy(df).collect()
+    }
+    want = {}
+    for d, toks in enumerate(corpus):
+        if not toks:
+            continue  # zero-token docs drop out
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(toks)
+        clogc = sum(round(c * math.log(c), 6) for c in counts.values())
+        want[d] = (n, len(counts), round(math.log(n) - clogc / n, 6))
+    assert got == want
