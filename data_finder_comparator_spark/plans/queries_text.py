@@ -54,6 +54,31 @@ def salted_global_topk(
     )
 
 
+def doc_grams(docs: DataFrame, *id_cols: str, n: int = 3) -> DataFrame:
+    """Whitespace 3-gram (n-gram) explode with the token array
+    projected ONCE: the older inline form repeated `split(text)` three
+    times inside one CASE/transform expression, which whole-stage
+    codegen does NOT common-subexpression-eliminate across the lambda
+    boundary — measured 2.7x slower at sf0.1 (SCALE.md §9). Docs with
+    fewer than ``n`` tokens produce zero grams (the filter replaces the
+    old CASE guard; explode of the empty case emitted no rows either
+    way, and the descending-sequence crash the CASE guarded against
+    cannot occur past the size filter)."""
+    return (
+        docs.select(*id_cols, F.split("text", r"\s+").alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            *id_cols,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_t) - {n - 1}),"
+                    f" i -> array_join(slice(_t, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
 def _duck_hits(markers: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
     return (
@@ -908,16 +933,8 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # document tables arrive in few file-splits; spread docs BEFORE the
     # ~|tokens|-fold explode (same fan-out move as char_shingles)
-    grams = docs.repartition(fanout_partitions(docs), "doc_id").select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
-                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
+    grams = doc_grams(
+        docs.repartition(fanout_partitions(docs), "doc_id"), "doc_id"
     )
     # (n_docs, n_occurrences) via two stacked aggs instead of
     # count_distinct-next-to-count: the single-agg form plans an Expand
@@ -1185,18 +1202,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval text. Four broadcast left-semi joins; no shuffle of the
     corpus grams except the final per-doc count."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
-                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
-    )
-    grams = track(grams)  # eval and corpus sides share one pass
+    grams = track(doc_grams(docs, "doc_id"))  # eval + corpus share one pass
 
     def pos(r: int):
         hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
@@ -1398,17 +1404,7 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     source through every exchange — the fixed-size property that makes
     the filter shippable at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "source",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
-                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
-    )
+    grams = doc_grams(docs, "source")
 
     def pos(r: int):
         hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)

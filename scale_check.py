@@ -40,6 +40,7 @@ from data_finder_comparator_spark.plans.queries_text import (  # noqa: E402
     bucketed_packing_layout,
     bucketed_shuffle_positions,
     capped_per_group,
+    doc_grams,
 )
 from data_finder_comparator_spark.session import get_spark  # noqa: E402
 from data_finder_comparator_spark.sources.parquet import load_table  # noqa: E402
@@ -158,17 +159,10 @@ def main() -> None:
         # WindowGroupLimit; only <=32*50 rows reach the single-task
         # final rank, so growth tracks the gram-count agg.
         t0 = time.perf_counter()
-        grams = docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(split(text, '\\\\s+')) >= 3"
-                    " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                    " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
-                    " ELSE array() END"
-                )
-            ).alias("gram"),
-        )
+        # projected-token gram build (doc_grams form, round 7) — the
+        # older inline triple-split was 2.7x slower; r7-and-earlier
+        # span_topk rows measured the old form
+        grams = doc_grams(docs, "doc_id")
         counted = (
             grams.groupBy("gram")
             .agg(
