@@ -1702,3 +1702,105 @@ def test_staged_float_reductions_are_partition_invariant(spark):
     a = rows(gram_tfidf_cosine_topk(docs.repartition(1), k=5))
     b = rows(gram_tfidf_cosine_topk(docs.repartition(13), k=5))
     assert a == b
+
+
+def test_gzipped_jsonl_source_roundtrip(spark, tmp_path):
+    """Training corpora ship as .jsonl.gz; Spark's text-source codec
+    handling must decompress transparently and the result must match
+    the uncompressed read row-for-row (schema included). Pins the
+    ingest path a 100 TB pipeline actually uses — one .gz file is one
+    non-splittable partition, so production layouts shard into many
+    small gz files exactly like this folder."""
+    import gzip
+    import json
+
+    d = tmp_path / "gz_src"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"doc {i} text", "lang": ["en", "de"][i % 2]}
+        for i in range(20)
+    ]
+    for shard in range(4):
+        with gzip.open(d / f"part-{shard}.json.gz", "wt") as fh:
+            for r in rows[shard::4]:
+                fh.write(json.dumps(r) + "\n")
+    got = spark.read.json(str(d))
+    assert got.count() == 20
+    back = sorted(
+        (r.doc_id, r.text, r.lang) for r in got.collect()
+    )
+    assert back == sorted((r["doc_id"], r["text"], r["lang"]) for r in rows)
+    # and the scan parallelizes across the gz shards (each file is a
+    # partition — non-splittable, but four files give four tasks)
+    assert got.rdd.getNumPartitions() >= 4
+
+
+def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Checkpointed restart semantics: drain a 2-file probe stream with
+    availableNow (epochs commit to the checkpoint), add 2 more files,
+    restart the SAME stream/checkpoint/sink — only the new files may
+    produce output. A broken checkpoint contract would re-emit the
+    first files' tiers as duplicates; each probe must appear exactly
+    once per matched candidate."""
+    from data_finder_comparator_spark.streaming.pipeline import fuzzy_match_stream
+
+    probes_dir = tmp_path / "probes_ckpt"
+    probes_dir.mkdir()
+    cand = spark.createDataFrame(
+        [(10, "cold widget"), (11, "old widget")], "cand_id long, cand string"
+    )
+    sink = str(tmp_path / "sink_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_probe_file(name: str, rows):
+        spark.createDataFrame(rows, "probe_id long, probe string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "*.parquet"))[0]
+        shutil.copy(src, str(probes_dir / f"{name}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("probe_id long, probe string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(probes_dir))
+        )
+        reg: list = []
+        q = fuzzy_match_stream(
+            spark,
+            stream,
+            cand,
+            sink,
+            threshold=3,
+            checkpoint=ckpt,
+            available_now=True,
+            cache_registry=reg,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            for df in reg:
+                df.unpersist()
+
+    write_probe_file("a", [(1, "cold widgetx")])
+    write_probe_file("b", [(2, "old widget")])
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first > 0
+    write_probe_file("c", [(3, "cold widget")])
+    write_probe_file("d", [(4, "bold widget")])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append((r.cand_id, r.tier))
+    # every probe from BOTH runs present...
+    assert set(by_probe) == {1, 2, 3, 4}
+    # ...and no (probe, cand, tier) emitted twice — committed epochs
+    # were not replayed on restart
+    for pid, matches in by_probe.items():
+        assert len(matches) == len(set(matches)), (pid, matches)
