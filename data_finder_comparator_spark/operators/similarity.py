@@ -299,3 +299,50 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+def label_centroid_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Embedding-space quality control: per-label centroids and each
+    label's k most-outlying vectors by cosine-to-centroid — the
+    mislabeled/contaminated-sample sweep a training pipeline runs over
+    its embedding store.
+
+    Shapes: the per-dimension mean is a (label, dim)-keyed aggregation
+    over the posexploded vectors (rows x dim input rows, labels x dim
+    output rows — fully distributed); the centroid table is
+    labels x dim and broadcasts back for the cosine pass, which is one
+    map-side array fold per vector plus a per-label top-k window.
+
+    Determinism: the dimension sums go through DECIMAL (double
+    addition is order-sensitive; the decimal sum is exact and
+    partition-order-free), the rebuilt centroid is an ordered array,
+    and the cosine itself is the module's left-to-right fold — so a
+    SQL oracle reproduces every value bitwise.
+    """
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        _as_double("embedding").alias("v"),
+    )
+    dims = vecs.select("label", F.posexplode("v").alias("dim", "x"))
+    means = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    centroids = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    scored = vecs.join(F.broadcast(centroids), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine("v", "c"), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

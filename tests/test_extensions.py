@@ -1804,3 +1804,102 @@ def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
     # were not replayed on restart
     for pid, matches in by_probe.items():
         assert len(matches) == len(set(matches)), (pid, matches)
+
+
+def test_label_centroid_outliers_oracle_ready(spark):
+    """Staged round-8 query: per-label embedding centroids + each
+    label's 5 most-outlying vectors by cosine-to-centroid (the
+    mislabeled-sample sweep). Decimal dimension sums + the module's
+    left-to-right fold make the DuckDB restatement bitwise."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    sql = """
+WITH vecs AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i - 1 AS dim, CAST(v[i] AS DECIMAL(28,10)) AS x
+  FROM vecs, unnest(range(1, len(v) + 1)) AS r(i)
+),
+means AS (
+  SELECT label, dim, CAST(sum(x) AS DOUBLE) / count(*) AS m
+  FROM dims GROUP BY label, dim
+),
+centroids AS (
+  SELECT label, list(m ORDER BY dim) AS c FROM means GROUP BY label
+),
+scored AS (
+  SELECT v.label, v.vec_id,
+         round(list_dot_product(v.v, ct.c)
+               / sqrt(list_dot_product(v.v, v.v) * list_dot_product(ct.c, ct.c)),
+               6) AS cos_centroid
+  FROM vecs v JOIN centroids ct USING (label)
+)
+SELECT label, vec_id, CAST(cos_centroid AS DOUBLE) AS cos_centroid,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY cos_centroid, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+    ok, msg = compare(label_centroid_outliers(emb, k=5), sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_zorder_layout_stats_oracle_ready(spark):
+    """Staged round-8 query: z-order (Morton) layout statistics over
+    events (user_id x value) — per-z-bucket row counts and min/max of
+    BOTH grid coordinates, integer-exact vs DuckDB. The locality
+    assertion is the point of z-ordering: with 8-bit grids and 6
+    leading bucket bits every bucket is a 32x32 tile, so BOTH
+    dimensions' per-bucket ranges are bounded — the file-statistics
+    property that lets either-column filters prune a z-ordered
+    layout."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.partitioning import zorder_layout_stats
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select("user_id", "value")
+    got = zorder_layout_stats(ev, "user_id", "value", bits=8, bucket_bits=6)
+
+    interleave = " + ".join(
+        f"(((ga >> {i}) & 1) << {2 * i}) + (((gb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    sql = f"""
+WITH bounds AS (
+  SELECT min(user_id) AS a_mn, max(user_id) AS a_mx,
+         min(value) AS b_mn, max(value) AS b_mx
+  FROM events
+),
+gridded AS (
+  SELECT
+    CASE WHEN a_mx = a_mn THEN 0
+         ELSE least(CAST(floor(((user_id - a_mn) / (a_mx - a_mn)) * 256) AS BIGINT),
+                    255) END AS ga,
+    CASE WHEN b_mx = b_mn THEN 0
+         ELSE least(CAST(floor(((value - b_mn) / (b_mx - b_mn)) * 256) AS BIGINT),
+                    255) END AS gb
+  FROM events, bounds
+),
+z AS (SELECT ga, gb, {interleave} AS zk FROM gridded)
+SELECT zk >> 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(ga) AS BIGINT) AS a_lo, CAST(max(ga) AS BIGINT) AS a_hi,
+       CAST(min(gb) AS BIGINT) AS b_lo, CAST(max(gb) AS BIGINT) AS b_hi
+FROM z GROUP BY bucket
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+    # the locality property itself
+    for r in got.collect():
+        assert r.a_hi - r.a_lo <= 31 and r.b_hi - r.b_lo <= 31, r
