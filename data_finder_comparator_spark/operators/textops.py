@@ -373,6 +373,7 @@ def gram_tfidf_cosine_topk(
     df_cap: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine top-k document similarity over the 3-token
     gram vocabulary — the text-side counterpart of the embedding ANN
@@ -431,6 +432,12 @@ def gram_tfidf_cosine_topk(
             .alias("w"),
         )
     )
+    # three consumers (norms, probe side, candidate side) — without the
+    # registry persist, each re-runs the whole gram -> tf -> df -> idf
+    # pipeline (plan-sweep measured 3x the one-row aggs)
+    if cache_registry is not None:
+        w = w.persist()
+        cache_registry.append(w)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     probes = w.filter(F.col("doc_id") % probe_mod == 0).select(
         F.col("doc_id").alias("probe_id"), "gram", F.col("w").alias("wa")
