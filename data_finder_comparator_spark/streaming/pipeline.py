@@ -771,3 +771,91 @@ def hll_register_stream(spark: SparkSession, sf_dir: str, run_tag: str) -> DataF
         .agg(F.max("rho").cast("long").alias("max_rho"))
     )
     return _hll_finalize(reg)
+
+
+OUTER_JOIN_SCHEMA = (
+    "purchase_id long, user_id long, click_id long, gap_us long, attributed boolean"
+)
+
+
+def purchase_click_attribution_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_minutes: int = 60,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the attribution shape extended
+    with the rows the inner join can never show: purchases with NO
+    click in the lookback window, emitted with null click columns once
+    the click-side watermark passes the end of their match window.
+    That late emission is the semantics that makes outer stream joins
+    a different operator, not a join-type flag: the state store must
+    HOLD each unmatched purchase exactly until the watermark proves no
+    matching click can still arrive, then release it — bounded state
+    AND complete output.
+
+    Stream/batch equivalence caveat the dress test handles: rows near
+    the end of a bounded run are only released if the final watermark
+    passes their window, so an exact batch comparison appends a
+    far-future sentinel event to both sides (filtered from the output)
+    to sweep the watermark past every real row.
+    """
+    from ..util import fresh_run_dir
+
+    if sink_dir is None:
+        sink_dir = fresh_run_dir(
+            "purchase_click_outer", f"{sf_dir}|{lookback_minutes}"
+        )
+    out_path = os.path.join(sink_dir, "out")
+    ckpt = os.path.join(sink_dir, "ckpt")
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTE")
+        )
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
+    with _stream_confs(spark, _NANOS_CONF):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.schema(OUTER_JOIN_SCHEMA).parquet(out_path)

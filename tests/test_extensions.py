@@ -1903,3 +1903,71 @@ FROM z GROUP BY bucket
     # the locality property itself
     for r in got.collect():
         assert r.a_hi - r.a_lo <= 31 and r.b_hi - r.b_lo <= 31, r
+
+
+def test_streaming_outer_attribution_matches_batch(spark, tmp_path):
+    """Staged round-8 query: LEFT OUTER stream-stream attribution —
+    unattributed purchases must surface with null click columns once
+    the watermark closes their window, and the attributed subset must
+    equal the inner join. Exact stream/batch equivalence via a
+    far-future sentinel event on both sides (swept out of the output)
+    so the final watermark releases every real unmatched row."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import TABLES, compare
+
+    from data_finder_comparator_spark.streaming.pipeline import (
+        purchase_click_attribution_outer,
+    )
+
+    d = tmp_path / "outer_sf"
+    d.mkdir()
+    base = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    import datetime
+
+    far = datetime.datetime(2030, 1, 1)
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([far, far], base.schema.field("ts").type),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "click"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(sentinel.column_names), sentinel]),
+        str(d / "events.parquet"),
+    )
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    got = purchase_click_attribution_outer(
+        spark, str(d), sink_dir=str(tmp_path / "outer_sink")
+    ).filter("user_id >= 0")
+    sql = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase' AND user_id >= 0),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, c.click_id,
+       CAST(CASE WHEN c.click_id IS NULL THEN NULL
+                 ELSE epoch_us(p.p_ts) - epoch_us(c.c_ts) END AS BIGINT) AS gap_us,
+       c.click_id IS NOT NULL AS attributed
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE
+ AND c.c_ts <= p.p_ts
+"""
+    ok, msg = compare(got, sql, str(d))
+    assert ok, msg
+    rows = got.collect()
+    assert any(not r.attributed for r in rows)  # unmatched rows surfaced
+    assert any(r.attributed for r in rows)
