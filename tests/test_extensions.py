@@ -1971,3 +1971,51 @@ FROM p LEFT JOIN c
     rows = got.collect()
     assert any(not r.attributed for r in rows)  # unmatched rows surfaced
     assert any(r.attributed for r in rows)
+
+
+def test_hll_sketch_persists_and_merges_across_sessions(spark, tmp_path):
+    """The operational property behind the sketch family: register
+    tables are ordinary parquet TABLES — persist today's shard sketch,
+    reload it later, merge with tomorrow's by register-max, and the
+    estimate equals the sketch built over both corpora at once. This
+    is the fold-in-yesterday workflow a 100 TB pipeline runs daily
+    without rescanning yesterday's corpus."""
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.plans.queries_dedup import (
+        _hll_finalize,
+        _hll_rho_rows,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    day2 = docs.filter(F.col("doc_id") % 2 == 1).select("text")
+
+    def registers(df):
+        return (
+            _hll_rho_rows(df)
+            .groupBy("register_id")
+            .agg(F.max("rho").cast("long").alias("max_rho"))
+        )
+
+    # day 1: build, persist to parquet, DROP the source
+    registers(day1).write.parquet(str(tmp_path / "day1_sketch"))
+    # day 2: reload yesterday's STATE (not data), merge with today's
+    merged = (
+        spark.read.parquet(str(tmp_path / "day1_sketch"))
+        .unionByName(registers(day2))
+        .groupBy("register_id")
+        .agg(F.max("max_rho").cast("long").alias("max_rho"))
+    )
+    direct = registers(docs.select("text"))
+    got = {
+        r.register_id: r.max_rho
+        for r in merged.collect()
+    }
+    want = {r.register_id: r.max_rho for r in direct.collect()}
+    assert got == want
+    # and the finalized estimates agree exactly
+    e_m = _hll_finalize(merged).select("est_distinct").first()[0]
+    e_d = _hll_finalize(direct).select("est_distinct").first()[0]
+    assert e_m == e_d
