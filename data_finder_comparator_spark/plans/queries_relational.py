@@ -1268,3 +1268,46 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("double").alias("clamped_min"),
         F.max("v").cast("double").alias("clamped_max"),
     )
+
+
+def user_state_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (round-8 candidate): SCD2-style temporal versioning —
+    collapse each user's event stream into state VERSIONS (consecutive
+    runs of the same event_type), with valid_from / valid_to intervals
+    and a current flag. The gaps-and-islands pattern every warehouse
+    dimension build runs; distinct from sessionization (which splits on
+    time gaps, not state changes).
+
+    One user-keyed window pass: change points via lag, version ids via
+    a running sum of change flags, intervals via lead over the
+    collapsed versions. Everything partitions by user_id — per-user
+    state through the shuffle is one row, and ordering is total on
+    (ts, event_id) so ties are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").alias("ts"), F.col("event_type").alias("state")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "_chg",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_ver", F.sum("_chg").over(w))
+    versions = marked.groupBy("user_id", "_ver").agg(
+        F.min_by("state", F.struct("ts", "event_id")).alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("_ver")
+    return versions.select(
+        "user_id",
+        F.col("_ver").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -2019,3 +2019,45 @@ def test_hll_sketch_persists_and_merges_across_sessions(spark, tmp_path):
     e_m = _hll_finalize(merged).select("est_distinct").first()[0]
     e_d = _hll_finalize(direct).select("est_distinct").first()[0]
     assert e_m == e_d
+
+
+def test_user_state_versions_oracle_ready(spark):
+    """Staged round-8 query: SCD2-style temporal versioning of each
+    user's event stream (gaps-and-islands — consecutive same-state runs
+    collapse into versions with validity intervals and a current
+    flag). Hash-matched against the DuckDB lag/running-sum
+    restatement."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.plans.queries_relational import (
+        user_state_versions,
+    )
+
+    sql = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type AS state,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, ver, min(state) AS state, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM marked GROUP BY user_id, ver
+)
+SELECT user_id, CAST(ver AS BIGINT) AS version, state,
+       valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       lead(valid_from) OVER wv IS NULL AS is_current,
+       n_events
+FROM versions
+WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+"""
+    ok, msg = compare(user_state_versions(spark, SF_ORACLE), sql, SF_ORACLE)
+    assert ok, msg
