@@ -1416,3 +1416,57 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_bits.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shards")
     )
+
+
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (round-8 candidate): pairwise cross-source contamination
+    — for every ordered source pair (a < b), how many of a's distinct
+    3-grams also appear in b, plus each side's distinct-gram total and
+    the integer containment ratio in parts-per-million. The
+    leakage/overlap report a curation pipeline publishes across its
+    ingest sources (and, with sources = {train, eval}, the train/eval
+    contamination check at corpus granularity).
+
+    Shapes: one gram pass (shared `doc_grams`), distinct (source,
+    gram), then a gram-keyed self-join restricted to a < b — pair
+    fanout is bounded by gram document frequency ACROSS SOURCES
+    (n_sources per gram, <= |sources|, not corpus size), so the join
+    output is at most |grams| x |sources|^2 with tiny |sources|.
+    Integer arithmetic only (ppm = 1e6 * shared // total) — exact in
+    any engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sg = doc_grams(docs, "source").distinct()
+    sg = track(sg)  # sizes + both join sides share one pass
+    sizes = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = sg.select(F.col("source").alias("src_a"), "gram")
+    b = sg.select(F.col("source").alias("src_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("a_grams"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("b_grams"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "a_grams",
+            "b_grams",
+            # integer div (not double-div + cast): double rounding
+            # could disagree with the oracle's exact floor division
+            F.expr("(1000000 * shared_grams) div a_grams").alias("a_contained_ppm"),
+            F.expr("(1000000 * shared_grams) div b_grams").alias("b_contained_ppm"),
+        )
+    )

@@ -2061,3 +2061,49 @@ WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
 """
     ok, msg = compare(user_state_versions(spark, SF_ORACLE), sql, SF_ORACLE)
     assert ok, msg
+
+
+def test_source_contamination_matrix_oracle_ready(spark):
+    """Staged round-8 query: pairwise cross-source 3-gram overlap with
+    integer containment ppm — the corpus-granularity leakage report.
+    Integer-exact vs DuckDB."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.plans.catalog import release_caches
+    from data_finder_comparator_spark.plans.queries_text import (
+        source_contamination_matrix,
+    )
+
+    sql = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(text, '\s+') AS t FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+          FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM sg a JOIN sg b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b, s.shared_grams,
+       za.n_grams AS a_grams, zb.n_grams AS b_grams,
+       (1000000 * s.shared_grams) // za.n_grams AS a_contained_ppm,
+       (1000000 * s.shared_grams) // zb.n_grams AS b_contained_ppm
+FROM shared s
+JOIN sizes za ON za.source = s.src_a
+JOIN sizes zb ON zb.source = s.src_b
+"""
+    try:
+        ok, msg = compare(
+            source_contamination_matrix(spark, SF_ORACLE), sql, SF_ORACLE
+        )
+    finally:
+        release_caches()
+    assert ok, msg
