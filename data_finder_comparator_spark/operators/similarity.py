@@ -336,10 +336,19 @@ def label_centroid_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
         ).alias("c")
     )
-    scored = vecs.join(F.broadcast(centroids), "label").select(
-        "label",
-        "vec_id",
-        F.round(cosine("v", "c"), 6).alias("cos_centroid"),
+    # zero-norm guard: a zero vector (or an all-zero label centroid)
+    # has no defined cosine — Spark's 0/0 yields NULL (which would sort
+    # FIRST ascending and crowd the outlier slots) while DuckDB yields
+    # NaN (which sorts last), so the only engine-portable semantics is
+    # to exclude undefined rows on both sides before ranking
+    scored = (
+        vecs.join(F.broadcast(centroids), "label")
+        .filter((dot("v", "v") > 0) & (dot("c", "c") > 0))
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine("v", "c"), 6).alias("cos_centroid"),
+        )
     )
     w = Window.partitionBy("label").orderBy(F.col("cos_centroid"), F.col("vec_id"))
     return (

@@ -231,6 +231,19 @@ def scrub_hot_spans(
     )
 
 
+def doc_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tok) explode of the lowercased whitespace tokens with
+    empty tokens removed — the shared tokenizer behind token_entropy,
+    unigram_logprob, and the inverted index (one definition so their
+    oracles stay aligned with one Spark semantics)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
 def weighted_reservoir_sample(
     df: DataFrame,
     group_col: str,
@@ -294,11 +307,7 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     sum(c*ln(c))/n arithmetic so the oracle reproduces identical IEEE
     doubles:  H = ln(n) - (1/n) * sum_t c_t ln(c_t).
     """
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    per_tok = toks.groupBy("doc_id", "tok").agg(
+    per_tok = doc_tokens(df, id_col, text_col).groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
     # each c*ln(c) term is rounded then summed as DECIMAL: double
@@ -328,7 +337,10 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the cheapest LM-quality score a curation pipeline
@@ -337,11 +349,15 @@ def unigram_logprob(
     -> log p(t) = ln(c_t / N); (2) per-doc mean over its tokens via an
     equi-join on token. The model table is vocabulary-sized — for a
     natural-language corpus it broadcasts; the join stays an equi-join
-    either way. Exact IEEE restatement in SQL."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    either way. Exact IEEE restatement in SQL.
+
+    The tokenized frame has three consumers (model, total, the scored
+    join side); pass ``cache_registry`` to tokenize the corpus once
+    instead of thrice (same contract as gram_tfidf_cosine_topk)."""
+    toks = doc_tokens(df, id_col, text_col)
+    if cache_registry is not None:
+        toks = toks.persist()
+        cache_registry.append(toks)
     model = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("n"))
     scored = toks.join(model, "tok").crossJoin(F.broadcast(total))

@@ -1095,19 +1095,22 @@ FROM sel JOIN bounds b USING (event_type)
 """
 
 
-@query("grouped_histogram_quantiles", oracle=_GROUPED_HISTQ_ORACLE)
-def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 per event_type from per-group equi-width histograms.
-    The per-group bounds table is group-cardinality-sized, so it
-    broadcasts; the cumulative walk windows on (event_type, bin) with
-    at most 4096 rows per partition."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+def _grouped_quantile_bins(spark: SparkSession, ev: DataFrame, quantiles):
+    """Per-event-type equi-width histogram quantile-bin selection — the
+    pipeline shared by grouped_histogram_quantiles and
+    winsorized_event_stats (the two must stay arithmetically identical
+    or their oracle hashes drift apart). Returns (sel, bounds): sel has
+    one (event_type, q, bin) row per requested quantile, bounds the
+    per-group (mn, mx, n) table; callers recompute the bin width from
+    bounds as (mx - mn) / 4096."""
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     width = (F.col("mx") - F.col("mn")) / 4096
+    # degenerate group (all values equal): width 0 would put NaN bins
+    # through floor; everything lands in bin 0 on both engines instead
     bins = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
@@ -1126,7 +1129,7 @@ def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")).alias("cc"),
     )
     qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])).alias("q")
+        F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q")
     )
     sel = (
         cum.crossJoin(F.broadcast(qs))
@@ -1135,6 +1138,18 @@ def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "q")
         .agg(F.min("bin").alias("bin"))
     )
+    return sel, bounds
+
+
+@query("grouped_histogram_quantiles", oracle=_GROUPED_HISTQ_ORACLE)
+def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per event_type from per-group equi-width histograms.
+    The per-group bounds table is group-cardinality-sized, so it
+    broadcasts; the cumulative walk windows on (event_type, bin) with
+    at most 4096 rows per partition."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sel, bounds = _grouped_quantile_bins(spark, ev, (0.5, 0.9, 0.99))
+    width = (F.col("mx") - F.col("mn")) / 4096
     return sel.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         F.col("q").cast("double").alias("q"),
@@ -1208,46 +1223,14 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is group-cardinality-sized and broadcasts.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    bounds = ev.groupBy("event_type").agg(
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    sel, bounds = _grouped_quantile_bins(spark, ev, (0.01, 0.99))
     width = (F.col("mx") - F.col("mn")) / 4096
-    bins = ev.join(F.broadcast(bounds), "event_type").select(
+    thr_rows = sel.join(F.broadcast(bounds), "event_type").select(
         "event_type",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(4095))
-        )
-        .cast("long")
-        .alias("bin"),
+        "q",
+        (F.col("mn") + (F.col("bin") + 1) * width).alias("thr"),
     )
-    hist = bins.groupBy("event_type", "bin").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    cum = hist.select(
-        "event_type",
-        "bin",
-        F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")).alias("cc"),
-    )
-    qs = spark.range(1).select(
-        F.explode(F.array(F.lit(0.01), F.lit(0.99))).alias("q")
-    )
-    sel = (
-        cum.crossJoin(F.broadcast(qs))
-        .join(F.broadcast(bounds), "event_type")
-        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("event_type", "q")
-        .agg(F.min("bin").alias("bin"))
-        .join(F.broadcast(bounds), "event_type")
-        .select(
-            "event_type",
-            "q",
-            (F.col("mn") + (F.col("bin") + 1) * width).alias("thr"),
-        )
-    )
-    thresholds = sel.groupBy("event_type").agg(
+    thresholds = thr_rows.groupBy("event_type").agg(
         F.min(F.when(F.col("q") == 0.01, F.col("thr"))).alias("lo"),
         F.min(F.when(F.col("q") == 0.99, F.col("thr"))).alias("hi"),
     )

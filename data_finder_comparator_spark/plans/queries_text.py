@@ -1195,6 +1195,16 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def _bloom_pos(r: int, alias: str):
+    """Salted md5 bit position r of a 2^16-bit Bloom filter over the
+    ``gram`` column — ONE definition shared by the filter build
+    (bloom_decontaminate) and the shard merge (bloom_merge_shards);
+    their bit tables are only merge-compatible while this derivation
+    stays byte-identical."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
+    return (F.conv(hx, 16, 10).cast("long") % 65536).alias(alias)
+
+
 @query("bloom_decontaminate", oracle=_BLOOM_ORACLE)
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document count of 3-grams that pass the eval set's Bloom
@@ -1205,8 +1215,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = track(doc_grams(docs, "doc_id"))  # eval + corpus share one pass
 
     def pos(r: int):
-        hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
-        return (F.conv(hx, 16, 10).cast("long") % 65536).alias(f"p{r}")
+        return _bloom_pos(r, f"p{r}")
 
     bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
     bits = bench.select(
@@ -1340,10 +1349,10 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-token row_number window over (token, doc_id) PAIRS (already
     deduplicated by the first agg), so the window partition is bounded
     by the doc frequency, not the raw token stream."""
+    from ..operators.textops import doc_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
+    toks = doc_tokens(docs).withColumnRenamed("tok", "token")
     per_doc = track(
         toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
     )
@@ -1405,13 +1414,9 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter shippable at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     grams = doc_grams(docs, "source")
-
-    def pos(r: int):
-        hx = F.substring(F.md5(F.concat(F.lit(f"b{r}:"), F.col("gram"))), 1, 15)
-        return (F.conv(hx, 16, 10).cast("long") % 65536).alias("b")
-
     shard_bits = grams.select(
-        "source", F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+        "source",
+        F.explode(F.array(*[_bloom_pos(r, "b") for r in range(4)])).alias("b"),
     ).distinct()
     return shard_bits.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shards")

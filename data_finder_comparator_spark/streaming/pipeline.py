@@ -542,14 +542,27 @@ def fuzzy_match_stream(
         writer = writer.trigger(availableNow=True)
     started = writer.start()
     if own_registry:
-        _release_on_termination(spark, str(started.id), cache_registry)
+        listener = _release_on_termination(spark, str(started.id), cache_registry)
+        # the termination event is only delivered to listeners registered
+        # BEFORE it is posted; a fast availableNow query can terminate in
+        # the gap between start() and addListener. Unpersist is
+        # idempotent, so the belt-and-suspenders direct release closes
+        # the race (worst case both paths release the same frames, and
+        # the orphaned listener is removed here instead of by itself).
+        if not started.isActive:
+            for df in cache_registry:
+                df.unpersist()
+            spark.streams.removeListener(listener)
     return started
 
 
-def _release_on_termination(spark: SparkSession, query_id: str, frames: list) -> None:
+def _release_on_termination(spark: SparkSession, query_id: str, frames: list):
     """Unpersist ``frames`` when the streaming query with ``query_id``
     terminates, then deregister — the opt-out cache hygiene behind
-    fuzzy_match_stream's registry-less path."""
+    fuzzy_match_stream's registry-less path. Returns the registered
+    listener so the caller can remove it if the query already
+    terminated before registration (unpersist is idempotent, so the
+    two release paths compose safely)."""
     from pyspark.sql.streaming import StreamingQueryListener
 
     class _Release(StreamingQueryListener):
@@ -568,7 +581,9 @@ def _release_on_termination(spark: SparkSession, query_id: str, frames: list) ->
                     df.unpersist()
                 spark.streams.removeListener(self)
 
-    spark.streams.addListener(_Release())
+    listener = _Release()
+    spark.streams.addListener(listener)
+    return listener
 
 
 STREAM_JOIN_SCHEMA = "purchase_id long, user_id long, click_id long, gap_us long"

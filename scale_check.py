@@ -263,9 +263,12 @@ def main() -> None:
         # cluster regime the max(struct) hash agg exists for (a window
         # formulation would buffer per-cluster partitions; the agg's
         # per-cluster state is one struct regardless of members).
+        # base_mod is computed OUTSIDE the timed/spill window: it is a
+        # separate Spark job over the base table, and timing it (or
+        # attributing its stages' spill) would bias the probe's curve
+        base_mod = docs0.agg(F.max("doc_id")).first()[0] + 1
         cc_mem0, cc_disk0 = _spill_totals(spark)
         t0 = time.perf_counter()
-        base_mod = docs0.agg(F.max("doc_id")).first()[0] + 1
         labels = docs.select(
             "doc_id", (F.col("doc_id") % base_mod).alias("cluster_id")
         )

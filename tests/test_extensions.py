@@ -1842,6 +1842,7 @@ scored AS (
                / sqrt(list_dot_product(v.v, v.v) * list_dot_product(ct.c, ct.c)),
                6) AS cos_centroid
   FROM vecs v JOIN centroids ct USING (label)
+  WHERE list_dot_product(v.v, v.v) > 0 AND list_dot_product(ct.c, ct.c) > 0
 )
 SELECT label, vec_id, CAST(cos_centroid AS DOUBLE) AS cos_centroid,
        CAST(rnk AS BIGINT) AS rnk
