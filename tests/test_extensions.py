@@ -1506,6 +1506,91 @@ FROM agg
     assert got[2].entropy_nats == round(math.log(4), 6)
 
 
+def test_lsh_recall_audit_oracle_ready(spark):
+    """Staged (pytest-gated) query: the MinHash-LSH recall curve vs
+    exact shingle-Jaccard ground truth, per Jaccard decile — the audit
+    that justifies (or re-tunes) the LSH band parameters. Oracle
+    recomputes both the exact pair set and the banded candidate set in
+    DuckDB; the per-bucket counts and hit rates must hash-match."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.dedup import lsh_recall_audit
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sql = r"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substr(n, unnest(range(1, len(n) - 3)), 5) AS shingle
+  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS n
+        FROM documents)
+  WHERE len(n) >= 5
+),
+probe_sh AS (SELECT * FROM shingles WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM probe_sh p JOIN shingles c
+    ON p.shingle = c.shingle AND p.doc_id <> c.doc_id
+  GROUP BY p.doc_id, c.doc_id
+),
+truth AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi,
+         inter_n, CAST(sa.n + sb.n - inter_n AS BIGINT) AS union_n
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 1
+),
+halves AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 12)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(shingle), 13, 12)) AS BIGINT) AS h2
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, s.seed,
+         min((h1 + s.seed * h2) % 281474976710656) AS minh
+  FROM halves CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 3 AS BIGINT) AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY seed)) AS sig
+  FROM sigs GROUP BY doc_id, seed // 3
+),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT t.inter_n, t.union_n,
+         CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS found
+  FROM truth t LEFT JOIN lsh l ON l.doc_a = t.lo AND l.doc_b = t.hi
+)
+SELECT CAST(least(9, (inter_n * 10) // union_n) AS INTEGER) AS jaccard_bucket,
+       CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(sum(found) AS BIGINT) AS lsh_found,
+       CAST(round(CAST(sum(found) AS DOUBLE) / count(*), 4) AS DOUBLE) AS recall
+FROM flagged GROUP BY 1
+"""
+    caches: list = []
+    try:
+        audit = lsh_recall_audit(docs, cache_registry=caches)
+        ok, msg = compare(audit, sql, SF_ORACLE)
+        assert ok, msg
+        rows = {r.jaccard_bucket: r for r in audit.collect()}
+        assert rows, "audit returned no buckets"
+        # the S-curve property on this corpus: the top populated decile
+        # must recall at least as well as the bottom populated one
+        lo_b, hi_b = min(rows), max(rows)
+        assert rows[hi_b].recall >= rows[lo_b].recall
+    finally:
+        for df in caches:
+            df.unpersist()
+
+
 def test_unigram_logprob_oracle_ready(spark):
     """Staged round-8 query: per-document mean unigram log-probability
     under the corpus's own unigram model (the cheap LM quality score),
