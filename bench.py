@@ -108,6 +108,10 @@ HEADLINE = [
     "bloom_merge_shards",
     "histogram_merge_shards",
     "pcm_resample_layout",
+    # round 8 additions (the registry's final three — saturation bound)
+    "hll_register_stream",
+    "gram_tfidf_cosine_topk",
+    "weighted_reservoir_sample",
 ]
 
 

@@ -518,8 +518,15 @@ def lsh_recall_audit(
     probe sample IS the audit: recall estimates need thousands of
     truth pairs, not the full corpus.
     """
-    sh = char_shingles(docs, id_col, text_col, k=k).persist()
+    # persist only under an owning registry: the returned frame is
+    # lazy, so there is no in-function point where an ownerless persist
+    # could be released — a registry-less caller would leak the cached
+    # shingle blocks for the whole session (advisor finding, round 7).
+    # Without a registry the shingle pass recomputes (correct, slower);
+    # callers that evaluate the audit should pass a registry they drain.
+    sh = char_shingles(docs, id_col, text_col, k=k)
     if cache_registry is not None:
+        sh = sh.persist()
         cache_registry.append(sh)
     probes = sh.filter(F.col("doc_id") % probe_mod == 0)
     # undirected truth pairs: the directed probe-side join emits both

@@ -117,6 +117,7 @@ def tiered_fuzzy_join(
     cache_intermediate: bool = True,
     cache_registry: list | None = None,
     prepared: PreparedCandidates | None = None,
+    dedup_strings: bool = False,
 ) -> DataFrame:
     """Score every probe against the candidate set and classify matches
     into exact / best / potential / poor tiers (reference semantics).
@@ -131,6 +132,19 @@ def tiered_fuzzy_join(
     DataFrames are appended to it, and the caller unpersists them right
     after its action — keeping the single-evaluation benefit without
     accumulating cached blocks across calls.
+
+    ``dedup_strings`` (qgram strategy only) runs candidate generation
+    AND the DP once per distinct (normalized-probe, normalized-cand)
+    string pair, then expands back to ids by two equi-joins on the
+    normalized string. Results are identical by construction — rows
+    with equal normalized strings have equal grams, distances, and
+    band membership; the string itself is the dedup key, so there is
+    no hash-collision caveat. The escape hatch for DUPLICATE-HEAVY
+    corpora (the regime the corpus-inflation probe simulates): at
+    duplication factor d the gram join, pair-distinct exchange, and
+    levenshtein pass all shrink by ~d^2, while unique-text corpora pay
+    two extra corpus-sized distinct aggregations for nothing — hence
+    opt-in, measured either way in SCALE.md's inflation table.
     """
     t = threshold
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
@@ -200,24 +214,40 @@ def tiered_fuzzy_join(
                 ).alias("gram"),
             )
 
-        cg = _grams(c.filter(F.length("_nc") >= qg), "cand_id", "_nc", "_lc")
-        pg = _grams(long_p, "probe_id", "_nq", "_lq")
+        if dedup_strings:
+            # one gram/prefix/DP pass per distinct STRING: the string
+            # is its own key, so pairs expand back by two equi-joins
+            p_src, p_key = long_p.select("_nq").distinct(), "_nq"
+            c_src, c_key = c.select("_nc").distinct(), "_nc"
+        else:
+            p_src, p_key = long_p, "probe_id"
+            c_src, c_key = c, "cand_id"
+        cg = _grams(c_src.filter(F.length("_nc") >= qg), c_key, "_nc", "_lc")
+        pg = _grams(p_src, p_key, "_nq", "_lq")
         gram_df = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-        wq = Window.partitionBy("probe_id").orderBy("_df", "gram")
+        wq = Window.partitionBy(p_key).orderBy("_df", "gram")
         prefix = (
             pg.join(gram_df, "gram", "left")
             .fillna(0, ["_df"])
             .withColumn("_rn", F.row_number().over(wq))
             .filter(F.col("_rn") <= prefix_n)
-            .select("probe_id", "_lq", "gram")
+            .select(p_key, "_lq", "gram")
         )
         pair_ids = (
             prefix.join(cg, "gram")
             .filter(F.abs(F.col("_lq") - F.col("_lc")) <= t)
-            .select("probe_id", "cand_id")
+            .select(p_key, c_key)
             .distinct()
         )
-        banded_long = pair_ids.join(long_p, "probe_id").join(c, "cand_id")
+        if dedup_strings:
+            # DP once per distinct string pair, BEFORE the id fan-out:
+            # at duplication factor d this is 1/d^2 of the per-id DPs
+            scored_strs = pair_ids.withColumn(
+                "dist", F.levenshtein("_nq", "_nc", t).cast("long")
+            ).filter(F.col("dist") >= 0)
+            banded_long = scored_strs.join(long_p, "_nq").join(c, "_nc")
+        else:
+            banded_long = pair_ids.join(long_p, "probe_id").join(c, "cand_id")
         c_short = c.filter(F.length("_nc") < min_len + t).withColumn(
             "_band",
             F.explode(
@@ -228,13 +258,26 @@ def tiered_fuzzy_join(
             short_p.withColumn("_band", F.length("_nq")).join(c_short, "_band").drop("_band")
         )
         cols = ["probe_id", "probe", "_nq", "cand_id", "cand", "_nc"]
-        banded = (
-            banded_long.select(*cols)
-            .unionByName(banded_short.select(*cols))
-            # qgram pairs can still be length-incompatible; drop them
-            # before paying the DP
-            .filter(F.abs(F.length("_nq") - F.length("_nc")) <= t)
-        )
+        if dedup_strings:
+            # long side is already scored per distinct string pair;
+            # score the (tiny) short-probe side and skip the shared
+            # post-union DP below
+            short_scored = (
+                banded_short.select(*cols)
+                .filter(F.abs(F.length("_nq") - F.length("_nc")) <= t)
+                .withColumn("dist", F.levenshtein("_nq", "_nc", t).cast("long"))
+                .filter(F.col("dist") >= 0)
+            )
+            prescored = banded_long.select(*cols, "dist").unionByName(short_scored)
+            banded = None
+        else:
+            banded = (
+                banded_long.select(*cols)
+                .unionByName(banded_short.select(*cols))
+                # qgram pairs can still be length-incompatible; drop them
+                # before paying the DP
+                .filter(F.abs(F.length("_nq") - F.length("_nc")) <= t)
+            )
     elif strategy == "band":
         # equi-join on length bucket: each candidate is replicated into
         # the 2t+1 probe-lengths it could match; join key is an int, so
@@ -251,10 +294,13 @@ def tiered_fuzzy_join(
             F.abs(F.length("_nq") - F.length("_nc")) <= t,
         )
 
-    within = (
-        banded.withColumn("dist", F.levenshtein("_nq", "_nc", t).cast("long"))
-        .filter(F.col("dist") >= 0)
-    )
+    if banded is None:  # qgram dedup_strings: DP already paid per string pair
+        within = prescored
+    else:
+        within = (
+            banded.withColumn("dist", F.levenshtein("_nq", "_nc", t).cast("long"))
+            .filter(F.col("dist") >= 0)
+        )
     # consumed twice (tier classification + matched-probe anti-join);
     # persist so the banded scoring pass runs once, not twice — at
     # cluster scale this would be a checkpoint/exchange reuse

@@ -497,6 +497,24 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_finalize(reg)
 
 
+@query("hll_register_stream", oracle=_HLL_ORACLE)
+def hll_register_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct-text sketch maintained over a document STREAM:
+    per micro-batch, the batch's register partials (<=256 tiny rows)
+    are appended to a parquet sink; the final sketch is the
+    register-wise max over everything appended, finalized identically
+    to the batch sketch. Register-max is associative and commutative,
+    so the result is INDEPENDENT of micro-batching — the streaming
+    sketch must equal `hll_distinct_sketch` exactly and the SAME DuckDB
+    oracle checks both (stream/batch equivalence extended to sketch
+    state). State per epoch through the sink is kilobytes regardless of
+    corpus size: a 100 TB ingest keeps a live cardinality estimate
+    without ever rescanning."""
+    from ..streaming.pipeline import hll_register_stream
+
+    return hll_register_stream(spark, sf_dir, f"reg|{sf_dir}")
+
+
 # ---------------------------------------------------------------------------
 # HLL mergeability, driver-pinned: build one register table PER SOURCE
 # SHARD (the per-day / per-shard sketch a 100 TB pipeline would persist),

@@ -9,7 +9,9 @@ from ..operators.textops import (
     LANG_MARKERS,
     STOPWORDS,
     doc_fingerprint,
+    gram_tfidf_cosine_topk,
     quality_signals,
+    weighted_reservoir_sample,
 )
 from ..sources.parquet import load_table
 from .catalog import CACHES, query, track
@@ -39,7 +41,15 @@ def salted_global_topk(
     ``rank_fn`` itself defaults to ``F.rank`` for the same reason; pass
     ``F.row_number`` only when ``order`` is total (unique tie-break
     column) — under ties row_number's final cut is nondeterministic by
-    construction."""
+    construction.
+
+    CONTRACT CHANGE (round 7): the default was ``F.row_number``; under
+    the ``F.rank`` default a tie group straddling the k boundary is
+    kept WHOLE, so the output may exceed k rows. Callers that need
+    exactly-k output must pass ``rank_fn=F.row_number`` together with a
+    total ``order`` (both in-repo callers, vocab_top_tokens and
+    duplicate_spans, pass total orders, so either rank_fn emits the
+    same k rows for them)."""
     w_salt = Window.partitionBy("_salt").orderBy(*order)
     pruned = (
         df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salts)))
@@ -532,21 +542,11 @@ GROUP BY g.doc_id
 @query("decontaminate_overlap", oracle=_DECONTAM_ORACLE)
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Docs with <3 tokens produce ZERO grams. Without the guard,
-    # sequence(1, size-2) is DESCENDING for size<3 (e.g. [1, 0]) and
-    # slice(arr, 0, 3) throws INVALID_PARAMETER_VALUE.START; the DuckDB
-    # oracle's range(1, len-1) is simply empty for the same doc.
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, '\\\\s+')) >= 3"
-                " THEN transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                " i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
-    )
+    # shared doc_grams projects split(text) ONCE — the inline form
+    # repeated it three times inside the transform lambda, which
+    # whole-stage codegen does not CSE across the lambda boundary (the
+    # same fix that took bloom_decontaminate 4.55s -> 2.48s, SCALE.md)
+    grams = doc_grams(docs, "doc_id")
     grams = track(grams)  # benchmark and corpus sides share one pass
     bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
     return (
@@ -1420,6 +1420,100 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return shard_bits.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shards")
+    )
+
+
+_WRS_ORACLE = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) + 1) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS sk
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, sk,
+         row_number() OVER (PARTITION BY lang ORDER BY sk DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(round(sk, 10) AS DOUBLE) AS sample_key,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@query("weighted_reservoir_sample", oracle=_WRS_ORACLE)
+def weighted_reservoir_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling, k=5 docs
+    per language weighted by n_chars — the seed-disciplined mixture
+    draw a training-data pipeline uses. The md5-derived uniform
+    replaces the RNG, so the DuckDB restatement reproduces the EXACT
+    sample (keys and all), not merely its distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(docs, "lang", "n_chars", k=5)
+
+
+_GRAM_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+tf AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY doc_id, gram
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+dfreq AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY gram HAVING count(*) <= 32
+),
+w AS (
+  SELECT tf.doc_id, tf.gram,
+         CAST(round(tf.tf * ln(n.n / dfreq.df), 6) AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfreq USING (gram) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS probe_id, b.doc_id AS cand_id, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (gram)
+  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT d.probe_id, d.cand_id,
+         CAST(round(CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                    6) AS DOUBLE) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.probe_id
+  JOIN norms nb ON nb.doc_id = d.cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("gram_tfidf_cosine_topk", oracle=_GRAM_TFIDF_ORACLE)
+def gram_tfidf_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k document similarity over the
+    df-capped 3-token-gram vocabulary — the text-side counterpart of
+    the embedding ANN family. The df cap bounds posting lists so the
+    gram-keyed dot-product join fans out at most df_cap candidates per
+    probe gram (part of the SEMANTICS, so the SQL restatement is
+    exact). CACHES holds the one persist the three weight-table
+    consumers (norms, probe side, candidate side) share."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_tfidf_cosine_topk(
+        docs, k=5, probe_mod=20, df_cap=32, cache_registry=CACHES
     )
 
 

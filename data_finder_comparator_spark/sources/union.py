@@ -35,14 +35,20 @@ def hadoop_ls(spark: SparkSession, folder: str, suffix: str | None = None) -> li
     """Sorted folder listing through the Hadoop FileSystem API — works
     for any scheme Spark can read (file://, hdfs://, s3a://), where
     os.listdir would bind to driver-local paths. Hidden/metadata
-    entries (underscore and dot prefixes) are skipped."""
+    entries (underscore and dot prefixes) are skipped. A ``suffix``
+    also matches its codec-compressed shard names (``.json`` accepts
+    ``.json.gz``): Spark's text sources decompress transparently, and
+    production corpora ship as many small ``.jsonl.gz``/``.csv.gz``
+    shards precisely because one gz file is one non-splittable
+    partition."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(folder)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    suffixes = None if suffix is None else (suffix, f"{suffix}.gz")
     return sorted(
         st.getPath().toString()
         for st in fs.listStatus(jpath)
         if not st.getPath().getName().startswith(("_", "."))
-        and (suffix is None or st.getPath().getName().endswith(suffix))
+        and (suffixes is None or st.getPath().getName().endswith(suffixes))
     )
 
 
@@ -58,14 +64,18 @@ def read_folder_union_by_name(
     files = hadoop_ls(spark, folder, None if fmt == "any" else f".{fmt}")
     if not files:
         raise ValueError(f"no .{fmt} files in {folder}")
-    reader = getattr(spark.read, fmt if fmt != "any" else "parquet")
+    # format(...).load accepts a path LIST for every source; the
+    # per-format reader methods differ (parquet(*paths) is varargs but
+    # json/csv take (path, schema, ...) — unpacking files into json()
+    # would parse the second path as a DDL schema string)
+    src = spark.read.format(fmt if fmt != "any" else "parquet")
     schemas = set()
     dfs = []
     for f in files:
-        df = reader(f)
+        df = src.load(f)
         dfs.append(df)
         schemas.add(tuple(sorted((c.name, c.dataType.simpleString()) for c in df.schema)))
     if len(schemas) == 1:
         # homogeneous: one multi-file scan, partition-parallel
-        return reader(*files)
+        return src.load(files)
     return union_by_name(dfs)

@@ -304,6 +304,27 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
+        # dedup_strings variant: candidate generation + DP once per
+        # distinct string pair, expanded back by equi-joins — the
+        # designed escape hatch for exactly this duplicate-heavy regime
+        # (inflation factor d shrinks the gram join / pair-distinct /
+        # DP passes by ~d^2). Measured against fuzzy_qgram above.
+        sd_mem0, sd_disk0 = _spill_totals(spark)
+        t0 = time.perf_counter()
+        tiered_fuzzy_join(
+            probes, cands, threshold=5, strategy="qgram", dedup_strings=True
+        ).count()
+        results[tag]["fuzzy_qgram_dedup"] = round(time.perf_counter() - t0, 2)
+        sd_mem1, sd_disk1 = _spill_totals(spark)
+        sd_ok = None not in (sd_mem0, sd_disk0, sd_mem1, sd_disk1)
+        results[tag]["fuzzy_qgram_dedup_spill_mem_mb"] = (
+            round((sd_mem1 - sd_mem0) / 1e6, 1) if sd_ok else None
+        )
+        results[tag]["fuzzy_qgram_dedup_spill_disk_mb"] = (
+            round((sd_disk1 - sd_disk0) / 1e6, 1) if sd_ok else None
+        )
+        spark.catalog.clearCache()
+
         # Adversarial all-fallback probe: a DISJOINT probe catalog (hex
         # keys vs text candidates) means every probe misses phase 1 and
         # resolves through the escalating band rescan — the regime that

@@ -1429,7 +1429,8 @@ FROM e
 
 
 def test_weighted_reservoir_sample_oracle_ready(spark):
-    """Staged round-8 query: deterministic Efraimidis-Spirakis weighted
+    """Registered round-8 query (dress rehearsal kept as the direct
+    operator-level gate): deterministic Efraimidis-Spirakis weighted
     sampling (k per language, weight = n_chars) — the md5-derived
     uniform replaces the RNG, so the DuckDB restatement reproduces the
     EXACT sample, keys and all."""
@@ -1464,7 +1465,7 @@ FROM ranked WHERE rk <= 5
 
 
 def test_token_entropy_oracle_ready(spark):
-    """Staged round-8 query: per-document token-distribution Shannon
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): per-document token-distribution Shannon
     entropy (nats) with decimal-stabilized c*ln(c) sums so the double
     arithmetic restates exactly in SQL."""
     from tests.oracle import compare
@@ -1592,7 +1593,7 @@ FROM flagged GROUP BY 1
 
 
 def test_unigram_logprob_oracle_ready(spark):
-    """Staged round-8 query: per-document mean unigram log-probability
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): per-document mean unigram log-probability
     under the corpus's own unigram model (the cheap LM quality score),
     decimal-stabilized term sums."""
     from tests.oracle import compare
@@ -1624,7 +1625,7 @@ FROM scored GROUP BY doc_id
 
 
 def test_winsorized_event_stats_oracle_ready(spark):
-    """Staged round-8 query: per-event-type winsorized mean — values
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): per-event-type winsorized mean — values
     clamped to histogram-derived [p01, p99] thresholds (identical
     arithmetic to grouped_histogram_quantiles), decimal-stabilized
     sums."""
@@ -1681,7 +1682,8 @@ FROM clamped GROUP BY event_type
 
 
 def test_streaming_hll_matches_batch_oracle(spark):
-    """Staged round-8 query: the streaming HLL sketch (per-micro-batch
+    """Registered round-8 query (dress rehearsal kept as the direct
+    operator-level gate): the streaming HLL sketch (per-micro-batch
     register partials appended to a sink, merged by register-max at
     read time) must equal the BATCH sketch exactly — register-max is
     associative/commutative, so the merged state is independent of how
@@ -1698,7 +1700,8 @@ def test_streaming_hll_matches_batch_oracle(spark):
 
 
 def test_gram_tfidf_cosine_topk_oracle_ready(spark):
-    """Staged round-8 query: sparse TF-IDF cosine top-k document
+    """Registered round-8 query (dress rehearsal kept as the direct
+    operator-level gate): sparse TF-IDF cosine top-k document
     similarity over the df-capped 3-gram vocabulary — the text-side
     ANN counterpart. Decimal-exact dot products / norms make the DuckDB
     restatement bit-faithful."""
@@ -1818,6 +1821,16 @@ def test_gzipped_jsonl_source_roundtrip(spark, tmp_path):
     # and the scan parallelizes across the gz shards (each file is a
     # partition — non-splittable, but four files give four tasks)
     assert got.rdd.getNumPartitions() >= 4
+    # the folder reader's extension filter must also surface the
+    # compressed shard names (.json accepts .json.gz): a .gz-sharded
+    # corpus folder read as fmt="json" returns every row
+    from data_finder_comparator_spark.sources.union import (
+        hadoop_ls,
+        read_folder_union_by_name,
+    )
+
+    assert len(hadoop_ls(spark, str(d), ".json")) == 4
+    assert read_folder_union_by_name(spark, str(d), fmt="json").count() == 20
 
 
 def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
@@ -1892,7 +1905,7 @@ def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
 
 
 def test_label_centroid_outliers_oracle_ready(spark):
-    """Staged round-8 query: per-label embedding centroids + each
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): per-label embedding centroids + each
     label's 5 most-outlying vectors by cosine-to-centroid (the
     mislabeled-sample sweep). Decimal dimension sums + the module's
     left-to-right fold make the DuckDB restatement bitwise."""
@@ -1942,7 +1955,7 @@ FROM (
 
 
 def test_zorder_layout_stats_oracle_ready(spark):
-    """Staged round-8 query: z-order (Morton) layout statistics over
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): z-order (Morton) layout statistics over
     events (user_id x value) — per-z-bucket row counts and min/max of
     BOTH grid coordinates, integer-exact vs DuckDB. The locality
     assertion is the point of z-ordering: with 8-bit grids and 6
@@ -1992,7 +2005,7 @@ FROM z GROUP BY bucket
 
 
 def test_streaming_outer_attribution_matches_batch(spark, tmp_path):
-    """Staged round-8 query: LEFT OUTER stream-stream attribution —
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): LEFT OUTER stream-stream attribution —
     unattributed purchases must surface with null click columns once
     the watermark closes their window, and the attributed subset must
     equal the inner join. Exact stream/batch equivalence via a
@@ -2108,7 +2121,7 @@ def test_hll_sketch_persists_and_merges_across_sessions(spark, tmp_path):
 
 
 def test_user_state_versions_oracle_ready(spark):
-    """Staged round-8 query: SCD2-style temporal versioning of each
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): SCD2-style temporal versioning of each
     user's event stream (gaps-and-islands — consecutive same-state runs
     collapse into versions with validity intervals and a current
     flag). Hash-matched against the DuckDB lag/running-sum
@@ -2150,7 +2163,7 @@ WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
 
 
 def test_source_contamination_matrix_oracle_ready(spark):
-    """Staged round-8 query: pairwise cross-source 3-gram overlap with
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md): pairwise cross-source 3-gram overlap with
     integer containment ppm — the corpus-granularity leakage report.
     Integer-exact vs DuckDB."""
     from tests.oracle import compare

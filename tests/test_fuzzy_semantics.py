@@ -268,3 +268,48 @@ def test_dense_path_gated_on_candidate_count(spark):
         for cid, tier in reference_tiers(q, CANDS, 3):
             want.add((pid, cid, tier))
     assert {(r.probe_id, r.cand_id, r.tier) for r in got} == want
+
+
+def test_tier_semantics_qgram_dedup_strings(spark):
+    """dedup_strings=True must reproduce the reference tier semantics
+    exactly — the string-level dedup is a plan transform, not a
+    semantic one (equal normalized strings have equal grams, distances
+    and band membership; the string itself is the dedup key)."""
+    probe = spark.createDataFrame(PROBES, "probe_id long, probe string")
+    cand = spark.createDataFrame(CANDS, "cand_id long, cand string")
+    got = tiered_fuzzy_join(
+        probe, cand, threshold=3, strategy="qgram", dedup_strings=True
+    ).collect()
+    got_set = {(r.probe_id, r.cand_id, r.tier) for r in got}
+    want = set()
+    for pid, q in PROBES:
+        for cid, tier in reference_tiers(q, CANDS, 3):
+            want.add((pid, cid, tier))
+    assert got_set == want
+    for r in got:
+        assert r.dist == _lev(r.probe, r.cand)
+
+
+def test_qgram_dedup_strings_equivalence_on_duplicates(spark):
+    """On a duplicate-heavy corpus (every key repeated 8x under
+    distinct ids — the corpus-inflation regime) the dedup_strings plan
+    must emit the IDENTICAL (probe_id, cand_id, dist, tier) row set as
+    the default qgram plan, duplicates expanded and all."""
+    base_p = [(i, p) for i, (_, p) in enumerate(PROBES)]
+    base_c = [(i, c) for i, (_, c) in enumerate(CANDS)]
+    dup_p = [(pid + 100 * k, p) for k in range(8) for pid, p in base_p]
+    dup_c = [(cid + 100 * k, c) for k in range(8) for cid, c in base_c]
+    probe = spark.createDataFrame(dup_p, "probe_id long, probe string")
+    cand = spark.createDataFrame(dup_c, "cand_id long, cand string")
+
+    def rows(dedup):
+        return sorted(
+            (r.probe_id, r.cand_id, r.dist, r.tier)
+            for r in tiered_fuzzy_join(
+                probe, cand, threshold=3, strategy="qgram", dedup_strings=dedup
+            ).collect()
+        )
+
+    a, b = rows(False), rows(True)
+    assert a == b
+    assert len(a) > 0

@@ -61,14 +61,29 @@ def test_rotation_invariant_parked_queries_have_driver_rows():
     )
     if not files:
         return  # fresh clone without driver artifacts
-    # The invariant is two-round freshness: a parked query must have
-    # been driver-green in the round that JUST ran, so its driver row
-    # is never more than one round old.
-    latest_green = {
-        name
-        for name, row in json.load(open(files[-1])).items()
-        if row.get("hash_match")
-    }
-    stale = [n for n in _PARKED_MULTI_GREEN if n not in latest_green]
-    assert not stale, f"parked without a driver-green row in the last round: {stale}"
+    # The invariant is two-round freshness: a parked query must have a
+    # driver-green row within the LAST TWO correctness files. Checking
+    # only the newest file would fail by construction the moment the
+    # current round's own artifact lands (parked queries are exactly
+    # the ones outside that round's 50-query driver window — advisor
+    # finding, round 7), so the check matches the documented invariant:
+    # green in round N-1 or N, i.e. never more than one round old.
+    recent_green: set[str] = set()
+    for f in files[-2:]:
+        recent_green |= {
+            name
+            for name, row in json.load(open(f)).items()
+            if row.get("hash_match")
+        }
+    stale = [n for n in _PARKED_MULTI_GREEN if n not in recent_green]
+    assert not stale, f"parked without a driver-green row in the last two rounds: {stale}"
+    # A parked query that DID run in the newest round must not have
+    # regressed there — an older green row never excuses a fresh red.
+    latest = json.load(open(files[-1]))
+    regressed = [
+        n
+        for n in _PARKED_MULTI_GREEN
+        if n in latest and not latest[n].get("hash_match")
+    ]
+    assert not regressed, f"parked but red in the newest driver round: {regressed}"
     assert len(QUERIES) - len(_PARKED_MULTI_GREEN) == 50
