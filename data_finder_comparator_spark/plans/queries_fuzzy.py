@@ -165,9 +165,20 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # qgram blocking: the corpus' 24-char prefixes all have ~the same
     # length, so length banding keeps nearly every pair; the q-gram
-    # prefix filter is what actually prunes here (and at 100 TB)
+    # prefix filter is what actually prunes here (and at 100 TB).
+    # dedup_strings: short prefix keys collide naturally, so the gram
+    # build + DP run once per distinct normalized string pair — faster
+    # at every measured duplication factor and the ONLY plan that holds
+    # the 64x duplicate-heavy rung without spilling (SCALE.md §10:
+    # 80s/zero-spill vs 869s/326GB); results identical by construction
+    # and pinned by the equivalence test + this query's oracle hash.
     return tiered_fuzzy_join(
-        probes, cands, threshold=5, strategy="qgram", cache_registry=CACHES
+        probes,
+        cands,
+        threshold=5,
+        strategy="qgram",
+        cache_registry=CACHES,
+        dedup_strings=True,
     )
 
 
