@@ -649,7 +649,17 @@ def purchase_click_attribution(
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    with _stream_confs(spark, _NANOS_CONF):
+    # INNER join emits matches on arrival; the trailing no-data
+    # micro-batch only advances the watermark for state EVICTION, never
+    # output — yet costs a full state-commit cycle across every shuffle
+    # partition (profiled: ~1.0s of a 2.5s run at sf0.1; disabling it
+    # measures 1.61s min-of-3 with an identical row set, SCALE.md §10).
+    # Scoped HERE only: append-mode windowed aggs need no-data batches
+    # to emit closed windows, and the OUTER variant needs them to
+    # late-release unmatched rows.
+    confs = dict(_NANOS_CONF)
+    confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    with _stream_confs(spark, confs):
         q = (
             out.writeStream.outputMode("append")
             .format("parquet")
