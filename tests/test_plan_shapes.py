@@ -357,3 +357,72 @@ def test_inverted_index_postings_window_is_on_pairs(spark):
     # BELOW the window operator in the tree — i.e. appear after it in
     # the top-down plan string
     assert "HashAggregate" in plan[win:], plan
+
+
+def test_weighted_reservoir_sample_single_window_pass(spark):
+    """The weighted sample is one map-side key computation plus one
+    per-group top-k window: exactly one data exchange (the group
+    hashpartitioning the window needs), no join, no single-partition
+    funnel — the plan that parallelizes in the number of groups at any
+    corpus size."""
+    plan = _executed_plan(QUERIES["weighted_reservoir_sample"](spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, plan
+
+
+def test_gram_tfidf_topk_bounded_joins(spark):
+    """The sparse TF-IDF dot-product join must stay bounded: no
+    cartesian anywhere, the corpus-size scalar rides a one-row
+    broadcast (not a collected literal or a shuffled join), and the
+    final top-k window ranks the AGGREGATED per-pair dots — never the
+    raw gram-match stream."""
+    plan = _executed_plan(QUERIES["gram_tfidf_cosine_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # the one-row n_docs summary may legitimately fold through a
+    # single-partition exchange + broadcast; anything more means a
+    # corpus-sized serial stage crept in. The plan STRING prints a
+    # reused exchange once per consumer subtree, so count distinct
+    # exchange NODES (plan_id), not occurrences.
+    import re
+
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]", plan
+        )
+    }
+    assert len(sp_ids) <= 1, (sp_ids, plan)
+    win = plan.find("Window")
+    assert win != -1, plan
+    assert "HashAggregate" in plan[win:], plan
+
+
+def test_hll_register_stream_sink_is_sketch_sized(spark):
+    """The streaming HLL's scale property, pinned on the sink itself:
+    every micro-batch appends only its register partials, so the sink
+    holds at most 256 rows per epoch (4 one-file triggers here) — the
+    'live cardinality estimate without rescanning' claim is only true
+    if per-epoch state through the sink stays sketch-sized, not
+    corpus-sized."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_finder_comparator_spark.streaming.pipeline import hll_register_stream
+
+    run_tag = "plan_shape_sink_probe"
+    out = hll_register_stream(spark, SF, run_tag)
+    assert out.count() >= 1
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hll_stream_{os.getpid()}_{hashlib.md5(run_tag.encode()).hexdigest()[:12]}",
+    )
+    sink_rows = spark.read.schema("register_id long, rho long").parquet(
+        os.path.join(base, "out")
+    )
+    n_files = 4  # the docs stage repartitions to 4 one-file triggers
+    assert 0 < sink_rows.count() <= 256 * n_files
+    # and each epoch's partial table is register-keyed (<=256 distinct)
+    assert sink_rows.select("register_id").distinct().count() <= 256
