@@ -25,6 +25,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_finder_comparator_spark.operators.dedup import (  # noqa: E402
     char_shingles,
     cluster_canonical,
+    exact_canonical_map,
     lsh_candidate_pairs,
     minhash_lsh_bands,
     simhash32,
@@ -124,8 +125,51 @@ def main() -> None:
 
         t0 = time.perf_counter()
         sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
-        lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3)).count()
+        n_direct = lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3)).count()
         results[tag]["minhash_lsh"] = round(time.perf_counter() - t0, 2)
+        results[tag]["minhash_lsh_pairs"] = n_direct
+        spark.catalog.clearCache()
+
+        # Production composition for duplicate-heavy corpora: exact
+        # dedup FIRST (hash-groupBy on content md5), LSH over the
+        # canonical representatives only, then expand the pair count
+        # back through the class sizes with two scalar aggregations.
+        # Identical texts share every band signature, so the expanded
+        # pair set equals the direct LSH pair set EXACTLY (inter-class
+        # pairs multiply by member counts; intra-class exact-dup pairs
+        # are n*(n-1)/2 per class) — recorded in _pairs to prove it.
+        t0 = time.perf_counter()
+        canon = exact_canonical_map(docs, "doc_id", "text")
+        reps = docs.join(
+            canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+            "doc_id",
+        )
+        sh_r = char_shingles(reps, "doc_id", "text", k=5, distinct=False)
+        rep_pairs = lsh_candidate_pairs(minhash_lsh_bands(sh_r, 12, 3))
+        sizes_tbl = canon.groupBy("canonical_id").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        inter = (
+            rep_pairs.join(
+                sizes_tbl.select(
+                    F.col("canonical_id").alias("doc_a"), F.col("_n").alias("_na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes_tbl.select(
+                    F.col("canonical_id").alias("doc_b"), F.col("_n").alias("_nb")
+                ),
+                "doc_b",
+            )
+            .agg(F.sum(F.col("_na") * F.col("_nb")))
+            .first()[0]
+        ) or 0
+        intra = sizes_tbl.agg(
+            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
+        ).first()[0]
+        results[tag]["minhash_lsh_collapsed"] = round(time.perf_counter() - t0, 2)
+        results[tag]["minhash_lsh_collapsed_pairs"] = int(inter + intra)
         spark.catalog.clearCache()
         docs = inflate(docs0, times).persist()
         docs.count()  # warm the cache so simhash isn't billed for it
