@@ -43,7 +43,12 @@ def hadoop_ls(spark: SparkSession, folder: str, suffix: str | None = None) -> li
     partition."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(folder)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    suffixes = None if suffix is None else (suffix, f"{suffix}.gz")
+    # transparent codec decompression is a TEXT-source feature: a
+    # .parquet.gz / .orc.gz is unreadable (gzip wraps the container and
+    # breaks footer seeks), so .gz shard names are accepted only for
+    # the line-oriented formats
+    gz_ok = suffix is not None and suffix.lstrip(".") in ("json", "jsonl", "csv", "txt", "text")
+    suffixes = None if suffix is None else ((suffix, f"{suffix}.gz") if gz_ok else (suffix,))
     return sorted(
         st.getPath().toString()
         for st in fs.listStatus(jpath)

@@ -735,7 +735,9 @@ def dedup_events_stream(
     return spark.read.schema(DEDUP_EVENTS_SCHEMA).parquet(out_path)
 
 
-def hll_register_stream(spark: SparkSession, sf_dir: str, run_tag: str) -> DataFrame:
+def hll_register_stream(
+    spark: SparkSession, sf_dir: str, run_tag: str, base_dir: str | None = None
+) -> DataFrame:
     """Streaming HLL: the distinct-text sketch maintained over a
     document STREAM — per micro-batch, compute the batch's register
     partials (<=256 tiny rows) and append them to a parquet sink; the
@@ -754,7 +756,10 @@ def hll_register_stream(spark: SparkSession, sf_dir: str, run_tag: str) -> DataF
     from ..plans.queries_dedup import _hll_finalize, _hll_rho_rows
     from ..util import fresh_run_dir
 
-    base = fresh_run_dir("hll_stream", run_tag)
+    # ``base_dir`` lets tests/harnesses place (and inspect) the sink —
+    # e.g. the plan-shape test asserts the sink stays sketch-sized —
+    # without duplicating fresh_run_dir's private path scheme
+    base = base_dir if base_dir is not None else fresh_run_dir("hll_stream", run_tag)
     docs_dir = os.path.join(base, "docs")
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")

@@ -139,15 +139,27 @@ def main() -> None:
         # pairs multiply by member counts; intra-class exact-dup pairs
         # are n*(n-1)/2 per class) — recorded in _pairs to prove it.
         t0 = time.perf_counter()
-        canon = exact_canonical_map(docs, "doc_id", "text")
+        # persisted: canon feeds reps + both expansion aggregations
+        # across two actions — unpersisted it would recompute ~4x and
+        # the recorded timing would overstate the composition's cost
+        canon = exact_canonical_map(docs, "doc_id", "text").persist()
         reps = docs.join(
             canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
             "doc_id",
         )
-        sh_r = char_shingles(reps, "doc_id", "text", k=5, distinct=False)
-        rep_pairs = lsh_candidate_pairs(minhash_lsh_bands(sh_r, 12, 3))
-        sizes_tbl = canon.groupBy("canonical_id").agg(
-            F.count(F.lit(1)).alias("_n")
+        bands_r = minhash_lsh_bands(
+            char_shingles(reps, "doc_id", "text", k=5, distinct=False), 12, 3
+        ).persist()
+        rep_pairs = lsh_candidate_pairs(bands_r)
+        # classes whose text yields no shingles (empty/short after
+        # normalization) never enter the direct LSH either — exclude
+        # them from the intra count or the equality claim would break
+        # on corpora with degenerate texts
+        sizes_tbl = (
+            canon.groupBy("canonical_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .join(bands_r.select(F.col("doc_id").alias("canonical_id")).distinct(), "canonical_id")
+            .persist()
         )
         inter = (
             rep_pairs.join(
@@ -167,9 +179,11 @@ def main() -> None:
         ) or 0
         intra = sizes_tbl.agg(
             F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
-        ).first()[0]
+        ).first()[0] or 0
         results[tag]["minhash_lsh_collapsed"] = round(time.perf_counter() - t0, 2)
         results[tag]["minhash_lsh_collapsed_pairs"] = int(inter + intra)
+        for df_ in (canon, bands_r, sizes_tbl):
+            df_.unpersist()
         spark.catalog.clearCache()
         docs = inflate(docs0, times).persist()
         docs.count()  # warm the cache so simhash isn't billed for it

@@ -1716,7 +1716,7 @@ def test_gram_tfidf_cosine_topk_oracle_ready(spark):
     got = gram_tfidf_cosine_topk(docs, k=5, probe_mod=20, df_cap=32)
     sql = r"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
   FROM documents
 ),
 grams AS (
@@ -1831,6 +1831,12 @@ def test_gzipped_jsonl_source_roundtrip(spark, tmp_path):
 
     assert len(hadoop_ls(spark, str(d), ".json")) == 4
     assert read_folder_union_by_name(spark, str(d), fmt="json").count() == 20
+    # ...but ONLY for text formats: gzip wraps the whole container for
+    # binary formats (parquet/orc footer seeks break), so a .parquet.gz
+    # must stay invisible to a parquet folder listing instead of
+    # surfacing as a corrupt-footer read failure
+    (d / "archived.parquet.gz").write_bytes(b"\x1f\x8b not a real shard")
+    assert hadoop_ls(spark, str(d), ".parquet") == []
 
 
 def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):

@@ -399,26 +399,20 @@ def test_gram_tfidf_topk_bounded_joins(spark):
     assert "HashAggregate" in plan[win:], plan
 
 
-def test_hll_register_stream_sink_is_sketch_sized(spark):
+def test_hll_register_stream_sink_is_sketch_sized(spark, tmp_path):
     """The streaming HLL's scale property, pinned on the sink itself:
     every micro-batch appends only its register partials, so the sink
     holds at most 256 rows per epoch (4 one-file triggers here) — the
     'live cardinality estimate without rescanning' claim is only true
     if per-epoch state through the sink stays sketch-sized, not
     corpus-sized."""
-    import hashlib
     import os
-    import tempfile
 
     from data_finder_comparator_spark.streaming.pipeline import hll_register_stream
 
-    run_tag = "plan_shape_sink_probe"
-    out = hll_register_stream(spark, SF, run_tag)
+    base = os.path.join(str(tmp_path), "hll_sink_probe")
+    out = hll_register_stream(spark, SF, "plan_shape_sink_probe", base_dir=base)
     assert out.count() >= 1
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"hll_stream_{os.getpid()}_{hashlib.md5(run_tag.encode()).hexdigest()[:12]}",
-    )
     sink_rows = spark.read.schema("register_id long, rho long").parquet(
         os.path.join(base, "out")
     )
