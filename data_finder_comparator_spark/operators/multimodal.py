@@ -372,3 +372,102 @@ def pcm_resample_features(
     return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
         run, schema=RESAMPLE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, in_w long, in_h long, out_w long, out_h long,"
+    " n_pixel_bytes long, pixel_sum long, resized_md5 string"
+)
+
+
+def synth_ppm_payload(doc_id: int, width: int, height: int) -> bytes:
+    """Build a spec-valid P6 PPM whose pixel bytes are the
+    deterministic function (doc_id + x*7 + y*13 + c*29) % 256 — real
+    container bytes through the Arrow boundary, with a value function a
+    SQL oracle can restate per coordinate (the image analogue of
+    ``synth_wav_payload``'s byte-reinterpretation trick)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    # raster order: rows of RGB triplets -> index (y*W + x)*3 + c
+    px = (doc_id + x[None, :, None] * 7 + y[:, None, None] * 13 + c[None, None, :] * 29) % 256
+    return (f"P6\n{width} {height}\n255\n").encode() + px.astype(np.uint8).tobytes()
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate a per-doc P6 payload with doc-dependent dimensions
+    in_w = 16 + id % 7, in_h = 12 + id % 5 (both SQL-restatable), as a
+    real binary column built inside ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        synth_ppm_payload(i, 16 + i % 7, 12 + i % 5) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def ppm_resize_features(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """Deterministic nearest-neighbor image resize — the thumbnail /
+    fixed-resolution standardization pass a vision training pipeline
+    runs on every image (everything to out_w x out_h before patch
+    embedding). Source pixel for output (x, y) is
+    (sx, sy) = (x*in_w // out_w, y*in_h // out_h) — pure integer
+    arithmetic, so the resized pixel SUM restates exactly in SQL over a
+    generated coordinate grid, while the emitted md5 of the resized
+    raster fingerprints the actual bytes (golden-tested against a
+    pure-Python reference; the md5 itself is not SQL-expressible — the
+    alignment-walk precedent). The parse + resize is vectorized numpy
+    inside ``mapInPandas`` over real P6 container bytes: same Arrow
+    batch shape, fan-out repartition, and schema discipline as the
+    decoders, which is exactly the plumbing a real image library plugs
+    into (swap the nearest-neighbor kernel for PIL/opencv per
+    deployment; the container walk and batch contract stay).
+
+    Completes the multimodal verb set: decode (`wav_decode_features` /
+    `_decode_ppm`), feature-extract (`binary_features`), frame-sample
+    (`frame_sample`), audio resample (`pcm_resample_features`), image
+    resize (here).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "in_w", "in_h", "out_w", "out_h",
+                "n_pixel_bytes", "pixel_sum", "resized_md5",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _decode_ppm(bytes(payload))
+                in_w, in_h = meta["width"], meta["height"]
+                raster = bytes(payload)[-in_w * in_h * 3 :]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(in_h, in_w, 3)
+                sx = (np.arange(out_w, dtype=np.int64) * in_w) // out_w
+                sy = (np.arange(out_h, dtype=np.int64) * in_h) // out_h
+                resized = px[sy][:, sx]  # (out_h, out_w, 3) nearest-neighbor
+                rows["doc_id"].append(doc_id)
+                rows["in_w"].append(in_w)
+                rows["in_h"].append(in_h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["n_pixel_bytes"].append(int(resized.size))
+                rows["pixel_sum"].append(int(resized.astype(np.int64).sum()))
+                rows["resized_md5"].append(hashlib.md5(resized.tobytes()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )

@@ -2212,3 +2212,93 @@ JOIN sizes zb ON zb.source = s.src_b
     finally:
         release_caches()
     assert ok, msg
+
+
+def test_ppm_resize_oracle_ready(spark):
+    """Permanently pytest-gated (registry saturated at 99, COVERAGE.md):
+    nearest-neighbor P6 image resize — the fixed-resolution
+    standardization pass of a vision pipeline. The synthetic pixel
+    function and the integer source-index arithmetic restate exactly in
+    SQL over a generated coordinate grid, so the resized pixel SUM is
+    hash-checked against DuckDB; the raster md5 is golden-tested
+    separately (bytes are not SQL-expressible)."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_ppm_payload,
+        ppm_resize_features,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = ppm_resize_features(attach_ppm_payload(docs), out_w=8, out_h=6).drop(
+        "resized_md5"
+    )
+    sql = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 7 AS in_w, 12 + doc_id % 5 AS in_h FROM documents
+),
+grid AS (
+  SELECT doc_id, in_w, in_h, x, y, c
+  FROM dims, range(8) r1(x), range(6) r2(y), range(3) r3(c)
+),
+sampled AS (
+  SELECT doc_id, in_w, in_h,
+         (doc_id + ((x * in_w) // 8) * 7 + ((y * in_h) // 6) * 13 + c * 29) % 256 AS v
+  FROM grid
+)
+SELECT doc_id,
+       CAST(in_w AS BIGINT) AS in_w, CAST(in_h AS BIGINT) AS in_h,
+       CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+       CAST(144 AS BIGINT) AS n_pixel_bytes,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM sampled GROUP BY 1, 2, 3
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+
+
+def test_ppm_resize_matches_pure_python_reference(spark):
+    """The resize kernel (and its md5 fingerprint) vs an independent
+    pure-Python per-pixel loop over the same synthetic payloads, plus
+    partition invariance of the whole mapInPandas pipeline."""
+    import hashlib
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        attach_ppm_payload,
+        ppm_resize_features,
+        synth_ppm_payload,
+    )
+
+    ids = [0, 1, 5, 12, 33]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in ppm_resize_features(attach_ppm_payload(docs), out_w=8, out_h=6).collect()
+    }
+    for i in ids:
+        in_w, in_h = 16 + i % 7, 12 + i % 5
+        payload = synth_ppm_payload(i, in_w, in_h)
+        header_len = len(f"P6\n{in_w} {in_h}\n255\n")
+        raster = payload[header_len:]
+        out = bytearray()
+        for y in range(6):
+            sy = (y * in_h) // 6
+            for x in range(8):
+                sx = (x * in_w) // 8
+                for c in range(3):
+                    out.append(raster[(sy * in_w + sx) * 3 + c])
+        r = rows[i]
+        assert (r.in_w, r.in_h, r.n_pixel_bytes) == (in_w, in_h, 144)
+        assert r.pixel_sum == sum(out)
+        assert r.resized_md5 == hashlib.md5(bytes(out)).hexdigest()
+    # partition invariance: 1 vs 7 partitions, identical full output
+    a = sorted(
+        tuple(r)
+        for r in ppm_resize_features(attach_ppm_payload(docs.repartition(1))).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ppm_resize_features(attach_ppm_payload(docs.repartition(7))).collect()
+    )
+    assert a == b
