@@ -355,3 +355,61 @@ def label_centroid_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ann_recall_audit(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    ivf_stride: int = 50,
+    ivf_nprobe: int = 3,
+    lsh_planes: int = 4,
+    lsh_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the two approximate ANN paths against the exact
+    brute-force top-k ground truth — (method, truth_pairs, hits,
+    recall), one row per approximate method. The audit a pipeline team
+    runs BEFORE trusting (or re-tuning) nprobe / table count: the
+    IVF/LSH operators are approximations by design, and this measures
+    what they actually give up at the configured parameters instead of
+    assuming it (the embedding-space counterpart of the MinHash
+    ``lsh_recall_audit``).
+
+    Shapes: three top-k computations (each already sub-quadratic and
+    individually driver-verified as registered queries), then two
+    (probe_id, cand_id)-keyed inner joins and a two-row aggregation —
+    the audit adds only key joins on the top-k tables, so its cost is
+    the ANN queries' cost. At 100 TB the probe sample IS the audit,
+    exactly as with the shingle-Jaccard version.
+
+    Determinism: every constituent top-k breaks cosine ties by cand_id
+    and is bit-reproducible against its SQL restatement, so recall is
+    a pure function of the data and the SQL oracle reproduces it
+    exactly.
+    """
+    truth = cosine_topk(probes, cands, k=k).select("probe_id", "cand_id")
+    approx = {
+        "ivf": ivf_topk(
+            probes, cands, k=k, stride=ivf_stride, nprobe=ivf_nprobe
+        ).select("probe_id", "cand_id"),
+        "lsh": lsh_bucketed_topk(
+            probes, cands, k=k, n_planes=lsh_planes, n_tables=lsh_tables, dim=dim
+        ).select("probe_id", "cand_id"),
+    }
+    out = None
+    for method, topk in approx.items():
+        hits = truth.join(topk, ["probe_id", "cand_id"])
+        row = truth.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("truth_pairs"),
+        ).crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).cast("long").alias("hits")))
+        ).select(
+            "method",
+            "truth_pairs",
+            "hits",
+            F.round(F.col("hits") / F.col("truth_pairs"), 4).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
