@@ -84,30 +84,49 @@ def cosine_topk(
     )
 
 
+def centroid_vectors(flat: DataFrame) -> DataFrame:
+    """Roll the flattened k-means output (cluster_id, dim,
+    centroid_val) back into a (cent_id, vec_cent) table ``ivf_topk``
+    can quantize with — array rebuilt in dim order so the cosine fold
+    visits dimensions identically everywhere."""
+    return flat.groupBy(F.col("cluster_id").cast("long").alias("cent_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("vec_cent")
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     cands: DataFrame,
     k: int = 5,
     stride: int = 50,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions candidates into
     cells; probes search only their ``nprobe`` nearest cells.
 
-    The quantizer is deterministic — every ``stride``-th candidate
-    vector serves as a centroid (a production system would k-means;
-    sampled centroids are the standard zero-training stand-in and keep
-    the whole computation engine-portable). Cell assignment and probe
-    routing both rank by (rounded cosine desc, centroid id), so the
-    partition is exact and reproducible. Scale shape: the centroid
-    table is tiny (n/stride) and broadcast; candidates shuffle once on
-    cell id; each probe scores |nprobe| cells ≈ nprobe*stride vectors
-    instead of n."""
-    cents = (
-        cands.filter(F.col("cand_id") % stride == 0)
-        .select(F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent"))
-        .withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    The default quantizer is deterministic — every ``stride``-th
+    candidate vector serves as a centroid (sampled centroids are the
+    standard zero-training stand-in and keep the whole computation
+    engine-portable). Pass ``centroids`` — a (cent_id, vec_cent) table,
+    e.g. ``centroid_vectors(kmeans_lloyd(...))`` — to quantize with a
+    TRAINED codebook instead: same plan shape, better cell balance, and
+    a measured recall lift (`test_ivf_trained_centroids_recall`). Cell
+    assignment and probe routing both rank by (rounded cosine desc,
+    centroid id), so the partition is exact and reproducible. Scale
+    shape: the centroid table is tiny and broadcast; candidates shuffle
+    once on cell id; each probe scores |nprobe| cells instead of n."""
+    base = (
+        centroids.select("cent_id", "vec_cent")
+        if centroids is not None
+        else cands.filter(F.col("cand_id") % stride == 0).select(
+            F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent")
+        )
     )
+    cents = base.withColumn("_ncent", dot("vec_cent", "vec_cent"))
 
     def nearest_cells(df: DataFrame, id_col: str, vec: str, n: int) -> DataFrame:
         # self-norm once per row BEFORE the centroid cross join (not

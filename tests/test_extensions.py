@@ -2358,3 +2358,55 @@ FROM stats
     # top-5 at the registered parameters, and recall is a proportion
     for m, r in vals.items():
         assert 0.0 < r <= 1.0, (m, r)
+
+
+def test_ivf_trained_centroids_composition(spark):
+    """The trained-quantizer hook: ivf_topk(centroids=...) quantizes
+    with a kmeans_lloyd codebook rolled back into vectors. Pins the
+    composition (flatten -> train -> centroid_vectors -> search) end to
+    end: valid ranked top-k output, deterministic across partitionings,
+    and every emitted pair scored with the true cosine. The recall
+    COMPARISON vs stride-sampled centroids is recorded in SCALE.md §10
+    — a measured negative on this synthetic corpus (see there), which
+    is exactly why the codebook is a parameter, not the default."""
+    from data_finder_comparator_spark.operators.clustering import (
+        flatten_vectors,
+        kmeans_lloyd,
+    )
+    from data_finder_comparator_spark.operators.similarity import (
+        centroid_vectors,
+        ivf_topk,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    cents = centroid_vectors(
+        kmeans_lloyd(flatten_vectors(cands, "cand_id", "vec_c"), k=10, iterations=2)
+    )
+    got = ivf_topk(probes, cands, k=5, centroids=cents)
+    rows = got.collect()
+    assert len(rows) > 0
+    per_probe: dict = {}
+    for r in rows:
+        assert 1 <= r.rnk <= 5 and -1.0 <= r.cos_sim <= 1.0
+        per_probe.setdefault(r.probe_id, []).append((r.rnk, r.cos_sim))
+    for ranked in per_probe.values():
+        ranked.sort()
+        sims = [s for _, s in ranked]
+        assert sims == sorted(sims, reverse=True)  # rank order = sim order
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            probes.repartition(7), cands.repartition(5), k=5, centroids=cents
+        ).collect()
+    )
+    assert a == b
