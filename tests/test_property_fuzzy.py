@@ -63,7 +63,14 @@ def _brute_tiers(probes, cands, t):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "band", "qgram"])
+# the fourth variant is the qgram strategy's string-dedup plan — the
+# tiny alphabet makes duplicate keys frequent, which is exactly the
+# regime dedup_strings rewrites (pairs expanded back from distinct
+# normalized strings must still match brute force per-id)
+@pytest.mark.parametrize(
+    "strategy,dedup",
+    [("broadcast", False), ("band", False), ("qgram", False), ("qgram", True)],
+)
 @settings(
     max_examples=12,
     deadline=None,
@@ -74,7 +81,9 @@ def _brute_tiers(probes, cands, t):
     cand_keys=st.lists(_KEY, min_size=0, max_size=8),
     t=st.integers(min_value=1, max_value=4),
 )
-def test_tiered_join_matches_brute_force(spark, strategy, probe_keys, cand_keys, t):
+def test_tiered_join_matches_brute_force(
+    spark, strategy, dedup, probe_keys, cand_keys, t
+):
     probes = list(enumerate(probe_keys))
     cands = [(i + 100, v) for i, v in enumerate(cand_keys)]
     got = {
@@ -88,6 +97,7 @@ def test_tiered_join_matches_brute_force(spark, strategy, probe_keys, cand_keys,
             else spark.createDataFrame([], "cand_id long, cand string"),
             threshold=t,
             strategy=strategy,
+            dedup_strings=dedup,
         ).collect()
     }
     # all inputs are non-null strings, so the engine's null-key
