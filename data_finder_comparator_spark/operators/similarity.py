@@ -102,7 +102,8 @@ def ivf_topk(
     cands: DataFrame,
     k: int = 5,
     stride: int = 50,
-    nprobe: int = 3,
+    nprobe: int = 5,
+    n_assign: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions candidates into
@@ -118,7 +119,21 @@ def ivf_topk(
     assignment and probe routing both rank by (rounded cosine desc,
     centroid id), so the partition is exact and reproducible. Scale
     shape: the centroid table is tiny and broadcast; candidates shuffle
-    once on cell id; each probe scores |nprobe| cells instead of n."""
+    once on cell id; each probe scores |nprobe| cells instead of n.
+
+    ``n_assign`` is the FAISS-style "spilled assignment" recall lever:
+    each candidate is stored in its ``n_assign`` nearest cells instead
+    of only its nearest, multiplying the inverted index by n_assign (at
+    100 TB: a storage-for-recall trade that leaves the probe-side scan
+    shape unchanged). The round-9 sweep (bench_history/ann_sweep_r9.py)
+    measured recall@5 on the synthetic embeddings: nprobe=3/n_assign=1
+    gave 0.62 @ sf0.1 while nprobe=5/n_assign=2 gives 0.79 at 3.1x the
+    scored pairs — and a *confound check* showed stride-25 centroids
+    hitting 0.93 only because the centroid set coincided with the probe
+    set (disjoint-offset centroids collapsed to 0.22), so the finer-
+    quantizer "win" was rejected. On near-uniform random vectors cell
+    locality correlates weakly with the true top-k; real clustered
+    embeddings recall higher at the same parameters."""
     base = (
         centroids.select("cent_id", "vec_cent")
         if centroids is not None
@@ -145,7 +160,7 @@ def ivf_topk(
             .select(id_col, "cent_id")
         )
 
-    cell = nearest_cells(cands, "cand_id", "vec_c", 1)
+    cell = nearest_cells(cands, "cand_id", "vec_c", n_assign)
     probe_cells = nearest_cells(probes, "probe_id", "vec_p", nprobe)
     pair_ids = (
         probe_cells.join(cell, "cent_id")
@@ -263,13 +278,31 @@ def hyperplane_bucket(vec: str, n_planes: int, dim: int, seed_tag: str = "hp") -
     return F.expr(f"array_join({bits}, '')")
 
 
+def multiprobe_buckets(bucket: str, n_planes: int) -> Column:
+    """The exact bucket plus every Hamming-distance-1 neighbor (one
+    sign bit flipped) — the standard multi-probe LSH expansion: a near
+    pair that lands one plane on the wrong side still collides, so each
+    table recovers most of the recall an extra table would buy WITHOUT
+    growing the candidate-side index. Pure string surgery on the
+    '0'/'1' pattern, portable to any SQL engine. ``bucket`` is a column
+    name (or SQL expression) yielding the n_planes-char '0'/'1' code."""
+    expr = bucket
+    return F.expr(
+        f"concat(array({expr}), transform(sequence(0, {n_planes - 1}),"
+        f" b -> concat(substring({expr}, 1, b),"
+        f" case when substring({expr}, b + 1, 1) = '1' then '0' else '1' end,"
+        f" substring({expr}, b + 2, {n_planes}))))"
+    )
+
+
 def lsh_bucketed_topk(
     probes: DataFrame,
     cands: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane sign pattern, score only
     same-bucket pairs (equi-join on the (table, bucket) key — shuffled
@@ -278,7 +311,17 @@ def lsh_bucketed_topk(
     angle θ collides in one table with prob (1-θ/π)^n_planes, and in
     ANY of t tables with 1-(1-p)^t. Candidate volume grows linearly in
     t while staying sub-quadratic overall. Pairs found by several
-    tables are deduped before scoring."""
+    tables are deduped before scoring.
+
+    ``multiprobe=1`` additionally probes every Hamming-1 bucket on the
+    PROBE side (probe rows explode x(1+n_planes); the big candidate
+    index stays one row per (table, cand)). Defaults come from the
+    round-9 sweep (bench_history/ann_sweep_r9.py / ann_sweep_r9.json):
+    the old 4-plane/4-table exact-probe config measured recall@5 = 0.47
+    @ sf0.1; 6 planes x 8 tables + multiprobe measures 0.94 at both
+    sf0.01 and sf0.1 for 2.6x the scored pairs — better recall-per-pair
+    than 16 exact-probe tables (0.95 @ 2.75x) with HALF the index rows,
+    which is what matters when the candidate side is 100 TB."""
     def bucketed(df: DataFrame, vec: str, id_col: str) -> DataFrame:
         # n_tables * n_planes * dim multiplies per row from a one-split
         # parquet read: spread rows before projecting
@@ -296,6 +339,12 @@ def lsh_bucketed_topk(
 
     pb = bucketed(probes, "vec_p", "probe_id")
     cb = bucketed(cands, "vec_c", "cand_id").drop("vec_c")
+    if multiprobe:
+        pb = pb.select(
+            "probe_id",
+            "table_id",
+            F.explode(multiprobe_buckets("bucket", n_planes)).alias("bucket"),
+        )
     # candidate id pairs from any table, deduped before the expensive scoring
     pair_ids = (
         pb.select("probe_id", "table_id", "bucket")
@@ -381,9 +430,11 @@ def ann_recall_audit(
     cands: DataFrame,
     k: int = 5,
     ivf_stride: int = 50,
-    ivf_nprobe: int = 3,
-    lsh_planes: int = 4,
-    lsh_tables: int = 4,
+    ivf_nprobe: int = 5,
+    ivf_assign: int = 2,
+    lsh_planes: int = 6,
+    lsh_tables: int = 8,
+    lsh_multiprobe: int = 1,
     dim: int = 64,
 ) -> DataFrame:
     """Recall@k of the two approximate ANN paths against the exact
@@ -410,10 +461,21 @@ def ann_recall_audit(
     truth = cosine_topk(probes, cands, k=k).select("probe_id", "cand_id")
     approx = {
         "ivf": ivf_topk(
-            probes, cands, k=k, stride=ivf_stride, nprobe=ivf_nprobe
+            probes,
+            cands,
+            k=k,
+            stride=ivf_stride,
+            nprobe=ivf_nprobe,
+            n_assign=ivf_assign,
         ).select("probe_id", "cand_id"),
         "lsh": lsh_bucketed_topk(
-            probes, cands, k=k, n_planes=lsh_planes, n_tables=lsh_tables, dim=dim
+            probes,
+            cands,
+            k=k,
+            n_planes=lsh_planes,
+            n_tables=lsh_tables,
+            dim=dim,
+            multiprobe=lsh_multiprobe,
         ).select("probe_id", "cand_id"),
     }
     out = None
@@ -428,7 +490,12 @@ def ann_recall_audit(
             "method",
             "truth_pairs",
             "hits",
-            F.round(F.col("hits") / F.col("truth_pairs"), 4).alias("recall"),
+            # empty probe set (or k=0) => truth_pairs = 0: emit an
+            # explicit NULL recall rather than a divide-by-zero
+            F.when(
+                F.col("truth_pairs") > 0,
+                F.round(F.col("hits") / F.col("truth_pairs"), 4),
+            ).otherwise(F.lit(None).cast("double")).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out

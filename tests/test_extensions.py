@@ -2354,10 +2354,14 @@ FROM stats
     ok, msg = compare(got, sql, SF_ORACLE)
     assert ok, msg
     vals = {r.method: r.recall for r in got.collect()}
-    # both approximations must find a nontrivial share of the exact
-    # top-5 at the registered parameters, and recall is a proportion
-    for m, r in vals.items():
-        assert 0.0 < r <= 1.0, (m, r)
+    # recall is deterministic (md5 hyperplanes, stride centroids, 6-dp
+    # rounded ranking), so the round-9 swept parameters pin EXACTLY:
+    # ivf stride=50/nprobe=5/n_assign=2 and lsh 6 planes x 8 tables
+    # + Hamming-1 multiprobe (bench_history/ann_sweep_r9.json; the
+    # pre-sweep config measured ivf 0.79 / lsh 0.46 here at sf0.01,
+    # and 0.62 / 0.47 at sf0.1 where the new parameters give
+    # 0.79 / 0.94)
+    assert vals == {"ivf": 0.98, "lsh": 0.94}, vals
 
 
 def test_ivf_trained_centroids_composition(spark):
