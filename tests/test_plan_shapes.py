@@ -420,3 +420,14 @@ def test_hll_register_stream_sink_is_sketch_sized(spark, tmp_path):
     assert 0 < sink_rows.count() <= 256 * n_files
     # and each epoch's partial table is register-keyed (<=256 distinct)
     assert sink_rows.select("register_id").distinct().count() <= 256
+
+
+def test_embedding_neardup_no_cross_join(spark):
+    """Round 9: embedding_neardup_pairs moved off the O(n^2) broadcast
+    crossJoin onto LSH candidates + exact verify. Pin the scale shape:
+    no CartesianProduct and no nested-loop join anywhere — the
+    candidate step must be the (table_id, bucket) equi-join and the
+    verify step id-keyed joins."""
+    plan = _executed_plan(QUERIES["embedding_neardup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
