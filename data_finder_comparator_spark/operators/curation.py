@@ -87,8 +87,10 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     recovery step on the next call. Fully distributed — nothing
     funnels through the driver. Object stores (S3) rename by copy —
     there, and for concurrent writers, a lakehouse table format is the
-    real answer: Delta/Iceberg ``MERGE INTO`` gives the same semantics
-    transactionally without rewriting untouched files."""
+    real answer: ``sinks.lakehouse.TransactionalTable.merge`` gives
+    exactly these semantics through an Iceberg-style commit log
+    (atomic manifest claim, optimistic retry, only matched-key files
+    rewritten) — use it whenever the sink outlives one writer."""
     spark = df.sparkSession
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path

@@ -1,0 +1,289 @@
+"""Transactional MERGE sink: an explicit Iceberg-style commit log.
+
+The reference's Keep/Replace loop (/root/reference/main.py:521-553) at
+dataset scale IS ``MERGE INTO``: incoming rows replace same-key rows
+and append otherwise. ``operators/curation.upsert_sink`` implements
+that with a staged write + atomic directory swap, whose own docstring
+names the two limits a production pipeline hits on day one: the swap
+rewrites every untouched file, and rename-by-copy object stores plus
+concurrent writers break it. Delta/Iceberg solve both with a commit
+log; neither is installed here, so this module implements the same
+design explicitly — the point is the protocol, not the package:
+
+* ``data/txn-<uuid>/part-*.parquet`` — immutable, write-once data
+  files. A data file is invisible until a manifest references it, so a
+  crashed writer leaves only unreferenced orphans (collected by
+  ``vacuum``), never a corrupt table.
+* ``_commits/v<N>.json`` — manifest N: the complete list of data files
+  making up snapshot N, plus the schema DDL and parent version. The
+  table's state IS the highest-version manifest; readers never list
+  the data directory.
+* Commit = atomic create-exclusive of the next manifest file
+  (``os.O_CREAT | os.O_EXCL`` for local/POSIX paths,
+  ``FileSystem.create(path, overwrite=false)`` for scheme'd paths; on
+  S3 the same slot is an If-None-Match PUT — one tiny object either
+  way, no directory rename anywhere). Exactly one writer wins a
+  version; losers RETRY AGAINST THE NEW SNAPSHOT, so a concurrent
+  merge's rows are seen (and preserved) by the recomputed anti-join —
+  optimistic concurrency control, serialized through the log.
+* MERGE rewrites ONLY the data files that contain a matched key
+  (located via ``input_file_name()`` + a broadcast semi-join of the
+  incoming keys); untouched files carry over into the new manifest by
+  reference. At 100 TB with point upserts this is the difference
+  between rewriting gigabytes and rewriting the table.
+
+Snapshots are immutable, so ``read(version=N)`` is free time travel,
+and ``vacuum`` may only delete files referenced by NO manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; retry from the new
+    snapshot."""
+
+
+class TransactionalTable:
+    """A parquet table with an Iceberg-style JSON commit log providing
+    atomic, concurrent-safe ``append`` and ``merge`` (upsert)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._local = "://" not in self.path or self.path.startswith("file:")
+
+    # -- commit log ----------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return f"{self.path}/{_COMMITS}"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._commits_dir()}/v{version:08d}.json"
+
+    def current_version(self) -> int:
+        """Highest committed version (0 = table does not exist yet)."""
+        d = self._strip_scheme(self._commits_dir())
+        if not os.path.isdir(d):
+            return 0
+        best = 0
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    @staticmethod
+    def _strip_scheme(p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._strip_scheme(self._manifest_path(version))) as f:
+            return json.load(f)
+
+    def _try_commit(self, version: int, manifest: dict) -> bool:
+        """Atomically claim manifest slot ``version``. Returns False
+        when another writer already holds it (the conflict signal)."""
+        os.makedirs(self._strip_scheme(self._commits_dir()), exist_ok=True)
+        payload = json.dumps(manifest, sort_keys=True).encode()
+        target = self._strip_scheme(self._manifest_path(version))
+        if self._local:
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        # scheme'd path (hdfs:// etc.): create(overwrite=false) is the
+        # filesystem's exclusive-create; S3A maps it to a conditional PUT
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self._manifest_path(version))
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        try:
+            out = fs.create(hpath, False)
+        except Exception:
+            return False
+        out.write(bytearray(payload))
+        out.close()
+        return True
+
+    # -- snapshots -----------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> tuple[int, dict]:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return 0, {"files": [], "schema": None}
+        return v, self._read_manifest(v)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Empty tables
+        read as zero rows with the last committed schema."""
+        v, man = self.snapshot(version)
+        if v == 0:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        files = [f"{self.path}/{_DATA}/{rel}" for rel in man["files"]]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in range(1, self.current_version() + 1)]
+
+    # -- writes --------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Materialize ``df`` as immutable data files under a fresh
+        txn directory; returns (txn id, manifest-relative paths)."""
+        txn = f"txn-{uuid.uuid4().hex}"
+        out_dir = f"{self.path}/{_DATA}/{txn}"
+        df.write.mode("overwrite").parquet(out_dir)
+        local = self._strip_scheme(out_dir)
+        rels = sorted(
+            f"{txn}/{name}"
+            for name in os.listdir(local)
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        )
+        return txn, rels
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Transactional append: new data files + one commit. Safe
+        under concurrency (conflicts only re-claim the next version —
+        the file list from OTHER writers is re-read, never clobbered)."""
+        _, rels = self._write_data_files(df)
+        schema = df.schema.json()
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            manifest = {
+                "version": v + 1,
+                "parent": v,
+                "op": "append",
+                "files": man["files"] + rels,
+                "schema": man["schema"] or schema,
+            }
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"append lost {max_retries} commit races at {self.path}")
+
+    def merge(
+        self,
+        df: DataFrame,
+        key_col: str,
+        max_retries: int = 20,
+        before_commit=None,
+    ) -> int:
+        """MERGE (upsert): every incoming row is written; existing rows
+        whose ``key_col`` matches any incoming key are removed. Only
+        data files that actually contain a matched key are rewritten —
+        all other files carry over by reference. ``before_commit`` is a
+        test seam invoked between data-file write and the commit
+        attempt (where a concurrent writer may sneak in); production
+        callers leave it None.
+
+        Concurrency: the commit is an atomic version-slot claim. On
+        conflict the ENTIRE merge recomputes against the winner's
+        snapshot — the anti-join then sees the other writer's rows, so
+        interleaved merges serialize with no lost rows (verified by
+        ``test_lakehouse_concurrent_merges_no_lost_rows``)."""
+        keys = df.select(key_col).distinct()
+        schema = df.schema.json()
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                _, rels = self._write_data_files(df)
+                manifest = {
+                    "version": 1,
+                    "parent": 0,
+                    "op": "merge",
+                    "files": rels,
+                    "schema": schema,
+                }
+                if before_commit is not None:
+                    before_commit()
+                if self._try_commit(1, manifest):
+                    return 1
+                continue  # someone bootstrapped first: merge for real
+            existing = self.read(v)
+            # which data files hold a matched key? (file-level pruning:
+            # broadcast the incoming keys, collect only file names)
+            tagged = existing.withColumn("_file", F.input_file_name())
+            hit_paths = {
+                r._file
+                for r in tagged.join(F.broadcast(keys), key_col)
+                .select("_file")
+                .distinct()
+                .collect()
+            }
+            hit_rels = sorted(
+                rel
+                for rel in man["files"]
+                if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+            )
+            carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
+            if hit_rels:
+                affected = self.spark.read.schema(
+                    StructType.fromJson(json.loads(man["schema"]))
+                ).parquet(
+                    *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
+                )
+                survivors = affected.join(F.broadcast(keys), key_col, "left_anti")
+                merged = survivors.unionByName(df)
+            else:
+                merged = df
+            _, rels = self._write_data_files(merged)
+            manifest = {
+                "version": v + 1,
+                "parent": v,
+                "op": "merge",
+                "files": carried + rels,
+                "schema": man["schema"],
+            }
+            if before_commit is not None:
+                before_commit()
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+            # conflict: the winner's rows must flow into the re-merge;
+            # our orphaned txn files stay invisible until vacuum
+        raise CommitConflict(f"merge lost {max_retries} commit races at {self.path}")
+
+    # -- maintenance ---------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO manifest (orphans from
+        failed/raced commits). Referenced files — current or historical
+        (time travel) — are never touched."""
+        referenced: set[str] = set()
+        for man in self.history():
+            referenced.update(man["files"])
+        data_dir = self._strip_scheme(f"{self.path}/{_DATA}")
+        removed = []
+        if not os.path.isdir(data_dir):
+            return removed
+        for txn in os.listdir(data_dir):
+            tdir = os.path.join(data_dir, txn)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                rel = f"{txn}/{name}"
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(tdir, name))
+                    removed.append(rel)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        return removed
