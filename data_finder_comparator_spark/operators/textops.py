@@ -14,7 +14,7 @@ rather than one job per signal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import norm_key
@@ -228,6 +228,130 @@ def scrub_hot_spans(
             .alias("n_removed"),
             F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
         )
+    )
+
+
+def maximal_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    span: int = 3,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Variable-length substring dedup (round 9): coalesce each
+    document's HOT fixed-width grams into maximal repeated SPANS — the
+    gram-chain approximation of suffix-array longest-repeated-substring
+    (Lee et al. substring dedup runs exactly this shape at 50-token
+    grams). `duplicate_spans`/`scrub_hot_spans` stop at fixed ``span``
+    windows; this emits, per document, every maximal island of
+    positions covered by grams occurring in >= ``min_docs`` docs:
+
+    1. grams (doc, start, gram) -> hot grams (count_distinct doc >=
+       min_docs) — identical stages to the fixed-width pass;
+    2. per doc, gaps-and-islands over the hot START positions: a new
+       island begins when start - prev_start > span (coverage
+       [start, start+span-1] no longer chains); windows partition BY
+       DOC over hot starts only, so window state is bounded by per-doc
+       hot coverage, never corpus-sized;
+    3. islands join back to the tokenized doc to slice the actual span
+       text (one doc_id equi-join).
+
+    Output: (doc_id, span_start, span_len, n_grams, span_text), one row
+    per maximal island. Every hot gram occurrence is inside exactly one
+    island — the subsumption property the fixed-width pass guarantees
+    (`test_maximal_spans_subsume_fixed_width`). Cross-doc chains can
+    merge grams hot in DIFFERENT doc sets, so an island's full text is
+    repeated-across-docs only when `repeated_span_report` re-verifies
+    it by exact text grouping."""
+    def _track(frame: DataFrame) -> DataFrame:
+        if cache_registry is None:
+            return frame
+        frame = frame.persist()
+        cache_registry.append(frame)
+        return frame
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = _track(
+        df.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
+    )
+    grams = _track(
+        base.filter(F.size("_t") >= span).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_t) - {span}),"
+                    f" j -> struct(j AS start, array_join(slice(_t, j + 1, {span}), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.start", "g.gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hot_starts = grams.join(hot, "gram").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    islands = (
+        hot_starts.withColumn("_prev", F.lag("start").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("start") - F.col("_prev") > span),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") - F.min("start") + span).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+    )
+    return islands.join(base, "doc_id").select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        "span_len",
+        "n_grams",
+        F.array_join(
+            F.slice(F.col("_t"), F.col("span_start") + 1, F.col("span_len")), " "
+        ).alias("span_text"),
+    )
+
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    span: int = 3,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Cross-document longest-repeated-span report: group the maximal
+    islands by EXACT text and keep those appearing in >= ``min_docs``
+    docs — chain ambiguity (an island merging grams hot in different
+    doc sets) is thereby re-verified away, so every output row is a
+    genuinely repeated variable-length substring. One hash agg on
+    span_text over the (already small) island table."""
+    spans = maximal_repeated_spans(
+        df, id_col, text_col, min_docs=min_docs, span=span,
+        cache_registry=cache_registry,
+    )
+    return (
+        spans.groupBy("span_text", "span_len")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )
 
 

@@ -2458,3 +2458,123 @@ def test_embedding_neardup_recall_oracle_ready(spark):
     for pair, sim in hybrid.items():
         assert brute[pair] == sim, pair
     assert len(brute) == 271 and len(hybrid) == 253, (len(brute), len(hybrid))
+
+
+def test_maximal_repeated_spans_oracle_ready(spark):
+    """Round 9, pytest-gated (registry saturated): variable-length
+    substring dedup — per-doc maximal islands of hot-gram coverage
+    (gaps-and-islands windows over gram positions) vs a full DuckDB
+    restatement, plus the cross-doc exact-text report."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import (
+        maximal_repeated_spans,
+        repeated_span_report,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    caches: list = []
+    try:
+        got = maximal_repeated_spans(docs, min_docs=3, span=3, cache_registry=caches)
+        sql = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+),
+hs AS (SELECT g.doc_id, g.start FROM grams g JOIN hot USING (gram)),
+marked AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER w IS NULL
+                OR start - lag(start) OVER w > 3 THEN 1 ELSE 0 END AS nw
+  FROM hs WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+),
+numbered AS (
+  SELECT doc_id, start,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM marked
+),
+agg AS (
+  SELECT doc_id, island, min(start) AS span_start,
+         max(start) - min(start) + 3 AS span_len,
+         count(*) AS n_grams
+  FROM numbered GROUP BY 1, 2
+)
+SELECT a.doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_len AS BIGINT) AS span_len,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       array_to_string(t[span_start + 1 : span_start + span_len], ' ') AS span_text
+FROM agg a JOIN toks USING (doc_id)
+"""
+        ok, msg = compare(got, sql, SF_ORACLE)
+        assert ok, msg
+
+        report = repeated_span_report(docs, min_docs=3, span=3)
+        report_sql = f"""
+WITH spans AS ({sql})
+SELECT span_text, span_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+"""
+        ok, msg = compare(report, report_sql, SF_ORACLE)
+        assert ok, msg
+        # the report must contain spans LONGER than the fixed width —
+        # otherwise the coalescing added nothing over duplicate_spans
+        assert report.filter(F.col("span_len") > 3).count() > 0
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_maximal_spans_subsume_fixed_width(spark):
+    """Property (VERDICT r8 item 5): every hot fixed-width gram
+    occurrence the duplicate_spans pass detects lies inside EXACTLY ONE
+    maximal island of its doc; islands are maximal (inter-island gap >
+    span) and their text matches the token slice — recomputed against
+    an independent brute-force in plain Python."""
+    from collections import defaultdict
+
+    from data_finder_comparator_spark.operators.textops import maximal_repeated_spans
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    span, min_docs = 3, 3
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = {r.doc_id: [t for t in r.text.split() if t] for r in docs.collect()}
+    gram_docs = defaultdict(set)
+    for d, t in raw.items():
+        for j in range(len(t) - span + 1):
+            gram_docs[" ".join(t[j : j + span])].add(d)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    hot_starts = {
+        d: [j for j in range(len(t) - span + 1) if " ".join(t[j : j + span]) in hot]
+        for d, t in raw.items()
+    }
+    got = defaultdict(list)
+    for r in maximal_repeated_spans(docs, min_docs=min_docs, span=span).collect():
+        got[r.doc_id].append((r.span_start, r.span_len, r.n_grams, r.span_text))
+    for d, starts in hot_starts.items():
+        islands = sorted(got.get(d, []))
+        # maximality: islands never chain (gap between coverage > 0)
+        for (s1, l1, _, _), (s2, _, _, _) in zip(islands, islands[1:]):
+            assert s2 > s1 + l1 - span + span, (d, islands)  # s2 - prev_start > span
+        covered = 0
+        for j in starts:
+            inside = [
+                (s, l) for s, l, _, _ in islands if s <= j and j + span <= s + l
+            ]
+            assert len(inside) == 1, (d, j, islands)
+            covered += 1
+        # island gram counts account for every hot start exactly once
+        assert covered == sum(n for _, _, n, _ in islands), d
+        # island text == token slice
+        for s, l, _, text in islands:
+            assert text == " ".join(raw[d][s : s + l]), (d, s, l)
+    # and no islands in docs with no hot grams
+    assert all(d in hot_starts and hot_starts[d] for d in got), "phantom islands"
