@@ -117,7 +117,7 @@ def tiered_fuzzy_join(
     cache_intermediate: bool = True,
     cache_registry: list | None = None,
     prepared: PreparedCandidates | None = None,
-    dedup_strings: bool = False,
+    dedup_strings: bool | str = False,
 ) -> DataFrame:
     """Score every probe against the candidate set and classify matches
     into exact / best / potential / poor tiers (reference semantics).
@@ -145,6 +145,18 @@ def tiered_fuzzy_join(
     levenshtein pass all shrink by ~d^2, while unique-text corpora pay
     two extra corpus-sized distinct aggregations for nothing — hence
     opt-in, measured either way in SCALE.md's inflation table.
+
+    ``dedup_strings="auto"`` (round 9) resolves the flag from a cheap
+    duplication probe: one (count, approx_count_distinct) aggregation
+    per side on the normalized key; dedup flips on when the product of
+    the two duplication factors reaches ``_DEDUP_AUTO_FACTOR`` (4 —
+    i.e. only when the per-string-pair work provably shrinks >= ~4x,
+    comfortably clearing the two extra distinct aggregations, which
+    measured ~10% at x1). approx_count_distinct's ~2% rsd cannot
+    straddle that margin meaningfully: a corpus near the threshold
+    loses almost nothing either way, and the probe's cost is two scan
+    aggregations — the same price as the stats job the escalation
+    fallback already pays.
     """
     t = threshold
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
@@ -196,6 +208,16 @@ def tiered_fuzzy_join(
         long_p = p.filter(F.length("_nq") >= min_len)
         short_p = p.filter(F.length("_nq") < min_len)
 
+        if dedup_strings == "auto":
+            np_, dp_ = long_p.agg(
+                F.count(F.lit(1)), F.approx_count_distinct("_nq")
+            ).first()
+            nc_, dc_ = c.agg(
+                F.count(F.lit(1)), F.approx_count_distinct("_nc")
+            ).first()
+            dup_product = (np_ / max(dp_, 1)) * (nc_ / max(dc_, 1))
+            dedup_strings = dup_product >= _DEDUP_AUTO_FACTOR
+
         def _grams(df: DataFrame, id_col: str, nrm: str, len_col: str) -> DataFrame:
             # fan-out repartition: the gram explode inflates a few file
             # splits into |text|-fold rows (see partitioning.py). Each
@@ -216,7 +238,14 @@ def tiered_fuzzy_join(
 
         if dedup_strings:
             # one gram/prefix/DP pass per distinct STRING: the string
-            # is its own key, so pairs expand back by two equi-joins
+            # is its own key, so pairs expand back by two equi-joins.
+            # NOTE: gram_df below then counts distinct candidate
+            # STRINGS, not rows, so the rare-first prefix picks
+            # DIFFERENT grams than the default plan — equivalence does
+            # NOT rest on identical gram selection but on the prefix
+            # filter being exact for ANY t*q+1-gram subset (one edit
+            # destroys <= q distinct grams regardless of which prefix
+            # was chosen), which the equivalence tests pin.
             p_src, p_key = long_p.select("_nq").distinct(), "_nq"
             c_src, c_key = c.select("_nc").distinct(), "_nc"
         else:
@@ -362,6 +391,13 @@ def tiered_fuzzy_join(
 # the gate needs only the candidate count (batch size is unknowable at
 # plan time); large-batch callers simply don't pass ``prepared``.
 _DENSE_CAND_MAX = int(_os.environ.get("SPARK_GRAFT_DENSE_CANDS", "4096"))
+
+# dedup_strings="auto" flips on when the product of probe-side and
+# candidate-side duplication factors (count / approx_count_distinct on
+# the normalized key) reaches this — the point where per-string-pair
+# work shrinks enough to clear the two extra distinct aggregations
+# (~10% at x1, 10.8x win at the x64 duplicate-heavy rung, SCALE.md).
+_DEDUP_AUTO_FACTOR = float(_os.environ.get("SPARK_GRAFT_DEDUP_AUTO_FACTOR", "4.0"))
 
 
 def _dense_tiers(p: DataFrame, c: DataFrame, t: int) -> DataFrame:

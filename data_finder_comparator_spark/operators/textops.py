@@ -404,7 +404,12 @@ def weighted_reservoir_sample(
         "long"
     )
     u = (v + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    # rank by the ROUNDED key (10 dp): libm natural logs are not
+    # guaranteed bit-identical across engines, so an unrounded rank
+    # could flip a near-tie between Spark and the SQL oracle; at 10 dp
+    # the rounding is far above any last-ulp ln divergence and far
+    # below any real key gap
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 10)
     w = Window.partitionBy(group_col).orderBy(
         F.col("_sk").desc(), F.col(id_col)
     )

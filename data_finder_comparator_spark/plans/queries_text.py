@@ -1426,9 +1426,9 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WRS_ORACLE = """
 WITH keyed AS (
   SELECT lang, doc_id,
-         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) + 1) / 1152921504606846976.0)
-           / CAST(n_chars AS DOUBLE) AS sk
+           / CAST(n_chars AS DOUBLE), 10) AS sk
   FROM documents WHERE n_chars > 0
 ),
 ranked AS (

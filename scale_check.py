@@ -108,7 +108,7 @@ def main() -> None:
     )
     sizes = [
         int(s)
-        for s in os.environ.get("SPARK_GRAFT_SCALE_SIZES", "1,4,16,64").split(",")
+        for s in os.environ.get("SPARK_GRAFT_SCALE_SIZES", "1,4,16,64,256").split(",")
     ]
     results: dict[str, dict[str, float]] = {}
     for times in sizes:
@@ -116,19 +116,88 @@ def main() -> None:
         # 16x: their cost is the measured intrinsic (documented in
         # SCALE.md §4/§6), and the 64x rung exists to decide the GROWTH
         # CURVE of the production paths (qgram fuzzy, LSH, the two-pass
-        # shuffle/packing pattern).
+        # shuffle/packing pattern). Past 64x (round 9) only the three
+        # scale-critical plans run — minhash_lsh, fuzzy_qgram_dedup,
+        # gram_tfidf — with spill columns: the x256 rung exists to show
+        # sub-quadratic growth WITH attributed spill, not to re-time
+        # every probe.
         heavy = times <= 16
+        critical_only = times > 64
         docs = inflate(docs0, times).persist()
         n = docs.count()
         tag = f"x{times}"
         results[tag] = {"rows": n}
 
+        ml_mem0, ml_disk0 = _spill_totals(spark)
         t0 = time.perf_counter()
         sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
         n_direct = lsh_candidate_pairs(minhash_lsh_bands(sh, 12, 3)).count()
         results[tag]["minhash_lsh"] = round(time.perf_counter() - t0, 2)
         results[tag]["minhash_lsh_pairs"] = n_direct
+        ml_mem1, ml_disk1 = _spill_totals(spark)
+        ml_ok = None not in (ml_mem0, ml_disk0, ml_mem1, ml_disk1)
+        results[tag]["minhash_lsh_spill_mem_mb"] = (
+            round((ml_mem1 - ml_mem0) / 1e6, 1) if ml_ok else None
+        )
+        results[tag]["minhash_lsh_spill_disk_mb"] = (
+            round((ml_disk1 - ml_disk0) / 1e6, 1) if ml_ok else None
+        )
         spark.catalog.clearCache()
+
+        # Sparse TF-IDF gram cosine top-k: the df cap is the scale
+        # guarantee (posting-list fanout bounded at df_cap per gram) —
+        # inflation drives every real gram's df over the cap, so the
+        # probe exercises exactly the boilerplate-exclusion regime the
+        # cap exists for.
+        gt_mem0, gt_disk0 = _spill_totals(spark)
+        t0 = time.perf_counter()
+        from data_finder_comparator_spark.operators.textops import (
+            gram_tfidf_cosine_topk,
+        )
+
+        gt_reg: list = []
+        gram_tfidf_cosine_topk(
+            docs, k=5, probe_mod=20, df_cap=32, cache_registry=gt_reg
+        ).count()
+        results[tag]["gram_tfidf"] = round(time.perf_counter() - t0, 2)
+        gt_mem1, gt_disk1 = _spill_totals(spark)
+        gt_ok = None not in (gt_mem0, gt_disk0, gt_mem1, gt_disk1)
+        results[tag]["gram_tfidf_spill_mem_mb"] = (
+            round((gt_mem1 - gt_mem0) / 1e6, 1) if gt_ok else None
+        )
+        results[tag]["gram_tfidf_spill_disk_mb"] = (
+            round((gt_disk1 - gt_disk0) / 1e6, 1) if gt_ok else None
+        )
+        for frame in gt_reg:
+            frame.unpersist()
+        spark.catalog.clearCache()
+
+        if critical_only:
+            probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+                F.col("doc_id").alias("probe_id"),
+                F.substring("text", 1, 24).alias("probe"),
+            )
+            cands = docs.select(
+                F.col("doc_id").alias("cand_id"),
+                F.substring("text", 1, 24).alias("cand"),
+            )
+            sd_mem0, sd_disk0 = _spill_totals(spark)
+            t0 = time.perf_counter()
+            tiered_fuzzy_join(
+                probes, cands, threshold=5, strategy="qgram", dedup_strings=True
+            ).count()
+            results[tag]["fuzzy_qgram_dedup"] = round(time.perf_counter() - t0, 2)
+            sd_mem1, sd_disk1 = _spill_totals(spark)
+            sd_ok = None not in (sd_mem0, sd_disk0, sd_mem1, sd_disk1)
+            results[tag]["fuzzy_qgram_dedup_spill_mem_mb"] = (
+                round((sd_mem1 - sd_mem0) / 1e6, 1) if sd_ok else None
+            )
+            results[tag]["fuzzy_qgram_dedup_spill_disk_mb"] = (
+                round((sd_disk1 - sd_disk0) / 1e6, 1) if sd_ok else None
+            )
+            spark.catalog.clearCache()
+            docs.unpersist()
+            continue
 
         # Production composition for duplicate-heavy corpora: exact
         # dedup FIRST (hash-groupBy on content md5), LSH over the
@@ -177,8 +246,12 @@ def main() -> None:
             .agg(F.sum(F.col("_na") * F.col("_nb")))
             .first()[0]
         ) or 0
+        # all-integer: sum n*(n-1) in long FIRST, halve with integer
+        # div (the sum is always even) — double intermediates would
+        # lose exactness past 2^53 total pairs and could spuriously
+        # fail the equality-vs-direct-count claim
         intra = sizes_tbl.agg(
-            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
+            F.expr("sum(_n * (_n - 1)) div 2").cast("long")
         ).first()[0] or 0
         results[tag]["minhash_lsh_collapsed"] = round(time.perf_counter() - t0, 2)
         results[tag]["minhash_lsh_collapsed_pairs"] = int(inter + intra)
@@ -381,6 +454,17 @@ def main() -> None:
         results[tag]["fuzzy_qgram_dedup_spill_disk_mb"] = (
             round((sd_disk1 - sd_disk0) / 1e6, 1) if sd_ok else None
         )
+        spark.catalog.clearCache()
+
+        # dedup_strings="auto" (round 9): the duplication probe must
+        # land within noise of the BETTER manual choice at every rung —
+        # x1 decides whether the two probe aggregations are affordable,
+        # x64 whether the probe correctly flips dedup on.
+        t0 = time.perf_counter()
+        tiered_fuzzy_join(
+            probes, cands, threshold=5, strategy="qgram", dedup_strings="auto"
+        ).count()
+        results[tag]["fuzzy_qgram_auto"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
 
         # Adversarial all-fallback probe: a DISJOINT probe catalog (hex

@@ -313,3 +313,31 @@ def test_qgram_dedup_strings_equivalence_on_duplicates(spark):
     a, b = rows(False), rows(True)
     assert a == b
     assert len(a) > 0
+
+
+def test_qgram_dedup_strings_auto_resolves_by_duplication(spark):
+    """dedup_strings="auto" (round 9): the duplication probe flips the
+    plan — identical output either way (it only ever selects between
+    two already-equivalence-tested plans), duplicate-heavy corpora take
+    the dedup path, unique corpora the default. The 8x-duplicated
+    corpus (dup product 64 >= 4) and the unique corpus (product ~1 < 4)
+    pin both sides of the threshold."""
+    base_p = [(i, p) for i, (_, p) in enumerate(PROBES)]
+    base_c = [(i, c) for i, (_, c) in enumerate(CANDS)]
+    dup_p = [(pid + 100 * k, p) for k in range(8) for pid, p in base_p]
+    dup_c = [(cid + 100 * k, c) for k in range(8) for cid, c in base_c]
+
+    for pd, cd in ((base_p, base_c), (dup_p, dup_c)):
+        probe = spark.createDataFrame(pd, "probe_id long, probe string")
+        cand = spark.createDataFrame(cd, "cand_id long, cand string")
+
+        def rows(dedup):
+            return sorted(
+                (r.probe_id, r.cand_id, r.dist, r.tier)
+                for r in tiered_fuzzy_join(
+                    probe, cand, threshold=3, strategy="qgram", dedup_strings=dedup
+                ).collect()
+            )
+
+        auto = rows("auto")
+        assert auto == rows(False) and len(auto) > 0
