@@ -34,6 +34,31 @@ design explicitly — the point is the protocol, not the package:
 
 Snapshots are immutable, so ``read(version=N)`` is free time travel,
 and ``vacuum`` may only delete files referenced by NO manifest.
+
+Round 9 additions — the rest of the day-one maintenance surface:
+
+* **Per-file key stats, footer-only.** Every committed data file
+  carries ``{rows, bytes, min: {col: v}, max: {col: v}}`` in the
+  manifest, read from the parquet FOOTER via pyarrow (no data scan).
+  Parquet writers may truncate binary min/max, but truncated values
+  remain valid bounds, so consumers stay conservative-correct.
+* **Stats-based file skipping in MERGE.** Before the exact
+  ``input_file_name`` hit scan, files whose ``[min, max]`` range on the
+  merge key cannot overlap the incoming key range are skipped without
+  being opened. Null keys never equi-match, and parquet stats exclude
+  nulls, so range skipping is exact for MERGE semantics. Files without
+  stats (old manifests, unorderable types) conservatively stay in. At
+  100 TB with time-ordered keys this turns a full-table tag scan into
+  a read of the few recent files.
+* **``optimize()`` compaction.** Small files accumulate one
+  commit at a time (every merge/append writes its own txn files); the
+  classic fix is bin-packing them into target-size files as just
+  another committed snapshot (``op: "optimize"``) — contents
+  identical, losers of a commit race recompute, time travel unchanged.
+* **Additive schema evolution.** ``merge(..., evolve_schema=True)``
+  accepts a frame with NEW columns: carried/old files read the widened
+  schema as nulls (parquet by-name projection), the manifest schema
+  widens, and a type CHANGE on an existing column is refused loudly.
 """
 
 from __future__ import annotations
@@ -148,9 +173,12 @@ class TransactionalTable:
 
     # -- writes --------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> tuple[str, list[str]]:
+    def _write_data_files(
+        self, df: DataFrame
+    ) -> tuple[str, list[str], dict[str, dict]]:
         """Materialize ``df`` as immutable data files under a fresh
-        txn directory; returns (txn id, manifest-relative paths)."""
+        txn directory; returns (txn id, manifest-relative paths,
+        per-file footer stats keyed by relative path)."""
         txn = f"txn-{uuid.uuid4().hex}"
         out_dir = f"{self.path}/{_DATA}/{txn}"
         df.write.mode("overwrite").parquet(out_dir)
@@ -160,13 +188,78 @@ class TransactionalTable:
             for name in os.listdir(local)
             if name.endswith(".parquet") and not name.startswith((".", "_"))
         )
-        return txn, rels
+        stats = {}
+        for rel in rels:
+            s = self._file_stats(rel)
+            if s is not None:
+                stats[rel] = s
+        # zero-row part files (Spark writes one per empty partition)
+        # contribute nothing: referencing them bloats every later
+        # manifest's carried set and every reader's file list — drop
+        # them here, where the footer already told us (files without
+        # readable stats are conservatively kept)
+        rels = [
+            rel for rel in rels if rel not in stats or stats[rel]["rows"] > 0
+        ]
+        stats = {rel: s for rel, s in stats.items() if rel in set(rels)}
+        return txn, rels, stats
+
+    def _file_stats(self, rel: str) -> dict | None:
+        """{rows, bytes, min: {col: v}, max: {col: v}} from the parquet
+        FOOTER (no data read). Only top-level columns whose min/max are
+        JSON-representable orderable scalars (int/float/str) make it in;
+        a column missing stats in ANY row group is dropped entirely so a
+        consumer can trust every recorded bound. Any failure degrades to
+        None — stats are an optimization, never required."""
+        path = os.path.join(self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/"))
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        bad: set[str] = set()
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = col.statistics
+                mn = st.min if st is not None and st.has_min_max else None
+                mx = st.max if st is not None and st.has_min_max else None
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        mn = None
+                # bool excluded: True/False ranges prune nothing useful
+                # and json would conflate them with ints
+                if (
+                    mn is None
+                    or isinstance(mn, bool)
+                    or not isinstance(mn, (int, float, str))
+                ):
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        return {
+            "rows": meta.num_rows,
+            "bytes": os.path.getsize(path),
+            "min": mins,
+            "max": maxs,
+        }
 
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
         """Transactional append: new data files + one commit. Safe
         under concurrency (conflicts only re-claim the next version —
         the file list from OTHER writers is re-read, never clobbered)."""
-        _, rels = self._write_data_files(df)
+        _, rels, st = self._write_data_files(df)
         schema = df.schema.json()
         for _ in range(max_retries):
             v, man = self.snapshot()
@@ -176,10 +269,34 @@ class TransactionalTable:
                 "op": "append",
                 "files": man["files"] + rels,
                 "schema": man["schema"] or schema,
+                "stats": {**(man.get("stats") or {}), **st},
             }
             if self._try_commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"append lost {max_retries} commit races at {self.path}")
+
+    @staticmethod
+    def _may_contain(
+        stats: dict | None, key_col: str, kmin, kmax
+    ) -> bool:
+        """Can this file's key range overlap [kmin, kmax]? Unknown
+        stats, unorderable/mismatched types → True (conservative).
+        All-null incoming keys (kmin is None) → False: NULL never
+        equi-matches, and parquet min/max exclude nulls, so range
+        skipping is exact for MERGE."""
+        if not stats:
+            return True
+        mn = stats.get("min", {}).get(key_col)
+        mx = stats.get("max", {}).get(key_col)
+        if mn is None or mx is None:
+            return True
+        if kmin is None:
+            return False
+        numeric = isinstance(mn, (int, float)) and isinstance(kmin, (int, float))
+        stringy = isinstance(mn, str) and isinstance(kmin, str)
+        if not (numeric or stringy):
+            return True
+        return not (mx < kmin or mn > kmax)
 
     def merge(
         self,
@@ -187,6 +304,7 @@ class TransactionalTable:
         key_col: str,
         max_retries: int = 20,
         before_commit=None,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE (upsert): every incoming row is written; existing rows
         whose ``key_col`` matches any incoming key are removed. Only
@@ -203,56 +321,83 @@ class TransactionalTable:
         ``test_lakehouse_concurrent_merges_no_lost_rows``)."""
         keys = df.select(key_col).distinct()
         schema = df.schema.json()
+        # one tiny agg: the incoming key range drives footer-stats file
+        # skipping (kmin None == all incoming keys are NULL)
+        try:
+            krow = keys.agg(F.min(key_col), F.max(key_col)).first()
+            kmin, kmax = krow[0], krow[1]
+        except Exception:
+            kmin = kmax = None
         for _ in range(max_retries):
             v, man = self.snapshot()
             if v == 0:
-                _, rels = self._write_data_files(df)
+                _, rels, st = self._write_data_files(df)
                 manifest = {
                     "version": 1,
                     "parent": 0,
                     "op": "merge",
                     "files": rels,
                     "schema": schema,
+                    "stats": st,
                 }
                 if before_commit is not None:
                     before_commit()
                 if self._try_commit(1, manifest):
                     return 1
                 continue  # someone bootstrapped first: merge for real
-            existing = self.read(v)
-            # which data files hold a matched key? (file-level pruning:
-            # broadcast the incoming keys, collect only file names)
-            tagged = existing.withColumn("_file", F.input_file_name())
-            hit_paths = {
-                r._file
-                for r in tagged.join(F.broadcast(keys), key_col)
-                .select("_file")
-                .distinct()
-                .collect()
-            }
-            hit_rels = sorted(
+            table_schema = StructType.fromJson(json.loads(man["schema"]))
+            out_schema_json = man["schema"]
+            if evolve_schema:
+                out_schema_json = self._evolved_schema(table_schema, df)
+            all_stats = man.get("stats") or {}
+            # footer-stats skip: files whose key range cannot overlap
+            # the incoming range are carried without being OPENED
+            candidates = [
                 rel
                 for rel in man["files"]
+                if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
+            ]
+            # which candidate files hold a matched key? (exact pruning:
+            # broadcast the incoming keys, collect only file names)
+            hit_paths: set[str] = set()
+            if candidates:
+                tagged = (
+                    self.spark.read.schema(table_schema)
+                    .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
+                    .withColumn("_file", F.input_file_name())
+                )
+                hit_paths = {
+                    r._file
+                    for r in tagged.join(F.broadcast(keys), key_col)
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                }
+            hit_rels = sorted(
+                rel
+                for rel in candidates
                 if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
             )
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
             if hit_rels:
-                affected = self.spark.read.schema(
-                    StructType.fromJson(json.loads(man["schema"]))
-                ).parquet(
+                affected = self.spark.read.schema(table_schema).parquet(
                     *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
                 )
                 survivors = affected.join(F.broadcast(keys), key_col, "left_anti")
-                merged = survivors.unionByName(df)
+                merged = survivors.unionByName(df, allowMissingColumns=evolve_schema)
             else:
                 merged = df
-            _, rels = self._write_data_files(merged)
+            _, rels, st = self._write_data_files(merged)
             manifest = {
                 "version": v + 1,
                 "parent": v,
                 "op": "merge",
                 "files": carried + rels,
-                "schema": man["schema"],
+                "schema": out_schema_json,
+                "stats": {
+                    **{rel: all_stats[rel] for rel in carried if rel in all_stats},
+                    **st,
+                },
             }
             if before_commit is not None:
                 before_commit()
@@ -262,7 +407,99 @@ class TransactionalTable:
             # our orphaned txn files stay invisible until vacuum
         raise CommitConflict(f"merge lost {max_retries} commit races at {self.path}")
 
+    @staticmethod
+    def _evolved_schema(table_schema: StructType, df: DataFrame) -> str:
+        """Additive evolution only: incoming columns not in the table
+        are appended; a TYPE change on an existing column is refused."""
+        have = {f.name: f for f in table_schema.fields}
+        for f in df.schema.fields:
+            old = have.get(f.name)
+            if old is not None and old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column '{f.name}' "
+                    f"from {old.dataType.simpleString()} to "
+                    f"{f.dataType.simpleString()}"
+                )
+        new_fields = list(table_schema.fields) + [
+            f for f in df.schema.fields if f.name not in have
+        ]
+        return StructType(new_fields).json()
+
     # -- maintenance ---------------------------------------------------
+
+    def optimize(
+        self,
+        small_bytes: int = 8 << 20,
+        target_bytes: int = 128 << 20,
+        max_retries: int = 20,
+        before_commit=None,
+    ) -> int | None:
+        """Compact small data files (< ``small_bytes``) into
+        ~``target_bytes`` files, committed as a normal snapshot
+        (``op: "optimize"``) — contents identical, large files carried
+        by reference, old versions still time travel. Every merge and
+        append writes its own txn files, so small files accumulate one
+        commit at a time; at 100 TB uncompacted tables die by open()
+        overhead and footer bloat long before data volume. Returns the
+        new version, or None when fewer than two small files exist.
+
+        Concurrency: same optimistic loop as merge — a losing optimize
+        recomputes against the winner's snapshot (the winner may have
+        REWRITTEN one of the files we compacted, so re-reading the new
+        manifest is required for correctness, not just politeness)."""
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                return None
+            all_stats = man.get("stats") or {}
+
+            def _size(rel: str) -> int | None:
+                s = all_stats.get(rel)
+                if s and "bytes" in s:
+                    return s["bytes"]
+                p = os.path.join(
+                    self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/")
+                )
+                try:
+                    return os.path.getsize(p)
+                except OSError:
+                    return None
+
+            sized = {rel: _size(rel) for rel in man["files"]}
+            small = [
+                rel for rel, sz in sized.items() if sz is not None and sz < small_bytes
+            ]
+            if len(small) < 2:
+                return None
+            carried = [rel for rel in man["files"] if rel not in set(small)]
+            total = sum(sized[rel] for rel in small)
+            n_out = max(1, int(-(-total // target_bytes)))
+            compacted = (
+                self.spark.read.schema(
+                    StructType.fromJson(json.loads(man["schema"]))
+                )
+                .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in small])
+                .coalesce(n_out)
+            )
+            _, rels, st = self._write_data_files(compacted)
+            manifest = {
+                "version": v + 1,
+                "parent": v,
+                "op": "optimize",
+                "files": carried + rels,
+                "schema": man["schema"],
+                "stats": {
+                    **{rel: all_stats[rel] for rel in carried if rel in all_stats},
+                    **st,
+                },
+            }
+            if before_commit is not None:
+                before_commit()
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"optimize lost {max_retries} commit races at {self.path}"
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO manifest (orphans from

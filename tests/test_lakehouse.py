@@ -126,7 +126,11 @@ def test_lakehouse_vacuum_removes_only_orphans(spark, tmp_path):
     os.makedirs(orphan_dir)
     (orphan_dir / "part-000.parquet").write_bytes(b"bogus")
     removed = t.vacuum()
-    assert removed == ["txn-orphan/part-000.parquet"]
+    # the planted orphan goes; so do Spark's zero-row part files, which
+    # commits deliberately leave unreferenced (nothing else)
+    assert "txn-orphan/part-000.parquet" in removed
+    referenced = {rel for man in t.history() for rel in man["files"]}
+    assert not referenced & set(removed)
     # both snapshots still read (historical files kept for time travel)
     assert [r.k for r in t.read(version=1).collect()] == ["a"]
     assert [r.k for r in t.read(version=2).collect()] == ["A2"]
@@ -144,3 +148,129 @@ def test_lakehouse_append_only_commit(spark, tmp_path):
     f1 = t.snapshot(1)[1]["files"]
     f2 = t.snapshot(2)[1]["files"]
     assert set(f1) < set(f2)
+
+
+def test_lakehouse_footer_stats_recorded(spark, tmp_path):
+    """Every committed data file carries footer-derived {rows, bytes,
+    min, max} in the manifest — no data scan, read straight off the
+    parquet footer."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame(
+            [(5, "m", 1.5), (9, "z", -2.0), (7, "a", 0.0)],
+            "id long, k string, v double",
+        ),
+        "id",
+    )
+    man = t.snapshot()[1]
+    assert set(man["stats"]) == set(man["files"])
+    agg_rows = sum(s["rows"] for s in man["stats"].values())
+    assert agg_rows == 3
+    ids_min = min(s["min"]["id"] for s in man["stats"].values())
+    ids_max = max(s["max"]["id"] for s in man["stats"].values())
+    assert (ids_min, ids_max) == (5, 9)
+    ks = [s for s in man["stats"].values() if "k" in s["min"]]
+    assert min(s["min"]["k"] for s in ks) == "a"
+    assert all(s["bytes"] > 0 for s in man["stats"].values())
+
+
+def test_lakehouse_merge_skips_files_by_key_range(spark, tmp_path):
+    """Files whose footer key range cannot overlap the incoming keys
+    are carried WITHOUT BEING OPENED. Proof: delete the out-of-range
+    file from disk — a merge that needed to open it would die, the
+    stats-skipping merge succeeds."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    lo = spark.createDataFrame([(i, f"lo{i}") for i in range(5)], "id long, k string")
+    hi = spark.createDataFrame(
+        [(1000 + i, f"hi{i}") for i in range(5)], "id long, k string"
+    )
+    t.merge(lo, "id")
+    t.append(hi)
+    man = t.snapshot()[1]
+    hi_rels = [rel for rel in man["files"] if man["stats"][rel]["min"]["id"] >= 1000]
+    assert hi_rels
+    for rel in hi_rels:
+        os.remove(os.path.join(str(tmp_path / "tbl"), "data", *rel.split("/")))
+    # incoming range [2, 3] cannot overlap [1000, 1004]: hi never opened
+    up = spark.createDataFrame([(2, "LO2!"), (3, "LO3!")], "id long, k string")
+    v = t.merge(up, "id")
+    new_files = t.snapshot(v)[1]["files"]
+    assert set(hi_rels) <= set(new_files)  # carried by reference
+    # and the low-range rows really merged
+    live = [
+        f"{t.path}/data/{rel}" for rel in new_files if rel not in set(hi_rels)
+    ]
+    got = {(r.id, r.k) for r in spark.read.parquet(*live).collect()}
+    assert {(2, "LO2!"), (3, "LO3!"), (0, "lo0")} <= got
+    assert (2, "lo2") not in got
+
+
+def test_lakehouse_optimize_compacts_small_files(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):  # four commits => >= 4 small files
+        t.append(
+            spark.createDataFrame([(10 * i + j, f"r{i}") for j in range(3)],
+                                  "id long, k string")
+        )
+    before = t.snapshot()[1]["files"]
+    assert len(before) >= 4
+    rows_before = _rows(t.read())
+    v = t.optimize(small_bytes=1 << 20, target_bytes=1 << 30)
+    assert v == 5
+    man = t.snapshot()[1]
+    assert man["op"] == "optimize"
+    assert len(man["files"]) == 1  # everything fit one target bin
+    assert _rows(t.read()) == rows_before  # contents identical
+    assert _rows(t.read(version=4)) == rows_before  # time travel intact
+    assert set(man["stats"]) == set(man["files"])
+    # nothing left to do: second optimize is a no-op
+    assert t.optimize(small_bytes=1 << 20) is None
+    # compacted-away files are still referenced by history => not
+    # orphans; vacuum may only collect unreferenced zero-row parts
+    referenced = {rel for m in t.history() for rel in m["files"]}
+    assert not referenced & set(t.vacuum())
+    assert _rows(t.read(version=2)) != rows_before  # history still reads
+    assert _rows(t.read(version=5)) == rows_before
+
+
+def test_lakehouse_optimize_loses_race_to_merge(spark, tmp_path):
+    """A merge commits between optimize's file write and its commit:
+    optimize must recompute from the WINNER's snapshot, or it would
+    resurrect the pre-merge row it had already compacted."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, k string"))
+
+    fired = {"n": 0}
+
+    def sneak_in_merge():
+        if fired["n"] == 0:
+            t.merge(
+                spark.createDataFrame([(2, "B!")], "id long, k string"), "id"
+            )
+        fired["n"] += 1
+
+    v = t.optimize(small_bytes=1 << 20, before_commit=sneak_in_merge)
+    assert v == 4 and fired["n"] == 2  # merge took v3, optimize retried
+    got = {(r.id, r.k) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B!")}
+
+
+def test_lakehouse_schema_evolution_additive(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"), "id"
+    )
+    wide = spark.createDataFrame(
+        [(2, "B", 0.9), (3, "c", 0.1)], "id long, k string, score double"
+    )
+    # without evolution the widened frame is refused by the union
+    with pytest.raises(Exception):
+        t.merge(wide, "id")
+    v = t.merge(wide, "id", evolve_schema=True)
+    got = {(r.id, r.k, r.score) for r in t.read(v).collect()}
+    assert got == {(1, "a", None), (2, "B", 0.9), (3, "c", 0.1)}
+    # a type CHANGE is refused loudly, not coerced
+    bad = spark.createDataFrame([(4, 7, 1.0)], "id long, k long, score double")
+    with pytest.raises(ValueError, match="cannot change column 'k'"):
+        t.merge(bad, "id", evolve_schema=True)
