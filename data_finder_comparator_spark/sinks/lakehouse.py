@@ -171,6 +171,78 @@ class TransactionalTable:
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in range(1, self.current_version() + 1)]
 
+    def changes(
+        self, key_col: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots — the "process only
+        what changed since yesterday" read an incremental pipeline runs
+        instead of re-scanning the table. Returns the to-version rows
+        plus a ``_change_type`` column: ``insert`` (key absent at
+        from-version), ``update_post`` (key present, row changed) and
+        ``update_pre`` / ``delete`` rows carrying the from-version
+        image. Cost is bounded by the CHANGED files only: manifests are
+        diffed as file sets, and files carried by reference between the
+        two versions are never opened — at 100 TB a day of point
+        merges reads megabytes, not the table.
+
+        Both snapshots are read with the to-version schema (additive
+        evolution reads old files as nulls, same as ``read``). Changes
+        are LOGICAL: a row upserted to an identical value, or rows
+        moved between files by ``optimize``, cancel out and are not
+        reported."""
+        v_to = self.current_version() if to_version is None else to_version
+        if from_version > v_to:
+            raise ValueError(f"from_version {from_version} > to_version {v_to}")
+        _, man_from = self.snapshot(from_version)
+        _, man_to = self.snapshot(v_to)
+        schema = StructType.fromJson(json.loads(man_to["schema"]))
+        old_files = set(man_from["files"]) if from_version > 0 else set()
+        new_files = set(man_to["files"])
+        removed = sorted(old_files - new_files)
+        added = sorted(new_files - old_files)
+
+        def _load(rels: list[str]) -> DataFrame:
+            if not rels:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{_DATA}/{rel}" for rel in rels]
+            )
+
+        pre, post = _load(removed), _load(added)
+        # a rewritten file carries its unmatched rows forward verbatim:
+        # those appear in BOTH sides and are not changes — cancel them
+        # by full-row anti-join (null-safe on every column)
+        cond = [post[c].eqNullSafe(pre[c]) for c in schema.fieldNames()]
+        changed_post = post.join(pre, cond, "left_anti")
+        changed_pre = pre.join(post, cond, "left_anti")
+        old_keys = changed_pre.select(F.col(key_col).alias("_k")).distinct()
+        new_keys = changed_post.select(F.col(key_col).alias("_k")).distinct()
+        post_typed = (
+            changed_post.join(
+                old_keys, changed_post[key_col] == old_keys["_k"], "left"
+            )
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_k").isNull(), F.lit("insert")).otherwise(
+                    F.lit("update_post")
+                ),
+            )
+            .drop("_k")
+        )
+        pre_typed = (
+            changed_pre.join(
+                new_keys, changed_pre[key_col] == new_keys["_k"], "left"
+            )
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_k").isNull(), F.lit("delete")).otherwise(
+                    F.lit("update_pre")
+                ),
+            )
+            .drop("_k")
+        )
+        return post_typed.unionByName(pre_typed)
+
     # -- writes --------------------------------------------------------
 
     def _write_data_files(
@@ -406,6 +478,86 @@ class TransactionalTable:
             # conflict: the winner's rows must flow into the re-merge;
             # our orphaned txn files stay invisible until vacuum
         raise CommitConflict(f"merge lost {max_retries} commit races at {self.path}")
+
+    def delete(
+        self,
+        keys_df: DataFrame,
+        key_col: str,
+        max_retries: int = 20,
+        before_commit=None,
+    ) -> int:
+        """Transactional DELETE by key — the right-to-erasure walk a
+        data pipeline runs under GDPR/CCPA: only data files that
+        actually CONTAIN a matched key are rewritten (footer-stats
+        range skip, then the exact ``input_file_name`` scan, same as
+        merge); every other file carries into the new snapshot by
+        reference. When no file contains any matched key the table is
+        untouched and the CURRENT version is returned (no empty
+        commit). Note time travel still reads older snapshots — a full
+        erasure additionally requires retiring the old manifests and
+        running ``vacuum``, which is a retention-policy decision, not
+        a table operation."""
+        keys = keys_df.select(key_col).distinct()
+        try:
+            krow = keys.agg(F.min(key_col), F.max(key_col)).first()
+            kmin, kmax = krow[0], krow[1]
+        except Exception:
+            kmin = kmax = None
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                return 0
+            table_schema = StructType.fromJson(json.loads(man["schema"]))
+            all_stats = man.get("stats") or {}
+            candidates = [
+                rel
+                for rel in man["files"]
+                if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
+            ]
+            hit_paths: set[str] = set()
+            if candidates:
+                tagged = (
+                    self.spark.read.schema(table_schema)
+                    .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
+                    .withColumn("_file", F.input_file_name())
+                )
+                hit_paths = {
+                    r._file
+                    for r in tagged.join(F.broadcast(keys), key_col)
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                }
+            hit_rels = sorted(
+                rel
+                for rel in candidates
+                if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+            )
+            if not hit_rels:
+                return v  # nothing matched: no empty commit
+            carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
+            survivors = (
+                self.spark.read.schema(table_schema)
+                .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels])
+                .join(F.broadcast(keys), key_col, "left_anti")
+            )
+            _, rels, st = self._write_data_files(survivors)
+            manifest = {
+                "version": v + 1,
+                "parent": v,
+                "op": "delete",
+                "files": carried + rels,
+                "schema": man["schema"],
+                "stats": {
+                    **{rel: all_stats[rel] for rel in carried if rel in all_stats},
+                    **st,
+                },
+            }
+            if before_commit is not None:
+                before_commit()
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"delete lost {max_retries} commit races at {self.path}")
 
     @staticmethod
     def _evolved_schema(table_schema: StructType, df: DataFrame) -> str:
