@@ -446,6 +446,101 @@ def lsh_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    stride: int = 50,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — the embedding-space dedup a training-data
+    pipeline runs after exact/fuzzy text dedup: partition vectors into
+    coarse-quantizer cells, score pairwise cosine WITHIN each cell
+    only, and drop every vector that has a lower-id neighbor at >=
+    ``threshold`` (the published implementation's keep-rule: a point
+    survives iff its max similarity to lower-index points in its
+    cluster stays below the threshold — chains collapse to the lowest
+    id, deterministic, no iteration).
+
+    Plan shape at 100 TB: the quantizer is the same deterministic
+    stride sample (or trained ``centroids`` table) as ``ivf_topk`` with
+    n_assign=1, so assignment is a broadcast cross join + one window
+    and the cell id is a PARTITION of the corpus; the pair join is a
+    per-cell self-join whose fanout is bounded by cell population —
+    more centroids => smaller cells, the paper's own k-scaling knob —
+    and never a global cross product. Cosines are 6-dp rounded so the
+    drop decision is engine-exact.
+
+    Returns one row per vector: (vec_id, cell_id, is_kept, dup_of,
+    dup_sim) where dup_of is the most-similar lower-id cell-mate above
+    threshold (ties -> lowest id) and NULL for survivors."""
+    v = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    base = (
+        centroids.select("cent_id", "vec_cent")
+        if centroids is not None
+        else v.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("vec_cent")
+        )
+    )
+    cents = base.withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(), "cent_id")
+    assigned = (
+        v.repartition(_fanout_partitions(v), F.col("vec_id"))
+        .withColumn("_nself", dot("vec", "vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_csim",
+            F.round(
+                dot("vec", "vec_cent") / F.sqrt(F.col("_nself") * F.col("_ncent")), 6
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_id"), "vec", "_nself")
+    )
+    lo = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell_id",
+        F.col("vec").alias("vec_la"),
+        F.col("_nself").alias("_na"),
+    )
+    hi = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        "cell_id",
+        F.col("vec").alias("vec_hb"),
+        F.col("_nself").alias("_nb"),
+    )
+    pairs = (
+        lo.join(hi, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_la", "vec_hb") / F.sqrt(F.col("_na") * F.col("_nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    wd = Window.partitionBy("vec_b").orderBy(F.col("cos_sim").desc(), "vec_a")
+    dups = (
+        pairs.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("dup_of"),
+            F.col("cos_sim").alias("dup_sim"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(dups, "vec_id", "left")
+        .withColumn("is_kept", F.col("dup_of").isNull())
+        .select("vec_id", "cell_id", "is_kept", "dup_of", "dup_sim")
+    )
+
+
 def label_centroid_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
     """Embedding-space quality control: per-label centroids and each
     label's k most-outlying vectors by cosine-to-centroid — the

@@ -2578,3 +2578,85 @@ def test_maximal_spans_subsume_fixed_width(spark):
             assert text == " ".join(raw[d][s : s + l]), (d, s, l)
     # and no islands in docs with no hot grams
     assert all(d in hot_starts and hot_starts[d] for d in got), "phantom islands"
+
+
+def test_semantic_dedup_oracle_ready(spark):
+    """Round 9, pytest-gated (registry saturated): SemDeDup-style
+    embedding dedup — coarse-quantizer cells partition the corpus, a
+    vector is dropped iff a lower-id cell-mate matches at >= threshold
+    (the published implementation's keep-rule) — vs a full DuckDB
+    restatement of cells, in-cell pairs, and the greedy drop."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.similarity import semantic_dedup
+    from data_finder_comparator_spark.plans.queries_similarity import (
+        _CENT_COS,
+        _DUCK_COS,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = semantic_dedup(emb, threshold=0.3, stride=50)
+    sql = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+cell AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b, {_DUCK_COS} AS cos_sim
+    FROM cell ca JOIN cell cb ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+    JOIN embeddings p ON p.vec_id = ca.vec_id
+    JOIN embeddings c ON c.vec_id = cb.vec_id
+  ) WHERE cos_sim >= 0.3
+),
+dups AS (
+  SELECT vec_b AS vec_id, vec_a AS dup_of, cos_sim AS dup_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_b
+                                 ORDER BY cos_sim DESC, vec_a) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT c.vec_id, c.cell_id, d.vec_id IS NULL AS is_kept, d.dup_of, d.dup_sim
+FROM cell c LEFT JOIN dups d USING (vec_id)
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+    rows = got.collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    dropped = [r for r in rows if not r.is_kept]
+    kept = {r.vec_id for r in rows if r.is_kept}
+    assert dropped, "threshold produced no drops — test corpus regressed"
+    # the keep-rule's invariants: dup_of is always a lower id in the
+    # SAME cell, and every cell's lowest id always survives
+    cell_of = {r.vec_id: r.cell_id for r in rows}
+    assert all(r.dup_of < r.vec_id for r in dropped)
+    assert all(cell_of[r.dup_of] == r.cell_id for r in dropped)
+    lowest_per_cell = {}
+    for r in rows:
+        lowest_per_cell[r.cell_id] = min(
+            lowest_per_cell.get(r.cell_id, r.vec_id), r.vec_id
+        )
+    assert set(lowest_per_cell.values()) <= kept
+
+
+def test_semantic_dedup_no_global_cross_join(spark):
+    """Plan shape: the only cross join is the broadcast CENTROID
+    assignment (tiny side); the pair join is a cell-keyed equi-join —
+    never an all-pairs product over the corpus."""
+    from data_finder_comparator_spark.operators.similarity import semantic_dedup
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    plan = (
+        semantic_dedup(emb, threshold=0.3, stride=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
