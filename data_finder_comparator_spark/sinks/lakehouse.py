@@ -327,14 +327,52 @@ class TransactionalTable:
             "max": maxs,
         }
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def _txn_already_applied(
+        self, txn_app: str | None, txn_version: int | None, upto: int
+    ) -> int | None:
+        """Highest table version whose manifest carries a commit marker
+        for ``txn_app`` at ``>= txn_version`` — the Delta-style
+        idempotence check that makes at-least-once foreachBatch replays
+        exactly-once: a replayed micro-batch finds its own (or a later)
+        marker and skips. None when the writer must proceed."""
+        if txn_app is None or txn_version is None:
+            return None
+        for v in range(upto, 0, -1):
+            txn = self._read_manifest(v).get("txn")
+            if txn and txn.get("app") == txn_app:
+                # the newest marker for this app decides: monotone
+                # batch ids mean version >= ours == already applied
+                return v if txn.get("version", -1) >= txn_version else None
+        return None
+
+    @staticmethod
+    def _txn_field(txn_app: str | None, txn_version: int | None) -> dict:
+        if txn_app is None or txn_version is None:
+            return {}
+        return {"txn": {"app": txn_app, "version": txn_version}}
+
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """Transactional append: new data files + one commit. Safe
         under concurrency (conflicts only re-claim the next version —
-        the file list from OTHER writers is re-read, never clobbered)."""
-        _, rels, st = self._write_data_files(df)
+        the file list from OTHER writers is re-read, never clobbered).
+        ``txn_app``/``txn_version`` make the commit idempotent: a
+        replay of an already-committed (app, version) is a no-op."""
+        rels: list[str] | None = None
+        st: dict = {}
         schema = df.schema.json()
         for _ in range(max_retries):
             v, man = self.snapshot()
+            done = self._txn_already_applied(txn_app, txn_version, v)
+            if done is not None:
+                return done
+            if rels is None:  # write data files once, after the check
+                _, rels, st = self._write_data_files(df)
             manifest = {
                 "version": v + 1,
                 "parent": v,
@@ -342,6 +380,7 @@ class TransactionalTable:
                 "files": man["files"] + rels,
                 "schema": man["schema"] or schema,
                 "stats": {**(man.get("stats") or {}), **st},
+                **self._txn_field(txn_app, txn_version),
             }
             if self._try_commit(v + 1, manifest):
                 return v + 1
@@ -377,6 +416,8 @@ class TransactionalTable:
         max_retries: int = 20,
         before_commit=None,
         evolve_schema: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """MERGE (upsert): every incoming row is written; existing rows
         whose ``key_col`` matches any incoming key are removed. Only
@@ -402,6 +443,9 @@ class TransactionalTable:
             kmin = kmax = None
         for _ in range(max_retries):
             v, man = self.snapshot()
+            done = self._txn_already_applied(txn_app, txn_version, v)
+            if done is not None:
+                return done
             if v == 0:
                 _, rels, st = self._write_data_files(df)
                 manifest = {
@@ -411,6 +455,7 @@ class TransactionalTable:
                     "files": rels,
                     "schema": schema,
                     "stats": st,
+                    **self._txn_field(txn_app, txn_version),
                 }
                 if before_commit is not None:
                     before_commit()
@@ -470,6 +515,7 @@ class TransactionalTable:
                     **{rel: all_stats[rel] for rel in carried if rel in all_stats},
                     **st,
                 },
+                **self._txn_field(txn_app, txn_version),
             }
             if before_commit is not None:
                 before_commit()

@@ -889,3 +889,49 @@ def purchase_click_attribution_outer(
         finally:
             q.stop()
     return spark.read.schema(OUTER_JOIN_SCHEMA).parquet(out_path)
+
+
+def stream_merge_into_table(
+    stream_df: DataFrame,
+    table_path: str,
+    key_col: str,
+    txn_app: str,
+    checkpoint: str,
+):
+    """Exactly-once streaming upsert into the transactional lakehouse
+    table (round 9). foreachBatch delivery is AT-LEAST-ONCE: after a
+    crash between the sink's side effect and the checkpoint commit,
+    Structured Streaming replays the whole micro-batch with the SAME
+    epoch_id. Each epoch therefore merges with a (txn_app, epoch_id)
+    commit marker, and ``TransactionalTable``'s Delta-style txn check
+    turns the replay into a no-op — at-least-once delivery composed
+    with an idempotent commit is exactly-once table state, with no
+    two-phase coordination between the checkpoint and the table.
+
+    Runs the stream to completion with availableNow semantics and
+    returns the ``TransactionalTable``; the per-epoch merge work is
+    bounded by the table's footer-stats file skipping, so a day of
+    micro-batches costs reads proportional to the keys it touched,
+    not the table."""
+    from ..sinks.lakehouse import TransactionalTable
+
+    spark = stream_df.sparkSession
+    table = TransactionalTable(spark, table_path)
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        table.merge(
+            batch_df, key_col, txn_app=txn_app, txn_version=int(epoch_id)
+        )
+
+    with _stream_confs(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(commit_epoch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return table

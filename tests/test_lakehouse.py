@@ -361,3 +361,67 @@ def test_lakehouse_changes_skips_carried_files(spark, tmp_path):
         os.remove(os.path.join(str(tmp_path / "tbl"), "data", *rel.split("/")))
     got = {(r.id, r.k, r._change_type) for r in t.changes("id", 2, 3).collect()}
     assert got == {(2, "LO2!", "update_post"), (2, "lo2", "update_pre")}
+
+
+def test_lakehouse_idempotent_txn_commits(spark, tmp_path):
+    """Delta-style (app, version) commit markers: replaying an
+    already-committed transaction is a no-op, a NEWER version for the
+    same app proceeds, and other apps are unaffected."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    df0 = spark.createDataFrame([(1, "a")], "id long, k string")
+    df1 = spark.createDataFrame([(1, "A!"), (2, "b")], "id long, k string")
+    v = t.merge(df0, "id", txn_app="job", txn_version=0)
+    assert v == 1
+    # exact replay of batch 0: no new commit, same version returned
+    assert t.merge(df0, "id", txn_app="job", txn_version=0) == 1
+    assert t.current_version() == 1
+    # next batch proceeds; replaying batch 0 AFTER batch 1 is still a
+    # no-op (the newest marker for the app decides)
+    assert t.merge(df1, "id", txn_app="job", txn_version=1) == 2
+    assert t.merge(df0, "id", txn_app="job", txn_version=0) == 2
+    assert t.current_version() == 2
+    assert {(r.id, r.k) for r in t.read().collect()} == {(1, "A!"), (2, "b")}
+    # a different app's version counter is independent
+    assert t.append(
+        spark.createDataFrame([(9, "z")], "id long, k string"),
+        txn_app="other", txn_version=0,
+    ) == 3
+
+
+def test_lakehouse_stream_merge_exactly_once(spark, tmp_path):
+    """End-to-end: a 2-file stream (maxFilesPerTrigger=1) upserts into
+    the table via foreachBatch; simulating the restart-replay of every
+    epoch leaves the table byte-identical."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], "id long, k string"
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "v2"), (3, "v2")], "id long, k string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    t = stream_merge_into_table(
+        stream, str(tmp_path / "tbl"), "id", "evt-job", str(tmp_path / "ckpt")
+    )
+    v_final = t.current_version()
+    assert v_final == 2  # one commit per micro-batch
+    state = {(r.id, r.k) for r in t.read().collect()}
+    assert state == {(1, "v1"), (2, "v2"), (3, "v2")}
+    # crash-replay simulation: re-deliver BOTH epochs (at-least-once)
+    for epoch, rows in ((0, [(1, "v1"), (2, "v1")]), (1, [(2, "v2"), (3, "v2")])):
+        t.merge(
+            spark.createDataFrame(rows, "id long, k string"),
+            "id", txn_app="evt-job", txn_version=epoch,
+        )
+    assert t.current_version() == v_final  # no new commits
+    assert {(r.id, r.k) for r in t.read().collect()} == state
