@@ -625,12 +625,65 @@ class TransactionalTable:
 
     # -- maintenance ---------------------------------------------------
 
+    @staticmethod
+    def _zorder_layout(
+        df: DataFrame, zorder_by: tuple[str, str], n_out: int
+    ) -> DataFrame:
+        """Cluster ``df`` into ``n_out`` files by the Morton interleave
+        of two columns (Delta/Iceberg OPTIMIZE ZORDER BY): grid both
+        onto a 256-cell lattice between their observed bounds,
+        range-partition + sort by the z-key, and the resulting files
+        carry TIGHT footer min/max on BOTH columns — so merge/read
+        stats skipping prunes on either, where a lexicographic sort
+        only prunes the leading column."""
+        from ..partitioning import zorder_key
+
+        ca, cb = zorder_by
+        bits = 8
+        grid = F.lit((1 << bits) - 1)
+        bounds = df.agg(
+            F.min(ca).alias("_a_mn"),
+            F.max(ca).alias("_a_mx"),
+            F.min(cb).alias("_b_mn"),
+            F.max(cb).alias("_b_mx"),
+        )
+
+        def scaled(c: str, mn: str, mx: str):
+            span = F.col(mx) - F.col(mn)
+            return (
+                F.when(span == 0, F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.floor(((F.col(c) - F.col(mn)) / span) * (1 << bits)),
+                        grid,
+                    )
+                )
+                .cast("long")
+            )
+
+        cols = df.columns
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_z",
+                zorder_key(
+                    scaled(ca, "_a_mn", "_a_mx"),
+                    scaled(cb, "_b_mn", "_b_mx"),
+                    bits=bits,
+                ),
+            )
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .select(*cols)
+        )
+
     def optimize(
         self,
         small_bytes: int = 8 << 20,
         target_bytes: int = 128 << 20,
         max_retries: int = 20,
         before_commit=None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int | None:
         """Compact small data files (< ``small_bytes``) into
         ~``target_bytes`` files, committed as a normal snapshot
@@ -672,13 +725,13 @@ class TransactionalTable:
             carried = [rel for rel in man["files"] if rel not in set(small)]
             total = sum(sized[rel] for rel in small)
             n_out = max(1, int(-(-total // target_bytes)))
-            compacted = (
-                self.spark.read.schema(
-                    StructType.fromJson(json.loads(man["schema"]))
-                )
-                .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in small])
-                .coalesce(n_out)
-            )
+            compacted = self.spark.read.schema(
+                StructType.fromJson(json.loads(man["schema"]))
+            ).parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in small])
+            if zorder_by is not None:
+                compacted = self._zorder_layout(compacted, zorder_by, n_out)
+            else:
+                compacted = compacted.coalesce(n_out)
             _, rels, st = self._write_data_files(compacted)
             manifest = {
                 "version": v + 1,

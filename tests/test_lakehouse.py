@@ -425,3 +425,38 @@ def test_lakehouse_stream_merge_exactly_once(spark, tmp_path):
         )
     assert t.current_version() == v_final  # no new commits
     assert {(r.id, r.k) for r in t.read().collect()} == state
+
+
+def test_lakehouse_optimize_zorder_tightens_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after z-ordered compaction every output
+    file's footer bounding box covers a small patch of the (x, y)
+    plane, so stats skipping prunes on EITHER column — where the
+    incoming layout (and a lexicographic sort) leaves one dimension
+    spanning everything."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    # four appends, each a stripe of x but ALL of y: per-file y-span
+    # starts out maximal
+    for s in range(4):
+        t.append(
+            spark.createDataFrame(
+                [p for p in pts if p[0] % 4 == s], "x long, y long"
+            )
+        )
+    rows_before = _rows(t.read())
+    v = t.optimize(
+        small_bytes=1 << 20, target_bytes=2048, zorder_by=("x", "y")
+    )
+    assert v == 5
+    man = t.snapshot()[1]
+    assert len(man["files"]) >= 3  # actually bin-packed into several
+    assert _rows(t.read()) == rows_before  # layout change only
+    # every file's bounding box, from the committed footer stats
+    area = 0.0
+    for s in man["stats"].values():
+        sx = s["max"]["x"] - s["min"]["x"] + 1
+        sy = s["max"]["y"] - s["min"]["y"] + 1
+        area += sx * sy
+    # un-clustered files each cover ~the whole 32x32 plane; z-ordered
+    # patches must cover well under half of files x full-plane
+    assert area <= 0.5 * len(man["files"]) * 32 * 32, area
