@@ -652,3 +652,75 @@ def cluster_canonical(
         (-pick["_nid"]).cast("long").alias("canonical_id"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+def incremental_lsh_pairs(
+    index,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 12,
+    rows_per_band: int = 3,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Incremental near-dup discovery against a PERSISTENT band index
+    (round 9): ``index`` is a ``sinks.lakehouse.TransactionalTable`` of
+    (doc_id, band, sig). Each ingest batch shingles + minhashes only
+    its NEW documents, equi-joins their bands against the index for
+    old x new candidates, self-joins for new x new, then appends the
+    new bands transactionally. Returns the distinct (doc_a < doc_b)
+    candidate pairs involving at least one new document.
+
+    Equivalence (property-tested): processing a corpus in ANY ordered
+    increments reports, in union, exactly the one-shot
+    ``lsh_candidate_pairs`` pair set — identical band arithmetic, the
+    index join covers cross pairs, the self-join covers new-internal
+    pairs, and old-internal pairs were reported when THEY were new.
+
+    Replay safety: the append carries (txn_app, txn_version), so a
+    replayed batch skips the index write — index state is idempotent.
+    The returned pairs are idempotent UNDER UNION: a replay reports a
+    superset of the original batch's pairs (the original set, plus
+    cross pairs against docs ingested after it — already reported by
+    those later batches) and never a pair outside the one-shot set, so
+    any consumer that accumulates pairs by union is unaffected.
+
+    This is the 100-TB daily-ingest shape: per-batch cost is
+    shingle/minhash over the new docs plus one equi-join against the
+    index — never a recompute over the accumulated corpus."""
+    docs = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    nb = minhash_lsh_bands(
+        char_shingles(docs, "doc_id", "text", k=k, distinct=False),
+        n_hashes,
+        rows_per_band,
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(nb)
+    pairs = lsh_candidate_pairs(nb, cache_registry=cache_registry)
+    try:
+        old = index.read()  # pins the pre-append snapshot's file list
+    except FileNotFoundError:
+        old = None
+    if old is not None:
+        cross = (
+            old.select(F.col("doc_id").alias("_ia"), "band", "sig")
+            .join(nb.select(F.col("doc_id").alias("_ib"), "band", "sig"), ["band", "sig"])
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("doc_a"),
+                F.greatest("_ia", "_ib").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs = pairs.unionByName(cross).distinct()
+    index.append(
+        nb.select("doc_id", "band", "sig"),
+        txn_app=txn_app,
+        txn_version=txn_version,
+    )
+    return pairs

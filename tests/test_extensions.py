@@ -2660,3 +2660,75 @@ def test_semantic_dedup_no_global_cross_join(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_lsh_pairs_equals_one_shot(spark, tmp_path):
+    """Round 9, pytest-gated: incremental near-dup over a persistent
+    band index. Processing the corpus in three ingest batches reports,
+    in union, EXACTLY the one-shot lsh_candidate_pairs set; replaying
+    a batch returns the same pairs and leaves the index version
+    unchanged (idempotent output AND state)."""
+    from data_finder_comparator_spark.operators.dedup import (
+        char_shingles,
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_lsh_bands,
+    )
+    from data_finder_comparator_spark.sinks.lakehouse import TransactionalTable
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    caches: list = []
+    try:
+        one_shot = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(
+                minhash_lsh_bands(
+                    char_shingles(docs, "doc_id", "text", k=5, distinct=False), 12, 3
+                ),
+                cache_registry=caches,
+            ).collect()
+        }
+        index = TransactionalTable(spark, str(tmp_path / "band_index"))
+        reported: set = set()
+        per_batch: list[set] = []
+        for i in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == i)
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in incremental_lsh_pairs(
+                    index,
+                    batch,
+                    txn_app="ingest",
+                    txn_version=i,
+                    cache_registry=caches,
+                ).collect()
+            }
+            per_batch.append(got)
+            reported |= got
+        assert reported == one_shot
+        # batches overlap only through shared endpoints, never pairs:
+        # each pair is reported exactly once (by the batch of its
+        # later-ingested endpoint)
+        assert sum(len(s) for s in per_batch) == len(one_shot)
+        # crash-replay of batch 1: index state unchanged; output is
+        # idempotent UNDER UNION — the original batch's pairs plus
+        # already-reported cross pairs against later-ingested docs,
+        # never a pair outside the one-shot set
+        v = index.current_version()
+        replay = {
+            (r.doc_a, r.doc_b)
+            for r in incremental_lsh_pairs(
+                index,
+                docs.filter(F.col("doc_id") % 3 == 1),
+                txn_app="ingest",
+                txn_version=1,
+                cache_registry=caches,
+            ).collect()
+        }
+        assert per_batch[1] <= replay <= one_shot
+        assert index.current_version() == v
+        assert reported | replay == one_shot
+    finally:
+        for frame in caches:
+            frame.unpersist()
