@@ -698,9 +698,9 @@ def incremental_lsh_pairs(
         char_shingles(docs, "doc_id", "text", k=k, distinct=False),
         n_hashes,
         rows_per_band,
-    ).persist()
-    if cache_registry is not None:
-        cache_registry.append(nb)
+    )
+    # lsh_candidate_pairs persists nb (and registers it) — that one
+    # persist also covers the cross join and the index append below
     pairs = lsh_candidate_pairs(nb, cache_registry=cache_registry)
     try:
         old = index.read()  # pins the pre-append snapshot's file list

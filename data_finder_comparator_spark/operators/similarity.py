@@ -97,6 +97,31 @@ def centroid_vectors(flat: DataFrame) -> DataFrame:
     )
 
 
+def nearest_centroid_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, vec: str, n: int
+) -> DataFrame:
+    """Each row's ``n`` nearest centroids by (6-dp rounded cosine desc,
+    cent_id) — THE coarse-quantizer assignment, shared by ``ivf_topk``
+    and ``semantic_dedup`` so their rounding and tie-break arithmetic
+    can never diverge. ``cents`` must carry (cent_id, vec_cent, _ncent);
+    returns (id_col, cent_id, <vec>, _nself). Self-norm is computed once
+    per row BEFORE the broadcast centroid cross join (not once per
+    row x centroid — same fix as cosine_topk)."""
+    sim = F.round(
+        dot(vec, "vec_cent") / F.sqrt(F.col("_nself") * F.col("_ncent")), 6
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "cent_id")
+    return (
+        df.repartition(_fanout_partitions(df), F.col(id_col))
+        .withColumn("_nself", dot(vec, vec))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_csim", sim)
+        .withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n)
+        .select(id_col, "cent_id", vec, "_nself")
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     cands: DataFrame,
@@ -142,26 +167,12 @@ def ivf_topk(
         )
     )
     cents = base.withColumn("_ncent", dot("vec_cent", "vec_cent"))
-
-    def nearest_cells(df: DataFrame, id_col: str, vec: str, n: int) -> DataFrame:
-        # self-norm once per row BEFORE the centroid cross join (not
-        # once per row x centroid — same fix as cosine_topk)
-        sim = F.round(
-            dot(vec, "vec_cent") / F.sqrt(F.col("_nself") * F.col("_ncent")), 6
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "cent_id")
-        return (
-            df.repartition(_fanout_partitions(df), F.col(id_col))
-            .withColumn("_nself", dot(vec, vec))
-            .crossJoin(F.broadcast(cents))
-            .withColumn("_csim", sim)
-            .withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") <= n)
-            .select(id_col, "cent_id")
-        )
-
-    cell = nearest_cells(cands, "cand_id", "vec_c", n_assign)
-    probe_cells = nearest_cells(probes, "probe_id", "vec_p", nprobe)
+    cell = nearest_centroid_cells(cands, cents, "cand_id", "vec_c", n_assign).select(
+        "cand_id", "cent_id"
+    )
+    probe_cells = nearest_centroid_cells(
+        probes, cents, "probe_id", "vec_p", nprobe
+    ).select("probe_id", "cent_id")
     pair_ids = (
         probe_cells.join(cell, "cent_id")
         .filter(F.col("probe_id") != F.col("cand_id"))
@@ -453,6 +464,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540) — the embedding-space dedup a training-data
@@ -475,7 +487,15 @@ def semantic_dedup(
 
     Returns one row per vector: (vec_id, cell_id, is_kept, dup_of,
     dup_sim) where dup_of is the most-similar lower-id cell-mate above
-    threshold (ties -> lowest id) and NULL for survivors."""
+    threshold (ties -> lowest id) and NULL for survivors.
+
+    ``cache_registry``: ``assigned`` feeds both pair-join sides and the
+    final verdict join; it is persisted and registered there (same
+    contract as ``lsh_candidate_pairs``) so the centroid assignment
+    runs once, not three times. Raises ``ValueError`` when the default
+    modulus sample yields NO centroid (an id space with no multiple of
+    ``stride`` — pass ``centroids=`` or change ``stride``) instead of
+    silently returning zero verdicts."""
     v = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
     )
@@ -487,21 +507,18 @@ def semantic_dedup(
         )
     )
     cents = base.withColumn("_ncent", dot("vec_cent", "vec_cent"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(), "cent_id")
-    assigned = (
-        v.repartition(_fanout_partitions(v), F.col("vec_id"))
-        .withColumn("_nself", dot("vec", "vec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_csim",
-            F.round(
-                dot("vec", "vec_cent") / F.sqrt(F.col("_nself") * F.col("_ncent")), 6
-            ),
+    if base.limit(1).count() == 0:
+        raise ValueError(
+            f"semantic_dedup: no centroids — no {id_col} is divisible by "
+            f"stride={stride}; pass centroids= or a different stride"
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell_id"), "vec", "_nself")
+    assigned = (
+        nearest_centroid_cells(v, cents, "vec_id", "vec", 1)
+        .withColumnRenamed("cent_id", "cell_id")
+        .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(assigned)
     lo = assigned.select(
         F.col("vec_id").alias("vec_a"),
         "cell_id",

@@ -180,16 +180,21 @@ class TransactionalTable:
         plus a ``_change_type`` column: ``insert`` (key absent at
         from-version), ``update_post`` (key present, row changed) and
         ``update_pre`` / ``delete`` rows carrying the from-version
-        image. Cost is bounded by the CHANGED files only: manifests are
-        diffed as file sets, and files carried by reference between the
-        two versions are never opened — at 100 TB a day of point
+        image. Cost is bounded by the CHANGED files plus any carried
+        file whose footer key range overlaps the changed keys (the
+        existence check that classifies insert-vs-update and
+        delete-vs-update must consult the snapshots, not just the
+        changed files — an ``append`` can add a row for a key that
+        lives untouched in a carried file) — at 100 TB a day of point
         merges reads megabytes, not the table.
 
         Both snapshots are read with the to-version schema (additive
         evolution reads old files as nulls, same as ``read``). Changes
         are LOGICAL: a row upserted to an identical value, or rows
         moved between files by ``optimize``, cancel out and are not
-        reported."""
+        reported. An ``append`` that duplicates an existing key reports
+        ``update_post`` with no ``update_pre`` — the old row remains
+        live in its carried file, so nothing was replaced."""
         v_to = self.current_version() if to_version is None else to_version
         if from_version > v_to:
             raise ValueError(f"from_version {from_version} > to_version {v_to}")
@@ -215,8 +220,34 @@ class TransactionalTable:
         cond = [post[c].eqNullSafe(pre[c]) for c in schema.fieldNames()]
         changed_post = post.join(pre, cond, "left_anti")
         changed_pre = pre.join(post, cond, "left_anti")
-        old_keys = changed_pre.select(F.col(key_col).alias("_k")).distinct()
-        new_keys = changed_post.select(F.col(key_col).alias("_k")).distinct()
+        # existence sets for classification, bounded by footer stats:
+        # only files whose key range can overlap the changed keys are
+        # consulted (changed files are always among them)
+        changed_keys = (
+            changed_pre.select(key_col)
+            .unionByName(changed_post.select(key_col))
+            .distinct()
+        )
+        kmin, kmax = self._key_range(changed_keys, key_col)
+
+        def _keys_at(man: dict) -> DataFrame:
+            stats = man.get("stats") or {}
+            rels = [
+                rel
+                for rel in man["files"]
+                if self._may_contain(stats.get(rel), key_col, kmin, kmax)
+            ]
+            return _load(rels).select(F.col(key_col).alias("_k")).distinct()
+
+        if from_version > 0:
+            old_keys = _keys_at(man_from)
+        else:
+            from pyspark.sql.types import StructField
+
+            old_keys = self.spark.createDataFrame(
+                [], StructType([StructField("_k", schema[key_col].dataType)])
+            )
+        new_keys = _keys_at(man_to)
         post_typed = (
             changed_post.join(
                 old_keys, changed_post[key_col] == old_keys["_k"], "left"
@@ -330,26 +361,67 @@ class TransactionalTable:
     def _txn_already_applied(
         self, txn_app: str | None, txn_version: int | None, upto: int
     ) -> int | None:
-        """Highest table version whose manifest carries a commit marker
-        for ``txn_app`` at ``>= txn_version`` — the Delta-style
-        idempotence check that makes at-least-once foreachBatch replays
-        exactly-once: a replayed micro-batch finds its own (or a later)
-        marker and skips. None when the writer must proceed."""
-        if txn_app is None or txn_version is None:
+        """Is a commit marker for ``txn_app`` at ``>= txn_version``
+        already in the table? — the Delta-style idempotence check that
+        makes at-least-once foreachBatch replays exactly-once: a
+        replayed micro-batch finds its own (or a later) marker and
+        skips. Returns the current version when applied, None when the
+        writer must proceed.
+
+        O(1) on current-format tables: every manifest carries the
+        ACCUMULATED per-app marker map (``txns``), so only the newest
+        manifest is read — commit cost stays flat over a day of
+        micro-batches. Tables whose newest manifest predates the map
+        (or was written by an external tool) fall back to the linear
+        marker scan."""
+        if txn_app is None or txn_version is None or upto == 0:
             return None
-        for v in range(upto, 0, -1):
+        newest = self._read_manifest(upto)
+        txns = newest.get("txns")
+        if txns is not None:
+            got = txns.get(txn_app)
+            return upto if got is not None and got >= txn_version else None
+        for v in range(upto, 0, -1):  # legacy manifests: scan markers
             txn = self._read_manifest(v).get("txn")
             if txn and txn.get("app") == txn_app:
                 # the newest marker for this app decides: monotone
                 # batch ids mean version >= ours == already applied
-                return v if txn.get("version", -1) >= txn_version else None
+                return upto if txn.get("version", -1) >= txn_version else None
         return None
 
-    @staticmethod
-    def _txn_field(txn_app: str | None, txn_version: int | None) -> dict:
-        if txn_app is None or txn_version is None:
-            return {}
-        return {"txn": {"app": txn_app, "version": txn_version}}
+    def _next_manifest(
+        self,
+        v: int,
+        man: dict,
+        op: str,
+        files: list[str],
+        schema: str,
+        stats: dict,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> dict:
+        """Manifest for version ``v + 1`` on parent ``man`` — the ONE
+        place commit metadata is assembled, so the accumulated per-app
+        ``txns`` marker map propagates through every op (a delete or
+        optimize between two micro-batches must not lose the stream's
+        markers)."""
+        txns = dict(man.get("txns") or {})
+        out = {
+            "version": v + 1,
+            "parent": v,
+            "op": op,
+            "files": files,
+            "schema": schema,
+            "stats": stats,
+        }
+        if txn_app is not None and txn_version is not None:
+            txns[txn_app] = txn_version
+            out["txn"] = {"app": txn_app, "version": txn_version}
+        # written even when empty: its PRESENCE marks a current-format
+        # manifest, keeping the idempotence check O(1) instead of
+        # falling back to the legacy full-history scan
+        out["txns"] = txns
+        return out
 
     def append(
         self,
@@ -373,15 +445,16 @@ class TransactionalTable:
                 return done
             if rels is None:  # write data files once, after the check
                 _, rels, st = self._write_data_files(df)
-            manifest = {
-                "version": v + 1,
-                "parent": v,
-                "op": "append",
-                "files": man["files"] + rels,
-                "schema": man["schema"] or schema,
-                "stats": {**(man.get("stats") or {}), **st},
-                **self._txn_field(txn_app, txn_version),
-            }
+            manifest = self._next_manifest(
+                v,
+                man,
+                "append",
+                man["files"] + rels,
+                man["schema"] or schema,
+                {**(man.get("stats") or {}), **st},
+                txn_app,
+                txn_version,
+            )
             if self._try_commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"append lost {max_retries} commit races at {self.path}")
@@ -409,6 +482,56 @@ class TransactionalTable:
             return True
         return not (mx < kmin or mn > kmax)
 
+    @staticmethod
+    def _key_range(keys: DataFrame, key_col: str):
+        """(min, max) of the key frame — one tiny agg; (None, None)
+        when all keys are NULL or the type is not aggregatable."""
+        try:
+            krow = keys.agg(F.min(key_col), F.max(key_col)).first()
+            return krow[0], krow[1]
+        except Exception:
+            return None, None
+
+    def _hit_files(
+        self,
+        man: dict,
+        table_schema: StructType,
+        keys: DataFrame,
+        key_col: str,
+        kmin,
+        kmax,
+    ) -> list[str]:
+        """Data files of snapshot ``man`` that CONTAIN a matched key:
+        footer-stats range skip first (files that cannot overlap
+        [kmin, kmax] are never opened), then the exact
+        ``input_file_name`` scan over the survivors. Shared by merge
+        and delete so hit detection can never diverge between them."""
+        all_stats = man.get("stats") or {}
+        candidates = [
+            rel
+            for rel in man["files"]
+            if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
+        ]
+        if not candidates:
+            return []
+        tagged = (
+            self.spark.read.schema(table_schema)
+            .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
+            .withColumn("_file", F.input_file_name())
+        )
+        hit_paths = {
+            r._file
+            for r in tagged.join(F.broadcast(keys), key_col)
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+        return sorted(
+            rel
+            for rel in candidates
+            if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+        )
+
     def merge(
         self,
         df: DataFrame,
@@ -434,13 +557,8 @@ class TransactionalTable:
         ``test_lakehouse_concurrent_merges_no_lost_rows``)."""
         keys = df.select(key_col).distinct()
         schema = df.schema.json()
-        # one tiny agg: the incoming key range drives footer-stats file
-        # skipping (kmin None == all incoming keys are NULL)
-        try:
-            krow = keys.agg(F.min(key_col), F.max(key_col)).first()
-            kmin, kmax = krow[0], krow[1]
-        except Exception:
-            kmin = kmax = None
+        krange: tuple | None = None  # computed lazily: a replayed or
+        # bootstrap merge never needs the incoming key range
         for _ in range(max_retries):
             v, man = self.snapshot()
             done = self._txn_already_applied(txn_app, txn_version, v)
@@ -448,15 +566,9 @@ class TransactionalTable:
                 return done
             if v == 0:
                 _, rels, st = self._write_data_files(df)
-                manifest = {
-                    "version": 1,
-                    "parent": 0,
-                    "op": "merge",
-                    "files": rels,
-                    "schema": schema,
-                    "stats": st,
-                    **self._txn_field(txn_app, txn_version),
-                }
+                manifest = self._next_manifest(
+                    0, man, "merge", rels, schema, st, txn_app, txn_version
+                )
                 if before_commit is not None:
                     before_commit()
                 if self._try_commit(1, manifest):
@@ -467,33 +579,10 @@ class TransactionalTable:
             if evolve_schema:
                 out_schema_json = self._evolved_schema(table_schema, df)
             all_stats = man.get("stats") or {}
-            # footer-stats skip: files whose key range cannot overlap
-            # the incoming range are carried without being OPENED
-            candidates = [
-                rel
-                for rel in man["files"]
-                if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
-            ]
-            # which candidate files hold a matched key? (exact pruning:
-            # broadcast the incoming keys, collect only file names)
-            hit_paths: set[str] = set()
-            if candidates:
-                tagged = (
-                    self.spark.read.schema(table_schema)
-                    .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
-                    .withColumn("_file", F.input_file_name())
-                )
-                hit_paths = {
-                    r._file
-                    for r in tagged.join(F.broadcast(keys), key_col)
-                    .select("_file")
-                    .distinct()
-                    .collect()
-                }
-            hit_rels = sorted(
-                rel
-                for rel in candidates
-                if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+            if krange is None:
+                krange = self._key_range(keys, key_col)
+            hit_rels = self._hit_files(
+                man, table_schema, keys, key_col, krange[0], krange[1]
             )
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
             if hit_rels:
@@ -505,18 +594,19 @@ class TransactionalTable:
             else:
                 merged = df
             _, rels, st = self._write_data_files(merged)
-            manifest = {
-                "version": v + 1,
-                "parent": v,
-                "op": "merge",
-                "files": carried + rels,
-                "schema": out_schema_json,
-                "stats": {
+            manifest = self._next_manifest(
+                v,
+                man,
+                "merge",
+                carried + rels,
+                out_schema_json,
+                {
                     **{rel: all_stats[rel] for rel in carried if rel in all_stats},
                     **st,
                 },
-                **self._txn_field(txn_app, txn_version),
-            }
+                txn_app,
+                txn_version,
+            )
             if before_commit is not None:
                 before_commit()
             if self._try_commit(v + 1, manifest):
@@ -544,41 +634,14 @@ class TransactionalTable:
         running ``vacuum``, which is a retention-policy decision, not
         a table operation."""
         keys = keys_df.select(key_col).distinct()
-        try:
-            krow = keys.agg(F.min(key_col), F.max(key_col)).first()
-            kmin, kmax = krow[0], krow[1]
-        except Exception:
-            kmin = kmax = None
+        kmin, kmax = self._key_range(keys, key_col)
         for _ in range(max_retries):
             v, man = self.snapshot()
             if v == 0:
                 return 0
             table_schema = StructType.fromJson(json.loads(man["schema"]))
             all_stats = man.get("stats") or {}
-            candidates = [
-                rel
-                for rel in man["files"]
-                if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
-            ]
-            hit_paths: set[str] = set()
-            if candidates:
-                tagged = (
-                    self.spark.read.schema(table_schema)
-                    .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
-                    .withColumn("_file", F.input_file_name())
-                )
-                hit_paths = {
-                    r._file
-                    for r in tagged.join(F.broadcast(keys), key_col)
-                    .select("_file")
-                    .distinct()
-                    .collect()
-                }
-            hit_rels = sorted(
-                rel
-                for rel in candidates
-                if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
-            )
+            hit_rels = self._hit_files(man, table_schema, keys, key_col, kmin, kmax)
             if not hit_rels:
                 return v  # nothing matched: no empty commit
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
@@ -588,17 +651,17 @@ class TransactionalTable:
                 .join(F.broadcast(keys), key_col, "left_anti")
             )
             _, rels, st = self._write_data_files(survivors)
-            manifest = {
-                "version": v + 1,
-                "parent": v,
-                "op": "delete",
-                "files": carried + rels,
-                "schema": man["schema"],
-                "stats": {
+            manifest = self._next_manifest(
+                v,
+                man,
+                "delete",
+                carried + rels,
+                man["schema"],
+                {
                     **{rel: all_stats[rel] for rel in carried if rel in all_stats},
                     **st,
                 },
-            }
+            )
             if before_commit is not None:
                 before_commit()
             if self._try_commit(v + 1, manifest):
@@ -650,8 +713,13 @@ class TransactionalTable:
 
         def scaled(c: str, mn: str, mx: str):
             span = F.col(mx) - F.col(mn)
+            # NULL values bin explicitly to cell 0, checked FIRST:
+            # F.least SKIPS nulls (least(null, 255) == 255), so without
+            # this branch a null would silently land in the TOP cell
+            # and stretch that file's footer range across the axis
             return (
-                F.when(span == 0, F.lit(0))
+                F.when(F.col(c).isNull() | span.isNull(), F.lit(0))
+                .when(span == 0, F.lit(0))
                 .otherwise(
                     F.least(
                         F.floor(((F.col(c) - F.col(mn)) / span) * (1 << bits)),
@@ -733,17 +801,17 @@ class TransactionalTable:
             else:
                 compacted = compacted.coalesce(n_out)
             _, rels, st = self._write_data_files(compacted)
-            manifest = {
-                "version": v + 1,
-                "parent": v,
-                "op": "optimize",
-                "files": carried + rels,
-                "schema": man["schema"],
-                "stats": {
+            manifest = self._next_manifest(
+                v,
+                man,
+                "optimize",
+                carried + rels,
+                man["schema"],
+                {
                     **{rel: all_stats[rel] for rel in carried if rel in all_stats},
                     **st,
                 },
-            }
+            )
             if before_commit is not None:
                 before_commit()
             if self._try_commit(v + 1, manifest):

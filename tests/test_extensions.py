@@ -2596,7 +2596,8 @@ def test_semantic_dedup_oracle_ready(spark):
     from data_finder_comparator_spark.sources.parquet import load_table
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
-    got = semantic_dedup(emb, threshold=0.3, stride=50)
+    caches: list = []
+    got = semantic_dedup(emb, threshold=0.3, stride=50, cache_registry=caches)
     sql = f"""
 WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 cell AS (
@@ -2643,6 +2644,16 @@ FROM cell c LEFT JOIN dups d USING (vec_id)
             lowest_per_cell.get(r.cell_id, r.vec_id), r.vec_id
         )
     assert set(lowest_per_cell.values()) <= kept
+    for frame in caches:
+        frame.unpersist()
+    # an id space with no multiple of stride must FAIL LOUDLY, not
+    # silently drop every vector
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no centroids"):
+        semantic_dedup(
+            emb.filter(F.col("vec_id") % 50 != 0), threshold=0.3, stride=50
+        )
 
 
 def test_semantic_dedup_no_global_cross_join(spark):

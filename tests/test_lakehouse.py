@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_finder_comparator_spark.sinks.lakehouse import (
     CommitConflict,
@@ -460,3 +461,49 @@ def test_lakehouse_optimize_zorder_tightens_both_columns(spark, tmp_path):
     # un-clustered files each cover ~the whole 32x32 plane; z-ordered
     # patches must cover well under half of files x full-plane
     assert area <= 0.5 * len(man["files"]) * 32 * 32, area
+
+
+def test_lakehouse_changes_append_of_existing_key_not_insert(spark, tmp_path):
+    """An append that duplicates a key living in a CARRIED file must
+    not be classified 'insert' — the existence check consults the
+    snapshots (stats-bounded), not just the changed files."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"), "id")
+    t.append(spark.createDataFrame([(1, "a2")], "id long, k string"))
+    got = {(r.id, r.k, r._change_type) for r in t.changes("id", 1, 2).collect()}
+    # key 1 existed at v1 (in a carried file): update_post, and the old
+    # row is still live so no update_pre is reported
+    assert got == {(1, "a2", "update_post")}
+
+
+def test_lakehouse_optimize_zorder_handles_nulls(spark, tmp_path):
+    """NULL z-order values bin to cell 0 (F.least skips nulls, which
+    would otherwise bin them to the TOP cell): rows survive compaction
+    and every file's non-null footer range stays narrow."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(x, x) for x in range(64)], "x long, y long"))
+    t.append(
+        spark.createDataFrame(
+            [(None, 0), (0, None), (None, None)],
+            "x long, y long",
+        )
+    )
+    v = t.optimize(small_bytes=1 << 20, target_bytes=512, zorder_by=("x", "y"))
+    assert v == 3
+    rows = t.read().collect()
+    assert len(rows) == 67
+    assert sum(1 for r in rows if r.x is None) == 2
+    # null rows cluster with the LOW cells: the file holding the
+    # nulls must not carry a top-of-range x footer
+    man = t.snapshot()[1]
+    null_files = set()
+    for rel in man["files"]:
+        part = spark.read.schema("x long, y long").parquet(
+            f"{t.path}/data/{rel}"
+        )
+        if part.filter(F.col("x").isNull() | F.col("y").isNull()).count():
+            null_files.add(rel)
+    assert null_files
+    for rel in null_files:
+        s = man["stats"][rel]
+        assert s["min"].get("x", 0) <= 8, s  # low-cell neighborhood
