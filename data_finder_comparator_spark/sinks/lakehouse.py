@@ -169,7 +169,15 @@ class TransactionalTable:
         return self.spark.read.schema(schema).parquet(*files)
 
     def history(self) -> list[dict]:
-        return [self._read_manifest(v) for v in range(1, self.current_version() + 1)]
+        """All LIVE manifests, oldest first (expired snapshots are
+        skipped — see ``expire_snapshots``)."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                out.append(self._read_manifest(v))
+            except FileNotFoundError:
+                continue
+        return out
 
     def changes(
         self, key_col: str, from_version: int, to_version: int | None = None
@@ -382,7 +390,10 @@ class TransactionalTable:
             got = txns.get(txn_app)
             return upto if got is not None and got >= txn_version else None
         for v in range(upto, 0, -1):  # legacy manifests: scan markers
-            txn = self._read_manifest(v).get("txn")
+            try:
+                txn = self._read_manifest(v).get("txn")
+            except FileNotFoundError:  # expired snapshot
+                continue
             if txn and txn.get("app") == txn_app:
                 # the newest marker for this app decides: monotone
                 # batch ids mean version >= ours == already applied
@@ -819,6 +830,27 @@ class TransactionalTable:
         raise CommitConflict(
             f"optimize lost {max_retries} commit races at {self.path}"
         )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Retention: retire every manifest older than the newest
+        ``keep_last`` versions. Time travel and ``changes()`` to an
+        expired version then raise, and a following ``vacuum()`` may
+        reclaim data files referenced ONLY by expired snapshots — the
+        step that turns ``delete()`` into actual on-disk erasure (the
+        deleted rows' bytes live on in historical files until their
+        snapshots expire). Returns the expired version numbers.
+
+        Safe under the commit protocol: the newest manifest is never
+        expired, version numbering is unaffected (the log stays
+        append-only at the head), and expiry is idempotent."""
+        cutoff = self.current_version() - max(keep_last, 1)
+        expired = []
+        for v in range(1, cutoff + 1):
+            p = self._strip_scheme(self._manifest_path(v))
+            if os.path.exists(p):
+                os.remove(p)
+                expired.append(v)
+        return expired
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO manifest (orphans from

@@ -507,3 +507,45 @@ def test_lakehouse_optimize_zorder_handles_nulls(spark, tmp_path):
     for rel in null_files:
         s = man["stats"][rel]
         assert s["min"].get("x", 0) <= 8, s  # low-cell neighborhood
+
+
+def test_lakehouse_expire_snapshots_enables_real_erasure(spark, tmp_path):
+    """delete() removes a key from the LIVE table; its bytes survive in
+    historical files until expire_snapshots + vacuum. After both, no
+    parquet file on disk contains the erased row — the full GDPR walk."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame(
+            [(1, "keepme"), (2, "ERASEME"), (3, "also-keep")],
+            "id long, k string",
+        ),
+        "id",
+    )
+    t.delete(spark.createDataFrame([(2,)], "id long"), "id")
+    # pre-expiry: time travel still reads the erased row (by design)
+    assert (2, "ERASEME") in {(r.id, r.k) for r in t.read(version=1).collect()}
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    removed = t.vacuum()
+    assert removed  # v1's rewritten file was only referenced by v1
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    # the erased row's bytes are GONE from every remaining data file
+    data_dir = tmp_path / "tbl" / "data"
+    leftovers = [
+        str(p) for p in data_dir.rglob("*.parquet")
+    ]
+    assert leftovers
+    survivors = {
+        (r.id, r.k)
+        for r in spark.read.schema("id long, k string")
+        .parquet(*leftovers)
+        .collect()
+    }
+    assert (2, "ERASEME") not in survivors
+    assert {(1, "keepme"), (3, "also-keep")} <= survivors
+    # live table unaffected; expiry is idempotent
+    assert {(r.id, r.k) for r in t.read().collect()} == {
+        (1, "keepme"), (3, "also-keep")
+    }
+    assert t.expire_snapshots(keep_last=1) == []
