@@ -80,55 +80,55 @@ from . import queries_relational  # noqa: E402,F401
 # just-run round-8 window minus alignment_pairs); the 49 r7-parked
 # names return to the window. 99 - 49 = 50 in-window exactly.
 _PARKED_MULTI_GREEN = [
-    "ann_cosine_topk",
-    "ann_sq8_rerank_topk",
-    "asof_latest_order",
-    "bucketed_order_revenue",
-    "cms_merge_shards",
-    "corpus_curation_pipeline",
-    "csv_folder_roundtrip",
-    "customers_without_orders",
-    "decontaminate_overlap",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_token_chunks",
-    "event_funnel",
-    "event_value_quantiles",
-    "events_cube",
-    "events_pivot_by_hour",
-    "excel_folder_roundtrip",
-    "fuzzy_join_docs",
-    "fuzzy_join_docs_band",
-    "fuzzy_join_tiers",
-    "fuzzy_tier_assembly",
-    "fuzzy_tier_counts",
-    "fuzzy_topk",
-    "gram_tfidf_cosine_topk",
-    "hll_distinct_sketch",
-    "hll_merge_shards",
-    "hll_register_stream",
-    "json_folder_roundtrip",
-    "lang_robust_length_stats",
-    "multimodal_frame_sample",
-    "orders_rollup",
-    "pii_redaction",
-    "pricing_summary",
-    "props_json_stats",
-    "purchase_window_stats",
-    "revenue_by_nation",
-    "salted_segment_stats",
-    "session_type_cooccurrence",
-    "sessionize_events",
-    "stratified_sample",
-    "streaming_enriched_segments",
-    "streaming_purchase_attribution",
-    "streaming_session_counts",
-    "streaming_sliding_counts",
-    "suppliers_by_nation",
-    "table_version_diff",
-    "tfidf_top_terms",
-    "topk_orders_per_priority",
-    "weighted_reservoir_sample",
+    "alignment_dist",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "bloom_decontaminate",
+    "bloom_merge_shards",
+    "cluster_canonical",
+    "cms_heavy_hitters",
+    "curation_counts",
+    "dedup_clusters",
+    "dedup_hybrid_verify",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "deterministic_row_ids",
+    "deterministic_sample",
+    "deterministic_shuffle",
+    "doc_fingerprints",
+    "doc_repetition",
+    "duplicate_spans",
+    "embedding_neardup_pairs",
+    "grouped_histogram_quantiles",
+    "grouped_hll_by_lang",
+    "histogram_merge_shards",
+    "histogram_quantiles",
+    "hourly_gapfill",
+    "inverted_index",
+    "ivf_kmeans_centroids",
+    "keep_replace_curation",
+    "lang_id_confusion",
+    "line_dedup_stats",
+    "mixture_token_budget",
+    "multimodal_features",
+    "multimodal_wav_decode",
+    "orc_folder_roundtrip",
+    "orders_grouping_sets",
+    "partitioned_lang_roundtrip",
+    "pcm_resample_layout",
+    "rolling_user_activity",
+    "scrub_hot_spans",
+    "sequence_packing",
+    "source_domain_caps",
+    "streaming_dedup_events",
+    "streaming_first_seen",
+    "streaming_fuzzy_tiers",
+    "streaming_watermarked_counts",
+    "streaming_window_counts",
+    "text_quality_signals",
+    "union_by_name_folder",
+    "vocab_top_tokens",
 ]
 
 
