@@ -18,14 +18,18 @@ design explicitly — the point is the protocol, not the package:
   making up snapshot N, plus the schema DDL and parent version. The
   table's state IS the highest-version manifest; readers never list
   the data directory.
-* Commit = atomic create-exclusive of the next manifest file
-  (``os.O_CREAT | os.O_EXCL`` for local/POSIX paths,
-  ``FileSystem.create(path, overwrite=false)`` for scheme'd paths; on
-  S3 the same slot is an If-None-Match PUT — one tiny object either
-  way, no directory rename anywhere). Exactly one writer wins a
-  version; losers RETRY AGAINST THE NEW SNAPSHOT, so a concurrent
-  merge's rows are seen (and preserved) by the recomputed anti-join —
-  optimistic concurrency control, serialized through the log.
+* Commit = write-fsync a temp file, then ``os.link`` it into the next
+  manifest slot — link is an atomic exclusive-create whose content is
+  already complete, so a crashed or ENOSPC'd writer can never leave a
+  truncated manifest in the slot (``EEXIST`` is the conflict signal).
+  Exactly one writer wins a version; losers RETRY AGAINST THE NEW
+  SNAPSHOT, so a concurrent merge's rows are seen (and preserved) by
+  the recomputed anti-join — optimistic concurrency control,
+  serialized through the log. This implementation is LOCAL-PATH ONLY
+  (enforced in ``__init__``): the protocol ports to an object store
+  (the slot claim becomes an If-None-Match PUT, as Delta does on S3),
+  but that port means routing all manifest/data IO through the
+  store's client, not flipping a flag.
 * MERGE rewrites ONLY the data files that contain a matched key
   (located via ``input_file_name()`` + a broadcast semi-join of the
   incoming keys); untouched files carry over into the new manifest by
@@ -87,7 +91,20 @@ class TransactionalTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
-        self._local = "://" not in self.path or self.path.startswith("file:")
+        # Local/POSIX paths only, enforced loudly: every manifest and
+        # maintenance walk (current_version, vacuum, optimize sizing)
+        # uses os-level IO, so accepting an hdfs://...s3a:// URI here
+        # would not fail until the first silent current_version()==0.
+        # Porting to an object store means routing THIS class's file IO
+        # through that store's client (the commit protocol itself maps
+        # directly: exclusive-create -> If-None-Match PUT); it is not a
+        # flag flip, so refuse rather than half-work.
+        if "://" in self.path and not self.path.startswith("file:"):
+            raise ValueError(
+                "TransactionalTable requires a local or file: path; "
+                f"got {self.path!r} — scheme'd filesystems need the "
+                "manifest/data IO ported to that store's client"
+            )
 
     # -- commit log ----------------------------------------------------
 
@@ -121,32 +138,41 @@ class TransactionalTable:
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim manifest slot ``version``. Returns False
-        when another writer already holds it (the conflict signal)."""
-        os.makedirs(self._strip_scheme(self._commits_dir()), exist_ok=True)
+        when another writer already holds it (the conflict signal).
+
+        Crash-atomic: the payload is fully written and fsynced to a
+        temp file first, then ``os.link``ed into the slot (link is the
+        POSIX exclusive-create that also carries the COMPLETE content —
+        ``EEXIST`` is the conflict). An O_CREAT|O_EXCL open-then-write
+        would claim the slot BEFORE the bytes land, so a crash or
+        ENOSPC mid-write would leave a truncated manifest that
+        ``current_version`` counts but ``_read_manifest`` cannot parse
+        — bricking the table. With link, the slot only ever holds a
+        complete JSON; a crash leaves at worst an orphan temp file."""
+        cdir = self._strip_scheme(self._commits_dir())
+        os.makedirs(cdir, exist_ok=True)
         payload = json.dumps(manifest, sort_keys=True).encode()
         target = self._strip_scheme(self._manifest_path(version))
-        if self._local:
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False
+        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}.json")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
             with os.fdopen(fd, "wb") as f:
                 f.write(payload)
                 f.flush()
                 os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return False
+            # durability of the directory entry itself
+            dfd = os.open(cdir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return True
-        # scheme'd path (hdfs:// etc.): create(overwrite=false) is the
-        # filesystem's exclusive-create; S3A maps it to a conditional PUT
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self._manifest_path(version))
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        try:
-            out = fs.create(hpath, False)
-        except Exception:
-            return False
-        out.write(bytearray(payload))
-        out.close()
-        return True
+        finally:
+            os.unlink(tmp)
 
     # -- snapshots -----------------------------------------------------
 
@@ -440,12 +466,22 @@ class TransactionalTable:
         max_retries: int = 20,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Transactional append: new data files + one commit. Safe
         under concurrency (conflicts only re-claim the next version —
         the file list from OTHER writers is re-read, never clobbered).
         ``txn_app``/``txn_version`` make the commit idempotent: a
-        replay of an already-committed (app, version) is a no-op."""
+        replay of an already-committed (app, version) is a no-op.
+
+        The incoming schema must match the table's (name → type,
+        order- and nullability-insensitive: readers project parquet by
+        name). A mismatched append would otherwise commit the OLD
+        manifest schema over files carrying different columns, and the
+        mismatch would surface only as silent nulls on read — so it
+        raises here instead. ``evolve_schema=True`` opts into the same
+        additive evolution ``merge`` has (new columns append, type
+        changes still refuse)."""
         rels: list[str] | None = None
         st: dict = {}
         schema = df.schema.json()
@@ -454,14 +490,21 @@ class TransactionalTable:
             done = self._txn_already_applied(txn_app, txn_version, v)
             if done is not None:
                 return done
-            if rels is None:  # write data files once, after the check
+            out_schema_json = man["schema"] or schema
+            if man["schema"] is not None:
+                table_schema = StructType.fromJson(json.loads(man["schema"]))
+                if evolve_schema:
+                    out_schema_json = self._evolved_schema(table_schema, df)
+                else:
+                    self._check_schema_compatible(table_schema, df.schema)
+            if rels is None:  # write data files once, after the checks
                 _, rels, st = self._write_data_files(df)
             manifest = self._next_manifest(
                 v,
                 man,
                 "append",
                 man["files"] + rels,
-                man["schema"] or schema,
+                out_schema_json,
                 {**(man.get("stats") or {}), **st},
                 txn_app,
                 txn_version,
@@ -469,6 +512,30 @@ class TransactionalTable:
             if self._try_commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"append lost {max_retries} commit races at {self.path}")
+
+    @staticmethod
+    def _check_schema_compatible(
+        table_schema: StructType, incoming: StructType
+    ) -> None:
+        """Raise unless ``incoming`` carries exactly the table's
+        columns with matching types (order/nullability ignored —
+        parquet is projected by name on read)."""
+        have = {f.name: f.dataType for f in table_schema.fields}
+        got = {f.name: f.dataType for f in incoming.fields}
+        if have == got:
+            return
+        missing = sorted(set(have) - set(got))
+        extra = sorted(set(got) - set(have))
+        changed = sorted(
+            f"{n}: {have[n].simpleString()} -> {got[n].simpleString()}"
+            for n in set(have) & set(got)
+            if have[n] != got[n]
+        )
+        raise ValueError(
+            "append schema mismatch vs table "
+            f"(missing={missing}, extra={extra}, changed={changed}); "
+            "pass evolve_schema=True for additive evolution"
+        )
 
     @staticmethod
     def _may_contain(
@@ -530,9 +597,13 @@ class TransactionalTable:
             .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
             .withColumn("_file", F.input_file_name())
         )
+        # no forced broadcast of the key set: point upserts broadcast
+        # anyway (AQE sees the post-distinct size), while a bulk
+        # backfill's key set can exceed executor memory — exactly the
+        # case a forced hint would OOM at scale
         hit_paths = {
             r._file
-            for r in tagged.join(F.broadcast(keys), key_col)
+            for r in tagged.join(keys, key_col)
             .select("_file")
             .distinct()
             .collect()
@@ -600,7 +671,7 @@ class TransactionalTable:
                 affected = self.spark.read.schema(table_schema).parquet(
                     *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
                 )
-                survivors = affected.join(F.broadcast(keys), key_col, "left_anti")
+                survivors = affected.join(keys, key_col, "left_anti")
                 merged = survivors.unionByName(df, allowMissingColumns=evolve_schema)
             else:
                 merged = df
@@ -659,7 +730,7 @@ class TransactionalTable:
             survivors = (
                 self.spark.read.schema(table_schema)
                 .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels])
-                .join(F.broadcast(keys), key_col, "left_anti")
+                .join(keys, key_col, "left_anti")
             )
             _, rels, st = self._write_data_files(survivors)
             manifest = self._next_manifest(
@@ -852,10 +923,22 @@ class TransactionalTable:
                 expired.append(v)
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 24 * 3600.0) -> list[str]:
         """Delete data files referenced by NO manifest (orphans from
         failed/raced commits). Referenced files — current or historical
-        (time travel) — are never touched."""
+        (time travel) — are never touched.
+
+        ``retention_seconds`` (default 24 h, like Delta's VACUUM
+        retention) is what makes this safe under concurrent writers:
+        writers create data files BEFORE committing the manifest that
+        references them, so an in-flight append/merge's files look like
+        orphans to a concurrent vacuum — deleting them would let the
+        about-to-win commit produce a snapshot pointing at missing
+        files. Only orphans whose mtime is older than the window are
+        reclaimed; pass ``0`` only when writers are known quiesced
+        (tests, single-writer maintenance jobs)."""
+        import time
+
         referenced: set[str] = set()
         for man in self.history():
             referenced.update(man["files"])
@@ -863,6 +946,7 @@ class TransactionalTable:
         removed = []
         if not os.path.isdir(data_dir):
             return removed
+        cutoff = time.time() - max(retention_seconds, 0.0)
         for txn in os.listdir(data_dir):
             tdir = os.path.join(data_dir, txn)
             if not os.path.isdir(tdir):
@@ -870,7 +954,14 @@ class TransactionalTable:
             for name in os.listdir(tdir):
                 rel = f"{txn}/{name}"
                 if name.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(tdir, name))
+                    p = os.path.join(tdir, name)
+                    try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue  # inside retention: may belong to
+                            # an in-flight, about-to-commit writer
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue  # raced another vacuum
                     removed.append(rel)
             if not os.listdir(tdir):
                 os.rmdir(tdir)

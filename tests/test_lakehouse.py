@@ -126,7 +126,7 @@ def test_lakehouse_vacuum_removes_only_orphans(spark, tmp_path):
     orphan_dir = tmp_path / "tbl" / "data" / "txn-orphan"
     os.makedirs(orphan_dir)
     (orphan_dir / "part-000.parquet").write_bytes(b"bogus")
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0)
     # the planted orphan goes; so do Spark's zero-row part files, which
     # commits deliberately leave unreferenced (nothing else)
     assert "txn-orphan/part-000.parquet" in removed
@@ -229,7 +229,7 @@ def test_lakehouse_optimize_compacts_small_files(spark, tmp_path):
     # compacted-away files are still referenced by history => not
     # orphans; vacuum may only collect unreferenced zero-row parts
     referenced = {rel for m in t.history() for rel in m["files"]}
-    assert not referenced & set(t.vacuum())
+    assert not referenced & set(t.vacuum(retention_seconds=0))
     assert _rows(t.read(version=2)) != rows_before  # history still reads
     assert _rows(t.read(version=5)) == rows_before
 
@@ -526,7 +526,7 @@ def test_lakehouse_expire_snapshots_enables_real_erasure(spark, tmp_path):
     assert (2, "ERASEME") in {(r.id, r.k) for r in t.read(version=1).collect()}
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1]
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0)
     assert removed  # v1's rewritten file was only referenced by v1
     with pytest.raises(FileNotFoundError):
         t.read(version=1)
@@ -549,3 +549,98 @@ def test_lakehouse_expire_snapshots_enables_real_erasure(spark, tmp_path):
         (1, "keepme"), (3, "also-keep")
     }
     assert t.expire_snapshots(keep_last=1) == []
+
+
+def test_lakehouse_vacuum_retention_spares_inflight_files(spark, tmp_path):
+    """Writers create data files BEFORE committing, so a fresh orphan
+    may belong to an in-flight, about-to-win commit. Default-retention
+    vacuum must leave it alone; only a quiesced (retention=0) vacuum,
+    or one whose window the orphan has aged out of, may reclaim it."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    orphan_dir = tmp_path / "tbl" / "data" / "txn-inflight"
+    os.makedirs(orphan_dir)
+    orphan = orphan_dir / "part-000.parquet"
+    orphan.write_bytes(b"about-to-be-committed")
+    assert t.vacuum() == []  # default 24h retention: untouched
+    assert orphan.exists()
+    # age the file past a 1-second window -> now reclaimable
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
+    assert t.vacuum(retention_seconds=1800) == [
+        "txn-inflight/part-000.parquet"
+    ]
+    assert not orphan.exists()
+
+
+def test_lakehouse_append_schema_mismatch_raises(spark, tmp_path):
+    """A mismatched append must fail loudly, not commit files whose
+    divergent columns would read back as silent nulls."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    with pytest.raises(ValueError, match="extra=\\['extra'\\]"):
+        t.append(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, k string, extra double"
+            )
+        )
+    with pytest.raises(ValueError, match="changed="):
+        t.append(spark.createDataFrame([("2", "b")], "id string, k string"))
+    # column ORDER is irrelevant (parquet projects by name)
+    t.append(spark.createDataFrame([("c", 3)], "k string, id long"))
+    got = {(r.id, r.k) for r in t.read().collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_lakehouse_append_evolve_schema_additive(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    v = t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, k string, score double"
+        ),
+        evolve_schema=True,
+    )
+    got = {(r.id, r.k, r.score) for r in t.read(version=v).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    # type change still refuses, even under evolve
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.append(
+            spark.createDataFrame([("3", "c")], "id string, k string"),
+            evolve_schema=True,
+        )
+
+
+def test_lakehouse_schemed_path_refused(spark, tmp_path):
+    """All manifest/maintenance IO is os-level; an object-store URI
+    must refuse loudly in __init__ rather than half-work (a silent
+    current_version()==0 forever)."""
+    with pytest.raises(ValueError, match="local or file:"):
+        TransactionalTable(spark, "s3a://bucket/tbl")
+    with pytest.raises(ValueError, match="local or file:"):
+        TransactionalTable(spark, "hdfs://nn/tbl")
+    # file: and plain local paths are both fine
+    TransactionalTable(spark, f"file:{tmp_path}/tbl")
+
+
+def test_lakehouse_commit_slot_never_partial(spark, tmp_path):
+    """The manifest slot is claimed by os.link of a fully-fsynced temp
+    file, so the slot can only ever hold complete JSON; losing a race
+    leaves no temp debris behind; and a crashed writer's stray temp
+    file neither counts as a version nor breaks later commits."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    commits = tmp_path / "tbl" / "_commits"
+    # stray temp from a "crashed" writer: invisible to versioning
+    (commits / ".tmp-deadbeef.json").write_bytes(b'{"version"')  # truncated
+    assert t.current_version() == 1
+    # a conflicting commit attempt returns False and cleans its temp
+    assert t._try_commit(1, {"version": 1, "bogus": True}) is False
+    leftovers = [p.name for p in commits.iterdir() if p.name.startswith(".tmp-")]
+    assert leftovers == [".tmp-deadbeef.json"]  # only the planted one
+    # every committed slot parses as complete JSON
+    v2 = t.append(spark.createDataFrame([(2, "b")], "id long, k string"))
+    for v in range(1, v2 + 1):
+        with open(commits / f"v{v:08d}.json") as f:
+            assert json.load(f)["version"] == v
+    assert t.current_version() == v2
