@@ -77,6 +77,7 @@ from pyspark.sql.types import StructType
 
 _COMMITS = "_commits"
 _DATA = "data"
+_INDEX = "_index"
 
 
 class CommitConflict(Exception):
@@ -88,9 +89,25 @@ class TransactionalTable:
     """A parquet table with an Iceberg-style JSON commit log providing
     atomic, concurrent-safe ``append`` and ``merge`` (upsert)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    # driver-side key collection cap for Bloom probing: a point merge
+    # has a handful of keys; a bulk backfill with more than this many
+    # distinct keys gains nothing from per-file Blooms (it touches
+    # every file anyway), so skip the index rather than collect big
+    _BLOOM_PROBE_CAP = 100_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bloom_col: str | None = None,
+        bloom_fpp: float = 0.01,
+        bloom_max_rows: int = 1_000_000,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.bloom_col = bloom_col
+        self.bloom_fpp = bloom_fpp
+        self.bloom_max_rows = bloom_max_rows
         # Local/POSIX paths only, enforced loudly: every manifest and
         # maintenance walk (current_version, vacuum, optimize sizing)
         # uses os-level IO, so accepting an hdfs://...s3a:// URI here
@@ -182,17 +199,61 @@ class TransactionalTable:
             return 0, {"files": [], "schema": None}
         return v, self._read_manifest(v)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """The table at ``version`` (default: latest). Empty tables
-        read as zero rows with the last committed schema."""
+        read as zero rows with the last committed schema.
+
+        ``prune`` maps column → (lo, hi) bounds: data files whose
+        footer min/max cannot intersect EVERY given range are dropped
+        from the scan before Spark ever lists them — manifest-level
+        file skipping, the same trick ``merge`` uses, exposed to
+        readers. Pruning is conservative (files without stats stay
+        in) and advisory: surviving files still contain out-of-range
+        rows, so the caller applies the real filter on the returned
+        frame; pruning only shrinks the file list Spark opens. Pass
+        (None, None) bounds for no-op entries; a bound of None on one
+        side is unbounded on that side."""
         v, man = self.snapshot(version)
         if v == 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        files = [f"{self.path}/{_DATA}/{rel}" for rel in man["files"]]
+        rels = man["files"]
+        if prune:
+            all_stats = man.get("stats") or {}
+            for col, (lo, hi) in prune.items():
+                rels = [
+                    rel
+                    for rel in rels
+                    if self._range_overlap(all_stats.get(rel), col, lo, hi)
+                ]
+        files = [f"{self.path}/{_DATA}/{rel}" for rel in rels]
         schema = StructType.fromJson(json.loads(man["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    @staticmethod
+    def _range_overlap(stats: dict | None, col: str, lo, hi) -> bool:
+        """Can this file's [min, max] on ``col`` intersect [lo, hi]
+        (a None bound is unbounded on that side)? Missing stats,
+        unorderable or cross-type comparisons → True (conservative)."""
+        if not stats:
+            return True
+        mn = stats.get("min", {}).get(col)
+        mx = stats.get("max", {}).get(col)
+        if mn is None or mx is None:
+            return True
+        try:
+            if hi is not None and mn > hi:
+                return False
+            if lo is not None and mx < lo:
+                return False
+        except TypeError:
+            return True
+        return True
 
     def history(self) -> list[dict]:
         """All LIVE manifests, oldest first (expired snapshots are
@@ -339,7 +400,136 @@ class TransactionalTable:
             rel for rel in rels if rel not in stats or stats[rel]["rows"] > 0
         ]
         stats = {rel: s for rel, s in stats.items() if rel in set(rels)}
+        if self.bloom_col is not None:
+            for rel in rels:
+                bloom = self._build_bloom(rel, stats.get(rel))
+                if bloom is not None:
+                    stats[rel]["bloom"] = bloom
         return txn, rels, stats
+
+    # -- Bloom file index ---------------------------------------------
+    #
+    # Per-file Bloom filter on ``bloom_col``, the skipping layer UNDER
+    # min/max: footer ranges prune files whose key interval cannot
+    # overlap the incoming keys, but a point merge into a table whose
+    # files all span wide key ranges (e.g. uuid keys — every file's
+    # range is ~the whole space) prunes nothing by range. The Bloom
+    # answers "is key K definitely absent from this file?" — at 100 TB
+    # that turns a point upsert's exact input_file_name scan from
+    # every-file into almost-no-files. Bits live in SIDECAR files
+    # (``_index/<txn>__<part>.bloom``), not the manifest: ~1.2 MB/M
+    # keys at 1% fpp would bloat every later manifest JSON, while a
+    # sidecar is read only for range-surviving candidates. A sidecar
+    # shares its data file's lifecycle exactly: written before the
+    # commit that references it, removed by vacuum with the data file.
+
+    def _bloom_sidecar_rel(self, rel: str) -> str:
+        return rel.replace("/", "__") + ".bloom"
+
+    def _bloom_sidecar_path(self, rel: str) -> str:
+        return os.path.join(
+            self._strip_scheme(f"{self.path}/{_INDEX}"),
+            self._bloom_sidecar_rel(rel),
+        )
+
+    @staticmethod
+    def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+        """(m bits, k hashes) for ``n`` keys at ``fpp``."""
+        import math
+
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
+        k = max(1, round(m / n * math.log(2))) if n else 1
+        return m, k
+
+    @staticmethod
+    def _bloom_positions(value, m: int, k: int) -> list[int]:
+        """Kirsch–Mitzenmacher double hashing off one md5: positions
+        (h1 + i*h2) mod m. Driver-side Python (no codegen concerns);
+        values are canonicalized as str, so int 5 and the parquet
+        int64 5 always agree."""
+        import hashlib
+
+        d = hashlib.md5(str(value).encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def _build_bloom(self, rel: str, stats_entry: dict | None) -> dict | None:
+        """Build and persist the Bloom sidecar for data file ``rel``;
+        returns the manifest descriptor {path, m, k, n} or None when
+        the file is not indexable (no stats, non-int/str key, too many
+        rows, any read failure). Only columns whose footer min/max
+        recorded as int/str qualify — the same orderable-scalar
+        contract as range skipping, so probe-side str() is unambiguous
+        (floats are excluded: '0.1' vs repr drift)."""
+        col = self.bloom_col
+        if (
+            stats_entry is None
+            or stats_entry["rows"] > self.bloom_max_rows
+            or not isinstance(stats_entry.get("min", {}).get(col), (int, str))
+            or isinstance(stats_entry.get("min", {}).get(col), bool)
+        ):
+            return None
+        path = os.path.join(
+            self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/")
+        )
+        try:
+            import pyarrow.parquet as pq
+
+            keys = pq.read_table(path, columns=[col]).column(col).to_pylist()
+        except Exception:
+            return None
+        keys = [v for v in keys if v is not None]
+        if not keys:
+            return None
+        m, k = self._bloom_params(len(keys), self.bloom_fpp)
+        bits = 0
+        for v in keys:
+            for pos in self._bloom_positions(v, m, k):
+                bits |= 1 << pos
+        idx_dir = self._strip_scheme(f"{self.path}/{_INDEX}")
+        os.makedirs(idx_dir, exist_ok=True)
+        sidecar = self._bloom_sidecar_path(rel)
+        nbytes = (m + 7) // 8
+        with open(sidecar, "wb") as f:
+            f.write(bits.to_bytes(nbytes, "little"))
+        return {"path": self._bloom_sidecar_rel(rel), "m": m, "k": k, "n": len(keys)}
+
+    def _bloom_excludes(self, stats_entry: dict | None, probe_keys) -> bool:
+        """True only when this file's Bloom PROVES no probe key is
+        present (definitely-absent). Missing/unreadable sidecar, or
+        any non-int/str probe → False (conservative keep)."""
+        bloom = (stats_entry or {}).get("bloom")
+        if not bloom or probe_keys is None:
+            return False
+        try:
+            with open(self._bloom_sidecar_path_from_desc(bloom), "rb") as f:
+                bits = int.from_bytes(f.read(), "little")
+        except OSError:
+            return False
+        m, k = bloom["m"], bloom["k"]
+        for v in probe_keys:
+            if not isinstance(v, (int, str)) or isinstance(v, bool):
+                return False
+            if all(bits >> p & 1 for p in self._bloom_positions(v, m, k)):
+                return False  # possibly present
+        return True
+
+    def _bloom_sidecar_path_from_desc(self, bloom: dict) -> str:
+        return os.path.join(
+            self._strip_scheme(f"{self.path}/{_INDEX}"), bloom["path"]
+        )
+
+    def _collect_probe_keys(self, keys: DataFrame, key_col: str):
+        """The distinct incoming keys, driver-side, or None when there
+        are more than _BLOOM_PROBE_CAP (bulk writes skip the Bloom
+        layer — they touch most files regardless)."""
+        if self.bloom_col != key_col:
+            return None
+        rows = keys.limit(self._BLOOM_PROBE_CAP + 1).collect()
+        if len(rows) > self._BLOOM_PROBE_CAP:
+            return None
+        return [r[0] for r in rows if r[0] is not None]
 
     def _file_stats(self, rel: str) -> dict | None:
         """{rows, bytes, min: {col: v}, max: {col: v}} from the parquet
@@ -590,6 +780,14 @@ class TransactionalTable:
             for rel in man["files"]
             if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
         ]
+        if candidates and self.bloom_col == key_col:
+            probe = self._collect_probe_keys(keys, key_col)
+            if probe is not None:
+                candidates = [
+                    rel
+                    for rel in candidates
+                    if not self._bloom_excludes(all_stats.get(rel), probe)
+                ]
         if not candidates:
             return []
         tagged = (
@@ -965,4 +1163,20 @@ class TransactionalTable:
                     removed.append(rel)
             if not os.listdir(tdir):
                 os.rmdir(tdir)
+        # a Bloom sidecar shares its data file's lifecycle: once the
+        # data file is gone (this vacuum or an earlier one), the
+        # sidecar is reclaimable — no separate retention needed, the
+        # data file's removal already waited out the window
+        idx_dir = self._strip_scheme(f"{self.path}/{_INDEX}")
+        if os.path.isdir(idx_dir):
+            for name in os.listdir(idx_dir):
+                if not name.endswith(".bloom"):
+                    continue
+                data_rel = name[: -len(".bloom")].replace("__", "/", 1)
+                data_path = os.path.join(data_dir, *data_rel.split("/"))
+                if not os.path.exists(data_path):
+                    try:
+                        os.remove(os.path.join(idx_dir, name))
+                    except FileNotFoundError:
+                        pass
         return removed

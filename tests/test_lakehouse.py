@@ -644,3 +644,110 @@ def test_lakehouse_commit_slot_never_partial(spark, tmp_path):
         with open(commits / f"v{v:08d}.json") as f:
             assert json.load(f)["version"] == v
     assert t.current_version() == v2
+
+
+def test_lakehouse_bloom_skips_inrange_absent_key(spark, tmp_path):
+    """uuid-ish keys defeat min/max skipping (every file's range spans
+    ~the whole key space); the per-file Bloom sidecar still proves a
+    point key absent. Proven the hard way: the file the Bloom rules
+    out is DELETED from disk, so touching it would throw."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="k")
+    t.append(
+        spark.createDataFrame([("a", 1), ("z", 1)], "k string, n long").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([("b", 2), ("y", 2)], "k string, n long").coalesce(1)
+    )
+    _, man = t.snapshot()
+    assert len(man["files"]) == 2
+    for rel in man["files"]:
+        desc = man["stats"][rel]["bloom"]
+        assert desc["n"] == 2
+        assert os.path.exists(t._bloom_sidecar_path(rel))
+    # file 1 spans [a, z] — "y" is inside its RANGE but not its Bloom
+    file_a = next(
+        rel for rel in man["files"] if man["stats"][rel]["min"]["k"] == "a"
+    )
+    os.remove(tmp_path / "tbl" / "data" / file_a)
+    v = t.merge(spark.createDataFrame([("y", 99)], "k string, n long"), "k")
+    # restore so read() can see the carried file again
+    got = {
+        (r.k, r.n)
+        for rel in t.snapshot(v)[1]["files"]
+        if os.path.exists(tmp_path / "tbl" / "data" / rel)
+        for r in spark.read.parquet(str(tmp_path / "tbl" / "data" / rel)).collect()
+    }
+    assert ("y", 99) in got and ("y", 2) not in got
+    assert ("b", 2) in got  # survivor of the rewritten file
+
+
+def test_lakehouse_bloom_never_excludes_present_key(spark, tmp_path):
+    """No false negatives, by construction: every key actually inside
+    a file must survive that file's Bloom test."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="id")
+    rows = [(i * 37 % 1000, f"v{i}") for i in range(200)]
+    t.append(spark.createDataFrame(rows, "id long, v string"))
+    _, man = t.snapshot()
+    for rel in man["files"]:
+        st = man["stats"][rel]
+        if "bloom" not in st:
+            continue
+        present = [
+            r.id
+            for r in spark.read.parquet(
+                str(tmp_path / "tbl" / "data" / rel)
+            ).collect()
+        ]
+        for key in present:
+            assert not t._bloom_excludes(st, [key])
+
+
+def test_lakehouse_bloom_probe_cap_disables_skipping(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="id")
+    t._BLOOM_PROBE_CAP = 3  # shrink the cap for the test
+    t.append(spark.createDataFrame([(i, "x") for i in range(4)], "id long, v string"))
+    keys = spark.createDataFrame([(i,) for i in range(10, 14)], "id long")
+    assert t._collect_probe_keys(keys.distinct(), "id") is None  # over cap
+    small = spark.createDataFrame([(10,)], "id long")
+    assert t._collect_probe_keys(small, "id") == [10]
+
+
+def test_lakehouse_read_prune_by_stats(spark, tmp_path):
+    """Manifest-level file skipping for readers: files whose footer
+    range cannot meet the prune bounds are never handed to Spark."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    for base in (0, 100, 1000):
+        t.append(
+            spark.createDataFrame(
+                [(base + i, f"g{base}") for i in range(10)], "id long, g string"
+            ).coalesce(1)
+        )
+    mid = t.read(prune={"id": (100, 200)})
+    assert sorted(r.id for r in mid.collect()) == list(range(100, 110))
+    low = t.read(prune={"id": (None, 50)})
+    assert sorted(r.id for r in low.collect()) == list(range(0, 10))
+    high = t.read(prune={"id": (999, None)})
+    assert sorted(r.id for r in high.collect()) == list(range(1000, 1010))
+    # column without stats -> conservative: everything survives
+    assert t.read(prune={"nope": (1, 2)}).count() == 30
+    assert t.read(prune={"id": (5000, None)}).count() == 0
+
+
+def test_lakehouse_bloom_sidecars_follow_vacuum(spark, tmp_path):
+    """A sidecar lives exactly as long as its data file: once vacuum
+    reclaims the file (post-expiry), the next vacuum sweep drops the
+    orphaned sidecar too."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="id")
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string").coalesce(1),
+        "id",
+    )
+    t.merge(spark.createDataFrame([(1, "a2")], "id long, k string"), "id")
+    idx = tmp_path / "tbl" / "_index"
+    n_sidecars = len(list(idx.glob("*.bloom")))
+    assert n_sidecars >= 2
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(retention_seconds=0)
+    live = {rel for rel in t.snapshot()[1]["files"]}
+    remaining = {p.name for p in idx.glob("*.bloom")}
+    assert remaining == {t._bloom_sidecar_rel(rel) for rel in live}
