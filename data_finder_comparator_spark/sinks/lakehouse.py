@@ -369,6 +369,87 @@ class TransactionalTable:
         )
         return post_typed.unionByName(pre_typed)
 
+    # -- incremental consumers ----------------------------------------
+    #
+    # The read side of the incremental pipeline: ``changes()`` diffs
+    # two snapshots, but a real downstream job needs a durable "where
+    # was I" — a per-consumer cursor that survives crashes, so each
+    # run processes exactly the delta since its last acknowledged
+    # version. Ack-AFTER-processing gives at-least-once delivery; a
+    # downstream that is idempotent (e.g. merges into its own
+    # TransactionalTable with a txn marker) composes that into
+    # end-to-end exactly-once — the same recipe as
+    # ``stream_merge_into_table`` on the producer side.
+
+    def consumer_cursor(self, app: str) -> int:
+        """Last version consumer ``app`` acknowledged (0 = never)."""
+        p = self._consumer_path(app)
+        try:
+            with open(p) as f:
+                return json.load(f)["version"]
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def ack(self, app: str, version: int) -> None:
+        """Durably advance ``app``'s cursor to ``version``. Monotonic:
+        a stale ack (lower than the stored cursor) is a no-op, so a
+        delayed retry can never rewind a consumer. Atomic via
+        write-temp + os.replace — a crash leaves the old cursor, and
+        the next run simply reprocesses the delta (at-least-once)."""
+        cdir = self._strip_scheme(f"{self.path}/_consumers")
+        os.makedirs(cdir, exist_ok=True)
+        if version <= self.consumer_cursor(app):
+            return
+        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"app": app, "version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._consumer_path(app))
+
+    def _consumer_path(self, app: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in app)
+        return os.path.join(
+            self._strip_scheme(f"{self.path}/_consumers"), f"{safe}.json"
+        )
+
+    def consume_changes(self, app: str, key_col: str) -> dict:
+        """One consumer poll: the delta between ``app``'s cursor and
+        the current snapshot. Returns ``{from_version, to_version,
+        frame, full_resync}``; ``frame`` is None when there is nothing
+        new. Caller processes the frame, then calls
+        ``ack(app, to_version)`` — never before.
+
+        ``full_resync=True`` when the cursor's base snapshot has been
+        retired by ``expire_snapshots`` (the consumer lagged past
+        retention): incremental diffing is impossible, so ``frame`` is
+        the ENTIRE current snapshot tagged ``_change_type='insert'``
+        and the downstream must treat the batch as a rebuild — the
+        same contract as Delta's CDF when history is vacuumed."""
+        frm = self.consumer_cursor(app)
+        to = self.current_version()
+        if to <= frm:
+            return {
+                "from_version": frm,
+                "to_version": frm,
+                "frame": None,
+                "full_resync": False,
+            }
+        try:
+            frame = self.changes(key_col, from_version=frm, to_version=to)
+            resync = False
+        except FileNotFoundError:  # cursor base expired out of history
+            frame = self.read(version=to).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            resync = True
+        return {
+            "from_version": frm,
+            "to_version": to,
+            "frame": frame,
+            "full_resync": resync,
+        }
+
     # -- writes --------------------------------------------------------
 
     def _write_data_files(

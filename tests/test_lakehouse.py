@@ -751,3 +751,57 @@ def test_lakehouse_bloom_sidecars_follow_vacuum(spark, tmp_path):
     live = {rel for rel in t.snapshot()[1]["files"]}
     remaining = {p.name for p in idx.glob("*.bloom")}
     assert remaining == {t._bloom_sidecar_rel(rel) for rel in live}
+
+
+def test_lakehouse_consumer_incremental_loop(spark, tmp_path):
+    """Poll → process → ack: each poll sees exactly the delta since
+    the last ack; an unacked poll repeats (at-least-once); a stale ack
+    can never rewind the cursor."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"))
+    b1 = t.consume_changes("job", "id")
+    got1 = {(r.id, r.k, r._change_type) for r in b1["frame"].collect()}
+    assert got1 == {(1, "a", "insert"), (2, "b", "insert")}
+    assert not b1["full_resync"]
+    # crash before ack: the same delta comes again
+    again = t.consume_changes("job", "id")
+    assert (again["from_version"], again["to_version"]) == (
+        b1["from_version"],
+        b1["to_version"],
+    )
+    t.ack("job", b1["to_version"])
+    # nothing new -> no frame
+    idle = t.consume_changes("job", "id")
+    assert idle["frame"] is None and idle["to_version"] == b1["to_version"]
+    # an upsert of key 1 only -> next poll is just that key's images
+    t.merge(spark.createDataFrame([(1, "a9")], "id long, k string"), "id")
+    b2 = t.consume_changes("job", "id")
+    got2 = {(r.id, r.k, r._change_type) for r in b2["frame"].collect()}
+    assert got2 == {(1, "a", "update_pre"), (1, "a9", "update_post")}
+    # stale ack is a no-op
+    t.ack("job", b1["to_version"])
+    assert t.consumer_cursor("job") == b1["to_version"]
+    t.ack("job", b2["to_version"])
+    assert t.consumer_cursor("job") == b2["to_version"]
+    # two consumers have independent cursors
+    other = t.consume_changes("audit", "id")
+    assert other["from_version"] == 0
+    assert other["frame"].count() == 2  # full current state as inserts
+
+
+def test_lakehouse_consumer_full_resync_after_expiry(spark, tmp_path):
+    """A consumer that lags past snapshot retention cannot diff —
+    it must receive the whole current snapshot as a rebuild."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    b1 = t.consume_changes("slow", "id")
+    t.ack("slow", b1["to_version"])          # cursor = 1
+    t.merge(spark.createDataFrame([(1, "a2")], "id long, k string"), "id")
+    t.merge(spark.createDataFrame([(2, "b")], "id long, k string"), "id")
+    t.expire_snapshots(keep_last=1)          # v1 (the cursor base) retired
+    b = t.consume_changes("slow", "id")
+    assert b["full_resync"]
+    got = {(r.id, r.k, r._change_type) for r in b["frame"].collect()}
+    assert got == {(1, "a2", "insert"), (2, "b", "insert")}
+    t.ack("slow", b["to_version"])
+    assert t.consume_changes("slow", "id")["frame"] is None
