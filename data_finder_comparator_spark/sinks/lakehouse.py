@@ -976,6 +976,230 @@ class TransactionalTable:
             # our orphaned txn files stay invisible until vacuum
         raise CommitConflict(f"merge lost {max_retries} commit races at {self.path}")
 
+    def _hit_files_on(
+        self,
+        man: dict,
+        table_schema: StructType,
+        source: DataFrame,
+        key_cols: list[str],
+    ) -> list[str]:
+        """Composite-key variant of ``_hit_files``: a file is a
+        candidate only if its footer range can overlap the incoming
+        range on EVERY key column (conjunctive — a composite match
+        needs all of them present in the row); the Bloom layer applies
+        when one of the key columns is the indexed one (a file lacking
+        every incoming value of that column cannot contain any
+        composite match). Exact input_file_name scan joins on all key
+        columns."""
+        keys = source.select(*key_cols).distinct()
+        ranges = {}
+        try:
+            aggs = []
+            for c in key_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            row = keys.agg(*aggs).first()
+            for c in key_cols:
+                ranges[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"])
+        except Exception:
+            ranges = {c: (None, None) for c in key_cols}
+        all_stats = man.get("stats") or {}
+
+        def _cand(rel: str) -> bool:
+            st = all_stats.get(rel)
+            for c in key_cols:
+                lo, hi = ranges[c]
+                if lo is None and hi is None:
+                    continue  # unaggregatable type: no range signal
+                if not self._may_contain(st, c, lo, hi):
+                    return False
+            return True
+
+        candidates = [rel for rel in man["files"] if _cand(rel)]
+        if candidates and self.bloom_col in key_cols:
+            probe = self._collect_probe_keys(
+                keys.select(self.bloom_col).distinct(), self.bloom_col
+            )
+            if probe is not None:
+                candidates = [
+                    rel
+                    for rel in candidates
+                    if not self._bloom_excludes(all_stats.get(rel), probe)
+                ]
+        if not candidates:
+            return []
+        tagged = (
+            self.spark.read.schema(table_schema)
+            .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
+            .withColumn("_file", F.input_file_name())
+        )
+        hit_paths = {
+            r._file
+            for r in tagged.join(keys, key_cols).select("_file").distinct().collect()
+        }
+        return sorted(
+            rel
+            for rel in candidates
+            if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_matched_condition: str | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool = True,
+        max_retries: int = 20,
+        before_commit=None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Full ``MERGE INTO`` semantics over the commit log — the
+        conditional, column-level form that ``merge`` (whole-row
+        Keep/Replace, the reference's semantics) does not express:
+
+        * ``on`` — one or more join key columns (composite keys
+          supported; a composite match requires equality on all).
+        * ``when_matched_delete`` — SQL boolean over the combined row
+          (target columns by name, source columns as ``src_<col>``);
+          matched rows satisfying it are deleted. Evaluated FIRST,
+          like Delta's clause ordering.
+        * ``when_matched_update`` — ``"all"`` (every source column
+          overwrites its target column — plain upsert), a dict
+          ``{target_col: sql_expr}`` over the same combined-row
+          namespace (e.g. ``{"qty": "qty + src_qty"}``), or None (no
+          update). ``when_matched_condition`` gates it; matched rows
+          failing the gate keep their target values.
+        * ``when_not_matched_insert`` — source rows matching no
+          target key are appended (their schema must match the table,
+          same check as ``append``).
+
+        Multiple source rows matching one target key is refused
+        loudly (nondeterministic update order — the standard MERGE
+        error). Only data files containing a matched key are
+        rewritten (footer range skip on every key column + Bloom when
+        applicable); concurrency, retries and txn markers are the
+        same optimistic loop as ``merge``."""
+        key_cols = [on] if isinstance(on, str) else list(on)
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: multiple source rows match target key "
+                f"{tuple(dup[0][c] for c in key_cols)} — dedupe the source"
+            )
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            done = self._txn_already_applied(txn_app, txn_version, v)
+            if done is not None:
+                return done
+            if v == 0:
+                if not when_not_matched_insert:
+                    return 0  # no table, no inserts: nothing to commit
+                _, rels, st = self._write_data_files(source)
+                manifest = self._next_manifest(
+                    0, man, "merge_into", rels, source.schema.json(), st,
+                    txn_app, txn_version,
+                )
+                if before_commit is not None:
+                    before_commit()
+                if self._try_commit(1, manifest):
+                    return 1
+                continue
+            table_schema = StructType.fromJson(json.loads(man["schema"]))
+            if when_not_matched_insert:
+                self._check_schema_compatible(table_schema, source.schema)
+            out_cols = table_schema.fieldNames()
+            hit_rels = self._hit_files_on(man, table_schema, source, key_cols)
+            carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
+            src = source.select(
+                *[F.col(c).alias(f"src_{c}") for c in source.columns],
+                F.lit(True).alias("_src_match"),
+            )
+            if hit_rels:
+                affected = self.spark.read.schema(table_schema).parquet(
+                    *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
+                )
+                cond = [affected[c] == F.col(f"src_{c}") for c in key_cols]
+                joined = affected.join(src, cond, "left")
+                matched = F.col("_src_match").isNotNull()
+                if when_matched_delete is not None:
+                    keep = ~(matched & F.expr(when_matched_delete))
+                else:
+                    keep = F.lit(True)
+                upd = when_matched_update
+                if upd == "all":
+                    upd = {
+                        c: f"src_{c}"
+                        for c in out_cols
+                        if f"src_{c}" in joined.columns
+                    }
+                applies = matched
+                if when_matched_delete is not None:
+                    applies = applies & ~F.expr(when_matched_delete)
+                if when_matched_condition is not None:
+                    applies = applies & F.expr(when_matched_condition)
+                sel = []
+                for c in out_cols:
+                    if upd and c in upd:
+                        sel.append(
+                            F.when(applies, F.expr(upd[c]))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                        )
+                    else:
+                        sel.append(F.col(c))
+                survivors = joined.filter(keep).select(*sel)
+                matched_keys = (
+                    joined.filter(matched).select(*key_cols).distinct()
+                )
+            else:
+                survivors = None
+                matched_keys = None
+            if when_not_matched_insert:
+                inserts = source
+                if matched_keys is not None:
+                    inserts = source.join(matched_keys, key_cols, "left_anti")
+                inserts = inserts.select(*out_cols)
+            else:
+                inserts = None
+            if survivors is not None and inserts is not None:
+                merged = survivors.unionByName(inserts)
+            elif survivors is not None:
+                merged = survivors
+            elif inserts is not None:
+                merged = inserts
+            else:
+                return v  # no hits, no inserts: the table is unchanged
+            all_stats = man.get("stats") or {}
+            _, rels, st = self._write_data_files(merged)
+            manifest = self._next_manifest(
+                v,
+                man,
+                "merge_into",
+                carried + rels,
+                man["schema"],
+                {
+                    **{rel: all_stats[rel] for rel in carried if rel in all_stats},
+                    **st,
+                },
+                txn_app,
+                txn_version,
+            )
+            if before_commit is not None:
+                before_commit()
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"merge_into lost {max_retries} commit races at {self.path}"
+        )
+
     def delete(
         self,
         keys_df: DataFrame,

@@ -805,3 +805,151 @@ def test_lakehouse_consumer_full_resync_after_expiry(spark, tmp_path):
     assert got == {(1, "a2", "insert"), (2, "b", "insert")}
     t.ack("slow", b["to_version"])
     assert t.consume_changes("slow", "id")["frame"] is None
+
+
+def test_lakehouse_merge_into_conditional_update(spark, tmp_path):
+    """WHEN MATCHED THEN UPDATE with an expression over both sides,
+    gated by a condition; unmatched source rows insert. Oracle: the
+    same MERGE restated as a DuckDB FULL OUTER JOIN + CASE."""
+    import duckdb
+
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    target = [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
+    source = [(2, 5, "B2"), (3, 100, "C2"), (4, 7, "d")]
+    t.append(spark.createDataFrame(target, "id long, qty long, tag string"))
+    t.merge_into(
+        spark.createDataFrame(source, "id long, qty long, tag string"),
+        on="id",
+        when_matched_update={"qty": "qty + src_qty", "tag": "src_tag"},
+        when_matched_condition="src_qty < 50",  # id=3's src_qty=100 fails the gate
+    )
+    got = _rows(t.read())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt(id BIGINT, qty BIGINT, tag VARCHAR)")
+    con.execute("CREATE TABLE src(id BIGINT, qty BIGINT, tag VARCHAR)")
+    con.executemany("INSERT INTO tgt VALUES (?,?,?)", target)
+    con.executemany("INSERT INTO src VALUES (?,?,?)", source)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT coalesce(t.id, s.id) AS id,
+                   CASE WHEN t.id IS NULL THEN s.qty
+                        WHEN s.id IS NOT NULL AND s.qty < 50 THEN t.qty + s.qty
+                        ELSE t.qty END AS qty,
+                   CASE WHEN t.id IS NULL THEN s.tag
+                        WHEN s.id IS NOT NULL AND s.qty < 50 THEN s.tag
+                        ELSE t.tag END AS tag
+            FROM tgt t FULL OUTER JOIN src s USING (id)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert (3, 30, "c") in set(got)  # gate held the original row
+
+
+def test_lakehouse_merge_into_matched_delete(spark, tmp_path):
+    """Delete clause evaluated first (Delta ordering): matched rows
+    flagged op='D' are removed, remaining matches updated, the rest
+    inserted."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, "A", "U"), (2, "x", "D"), (4, "d", "U")],
+        "id long, v string, op string",
+    )
+    t.merge_into(
+        src,
+        on="id",
+        when_matched_update={"v": "src_v"},
+        when_matched_delete="src_op = 'D'",
+        when_not_matched_insert=False,  # src carries an extra op column
+    )
+    assert _rows(t.read()) == [(1, "A"), (3, "c")]
+
+
+def test_lakehouse_merge_into_composite_key(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [("us", 1, 10), ("us", 2, 20), ("eu", 1, 30)],
+            "region string, id long, n long",
+        )
+    )
+    t.merge_into(
+        spark.createDataFrame(
+            [("us", 2, 99), ("eu", 2, 40)], "region string, id long, n long"
+        ),
+        on=["region", "id"],
+    )  # default: update all + insert
+    assert _rows(t.read()) == [
+        ("eu", 1, 30),
+        ("eu", 2, 40),
+        ("us", 1, 10),
+        ("us", 2, 99),
+    ]
+
+
+def test_lakehouse_merge_into_duplicate_source_rows_refused(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(
+            spark.createDataFrame(
+                [(1, "x"), (1, "y")], "id long, v string"
+            ),
+            on="id",
+        )
+
+
+def test_lakehouse_merge_into_rewrites_only_hit_files(spark, tmp_path):
+    """Composite-range file skipping: the file whose ranges cannot
+    overlap the source keys is carried by reference — proven by
+    deleting it from disk before the merge."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"lo{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"hi{i}") for i in range(1000, 1010)], "id long, v string"
+        ).coalesce(1)
+    )
+    _, man = t.snapshot()
+    lo_file = next(
+        rel for rel in man["files"] if man["stats"][rel]["min"]["id"] == 0
+    )
+    os.remove(tmp_path / "tbl" / "data" / lo_file)
+    v = t.merge_into(
+        spark.createDataFrame([(1005, "HI")], "id long, v string"), on="id"
+    )
+    new_man = t.snapshot(v)[1]
+    assert lo_file in new_man["files"]  # carried untouched
+    live = [
+        rel
+        for rel in new_man["files"]
+        if os.path.exists(tmp_path / "tbl" / "data" / rel)
+    ]
+    got = {
+        (r.id, r.v)
+        for rel in live
+        for r in spark.read.parquet(str(tmp_path / "tbl" / "data" / rel)).collect()
+    }
+    assert (1005, "HI") in got and (1005, "hi1005") not in got
+
+
+def test_lakehouse_merge_into_no_op_makes_no_commit(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v = t.merge_into(
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        on="id",
+        when_not_matched_insert=False,
+    )
+    assert v == v1  # nothing matched, nothing inserted, no empty commit
