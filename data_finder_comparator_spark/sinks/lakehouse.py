@@ -721,6 +721,9 @@ class TransactionalTable:
             "files": files,
             "schema": schema,
             "stats": stats,
+            # CHECK constraints ride every manifest like txns do — a
+            # delete/optimize between writes must not drop them
+            "constraints": dict(man.get("constraints") or {}),
         }
         if txn_app is not None and txn_version is not None:
             txns[txn_app] = txn_version
@@ -768,6 +771,7 @@ class TransactionalTable:
                     out_schema_json = self._evolved_schema(table_schema, df)
                 else:
                     self._check_schema_compatible(table_schema, df.schema)
+            self._enforce_constraints(df, man)
             if rels is None:  # write data files once, after the checks
                 _, rels, st = self._write_data_files(df)
             manifest = self._next_manifest(
@@ -925,6 +929,10 @@ class TransactionalTable:
             done = self._txn_already_applied(txn_app, txn_version, v)
             if done is not None:
                 return done
+            # survivors were already in the table (valid by induction),
+            # so checking the incoming rows alone enforces the table's
+            # CHECK constraints over the whole merge result
+            self._enforce_constraints(df, man)
             if v == 0:
                 _, rels, st = self._write_data_files(df)
                 manifest = self._next_manifest(
@@ -1102,6 +1110,7 @@ class TransactionalTable:
             if v == 0:
                 if not when_not_matched_insert:
                     return 0  # no table, no inserts: nothing to commit
+                self._enforce_constraints(source, man)
                 _, rels, st = self._write_data_files(source)
                 manifest = self._next_manifest(
                     0, man, "merge_into", rels, source.schema.json(), st,
@@ -1177,6 +1186,9 @@ class TransactionalTable:
                 merged = inserts
             else:
                 return v  # no hits, no inserts: the table is unchanged
+            # UPDATE clauses compute NEW values, so unlike merge() the
+            # whole written frame must pass the table's constraints
+            self._enforce_constraints(merged, man)
             all_stats = man.get("stats") or {}
             _, rels, st = self._write_data_files(merged)
             manifest = self._next_manifest(
@@ -1270,6 +1282,69 @@ class TransactionalTable:
             f for f in df.schema.fields if f.name not in have
         ]
         return StructType(new_fields).json()
+
+    # -- CHECK constraints --------------------------------------------
+
+    def _enforce_constraints(self, df: DataFrame, man: dict) -> None:
+        """Raise if any row of ``df`` VIOLATES a table constraint.
+        SQL CHECK semantics: a row fails only when the expression
+        evaluates to FALSE — NULL (unknown) passes, as in Delta and
+        the standard. One limit-1 probe per constraint; constraint
+        counts are small by construction."""
+        for name, expr in (man.get("constraints") or {}).items():
+            bad = df.filter(~F.expr(expr)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint '{name}' ({expr}) violated by "
+                    f"incoming row {tuple(bad[0])}"
+                )
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 20
+    ) -> int:
+        """Add CHECK constraint ``expr`` (SQL boolean over table
+        columns). The CURRENT snapshot is validated first — a
+        constraint the existing data violates is refused, so a reader
+        may trust that every constraint in the manifest holds over
+        every live row. Committed as its own snapshot
+        (``op: "add_constraint"``, files unchanged) so concurrent
+        writers serialize against it: a writer that raced ahead of
+        the constraint re-reads the new manifest on conflict and
+        enforces it."""
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            if name in (man.get("constraints") or {}):
+                raise ValueError(f"constraint '{name}' already exists")
+            probe = {"constraints": {name: expr}}
+            self._enforce_constraints(self.read(version=v), probe)
+            manifest = self._next_manifest(
+                v, man, "add_constraint", man["files"], man["schema"],
+                man.get("stats") or {},
+            )
+            manifest["constraints"][name] = expr
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"add_constraint lost {max_retries} commit races at {self.path}"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 20) -> int:
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if name not in (man.get("constraints") or {}):
+                raise ValueError(f"no constraint '{name}' on {self.path}")
+            manifest = self._next_manifest(
+                v, man, "drop_constraint", man["files"], man["schema"],
+                man.get("stats") or {},
+            )
+            del manifest["constraints"][name]
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"drop_constraint lost {max_retries} commit races at {self.path}"
+        )
 
     # -- maintenance ---------------------------------------------------
 

@@ -953,3 +953,40 @@ def test_lakehouse_merge_into_no_op_makes_no_commit(spark, tmp_path):
         when_not_matched_insert=False,
     )
     assert v == v1  # nothing matched, nothing inserted, no empty commit
+
+
+def test_lakehouse_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints: validated against existing data
+    on add, enforced on every write path, NULL passes (SQL unknown),
+    persist across unrelated commits, droppable."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, None)], "id long, qty long")
+    )
+    # existing NULL passes; a constraint existing data violates refuses
+    t.add_constraint("qty_pos", "qty > 0")
+    with pytest.raises(ValueError, match="violated"):
+        t.add_constraint("qty_small", "qty < 5")
+    # append of a violating row refuses; valid + NULL rows pass
+    with pytest.raises(ValueError, match="qty_pos"):
+        t.append(spark.createDataFrame([(3, -1)], "id long, qty long"))
+    t.append(spark.createDataFrame([(3, None)], "id long, qty long"))
+    # merge enforces on incoming rows
+    with pytest.raises(ValueError, match="qty_pos"):
+        t.merge(spark.createDataFrame([(1, 0)], "id long, qty long"), "id")
+    # merge_into enforces on COMPUTED update values
+    with pytest.raises(ValueError, match="qty_pos"):
+        t.merge_into(
+            spark.createDataFrame([(1, 100)], "id long, qty long"),
+            on="id",
+            when_matched_update={"qty": "qty - src_qty"},  # 10-100 < 0
+        )
+    # constraint survives an unrelated commit (delete) and still bites
+    t.delete(spark.createDataFrame([(3,)], "id long"), "id")
+    with pytest.raises(ValueError, match="qty_pos"):
+        t.append(spark.createDataFrame([(4, -7)], "id long, qty long"))
+    t.drop_constraint("qty_pos")
+    t.append(spark.createDataFrame([(4, -7)], "id long, qty long"))
+    assert (4, -7) in {tuple(r) for r in t.read().collect()}
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("qty_pos")
