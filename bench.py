@@ -159,7 +159,33 @@ def main() -> None:
     }
     print(json.dumps(payload))
     _archive(payload)
+    # The driver captures only a 2000-char TAIL of stdout; with 99
+    # queries the full contract line is ~3.5 KB, so its head (the
+    # metric/value fields) gets cut and the driver records
+    # parsed:null (observed in BENCH_r08/BENCH_r09). Emit a LAST line
+    # that always fits: same contract shape, slowest queries inline
+    # while they fit, the rest in the self-archive the line points to.
+    print(json.dumps(_compact_payload(payload), separators=(",", ":")))
     spark.stop()
+
+
+def _compact_payload(payload: dict, budget: int = 1800) -> dict:
+    timings = payload["queries"]
+    out = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "queries_full": "bench_history/ (self-archived per-query timings)",
+        "queries": {},
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        out["queries"][name] = timings[name]
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out["queries"][name]
+            break
+    return out
 
 
 def _archive(payload: dict, here: str | None = None) -> None:

@@ -1349,6 +1349,32 @@ def test_bench_archive_round_inference(tmp_path, monkeypatch):
     assert (tmp_path / "bench_history" / "r7.json").exists()
 
 
+def test_bench_compact_payload_fits_driver_tail():
+    """The driver keeps only a 2000-char stdout tail; the final bench
+    line must parse from it whole. Contract shape preserved, slowest
+    queries inline, never over budget, small payloads unsplit."""
+    import json
+
+    import bench
+
+    big = {
+        "metric": "headline_queries_total",
+        "value": 69.3,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_name_number_{i:03d}": round(0.1 * i, 3) for i in range(99)},
+    }
+    c = bench._compact_payload(big)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= 2000
+    assert c["value"] == 69.3 and c["n_queries"] == 99
+    # slowest-first inclusion: the slowest query always makes the cut
+    assert "query_name_number_098" in c["queries"]
+    assert len(c["queries"]) < 99  # something was spilled to the archive
+    small = dict(big, queries={"a": 1.0, "b": 2.0})
+    assert bench._compact_payload(small)["queries"] == {"a": 1.0, "b": 2.0}
+
+
 def test_sketch_merge_family_registered_with_oracles():
     """Round 7 completes the mergeable-sketch family: HLL (register
     max), CMS (cell sum), Bloom (bit union), histogram (cell sum) all
