@@ -467,11 +467,18 @@ class TransactionalTable:
             for name in os.listdir(local)
             if name.endswith(".parquet") and not name.startswith((".", "_"))
         )
+        # footer reads (and Bloom builds below) are driver-side file
+        # IO, one per part file — a large compaction writes thousands,
+        # so run them on a thread pool (pyarrow releases the GIL on
+        # IO/decode) instead of serially
+        from concurrent.futures import ThreadPoolExecutor
+
         stats = {}
-        for rel in rels:
-            s = self._file_stats(rel)
-            if s is not None:
-                stats[rel] = s
+        if rels:
+            with ThreadPoolExecutor(max_workers=min(16, len(rels))) as ex:
+                for rel, s in zip(rels, ex.map(self._file_stats, rels)):
+                    if s is not None:
+                        stats[rel] = s
         # zero-row part files (Spark writes one per empty partition)
         # contribute nothing: referencing them bloats every later
         # manifest's carried set and every reader's file list — drop
@@ -481,11 +488,14 @@ class TransactionalTable:
             rel for rel in rels if rel not in stats or stats[rel]["rows"] > 0
         ]
         stats = {rel: s for rel, s in stats.items() if rel in set(rels)}
-        if self.bloom_col is not None:
-            for rel in rels:
-                bloom = self._build_bloom(rel, stats.get(rel))
-                if bloom is not None:
-                    stats[rel]["bloom"] = bloom
+        if self.bloom_col is not None and rels:
+            with ThreadPoolExecutor(max_workers=min(16, len(rels))) as ex:
+                blooms = ex.map(
+                    lambda rel: self._build_bloom(rel, stats.get(rel)), rels
+                )
+                for rel, bloom in zip(rels, blooms):
+                    if bloom is not None:
+                        stats[rel]["bloom"] = bloom
         return txn, rels, stats
 
     # -- Bloom file index ---------------------------------------------
