@@ -267,6 +267,175 @@ def sq8_rerank_topk(
     )
 
 
+def _subspaces(df: DataFrame, id_col: str, vec: str, m: int, w: int) -> DataFrame:
+    """(id, j, sub): the vector split into ``m`` width-``w`` double
+    subvectors, j = 0..m-1 — the product-quantization decomposition.
+    Slice BEFORE the cast-transform commutes with it, so both orders
+    give identical doubles; the oracle slices the raw list the same
+    way."""
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> struct(j as j, "
+        f"slice(transform({vec}, x -> cast(x as double)), j * {w} + 1, {w}) as sub))"
+    )
+    return df.select(id_col, F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
+    )
+
+
+def ivf_pq_topk(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    stride: int = 50,
+    nprobe: int = 5,
+    n_assign: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    pq_stride: int = 10,
+    rerank: int = 60,
+) -> DataFrame:
+    """FAISS-style IVF-PQ: coarse cells prune WHICH candidates each
+    probe scores (same routing as ``ivf_topk``), product-quantized
+    codes compress HOW the surviving pairs are scored, and an exact
+    re-rank on the short list restores full precision — the composition
+    a 100-TB vector store actually runs, because at that scale the
+    candidate vectors themselves (64 dims × 8 B = 512 B/vec here;
+    3 KB/vec at 768 dims) do not fit executor memory, while the PQ
+    codes (``m`` bytes/vec) and the tiny codebook do.
+
+    PQ mechanics, all engine-portable: vectors split into ``m``
+    width-``dim/m`` subspaces; each subspace's codebook is the
+    ``pq_stride``-sampled candidate subvectors (zero-training, same
+    determinism story as ``ivf_topk``'s coarse quantizer); a candidate's
+    code in subspace j is the codebook entry minimizing the 6-dp-rounded
+    L2² (computed as xx − 2xc + cc from three sequential-fold dot
+    products — no elementwise subtraction to drift), ties to the lower
+    id. ADC scoring: each probe precomputes its per-(subspace, entry)
+    dot-product lookup table; a pair's approximate dot is the sum of
+    ``m`` table hits and the reconstructed norm the sum of the entries'
+    norms. Both sums are 6-dp-rounded-then-DECIMAL so the group-by
+    addition order cannot produce cross-engine last-ulp drift (the
+    repo-wide decimal-stabilization convention).
+
+    Scale shape: codebooks and LUTs are broadcast-sized (m × n/pq_stride
+    rows); candidates shuffle once on cell id, codes once on cand_id;
+    the ADC join fans each routed pair by m ID-only rows — no vector
+    arrays move after encoding. Encoding is the one-off index build,
+    linear in n × m × codebook size.
+
+    Defaults from the round-10 sweep (bench_history/pq_sweep_r10.json,
+    sf0.1 synthetic near-random vectors — VQ's worst case): recall@5
+    is CAPPED by the routing stage (plain ivf_topk at the same
+    nprobe/n_assign = 0.79); pq_stride=10 × rerank=60 reaches 0.73 =
+    92% of that ceiling while exact-scoring only 60 of ~500 routed
+    candidates per probe; rerank=120 buys 0.762 (96%) at 2× the exact
+    work; coarser codebooks (pq_stride 25/50) or fewer subspaces
+    (m=4) lose 5-15 points. Real clustered embeddings quantize
+    better, same as the IVF story."""
+    w = dim // m
+    # coarse routing (shared helpers — identical arithmetic to ivf_topk)
+    coarse = cands.filter(F.col("cand_id") % stride == 0).select(
+        F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent")
+    )
+    cents = coarse.withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    cell = nearest_centroid_cells(cands, cents, "cand_id", "vec_c", n_assign).select(
+        "cand_id", "cent_id"
+    )
+    probe_cells = nearest_centroid_cells(
+        probes, cents, "probe_id", "vec_p", nprobe
+    ).select("probe_id", "cent_id")
+    pair_ids = (
+        probe_cells.join(cell, "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    # PQ codebook: stride-sampled candidate subvectors, with each
+    # entry's self-norm both raw (for the L2 encode identity) and
+    # rounded-decimal (for the reconstructed-norm sum)
+    pq_sub = (
+        _subspaces(
+            cands.filter(F.col("cand_id") % pq_stride == 0).select(
+                F.col("cand_id").alias("pq_id"), "vec_c"
+            ),
+            "pq_id",
+            "vec_c",
+            m,
+            w,
+        )
+        .withColumnRenamed("sub", "csub")
+        .withColumn("_cc", dot("csub", "csub"))
+        .withColumn("cdec", F.round(F.col("_cc"), 6).cast("decimal(28,10)"))
+    )
+    # encode every candidate: argmin rounded L2² per (cand, subspace)
+    cand_sub = _subspaces(cands, "cand_id", "vec_c", m, w).withColumn(
+        "_xx", dot("sub", "sub")
+    )
+    enc_w = Window.partitionBy("cand_id", "j").orderBy("l2", "pq_id")
+    codes = (
+        cand_sub.join(F.broadcast(pq_sub), "j")
+        .withColumn(
+            "l2",
+            F.round(F.col("_xx") - 2 * dot("sub", "csub") + F.col("_cc"), 6),
+        )
+        .withColumn("_rn", F.row_number().over(enc_w))
+        .filter(F.col("_rn") == 1)
+        .select("cand_id", "j", F.col("pq_id").alias("code"))
+    )
+    # per-probe ADC lookup table
+    lut = (
+        _subspaces(probes, "probe_id", "vec_p", m, w)
+        .join(F.broadcast(pq_sub), "j")
+        .select(
+            F.col("probe_id").alias("_lp"),
+            F.col("j").alias("_lj"),
+            F.col("pq_id").alias("_lc"),
+            F.round(dot("sub", "csub"), 6).cast("decimal(28,10)").alias("pdot"),
+            "cdec",
+        )
+    )
+    pnorm = probes.select("probe_id", dot("vec_p", "vec_p").alias("_np"))
+    adc = (
+        pair_ids.join(codes, "cand_id")
+        .join(
+            lut,
+            (F.col("probe_id") == F.col("_lp"))
+            & (F.col("j") == F.col("_lj"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.sum("pdot").cast("double").alias("_adot"),
+            F.sum("cdec").cast("double").alias("_rnorm"),
+        )
+        .join(pnorm, "probe_id")
+        .withColumn(
+            "qsim",
+            F.round(F.col("_adot") / F.sqrt(F.col("_np") * F.col("_rnorm")), 6),
+        )
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.col("qsim").desc(), "cand_id")
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank)
+        .select("probe_id", "cand_id")
+    )
+    scored = (
+        shortlist.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
 def hyperplane_bucket(vec: str, n_planes: int, dim: int, seed_tag: str = "hp") -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
     n_planes pseudo-random hyperplanes. Hyperplane components are
