@@ -897,6 +897,8 @@ def stream_merge_into_table(
     key_col: str,
     txn_app: str,
     checkpoint: str,
+    auto_optimize_every: int | None = None,
+    auto_optimize_small_bytes: int = 8 << 20,
 ):
     """Exactly-once streaming upsert into the transactional lakehouse
     table (round 9). foreachBatch delivery is AT-LEAST-ONCE: after a
@@ -912,7 +914,17 @@ def stream_merge_into_table(
     returns the ``TransactionalTable``; the per-epoch merge work is
     bounded by the table's footer-stats file skipping, so a day of
     micro-batches costs reads proportional to the keys it touched,
-    not the table."""
+    not the table.
+
+    ``auto_optimize_every=N`` compacts small files after every Nth
+    epoch (round 10): each micro-batch commits its own txn files, so
+    an unattended stream accretes one small file per epoch and dies
+    by open() overhead long before data volume — the auto-compaction
+    every streaming table sink ends up needing. The optimize commit is
+    row-preserving and races safely (its optimistic loop recomputes
+    against any interleaved merge), and replayed epochs skip their
+    merge via the txn marker but may re-trigger a harmless optimize
+    (idempotent: a second pass finds nothing small to pack)."""
     from ..sinks.lakehouse import TransactionalTable
 
     spark = stream_df.sparkSession
@@ -922,6 +934,11 @@ def stream_merge_into_table(
         table.merge(
             batch_df, key_col, txn_app=txn_app, txn_version=int(epoch_id)
         )
+        if (
+            auto_optimize_every is not None
+            and (int(epoch_id) + 1) % auto_optimize_every == 0
+        ):
+            table.optimize(small_bytes=auto_optimize_small_bytes)
 
     with _stream_confs(spark):
         q = (

@@ -990,3 +990,55 @@ def test_lakehouse_check_constraints(spark, tmp_path):
     assert (4, -7) in {tuple(r) for r in t.read().collect()}
     with pytest.raises(ValueError, match="no constraint"):
         t.drop_constraint("qty_pos")
+
+
+def test_lakehouse_stream_merge_auto_optimize(spark, tmp_path):
+    """auto_optimize_every=2 compacts after every 2nd epoch: the
+    4-epoch stream ends with optimize commits interleaved, fewer live
+    files than epochs, identical table contents — and replays still
+    skip their merges via the txn markers."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    epochs = [
+        [(1, "a0"), (2, "b0")],
+        [(2, "b1"), (3, "c1")],
+        [(4, "d2")],
+        [(1, "a3"), (5, "e3")],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, "id long, k string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    t = stream_merge_into_table(
+        stream,
+        str(tmp_path / "tbl"),
+        "id",
+        "evt-job",
+        str(tmp_path / "ckpt"),
+        auto_optimize_every=2,
+        auto_optimize_small_bytes=1 << 20,
+    )
+    ops = [m["op"] for m in t.history()]
+    assert ops.count("merge") == 4
+    assert "optimize" in ops  # compaction interleaved with the stream
+    state = {(r.id, r.k) for r in t.read().collect()}
+    assert state == {(1, "a3"), (2, "b1"), (3, "c1"), (4, "d2"), (5, "e3")}
+    # compaction bounded the live file count below one-per-epoch
+    assert len(t.snapshot()[1]["files"]) < 4
+    # replay of an already-applied epoch is still a no-op
+    v = t.current_version()
+    t.merge(
+        spark.createDataFrame(epochs[1], "id long, k string"),
+        "id", txn_app="evt-job", txn_version=1,
+    )
+    assert t.current_version() == v
