@@ -69,16 +69,18 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 
-# Round-9 rotation (invariant: every parked query was driver-green in
-# the round that JUST ran, so parking it still leaves a driver
-# CORRECTNESS row within the last two rounds; all parked queries stay
-# hash-checked by tests/test_oracle_parity.py on every pytest run).
-# The registry is SATURATED at 99 (two 49-query sets alternating
-# around the permanently in-window alignment_pairs, whose rows-only
-# check exists ONLY as a driver row). Steady-state mechanical
-# rotation: park the 49 names hash-green in CORRECTNESS_r08.json (the
-# just-run round-8 window minus alignment_pairs); the 49 r7-parked
-# names return to the window. 99 - 49 = 50 in-window exactly.
+# Alternating-window rotation (invariant: every parked query was
+# driver-green in the round that JUST ran, so parking it still leaves
+# a driver CORRECTNESS row within the last two rounds; all parked
+# queries stay hash-checked by tests/test_oracle_parity.py on every
+# pytest run). The registry is SATURATED at 99 (two 49-query sets
+# alternating around the permanently in-window alignment_pairs, whose
+# rows-only check exists ONLY as a driver row). Mechanical rule, EVERY
+# round: set this list to the 49 names hash-green in the NEWEST
+# CORRECTNESS_r{N}.json (that file's 50-query window minus
+# alignment_pairs); the previously parked 49 return to the window.
+# 99 - 49 = 50 in-window exactly. Currently parked: the
+# CORRECTNESS_r09 greens (rotated at the start of round 10).
 _PARKED_MULTI_GREEN = [
     "alignment_dist",
     "ann_ivf_topk",

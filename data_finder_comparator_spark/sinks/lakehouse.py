@@ -864,47 +864,14 @@ class TransactionalTable:
         kmin,
         kmax,
     ) -> list[str]:
-        """Data files of snapshot ``man`` that CONTAIN a matched key:
-        footer-stats range skip first (files that cannot overlap
-        [kmin, kmax] are never opened), then the exact
-        ``input_file_name`` scan over the survivors. Shared by merge
-        and delete so hit detection can never diverge between them."""
-        all_stats = man.get("stats") or {}
-        candidates = [
-            rel
-            for rel in man["files"]
-            if self._may_contain(all_stats.get(rel), key_col, kmin, kmax)
-        ]
-        if candidates and self.bloom_col == key_col:
-            probe = self._collect_probe_keys(keys, key_col)
-            if probe is not None:
-                candidates = [
-                    rel
-                    for rel in candidates
-                    if not self._bloom_excludes(all_stats.get(rel), probe)
-                ]
-        if not candidates:
-            return []
-        tagged = (
-            self.spark.read.schema(table_schema)
-            .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
-            .withColumn("_file", F.input_file_name())
-        )
-        # no forced broadcast of the key set: point upserts broadcast
-        # anyway (AQE sees the post-distinct size), while a bulk
-        # backfill's key set can exceed executor memory — exactly the
-        # case a forced hint would OOM at scale
-        hit_paths = {
-            r._file
-            for r in tagged.join(keys, key_col)
-            .select("_file")
-            .distinct()
-            .collect()
-        }
-        return sorted(
-            rel
-            for rel in candidates
-            if any(h.endswith(f"/{_DATA}/{rel}") for h in hit_paths)
+        """Single-key entry point for hit detection — a thin wrapper
+        over ``_hit_files_on`` so merge, delete and merge_into share
+        ONE implementation of range skip + Bloom probe + exact scan
+        and can never diverge. ``kmin``/``kmax`` are the caller's
+        retry-cached key range (the commit loop recomputes snapshots,
+        not aggregates)."""
+        return self._hit_files_on(
+            man, table_schema, keys, [key_col], ranges={key_col: (kmin, kmax)}
         )
 
     def merge(
@@ -1000,26 +967,30 @@ class TransactionalTable:
         table_schema: StructType,
         source: DataFrame,
         key_cols: list[str],
+        ranges: dict[str, tuple] | None = None,
     ) -> list[str]:
-        """Composite-key variant of ``_hit_files``: a file is a
-        candidate only if its footer range can overlap the incoming
-        range on EVERY key column (conjunctive — a composite match
-        needs all of them present in the row); the Bloom layer applies
-        when one of the key columns is the indexed one (a file lacking
-        every incoming value of that column cannot contain any
-        composite match). Exact input_file_name scan joins on all key
-        columns."""
+        """THE hit-detection implementation (merge and delete reach it
+        through ``_hit_files``): a file is a candidate only if its
+        footer range can overlap the incoming range on EVERY key
+        column (conjunctive — a composite match needs all of them
+        present in the row); the Bloom layer applies when one of the
+        key columns is the indexed one (a file lacking every incoming
+        value of that column cannot contain any composite match).
+        Exact input_file_name scan joins on all key columns.
+        ``ranges`` lets a retrying caller inject its cached per-column
+        (min, max); (None, None) entries mean no range signal."""
         keys = source.select(*key_cols).distinct()
-        ranges = {}
-        try:
-            aggs = []
-            for c in key_cols:
-                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-            row = keys.agg(*aggs).first()
-            for c in key_cols:
-                ranges[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"])
-        except Exception:
-            ranges = {c: (None, None) for c in key_cols}
+        if ranges is None:
+            ranges = {}
+            try:
+                aggs = []
+                for c in key_cols:
+                    aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+                row = keys.agg(*aggs).first()
+                for c in key_cols:
+                    ranges[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"])
+            except Exception:
+                ranges = {c: (None, None) for c in key_cols}
         all_stats = man.get("stats") or {}
 
         def _cand(rel: str) -> bool:
@@ -1135,12 +1106,39 @@ class TransactionalTable:
             if when_not_matched_insert:
                 self._check_schema_compatible(table_schema, source.schema)
             out_cols = table_schema.fieldNames()
+            has_matched_clause = (
+                when_matched_update is not None or when_matched_delete is not None
+            )
+            if not has_matched_clause and not when_not_matched_insert:
+                return v  # no clause can change anything
             hit_rels = self._hit_files_on(man, table_schema, source, key_cols)
-            carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
+            # with no matched clause (insert-if-not-exists), matched
+            # rows are untouched BY DEFINITION: carry every hit file by
+            # reference instead of rewriting it byte-identically — at
+            # scale that is the difference between appending a few
+            # files and rewriting every file a source key lands in
+            rewrite_hits = bool(hit_rels) and has_matched_clause
+            carried = (
+                [rel for rel in man["files"] if rel not in set(hit_rels)]
+                if rewrite_hits
+                else list(man["files"])
+            )
             src = source.select(
                 *[F.col(c).alias(f"src_{c}") for c in source.columns],
                 F.lit(True).alias("_src_match"),
             )
+            # SQL three-valued logic: a WHEN MATCHED clause fires only
+            # when its condition is TRUE — NULL (unknown) must neither
+            # delete nor update, so coalesce every clause gate to FALSE
+            # (an unguarded filter would silently DELETE null-condition
+            # rows: filter drops null predicates)
+            del_cond = (
+                F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                if when_matched_delete is not None
+                else F.lit(False)
+            )
+            survivors = None
+            matched_keys = None
             if hit_rels:
                 affected = self.spark.read.schema(table_schema).parquet(
                     *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
@@ -1148,39 +1146,34 @@ class TransactionalTable:
                 cond = [affected[c] == F.col(f"src_{c}") for c in key_cols]
                 joined = affected.join(src, cond, "left")
                 matched = F.col("_src_match").isNotNull()
-                if when_matched_delete is not None:
-                    keep = ~(matched & F.expr(when_matched_delete))
-                else:
-                    keep = F.lit(True)
-                upd = when_matched_update
-                if upd == "all":
-                    upd = {
-                        c: f"src_{c}"
-                        for c in out_cols
-                        if f"src_{c}" in joined.columns
-                    }
-                applies = matched
-                if when_matched_delete is not None:
-                    applies = applies & ~F.expr(when_matched_delete)
-                if when_matched_condition is not None:
-                    applies = applies & F.expr(when_matched_condition)
-                sel = []
-                for c in out_cols:
-                    if upd and c in upd:
-                        sel.append(
-                            F.when(applies, F.expr(upd[c]))
-                            .otherwise(F.col(c))
-                            .alias(c)
-                        )
-                    else:
-                        sel.append(F.col(c))
-                survivors = joined.filter(keep).select(*sel)
                 matched_keys = (
                     joined.filter(matched).select(*key_cols).distinct()
                 )
-            else:
-                survivors = None
-                matched_keys = None
+                if rewrite_hits:
+                    keep = ~(matched & del_cond)
+                    upd = when_matched_update
+                    if upd == "all":
+                        upd = {
+                            c: f"src_{c}"
+                            for c in out_cols
+                            if f"src_{c}" in joined.columns
+                        }
+                    applies = matched & ~del_cond
+                    if when_matched_condition is not None:
+                        applies = applies & F.coalesce(
+                            F.expr(when_matched_condition), F.lit(False)
+                        )
+                    sel = []
+                    for c in out_cols:
+                        if upd and c in upd:
+                            sel.append(
+                                F.when(applies, F.expr(upd[c]))
+                                .otherwise(F.col(c))
+                                .alias(c)
+                            )
+                        else:
+                            sel.append(F.col(c))
+                    survivors = joined.filter(keep).select(*sel)
             if when_not_matched_insert:
                 inserts = source
                 if matched_keys is not None:
@@ -1193,6 +1186,10 @@ class TransactionalTable:
             elif survivors is not None:
                 merged = survivors
             elif inserts is not None:
+                # insert-only writes: an all-matched source would commit
+                # an empty, content-identical snapshot — skip it
+                if inserts.limit(1).count() == 0:
+                    return v
                 merged = inserts
             else:
                 return v  # no hits, no inserts: the table is unchanged

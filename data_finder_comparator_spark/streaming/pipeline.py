@@ -934,10 +934,10 @@ def stream_merge_into_table(
         table.merge(
             batch_df, key_col, txn_app=txn_app, txn_version=int(epoch_id)
         )
-        if (
-            auto_optimize_every is not None
-            and (int(epoch_id) + 1) % auto_optimize_every == 0
-        ):
+        # falsy (None or 0) disables — 0 is a natural spelling of
+        # "never", and modulo-zero inside foreachBatch would kill the
+        # whole stream after its first merge commit
+        if auto_optimize_every and (int(epoch_id) + 1) % auto_optimize_every == 0:
             table.optimize(small_bytes=auto_optimize_small_bytes)
 
     with _stream_confs(spark):

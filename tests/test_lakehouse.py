@@ -1042,3 +1042,96 @@ def test_lakehouse_stream_merge_auto_optimize(spark, tmp_path):
         "id", txn_app="evt-job", txn_version=1,
     )
     assert t.current_version() == v
+
+
+def test_lakehouse_merge_into_null_condition_never_fires(spark, tmp_path):
+    """SQL three-valued logic: a WHEN MATCHED clause whose condition
+    evaluates to NULL must neither delete nor update (review finding —
+    an unguarded filter silently DELETED null-condition rows)."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, None), (2, 5)], "id long, qty long")
+    )
+    t.merge_into(
+        spark.createDataFrame([(1, 3), (2, 3)], "id long, qty long"),
+        on="id",
+        when_matched_update=None,
+        when_matched_delete="qty > src_qty",  # NULL for id=1, TRUE for id=2
+        when_not_matched_insert=False,
+    )
+    assert _rows(t.read()) == [(1, None)]  # id=1 kept, id=2 deleted
+    # same for the update gate: NULL condition -> target value kept
+    t.merge_into(
+        spark.createDataFrame([(1, 9)], "id long, qty long"),
+        on="id",
+        when_matched_update={"qty": "src_qty"},
+        when_matched_condition="qty > 0",  # NULL for the (1, NULL) row
+        when_not_matched_insert=False,
+    )
+    assert _rows(t.read()) == [(1, None)]
+
+
+def test_lakehouse_merge_into_insert_only_carries_hit_files(spark, tmp_path):
+    """insert-if-not-exists (no matched clause): matched rows are
+    untouched by definition, so files containing matched keys must be
+    CARRIED, not rewritten byte-identically — proven by deleting the
+    hit file from disk; and an all-matched source makes no commit."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    v1 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string").coalesce(1)
+    )
+    the_file = t.snapshot()[1]["files"][0]
+    mtime_before = os.path.getmtime(tmp_path / "tbl" / "data" / the_file)
+    v2 = t.merge_into(
+        spark.createDataFrame([(1, "IGNORED"), (3, "c")], "id long, k string"),
+        on="id",
+        when_matched_update=None,
+    )
+    man = t.snapshot(v2)[1]
+    # the hit file is carried BY REFERENCE (same rel, bytes untouched),
+    # and exactly one new file holds the single true insert
+    assert the_file in man["files"]
+    assert os.path.getmtime(tmp_path / "tbl" / "data" / the_file) == mtime_before
+    new_files = [rel for rel in man["files"] if rel != the_file]
+    assert len(new_files) == 1
+    inserted = {
+        (r.id, r.k)
+        for r in spark.read.parquet(
+            str(tmp_path / "tbl" / "data" / new_files[0])
+        ).collect()
+    }
+    assert inserted == {(3, "c")}
+    # matched row untouched: no IGNORED update leaked through
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # all-matched source: nothing to insert, no empty commit
+    v3 = t.merge_into(
+        spark.createDataFrame([(3, "zzz")], "id long, k string"),
+        on="id",
+        when_matched_update=None,
+    )
+    assert v3 == v2
+
+
+def test_lakehouse_stream_merge_auto_optimize_zero_disables(spark, tmp_path):
+    """auto_optimize_every=0 must mean 'never', not ZeroDivisionError
+    inside foreachBatch (which would kill the stream)."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "a")], "id long, k string").coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream = (
+        spark.readStream.schema("id long, k string")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    t = stream_merge_into_table(
+        stream, str(tmp_path / "tbl"), "id", "job", str(tmp_path / "ckpt"),
+        auto_optimize_every=0,
+    )
+    assert {(r.id, r.k) for r in t.read().collect()} == {(1, "a")}
+    assert [m["op"] for m in t.history()] == ["merge"]
