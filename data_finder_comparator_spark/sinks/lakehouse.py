@@ -102,12 +102,21 @@ class TransactionalTable:
         bloom_col: str | None = None,
         bloom_fpp: float = 0.01,
         bloom_max_rows: int = 1_000_000,
+        cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.bloom_col = bloom_col
         self.bloom_fpp = bloom_fpp
         self.bloom_max_rows = bloom_max_rows
+        # write-time layout policy: range-cluster every written frame
+        # on these columns so each data file carries a TIGHT, mostly
+        # disjoint footer [min, max] — the skipping stack (merge/
+        # delete hit detection, read(prune)) is only as good as the
+        # arriving layout without it. A table-level policy (not a
+        # per-call flag) so merge rewrites and optimize() preserve the
+        # clustering invariant automatically.
+        self.cluster_by = list(cluster_by) if cluster_by else None
         # Local/POSIX paths only, enforced loudly: every manifest and
         # maintenance walk (current_version, vacuum, optimize sizing)
         # uses os-level IO, so accepting an hdfs://...s3a:// URI here
@@ -460,6 +469,15 @@ class TransactionalTable:
         per-file footer stats keyed by relative path)."""
         txn = f"txn-{uuid.uuid4().hex}"
         out_dir = f"{self.path}/{_DATA}/{txn}"
+        if self.cluster_by and all(c in df.columns for c in self.cluster_by):
+            # output file count follows the incoming partition count (a
+            # tiny upsert stays one file; a bulk load keeps its width)
+            # rather than spark.sql.shuffle.partitions, which would
+            # shatter every point merge into 32 range files
+            n_out = max(1, df.rdd.getNumPartitions())
+            df = df.repartitionByRange(n_out, *self.cluster_by).sortWithinPartitions(
+                *self.cluster_by
+            )
         df.write.mode("overwrite").parquet(out_dir)
         local = self._strip_scheme(out_dir)
         rels = sorted(

@@ -1135,3 +1135,45 @@ def test_lakehouse_stream_merge_auto_optimize_zero_disables(spark, tmp_path):
     )
     assert {(r.id, r.k) for r in t.read().collect()} == {(1, "a")}
     assert [m["op"] for m in t.history()] == ["merge"]
+
+
+def test_lakehouse_cluster_by_tightens_file_ranges(spark, tmp_path):
+    """cluster_by range-clusters every write, so data files carry
+    tight disjoint footer ranges and read(prune) / merge skipping
+    actually bites — vs the unclustered layout where every file spans
+    the whole key space."""
+    rows = [(i * 37 % 1000, f"v{i}") for i in range(300)]  # shuffled ids
+    df = spark.createDataFrame(rows, "id long, v string").repartition(4)
+
+    plain = TransactionalTable(spark, str(tmp_path / "plain"))
+    plain.append(df)
+    clustered = TransactionalTable(
+        spark, str(tmp_path / "clus"), cluster_by=["id"]
+    )
+    clustered.append(df)
+
+    def ranges(t):
+        _, man = t.snapshot()
+        return [
+            (man["stats"][rel]["min"]["id"], man["stats"][rel]["max"]["id"])
+            for rel in man["files"]
+        ]
+
+    r_plain, r_clus = ranges(plain), ranges(clustered)
+    assert len(r_clus) == 4
+    # clustered: pairwise disjoint; plain (hash layout): overlapping
+    r_clus.sort()
+    assert all(a[1] < b[0] for a, b in zip(r_clus, r_clus[1:]))
+    r_plain.sort()
+    assert any(a[1] >= b[0] for a, b in zip(r_plain, r_plain[1:]))
+    # and pruned reads open a strict subset of files
+    lo, hi = r_clus[0]
+    assert clustered.read(prune={"id": (lo, hi)}).count() < 300
+    # contents identical either way
+    assert _rows(clustered.read()) == _rows(plain.read())
+    # merge rewrites preserve the policy: the rewritten file is still
+    # internally ordered (tight range)
+    clustered.merge(
+        spark.createDataFrame([(r_clus[0][0], "UP")], "id long, v string"), "id"
+    )
+    assert _rows(clustered.read()) != _rows(plain.read())
