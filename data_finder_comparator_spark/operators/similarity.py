@@ -835,6 +835,18 @@ def ann_recall_audit(
             dim=dim,
             multiprobe=lsh_multiprobe,
         ).select("probe_id", "cand_id"),
+        # the quantized composition (round 10): same router as "ivf",
+        # so its recall gap vs the ivf row isolates what PRODUCT
+        # QUANTIZATION gives up, separate from what routing gives up
+        "ivf_pq": ivf_pq_topk(
+            probes,
+            cands,
+            k=k,
+            stride=ivf_stride,
+            nprobe=ivf_nprobe,
+            n_assign=ivf_assign,
+            dim=dim,
+        ).select("probe_id", "cand_id"),
     }
     out = None
     for method, topk in approx.items():

@@ -231,6 +231,101 @@ FROM (
 """
 
 
+# IVF-PQ (round 10, pytest-gated — registry saturated): the full SQL
+# restatement of ivf_pq_topk at its swept defaults (coarse routing,
+# stride-10 subspace codebooks, argmin-L2² encoding, decimal-
+# stabilized ADC sums, rerank-60 exact re-rank). Shared by the
+# operator parity test and the ANN recall audit oracle.
+_IVF_PQ_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+cell AS (
+  SELECT vec_id AS cand_id, cent_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE rn <= 2
+),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cent_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+    WHERE v.vec_id % 25 = 0
+  ) WHERE rn <= 5
+),
+pair_ids AS (
+  SELECT DISTINCT probe_id, cand_id
+  FROM probe_cells JOIN cell USING (cent_id)
+  WHERE probe_id <> cand_id
+),
+pq_sub AS (
+  SELECT vec_id AS pq_id, j,
+         CAST(list_slice(embedding, j*8+1, j*8+8) AS DOUBLE[]) AS csub
+  FROM embeddings, range(8) jj(j) WHERE vec_id % 10 = 0
+),
+cand_sub AS (
+  SELECT vec_id AS cand_id, j,
+         CAST(list_slice(embedding, j*8+1, j*8+8) AS DOUBLE[]) AS sub
+  FROM embeddings, range(8) jj(j)
+),
+codes AS (
+  SELECT cand_id, j, pq_id AS code FROM (
+    SELECT cs.cand_id, cs.j, ps.pq_id,
+           row_number() OVER (PARTITION BY cs.cand_id, cs.j ORDER BY
+             round(list_dot_product(cs.sub, cs.sub)
+                   - 2*list_dot_product(cs.sub, ps.csub)
+                   + list_dot_product(ps.csub, ps.csub), 6) ASC, ps.pq_id) AS rn
+    FROM cand_sub cs JOIN pq_sub ps USING (j)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT p.vec_id AS probe_id, ps.j, ps.pq_id,
+         CAST(round(list_dot_product(
+           CAST(list_slice(p.embedding, ps.j*8+1, ps.j*8+8) AS DOUBLE[]),
+           ps.csub), 6) AS DECIMAL(28,10)) AS pdot,
+         CAST(round(list_dot_product(ps.csub, ps.csub), 6) AS DECIMAL(28,10)) AS cdec
+  FROM embeddings p CROSS JOIN pq_sub ps WHERE p.vec_id % 25 = 0
+),
+adc AS (
+  SELECT pi.probe_id, pi.cand_id,
+         CAST(SUM(l.pdot) AS DOUBLE) AS adot,
+         CAST(SUM(l.cdec) AS DOUBLE) AS rnorm
+  FROM pair_ids pi
+  JOIN codes e ON e.cand_id = pi.cand_id
+  JOIN lut l ON l.probe_id = pi.probe_id AND l.j = e.j AND l.pq_id = e.code
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT a.probe_id, a.cand_id,
+         round(a.adot / sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(p.embedding AS DOUBLE[]))
+                             * a.rnorm), 6) AS qsim
+  FROM adc a JOIN embeddings p ON p.vec_id = a.probe_id
+),
+shortlist AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY qsim DESC, cand_id) AS rn
+    FROM approx
+  ) WHERE rn <= 60
+),
+scored AS (
+  SELECT probe_id, cand_id, {_DUCK_COS} AS cos_sim
+  FROM shortlist
+  JOIN embeddings p ON p.vec_id = probe_id
+  JOIN embeddings c ON c.vec_id = cand_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 @query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane-LSH cosine top-5 at the round-9 swept
