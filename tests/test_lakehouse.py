@@ -1177,3 +1177,76 @@ def test_lakehouse_cluster_by_tightens_file_ranges(spark, tmp_path):
         spark.createDataFrame([(r_clus[0][0], "UP")], "id long, v string"), "id"
     )
     assert _rows(clustered.read()) != _rows(plain.read())
+
+
+def test_lakehouse_end_to_end_incremental_pipeline(spark, tmp_path):
+    """The composed story, end to end: a stream upserts into an
+    upstream table exactly-once (txn markers); a checkpointed consumer
+    drains its CDC deltas; a downstream job merges each batch into its
+    own table idempotently. Crash-replays on BOTH sides (epoch replay
+    upstream, poll-after-crash downstream) leave both tables exactly
+    as a single clean run would — end-to-end exactly-once from
+    at-least-once parts."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    epochs = [
+        [(1, "a0"), (2, "b0")],
+        [(2, "b1"), (3, "c1")],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, "id long, k string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    upstream = stream_merge_into_table(
+        stream, str(tmp_path / "up"), "id", "ingest", str(tmp_path / "ckpt")
+    )
+    downstream = TransactionalTable(spark, str(tmp_path / "down"))
+
+    def drain(consumer_crashes_before_ack: bool) -> None:
+        batch = upstream.consume_changes("derive", "id")
+        if batch["frame"] is None:
+            return
+        rows = batch["frame"].filter(
+            F.col("_change_type").isin("insert", "update_post")
+        ).drop("_change_type")
+        # idempotent downstream commit keyed by the upstream version
+        downstream.merge(
+            rows, "id", txn_app="derive", txn_version=batch["to_version"]
+        )
+        if not consumer_crashes_before_ack:
+            upstream.ack("derive", batch["to_version"])
+
+    drain(consumer_crashes_before_ack=True)   # crash: no ack
+    drain(consumer_crashes_before_ack=False)  # replay, then ack
+    down_v = downstream.current_version()
+    assert {(r.id, r.k) for r in downstream.read().collect()} == {
+        (1, "a0"), (2, "b1"), (3, "c1"),
+    }
+    # upstream epoch replay (at-least-once restart) is a no-op...
+    up_v = upstream.current_version()
+    for epoch, rows in enumerate(epochs):
+        upstream.merge(
+            spark.createDataFrame(rows, "id long, k string"),
+            "id", txn_app="ingest", txn_version=epoch,
+        )
+    assert upstream.current_version() == up_v
+    # ...so the consumer sees nothing new and downstream is untouched
+    drain(consumer_crashes_before_ack=False)
+    assert downstream.current_version() == down_v
+    # one more upstream change flows through incrementally
+    upstream.merge(
+        spark.createDataFrame([(4, "d")], "id long, k string"),
+        "id", txn_app="ingest", txn_version=2,
+    )
+    drain(consumer_crashes_before_ack=False)
+    assert (4, "d") in {(r.id, r.k) for r in downstream.read().collect()}
