@@ -626,3 +626,36 @@ def gram_tfidf_cosine_topk(
         scored.withColumn("rnk", F.row_number().over(rk).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) dataset card — the one-page profile a
+    training-data team reads before mixing a corpus: document and
+    token volumes, length distribution (exact continuous quantiles),
+    and the exact-duplicate rate (1 − distinct normalized texts /
+    docs). Everything is a single hash-aggregate over the documents
+    table (map-side partial, one shuffle on the tiny group key) plus
+    percentile which Spark computes in the same pass; token counting
+    and the normalization key reuse the module-wide conventions so the
+    DuckDB oracle restates them verbatim. At 100 TB: group count is
+    sources × langs (tiny), so the reduce side is trivial and the
+    scan dominates — the profile costs one pass over the corpus."""
+    toks = token_count("text")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
+            F.countDistinct(F.md5(norm)).cast("long").alias("distinct_texts"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                1.0 - F.col("distinct_texts") / F.col("n_docs"), 6
+            ),
+        )
+        .orderBy("source", "lang")
+    )

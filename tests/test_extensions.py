@@ -2814,3 +2814,39 @@ def test_ivf_pq_topk_oracle_ready(spark):
     n_probes = emb.filter(F.col("vec_id") % 25 == 0).count()
     assert len(rows) == n_probes * 5
     assert all(1 <= r.rnk <= 5 for r in rows)
+
+
+def test_corpus_profile_oracle_ready(spark):
+    """Round 10, pytest-gated (registry saturated): the per-(source,
+    lang) dataset card — doc/token volumes, exact length quantiles,
+    exact-dup rate — vs the full DuckDB restatement using the
+    module-wide token and normalization conventions."""
+    from tests.oracle import compare
+
+    from data_finder_comparator_spark.operators.textops import corpus_profile
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = corpus_profile(docs)
+    sql = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> ''))) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+       CAST(count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+            AS BIGINT) AS distinct_texts,
+       round(1.0 - count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+                   * 1.0 / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+    ok, msg = compare(got, sql, SF_ORACLE)
+    assert ok, msg
+    rows = got.collect()
+    assert rows and all(r.n_docs >= r.distinct_texts for r in rows)
+    assert all(0.0 <= r.dup_rate < 1.0 for r in rows)
+    # volumes reconcile with the raw table
+    assert sum(r.n_docs for r in rows) == docs.count()
