@@ -1484,6 +1484,10 @@ class TransactionalTable:
             if zorder_by is not None:
                 compacted = self._zorder_layout(compacted, zorder_by, n_out)
             else:
+                # coalesce only sets the file COUNT; on a cluster_by
+                # table _write_data_files range-repartitions every
+                # written frame anyway, so compaction re-establishes
+                # disjoint tight footers without a second shuffle here
                 compacted = compacted.coalesce(n_out)
             _, rels, st = self._write_data_files(compacted)
             manifest = self._next_manifest(

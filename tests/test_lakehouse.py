@@ -1177,6 +1177,11 @@ def test_lakehouse_cluster_by_tightens_file_ranges(spark, tmp_path):
         spark.createDataFrame([(r_clus[0][0], "UP")], "id long, v string"), "id"
     )
     assert _rows(clustered.read()) != _rows(plain.read())
+    # compaction re-establishes disjoint ranges (the write path
+    # range-repartitions every written frame, compaction included)
+    assert clustered.optimize(small_bytes=1 << 20) is not None
+    r_opt = sorted(ranges(clustered))
+    assert all(a[1] < b[0] for a, b in zip(r_opt, r_opt[1:]))
 
 
 def test_lakehouse_end_to_end_incremental_pipeline(spark, tmp_path):
