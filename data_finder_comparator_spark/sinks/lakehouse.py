@@ -1089,8 +1089,13 @@ class TransactionalTable:
         applicable); concurrency, retries and txn markers are the
         same optimistic loop as ``merge``."""
         key_cols = [on] if isinstance(on, str) else list(on)
+        # null-keyed source rows can never match a target row (equi-
+        # join semantics), so several of them are NOT ambiguous — drop
+        # them from the duplicate check (groupBy would bucket NULLs
+        # together and refuse two independent null-key inserts)
         dup = (
-            source.groupBy(*key_cols)
+            source.dropna(subset=key_cols)
+            .groupBy(*key_cols)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)

@@ -1255,3 +1255,99 @@ def test_lakehouse_end_to_end_incremental_pipeline(spark, tmp_path):
     )
     drain(consumer_crashes_before_ack=False)
     assert (4, "d") in {(r.id, r.k) for r in downstream.read().collect()}
+
+
+def test_lakehouse_merge_into_randomized_vs_reference(spark, tmp_path):
+    """Randomized MERGE INTO scenarios (seeded) against a pure-Python
+    reference implementing SQL three-valued clause logic: nullable
+    values, clause combinations, and null-key source rows (which must
+    never match and, when inserting, land as plain inserts)."""
+    import random
+
+    def ref_merge(target, source, upd, upd_cond, del_cond, insert):
+        # target/source: list of dicts with id, qty, tag
+        src_by_id = {}
+        for srow in source:
+            if srow["id"] is not None:
+                src_by_id[srow["id"]] = srow
+        out = []
+        for trow in target:
+            s = src_by_id.get(trow["id"]) if trow["id"] is not None else None
+            if s is None:
+                out.append(dict(trow))
+                continue
+            # delete clause first; NULL condition -> not taken
+            dq, sq = trow["qty"], s["qty"]
+            if del_cond and (dq is not None and sq is not None and dq > sq):
+                continue
+            row = dict(trow)
+            gate = True
+            if upd_cond:
+                gate = sq is not None and sq >= 3  # src_qty >= 3
+            if upd and gate:
+                if "qty" in upd:  # qty := qty + src_qty (NULL-propagating)
+                    row["qty"] = (
+                        None if dq is None or sq is None else dq + sq
+                    )
+                if "tag" in upd:
+                    row["tag"] = s["tag"]
+            out.append(row)
+        if insert:
+            matched = {t["id"] for t in target if t["id"] is not None}
+            for srow in source:
+                if srow["id"] is None or srow["id"] not in matched:
+                    out.append(dict(srow))
+        return sorted(
+            ((r["id"], r["qty"], r["tag"]) for r in out),
+            key=lambda x: (x[0] is None, x[0] or 0, x[2] or ""),
+        )
+
+    schema = "id long, qty long, tag string"
+    for i in range(6):
+        rng = random.Random(100 + i)
+
+        def mk_rows(n, tagp):
+            rows, used = [], set()
+            for j in range(n):
+                rid = rng.choice([None] + [k for k in range(10) if k not in used])
+                if rid is not None:
+                    used.add(rid)
+                rows.append(
+                    {
+                        "id": rid,
+                        "qty": rng.choice([None, 0, 1, 2, 3, 5, 8]),
+                        "tag": f"{tagp}{j}",
+                    }
+                )
+            return rows
+
+        target = [r for r in mk_rows(7, "t") if r["id"] is not None]
+        source = mk_rows(5, "s")
+        upd = rng.choice([None, {"qty": "qty + src_qty", "tag": "src_tag"}])
+        upd_cond = rng.choice([None, "src_qty >= 3"]) if upd else None
+        del_cond = rng.choice([None, "qty > src_qty"])
+        insert = rng.choice([True, False])
+        if upd is None and del_cond is None and not insert:
+            insert = True  # skip the no-op combination
+
+        t = TransactionalTable(spark, str(tmp_path / f"tbl{i}"))
+        t.append(
+            spark.createDataFrame([tuple(r.values()) for r in target], schema)
+        )
+        t.merge_into(
+            spark.createDataFrame([tuple(r.values()) for r in source], schema),
+            on="id",
+            when_matched_update=upd,
+            when_matched_condition=upd_cond,
+            when_matched_delete=del_cond,
+            when_not_matched_insert=insert,
+        )
+        got = sorted(
+            ((r.id, r.qty, r.tag) for r in t.read().collect()),
+            key=lambda x: (x[0] is None, x[0] or 0, x[2] or ""),
+        )
+        want = ref_merge(target, source, upd, upd_cond, del_cond, insert)
+        assert got == want, (
+            f"scenario {i}: upd={upd} upd_cond={upd_cond} "
+            f"del={del_cond} ins={insert}\n got={got}\nwant={want}"
+        )
