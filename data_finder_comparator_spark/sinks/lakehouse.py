@@ -63,6 +63,31 @@ Round 9 additions — the rest of the day-one maintenance surface:
   accepts a frame with NEW columns: carried/old files read the widened
   schema as nulls (parquet by-name projection), the manifest schema
   widens, and a type CHANGE on an existing column is refused loudly.
+
+Round 10 — the day-two surface, plus the round-9 review fixes
+(crash-atomic link commits, vacuum retention, append schema checks,
+local-path-only refusal, no forced key broadcasts):
+
+* **Per-file Bloom key index** (``bloom_col=``): sidecar files under
+  ``_index/`` answer "is key K definitely absent from this file?" —
+  the skipping layer UNDER min/max for hash-like keys whose footer
+  ranges span the whole key space. Sidecars share their data file's
+  lifecycle exactly; bulk writes past a probe cap skip the layer.
+* **``read(prune={col: (lo, hi)})``** — manifest-level file skipping
+  for readers (conservative, advisory: callers still apply the
+  filter).
+* **Checkpointed CDC consumers** — ``consume_changes(app, key)`` /
+  ``ack(app, v)``: a crash-safe monotonic cursor over ``changes()``;
+  at-least-once delivery × idempotent downstream = end-to-end
+  exactly-once; lagging past retention yields ``full_resync=True``.
+* **Full ``MERGE INTO``** (``merge_into``): conditional WHEN MATCHED
+  UPDATE/DELETE with SQL three-valued clause logic, composite keys,
+  WHEN NOT MATCHED INSERT, loud multiple-source-rows-matched refusal.
+* **CHECK constraints** — validated against existing data on add,
+  enforced on every write path (NULL passes, per the standard).
+* **``cluster_by`` write-time range clustering** — every written
+  frame (merges and compaction included) carries tight disjoint
+  footer ranges so the skipping stack actually bites.
 """
 
 from __future__ import annotations
