@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from data_finder_comparator_spark.sinks.lakehouse import TransactionalTable
 
 ROWS_PER_FILE = 2000
-RUNGS = [8, 32, 128]
+RUNGS = [8, 32, 128, 512]
 TRIALS = 3
 
 
@@ -112,6 +112,9 @@ def main() -> None:
                 "build_s": build_s,
                 "candidates_nobloom": candidate_count(no_bloom, probe),
                 "candidates_bloom": candidate_count(with_bloom, probe),
+                # a 1-key probe false-positives each file independently
+                # at ~fpp, so surviving candidates should sit near this
+                "expected_fp": round(n * 0.01, 2),
                 # interleaved so host drift hits both modes equally
                 "merge_s_nobloom": time_merge(spark, no_bloom, "nb"),
                 "merge_s_bloom": time_merge(spark, with_bloom, "wb"),
