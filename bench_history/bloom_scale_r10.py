@@ -114,7 +114,9 @@ def main() -> None:
                 "candidates_bloom": candidate_count(with_bloom, probe),
                 # a 1-key probe false-positives each file independently
                 # at ~fpp, so surviving candidates should sit near this
-                "expected_fp": round(n * 0.01, 2),
+                # (read the fpp actually in force, not a copy of the
+                # class default — they drift silently otherwise)
+                "expected_fp": round(n * with_bloom.bloom_fpp, 2),
                 # interleaved so host drift hits both modes equally
                 "merge_s_nobloom": time_merge(spark, no_bloom, "nb"),
                 "merge_s_bloom": time_merge(spark, with_bloom, "wb"),

@@ -795,18 +795,20 @@ def ann_recall_audit(
     lsh_multiprobe: int = 1,
     dim: int = 64,
 ) -> DataFrame:
-    """Recall@k of the two approximate ANN paths against the exact
-    brute-force top-k ground truth — (method, truth_pairs, hits,
-    recall), one row per approximate method. The audit a pipeline team
-    runs BEFORE trusting (or re-tuning) nprobe / table count: the
-    IVF/LSH operators are approximations by design, and this measures
-    what they actually give up at the configured parameters instead of
-    assuming it (the embedding-space counterpart of the MinHash
-    ``lsh_recall_audit``).
+    """Recall@k of the three approximate ANN paths (ivf, lsh, ivf_pq)
+    against the exact brute-force top-k ground truth — (method,
+    truth_pairs, hits, recall), one row per approximate method. The
+    audit a pipeline team runs BEFORE trusting (or re-tuning) nprobe /
+    table count / PQ rerank depth: the approximate operators give
+    things up by design, and this measures what they actually give up
+    at the configured parameters instead of assuming it (the
+    embedding-space counterpart of the MinHash ``lsh_recall_audit``).
+    The ivf vs ivf_pq rows share the same router, so their difference
+    isolates the quantization loss from the routing loss.
 
-    Shapes: three top-k computations (each already sub-quadratic and
-    individually driver-verified as registered queries), then two
-    (probe_id, cand_id)-keyed inner joins and a two-row aggregation —
+    Shapes: four top-k computations (each already sub-quadratic and
+    individually verified against its own oracle), then three
+    (probe_id, cand_id)-keyed inner joins and a three-row aggregation —
     the audit adds only key joins on the top-k tables, so its cost is
     the ANN queries' cost. At 100 TB the probe sample IS the audit,
     exactly as with the shingle-Jaccard version.

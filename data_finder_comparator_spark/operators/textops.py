@@ -634,14 +634,21 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     token volumes, length distribution (exact continuous quantiles),
     and the exact-duplicate rate (1 − distinct normalized texts /
     docs). Everything is a single hash-aggregate over the documents
-    table (map-side partial, one shuffle on the tiny group key) plus
-    percentile which Spark computes in the same pass; token counting
-    and the normalization key reuse the module-wide conventions so the
-    DuckDB oracle restates them verbatim. At 100 TB: group count is
-    sources × langs (tiny), so the reduce side is trivial and the
-    scan dominates — the profile costs one pass over the corpus."""
+    table; token counting and the normalization key reuse the
+    module-wide conventions so the DuckDB oracle restates them
+    verbatim. The scan itself is one pass, but the reduce side is NOT
+    trivial: exact percentile() buffers every n_chars value of a group
+    in one reducer (a 10-billion-doc (source, lang) group's length
+    array lands on a single task), and count(DISTINCT md5) expands to
+    a second aggregate shuffled on (source, lang, md5) — cardinality
+    ~n_docs, not sources × langs. Both are exact BY CHOICE so the
+    oracle hash-matches; the 100-TB variant of this card swaps in
+    approx_percentile(...) and approx_count_distinct(...) (same shape,
+    bounded reducer state, mergeable sketches) at the cost of the
+    exact-parity gate. A dataset card is a human-read report, so the
+    approximate form is what a real pipeline should run at scale."""
     toks = token_count("text")
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    norm = norm_key(F.col("text"))
     return (
         docs.groupBy("source", "lang")
         .agg(

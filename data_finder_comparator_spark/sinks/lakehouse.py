@@ -156,6 +156,21 @@ class TransactionalTable:
                 f"got {self.path!r} — scheme'd filesystems need the "
                 "manifest/data IO ported to that store's client"
             )
+        # a typo'd cluster column must fail HERE, not silently skip
+        # clustering on every write (a perf cliff nothing would report)
+        if self.cluster_by:
+            v = self.current_version()
+            if v:
+                committed = [
+                    f["name"]
+                    for f in json.loads(self._read_manifest(v)["schema"])["fields"]
+                ]
+                missing = [c for c in self.cluster_by if c not in committed]
+                if missing:
+                    raise ValueError(
+                        f"cluster_by column(s) {missing} not in the "
+                        f"table's committed schema {committed}"
+                    )
 
     # -- commit log ----------------------------------------------------
 
@@ -487,19 +502,51 @@ class TransactionalTable:
     # -- writes --------------------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame
+        self,
+        df: DataFrame,
+        n_out: int | None = None,
+        pre_clustered: bool = False,
     ) -> tuple[str, list[str], dict[str, dict]]:
         """Materialize ``df`` as immutable data files under a fresh
         txn directory; returns (txn id, manifest-relative paths,
-        per-file footer stats keyed by relative path)."""
+        per-file footer stats keyed by relative path).
+
+        ``n_out`` pins the clustered output file count (optimize()
+        passes its bin-pack target); ``pre_clustered`` marks a frame
+        whose layout was already computed upstream (the z-order path) —
+        re-range-partitioning it here would silently throw that layout
+        away, so the cluster_by policy must stand down."""
         txn = f"txn-{uuid.uuid4().hex}"
         out_dir = f"{self.path}/{_DATA}/{txn}"
-        if self.cluster_by and all(c in df.columns for c in self.cluster_by):
-            # output file count follows the incoming partition count (a
-            # tiny upsert stays one file; a bulk load keeps its width)
-            # rather than spark.sql.shuffle.partitions, which would
-            # shatter every point merge into 32 range files
-            n_out = max(1, df.rdd.getNumPartitions())
+        if self.cluster_by and not pre_clustered:
+            missing = [c for c in self.cluster_by if c not in df.columns]
+            if missing:
+                # loud, like every other contract here: a typo'd
+                # cluster column must not silently disable the layout
+                # (and with it every footer-range skip) forever
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in the written "
+                    f"frame's columns {df.columns}"
+                )
+            if n_out is None:
+                # output file count follows the number of leaf input
+                # files feeding the frame (a point merge touching 2 hit
+                # files writes ~2; a bulk load keeps its width) rather
+                # than spark.sql.shuffle.partitions, which would shatter
+                # every point merge into 32 range files. inputFiles()
+                # is a plan walk that never executes the query — on a
+                # merge's join frame, df.rdd.getNumPartitions() under
+                # AQE would run the join's map stages (re-reading every
+                # hit parquet file) once for the probe and again for
+                # the write. Only a frame with NO file lineage (pure
+                # in-memory source, nothing to re-read) falls back to
+                # the partition probe to keep its incoming width.
+                n_files = len(df.inputFiles())
+                n_out = (
+                    min(n_files, 512)
+                    if n_files
+                    else max(1, df.rdd.getNumPartitions())
+                )
             df = df.repartitionByRange(n_out, *self.cluster_by).sortWithinPartitions(
                 *self.cluster_by
             )
@@ -1513,13 +1560,22 @@ class TransactionalTable:
             ).parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in small])
             if zorder_by is not None:
                 compacted = self._zorder_layout(compacted, zorder_by, n_out)
+                # pre_clustered: the Morton layout IS the layout; the
+                # cluster_by policy re-range-partitioning it would pay
+                # the z-order shuffle and then throw the result away
+                _, rels, st = self._write_data_files(
+                    compacted, pre_clustered=True
+                )
             else:
                 # coalesce only sets the file COUNT; on a cluster_by
                 # table _write_data_files range-repartitions every
-                # written frame anyway, so compaction re-establishes
-                # disjoint tight footers without a second shuffle here
+                # written frame anyway (with the bin-pack n_out pinned
+                # here — deriving it from inputFiles() would count the
+                # small files being compacted and undo the packing),
+                # so compaction re-establishes disjoint tight footers
+                # without a second shuffle here
                 compacted = compacted.coalesce(n_out)
-            _, rels, st = self._write_data_files(compacted)
+                _, rels, st = self._write_data_files(compacted, n_out=n_out)
             manifest = self._next_manifest(
                 v,
                 man,

@@ -463,6 +463,57 @@ def test_lakehouse_optimize_zorder_tightens_both_columns(spark, tmp_path):
     assert area <= 0.5 * len(man["files"]) * 32 * 32, area
 
 
+def test_lakehouse_zorder_survives_cluster_by_policy(spark, tmp_path):
+    """On a cluster_by table, optimize(zorder_by=...) must keep the
+    Morton layout it just computed: the write path's cluster_by
+    range-repartition standing down (pre_clustered) is what prevents
+    a plain lexicographic sort on x from silently replacing the
+    z-order — which would leave every file's y footer spanning the
+    whole axis and kill pruning on the second column."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), cluster_by=["x"])
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    for s in range(4):
+        t.append(
+            spark.createDataFrame(
+                [p for p in pts if p[0] % 4 == s], "x long, y long"
+            )
+        )
+    rows_before = _rows(t.read())
+    assert (
+        t.optimize(small_bytes=1 << 20, target_bytes=2048, zorder_by=("x", "y"))
+        is not None
+    )
+    man = t.snapshot()[1]
+    assert len(man["files"]) >= 3
+    assert _rows(t.read()) == rows_before
+    # z-ordered patches: total bounding-box area well under files x
+    # full plane. A lexicographic x-sort (the cluster_by layout) gives
+    # tight x but FULL y per file — area ~= files x (x_span x 32),
+    # which fails this bound.
+    area = 0.0
+    ys_tight = 0
+    for s in man["stats"].values():
+        sx = s["max"]["x"] - s["min"]["x"] + 1
+        sy = s["max"]["y"] - s["min"]["y"] + 1
+        area += sx * sy
+        ys_tight += sy < 32
+    assert area <= 0.5 * len(man["files"]) * 32 * 32, area
+    assert ys_tight >= 1  # at least one file's y-span is genuinely narrow
+
+
+def test_lakehouse_cluster_by_typo_refused(spark, tmp_path):
+    """A misnamed cluster_by column is refused loudly (write-time for
+    a fresh table, construction-time once a schema is committed) —
+    silently skipping the layout would be an unreported perf cliff."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), cluster_by=["ID"])
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    ok = TransactionalTable(spark, str(tmp_path / "tbl2"), cluster_by=["id"])
+    ok.append(spark.createDataFrame([(1, "a")], "id long, k string"))
+    with pytest.raises(ValueError, match="cluster_by"):
+        TransactionalTable(spark, str(tmp_path / "tbl2"), cluster_by=["ID"])
+
+
 def test_lakehouse_changes_append_of_existing_key_not_insert(spark, tmp_path):
     """An append that duplicates a key living in a CARRIED file must
     not be classified 'insert' — the existence check consults the
@@ -1178,9 +1229,13 @@ def test_lakehouse_cluster_by_tightens_file_ranges(spark, tmp_path):
     )
     assert _rows(clustered.read()) != _rows(plain.read())
     # compaction re-establishes disjoint ranges (the write path
-    # range-repartitions every written frame, compaction included)
-    assert clustered.optimize(small_bytes=1 << 20) is not None
+    # range-repartitions every written frame, compaction included).
+    # target_bytes small enough to force >= 2 output files — with a
+    # single output file the pairwise-disjoint check is vacuous and
+    # would pass even if compaction stopped clustering entirely
+    assert clustered.optimize(small_bytes=1 << 20, target_bytes=4096) is not None
     r_opt = sorted(ranges(clustered))
+    assert len(r_opt) >= 2
     assert all(a[1] < b[0] for a, b in zip(r_opt, r_opt[1:]))
 
 
