@@ -88,6 +88,16 @@ local-path-only refusal, no forced key broadcasts):
 * **``cluster_by`` write-time range clustering** — every written
   frame (merges and compaction included) carries tight disjoint
   footer ranges so the skipping stack actually bites.
+* **``partition_by`` hive-style partitioning** — the COARSE layer of
+  the skipping stack: partition columns live in ``col=val``
+  directories (not the data files), their exact per-file value is
+  injected into the manifest stats as min==max, and every existing
+  skipping layer (merge/delete hit detection, ``read(prune)``) prunes
+  whole partitions for free. Table metadata: recorded in the manifest
+  at creation, inherited on reopen, immutable after (retrofitting is
+  refused — old flat files and new hive files cannot be read under
+  one schema). Composes with ``cluster_by`` (range layout WITHIN each
+  partition) and Bloom (point probes on non-partition keys).
 """
 
 from __future__ import annotations
@@ -128,6 +138,7 @@ class TransactionalTable:
         bloom_fpp: float = 0.01,
         bloom_max_rows: int = 1_000_000,
         cluster_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -142,6 +153,14 @@ class TransactionalTable:
         # per-call flag) so merge rewrites and optimize() preserve the
         # clustering invariant automatically.
         self.cluster_by = list(cluster_by) if cluster_by else None
+        # hive-style partition columns — the COARSE pruning layer
+        # (directory granularity, exact equality skip) under cluster_by
+        # (in-file footer ranges) and Bloom (point probes). Partition
+        # columns live in the file PATH, not the files, so the policy
+        # is TABLE METADATA: recorded in every manifest at creation and
+        # immutable after — a reader opening the table later gets the
+        # committed policy automatically (see below).
+        self.partition_by = list(partition_by) if partition_by else None
         # Local/POSIX paths only, enforced loudly: every manifest and
         # maintenance walk (current_version, vacuum, optimize sizing)
         # uses os-level IO, so accepting an hdfs://...s3a:// URI here
@@ -156,19 +175,57 @@ class TransactionalTable:
                 f"got {self.path!r} — scheme'd filesystems need the "
                 "manifest/data IO ported to that store's client"
             )
-        # a typo'd cluster column must fail HERE, not silently skip
+        v0 = self.current_version()
+        man0 = self._read_manifest(v0) if v0 else None
+        # partition_by is resolved FROM THE TABLE once one exists: the
+        # committed policy wins (files already live under its layout);
+        # passing a different one is refused, passing none inherits it.
+        # Retrofitting partitioning onto an existing flat table is also
+        # refused — old files carry the partition columns IN the files,
+        # new ones in the path, and a mixed read would return nulls.
+        if man0 is not None:
+            committed_pb = man0.get("partition_by") or None
+            if committed_pb is not None:
+                if self.partition_by is not None and self.partition_by != committed_pb:
+                    raise ValueError(
+                        f"table at {self.path} is partitioned by "
+                        f"{committed_pb}; got partition_by={self.partition_by}"
+                    )
+                self.partition_by = committed_pb
+            elif self.partition_by:
+                raise ValueError(
+                    f"table at {self.path} already exists unpartitioned; "
+                    "partition_by cannot be retrofitted (rewrite via a "
+                    "new partitioned table)"
+                )
+        if self.partition_by:
+            overlap = set(self.partition_by) & set(self.cluster_by or [])
+            if overlap:
+                raise ValueError(
+                    f"column(s) {sorted(overlap)} in both partition_by and "
+                    "cluster_by — a partition directory holds one value, "
+                    "clustering inside it is meaningless"
+                )
+            if self.bloom_col in self.partition_by:
+                raise ValueError(
+                    f"bloom_col {self.bloom_col!r} is a partition column — "
+                    "partition pruning already skips by exact value; the "
+                    "column is not stored in the data files"
+                )
+        # a typo'd layout column must fail HERE, not silently skip
         # clustering on every write (a perf cliff nothing would report)
-        if self.cluster_by:
-            v = self.current_version()
-            if v:
-                committed = [
-                    f["name"]
-                    for f in json.loads(self._read_manifest(v)["schema"])["fields"]
-                ]
-                missing = [c for c in self.cluster_by if c not in committed]
+        if man0 is not None and (self.cluster_by or self.partition_by):
+            committed = [
+                f["name"] for f in json.loads(man0["schema"])["fields"]
+            ]
+            for kind, cols in (
+                ("cluster_by", self.cluster_by),
+                ("partition_by", self.partition_by),
+            ):
+                missing = [c for c in cols or [] if c not in committed]
                 if missing:
                     raise ValueError(
-                        f"cluster_by column(s) {missing} not in the "
+                        f"{kind} column(s) {missing} not in the "
                         f"table's committed schema {committed}"
                     )
 
@@ -278,11 +335,39 @@ class TransactionalTable:
                     for rel in rels
                     if self._range_overlap(all_stats.get(rel), col, lo, hi)
                 ]
-        files = [f"{self.path}/{_DATA}/{rel}" for rel in rels]
         schema = StructType.fromJson(json.loads(man["schema"]))
-        if not files:
+        return self._read_rels(schema, rels)
+
+    def _read_rels(self, schema: StructType, rels: list[str]) -> DataFrame:
+        """THE data-file reader: manifest-relative paths → DataFrame
+        under the given logical schema. On a partitioned table the
+        partition columns live in the path (hive layout), so files are
+        read per-txn with that txn's basePath — Spark reconstructs the
+        partition columns, typed by the provided schema. One scan node
+        per txn group, bounded by commits since the last optimize();
+        unpartitioned tables keep the single flat scan."""
+        if not rels:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        if not self.partition_by:
+            return self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{_DATA}/{rel}" for rel in rels]
+            )
+        groups: dict[str, list[str]] = {}
+        for rel in rels:
+            groups.setdefault(rel.split("/", 1)[0], []).append(rel)
+        parts = [
+            self.spark.read.option("basePath", f"{self.path}/{_DATA}/{txn}")
+            .schema(schema)
+            .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in rs])
+            for txn, rs in sorted(groups.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # Spark appends discovered partition columns AFTER the file
+        # columns; restore the logical schema order so partitioned and
+        # flat tables read identically
+        return out.select(*schema.fieldNames())
 
     @staticmethod
     def _range_overlap(stats: dict | None, col: str, lo, hi) -> bool:
@@ -351,11 +436,7 @@ class TransactionalTable:
         added = sorted(new_files - old_files)
 
         def _load(rels: list[str]) -> DataFrame:
-            if not rels:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{_DATA}/{rel}" for rel in rels]
-            )
+            return self._read_rels(schema, rels)
 
         pre, post = _load(removed), _load(added)
         # a rewritten file carries its unmatched rows forward verbatim:
@@ -518,16 +599,20 @@ class TransactionalTable:
         away, so the cluster_by policy must stand down."""
         txn = f"txn-{uuid.uuid4().hex}"
         out_dir = f"{self.path}/{_DATA}/{txn}"
-        if self.cluster_by and not pre_clustered:
-            missing = [c for c in self.cluster_by if c not in df.columns]
+        for kind, cols in (
+            ("cluster_by", self.cluster_by if not pre_clustered else None),
+            ("partition_by", self.partition_by),
+        ):
+            missing = [c for c in cols or [] if c not in df.columns]
             if missing:
                 # loud, like every other contract here: a typo'd
-                # cluster column must not silently disable the layout
-                # (and with it every footer-range skip) forever
+                # layout column must not silently disable the layout
+                # (and with it every file-skipping layer) forever
                 raise ValueError(
-                    f"cluster_by column(s) {missing} not in the written "
+                    f"{kind} column(s) {missing} not in the written "
                     f"frame's columns {df.columns}"
                 )
+        if self.cluster_by and not pre_clustered:
             if n_out is None:
                 # output file count follows the number of leaf input
                 # files feeding the frame (a point merge touching 2 hit
@@ -547,16 +632,32 @@ class TransactionalTable:
                     if n_files
                     else max(1, df.rdd.getNumPartitions())
                 )
-            df = df.repartitionByRange(n_out, *self.cluster_by).sortWithinPartitions(
-                *self.cluster_by
-            )
-        df.write.mode("overwrite").parquet(out_dir)
+            # with partition_by: range on (partition, cluster) keeps
+            # each task a contiguous slice of the composite order, so
+            # after the hive split each value's files carry tight,
+            # disjoint cluster ranges WITHIN the partition
+            layout = (self.partition_by or []) + self.cluster_by
+            df = df.repartitionByRange(n_out, *layout).sortWithinPartitions(*layout)
+        elif self.partition_by and not pre_clustered:
+            # hash on the partition columns: each value lands wholly in
+            # one task, so the hive split below writes ONE file per
+            # partition value per commit (no layout requirement inside)
+            df = df.repartition(*self.partition_by)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            # hive layout: col=val directories; the partition columns
+            # live in the PATH, not the files — every read goes through
+            # _read_rels, which reconstructs them via basePath
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out_dir)
         local = self._strip_scheme(out_dir)
-        rels = sorted(
-            f"{txn}/{name}"
-            for name in os.listdir(local)
-            if name.endswith(".parquet") and not name.startswith((".", "_"))
-        )
+        rels = []
+        for dp, _dns, fns in os.walk(local):
+            for name in fns:
+                if name.endswith(".parquet") and not name.startswith((".", "_")):
+                    sub = os.path.relpath(os.path.join(dp, name), local)
+                    rels.append(f"{txn}/{sub.replace(os.sep, '/')}")
+        rels = sorted(rels)
         # footer reads (and Bloom builds below) are driver-side file
         # IO, one per part file — a large compaction writes thousands,
         # so run them on a thread pool (pyarrow releases the GIL on
@@ -586,7 +687,63 @@ class TransactionalTable:
                 for rel, bloom in zip(rels, blooms):
                     if bloom is not None:
                         stats[rel]["bloom"] = bloom
+        if self.partition_by and rels:
+            # a partition column's per-file "range" is exact by
+            # construction (min == max == the directory value), so
+            # injecting it into the footer stats makes EVERY existing
+            # skipping layer — merge/delete hit detection, read(prune) —
+            # prune partitions with zero new machinery
+            ptypes = {f.name: f.dataType for f in df.schema.fields}
+            for rel in rels:
+                vals = self._parse_partition_values(rel, ptypes)
+                if not vals:
+                    continue
+                entry = stats.setdefault(rel, {})
+                entry["partition"] = vals
+                mn = entry.setdefault("min", {})
+                mx = entry.setdefault("max", {})
+                for c, pv in vals.items():
+                    # null partition: no range signal; bools stay out of
+                    # min/max like the footer-stat contract (JSON would
+                    # conflate them with ints) — "partition" keeps them
+                    if pv is not None and not isinstance(pv, bool):
+                        mn[c] = pv
+                        mx[c] = pv
         return txn, rels, stats
+
+    @staticmethod
+    def _parse_partition_values(rel: str, ptypes: dict) -> dict:
+        """{col: typed value or None} from a hive-layout manifest path
+        (``txn/col=val/.../part.parquet``). Values are Spark-escaped
+        (URL-quoted, ``__HIVE_DEFAULT_PARTITION__`` for null); typing
+        follows the written frame's schema for the JSON-representable
+        scalars, anything else stays a string (conservative: range
+        skipping treats cross-type comparisons as overlap)."""
+        from urllib.parse import unquote
+
+        out: dict[str, object] = {}
+        for seg in rel.split("/")[1:-1]:
+            if "=" not in seg:
+                continue
+            col, raw = seg.split("=", 1)
+            raw = unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                out[col] = None
+                continue
+            t = ptypes.get(col)
+            tname = t.simpleString() if t is not None else ""
+            try:
+                if tname in ("tinyint", "smallint", "int", "bigint"):
+                    out[col] = int(raw)
+                elif tname in ("float", "double"):
+                    out[col] = float(raw)
+                elif tname == "boolean":
+                    out[col] = raw.lower() == "true"
+                else:
+                    out[col] = raw
+            except ValueError:
+                out[col] = raw
+        return out
 
     # -- Bloom file index ---------------------------------------------
     #
@@ -824,6 +981,11 @@ class TransactionalTable:
             # CHECK constraints ride every manifest like txns do — a
             # delete/optimize between writes must not drop them
             "constraints": dict(man.get("constraints") or {}),
+            # the partition policy is table metadata: __init__ already
+            # guarantees self.partition_by equals any committed value,
+            # so recording it here both fixes it at creation and
+            # carries it through every later commit
+            "partition_by": self.partition_by,
         }
         if txn_app is not None and txn_version is not None:
             txns[txn_app] = txn_version
@@ -1022,9 +1184,7 @@ class TransactionalTable:
             )
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
             if hit_rels:
-                affected = self.spark.read.schema(table_schema).parquet(
-                    *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
-                )
+                affected = self._read_rels(table_schema, hit_rels)
                 survivors = affected.join(keys, key_col, "left_anti")
                 merged = survivors.unionByName(df, allowMissingColumns=evolve_schema)
             else:
@@ -1106,10 +1266,8 @@ class TransactionalTable:
                 ]
         if not candidates:
             return []
-        tagged = (
-            self.spark.read.schema(table_schema)
-            .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in candidates])
-            .withColumn("_file", F.input_file_name())
+        tagged = self._read_rels(table_schema, candidates).withColumn(
+            "_file", F.input_file_name()
         )
         hit_paths = {
             r._file
@@ -1235,9 +1393,7 @@ class TransactionalTable:
             survivors = None
             matched_keys = None
             if hit_rels:
-                affected = self.spark.read.schema(table_schema).parquet(
-                    *[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels]
-                )
+                affected = self._read_rels(table_schema, hit_rels)
                 cond = [affected[c] == F.col(f"src_{c}") for c in key_cols]
                 joined = affected.join(src, cond, "left")
                 matched = F.col("_src_match").isNotNull()
@@ -1344,10 +1500,8 @@ class TransactionalTable:
             if not hit_rels:
                 return v  # nothing matched: no empty commit
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
-            survivors = (
-                self.spark.read.schema(table_schema)
-                .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in hit_rels])
-                .join(keys, key_col, "left_anti")
+            survivors = self._read_rels(table_schema, hit_rels).join(
+                keys, key_col, "left_anti"
             )
             _, rels, st = self._write_data_files(survivors)
             manifest = self._next_manifest(
@@ -1555,9 +1709,9 @@ class TransactionalTable:
             carried = [rel for rel in man["files"] if rel not in set(small)]
             total = sum(sized[rel] for rel in small)
             n_out = max(1, int(-(-total // target_bytes)))
-            compacted = self.spark.read.schema(
-                StructType.fromJson(json.loads(man["schema"]))
-            ).parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in small])
+            compacted = self._read_rels(
+                StructType.fromJson(json.loads(man["schema"])), small
+            )
             if zorder_by is not None:
                 compacted = self._zorder_layout(compacted, zorder_by, n_out)
                 # pre_clustered: the Morton layout IS the layout; the
@@ -1644,20 +1798,26 @@ class TransactionalTable:
             tdir = os.path.join(data_dir, txn)
             if not os.path.isdir(tdir):
                 continue
-            for name in os.listdir(tdir):
-                rel = f"{txn}/{name}"
-                if name.endswith(".parquet") and rel not in referenced:
-                    p = os.path.join(tdir, name)
-                    try:
-                        if os.path.getmtime(p) > cutoff:
-                            continue  # inside retention: may belong to
-                            # an in-flight, about-to-commit writer
-                        os.remove(p)
-                    except FileNotFoundError:
-                        continue  # raced another vacuum
-                    removed.append(rel)
-            if not os.listdir(tdir):
-                os.rmdir(tdir)
+            # bottom-up walk: partitioned txns nest col=val directories,
+            # and emptied leaves must go before their parents
+            for dp, dns, fns in os.walk(tdir, topdown=False):
+                for name in fns:
+                    p = os.path.join(dp, name)
+                    rel = os.path.relpath(p, data_dir).replace(os.sep, "/")
+                    if name.endswith(".parquet") and rel not in referenced:
+                        try:
+                            if os.path.getmtime(p) > cutoff:
+                                continue  # inside retention: may belong
+                                # to an in-flight, about-to-commit writer
+                            os.remove(p)
+                        except FileNotFoundError:
+                            continue  # raced another vacuum
+                        removed.append(rel)
+                try:
+                    if not os.listdir(dp):
+                        os.rmdir(dp)
+                except OSError:
+                    pass  # raced another vacuum
         # a Bloom sidecar shares its data file's lifecycle: once the
         # data file is gone (this vacuum or an earlier one), the
         # sidecar is reclaimable — no separate retention needed, the
@@ -1667,7 +1827,12 @@ class TransactionalTable:
             for name in os.listdir(idx_dir):
                 if not name.endswith(".bloom"):
                     continue
-                data_rel = name[: -len(".bloom")].replace("__", "/", 1)
+                # inverse of _bloom_sidecar_rel: every "__" was a "/"
+                # (Spark part names never contain "__"; a partition
+                # VALUE containing it would round-trip wrong, but the
+                # consequence is only an early sidecar delete — the
+                # Bloom layer is advisory, readers degrade to keep)
+                data_rel = name[: -len(".bloom")].replace("__", "/")
                 data_path = os.path.join(data_dir, *data_rel.split("/"))
                 if not os.path.exists(data_path):
                     try:

@@ -1406,3 +1406,173 @@ def test_lakehouse_merge_into_randomized_vs_reference(spark, tmp_path):
             f"scenario {i}: upd={upd} upd_cond={upd_cond} "
             f"del={del_cond} ins={insert}\n got={got}\nwant={want}"
         )
+
+
+# -- hive-style partitioning -------------------------------------------
+
+
+def test_lakehouse_partition_by_layout_pruning_and_order(spark, tmp_path):
+    """partition_by writes hive col=val directories; the partition
+    value rides the manifest stats as an exact min==max range, so
+    read(prune) skips whole partitions WITHOUT opening them — proven
+    by deleting the other partitions' files from disk. Reads return
+    the logical column order (partition columns are NOT last)."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["lang"])
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"v{i}") for i in range(30)],
+        "id long, lang string, v string",
+    )
+    t.append(df)
+    _, man = t.snapshot()
+    assert all("lang=" in rel for rel in man["files"])
+    for rel in man["files"]:
+        s = man["stats"][rel]
+        val = s["partition"]["lang"]
+        assert s["min"]["lang"] == s["max"]["lang"] == val
+    # logical order preserved (Spark would otherwise append lang last)
+    assert t.read().columns == ["id", "lang", "v"]
+    assert _rows(t.read()) == _rows(df)
+    # destroy everything but lang=de: a pruned read must not notice
+    for rel in man["files"]:
+        if "lang=de" not in rel:
+            os.remove(tmp_path / "tbl" / "data" / rel)
+    got = t.read(prune={"lang": ("de", "de")})
+    assert got.count() == 10
+    assert {r.lang for r in got.collect()} == {"de"}
+
+
+def test_lakehouse_partition_by_merge_prunes_partitions(spark, tmp_path):
+    """A composite-key merge_into whose source sits in one partition
+    must not open the other partitions' files (conjunctive range skip
+    on the injected partition stats) — proven by deleting them."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["lang"])
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"v{i}") for i in range(20)],
+        "id long, lang string, v string",
+    )
+    t.append(df)
+    _, man = t.snapshot()
+    for rel in man["files"]:
+        if "lang=en" not in rel:
+            os.remove(tmp_path / "tbl" / "data" / rel)
+    src = spark.createDataFrame(
+        [(0, "en", "UP"), (98, "en", "NEW")], "id long, lang string, v string"
+    )
+    t.merge_into(
+        src,
+        on=["lang", "id"],
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    got = t.read(prune={"lang": ("en", "en")})
+    rows = {(r.id, r.v) for r in got.collect()}
+    assert (0, "UP") in rows and (98, "NEW") in rows
+    assert len(rows) == 11
+
+
+def test_lakehouse_partition_policy_is_table_metadata(spark, tmp_path):
+    """The partition policy is fixed at creation: reopening without it
+    inherits the committed value; a different value, retrofitting onto
+    a flat table, overlap with cluster_by, and a partition bloom_col
+    are all refused loudly."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["lang"])
+    t.append(
+        spark.createDataFrame([(1, "en", "a")], "id long, lang string, v string")
+    )
+    assert TransactionalTable(spark, str(tmp_path / "tbl")).partition_by == ["lang"]
+    with pytest.raises(ValueError, match="partitioned by"):
+        TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["v"])
+    flat = TransactionalTable(spark, str(tmp_path / "flat"))
+    flat.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="retrofitted"):
+        TransactionalTable(spark, str(tmp_path / "flat"), partition_by=["v"])
+    with pytest.raises(ValueError, match="both partition_by and"):
+        TransactionalTable(
+            spark, str(tmp_path / "x"), partition_by=["a"], cluster_by=["a"]
+        )
+    with pytest.raises(ValueError, match="bloom_col"):
+        TransactionalTable(
+            spark, str(tmp_path / "y"), partition_by=["a"], bloom_col="a"
+        )
+
+
+def test_lakehouse_partition_typed_and_null_values(spark, tmp_path):
+    """Integer partition values parse back typed (min==max ints in the
+    stats); NULL partition values land in the hive default directory,
+    survive reads, and are never range-pruned away (no range signal =>
+    conservative keep)."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["day"])
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "c")], "id long, day long, v string"
+    )
+    t.append(df)
+    _, man = t.snapshot()
+    null_rel = [r for r in man["files"] if "__HIVE_DEFAULT_PARTITION__" in r]
+    assert null_rel
+    assert man["stats"][null_rel[0]]["partition"]["day"] is None
+    assert "day" not in man["stats"][null_rel[0]].get("min", {})
+    typed = [r for r in man["files"] if "day=10" in r]
+    assert man["stats"][typed[0]]["min"]["day"] == 10  # int, not "10"
+    assert _rows(t.read()) == _rows(df)
+    # pruning keeps the null partition no matter the bounds
+    got = t.read(prune={"day": (15, 25)})
+    assert {r.id for r in got.collect()} == {2, 3}
+
+
+def test_lakehouse_partition_composes_with_cluster_by(spark, tmp_path):
+    """partition_by (coarse, exact) + cluster_by (fine, in-file
+    ranges): within every partition the files carry tight disjoint id
+    ranges, and compaction preserves both layers."""
+    t = TransactionalTable(
+        spark, str(tmp_path / "tbl"), partition_by=["lang"], cluster_by=["id"]
+    )
+    rows = [(i * 37 % 1000, ["en", "de"][i % 2], f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, lang string, v string").repartition(4)
+    t.append(df)
+
+    def ranges_by_lang(man):
+        out = {}
+        for rel in man["files"]:
+            s = man["stats"][rel]
+            out.setdefault(s["partition"]["lang"], []).append(
+                (s["min"]["id"], s["max"]["id"])
+            )
+        return out
+
+    _, man = t.snapshot()
+    for lang, rs in ranges_by_lang(man).items():
+        rs.sort()
+        assert all(a[1] < b[0] for a, b in zip(rs, rs[1:])), (lang, rs)
+    assert _rows(t.read()) == _rows(df)
+    # compaction: still hive-partitioned, still clustered inside
+    assert t.optimize(small_bytes=1 << 20, target_bytes=2048) is not None
+    _, man2 = t.snapshot()
+    assert all("lang=" in rel for rel in man2["files"])
+    by_lang = ranges_by_lang(man2)
+    assert any(len(rs) >= 2 for rs in by_lang.values())
+    for lang, rs in by_lang.items():
+        rs.sort()
+        assert all(a[1] < b[0] for a, b in zip(rs, rs[1:])), (lang, rs)
+    assert _rows(t.read()) == _rows(df)
+
+
+def test_lakehouse_partition_vacuum_handles_nested_dirs(spark, tmp_path):
+    """Vacuum reclaims orphaned files INSIDE partition directories and
+    removes the emptied col=val/txn dirs bottom-up, never touching
+    referenced files."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["lang"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "id long, lang string, v string"
+        )
+    )
+    # merge creates a losing-style orphan txn by hand: copy the layout
+    data = tmp_path / "tbl" / "data"
+    orphan = data / "txn-orphan" / "lang=xx"
+    orphan.mkdir(parents=True)
+    f = orphan / "part-00000-dead.snappy.parquet"
+    f.write_bytes(b"not really parquet")
+    removed = t.vacuum(retention_seconds=0)
+    assert removed == ["txn-orphan/lang=xx/part-00000-dead.snappy.parquet"]
+    assert not (data / "txn-orphan").exists()
+    assert _rows(t.read()) == [(1, "en", "a"), (2, "de", "b")]
