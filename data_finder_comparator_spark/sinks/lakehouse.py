@@ -1749,6 +1749,50 @@ class TransactionalTable:
             f"optimize lost {max_retries} commit races at {self.path}"
         )
 
+    def restore(self, version: int, max_retries: int = 20) -> int:
+        """RESTORE TABLE TO VERSION — roll back to snapshot ``version``
+        as a NEW commit (``op: "restore"``): the old file list and
+        schema are referenced, never copied, history stays append-only,
+        and time travel ACROSS the bad commits keeps working (the
+        standard Delta/Iceberg rollback verb — "a bad merge landed an
+        hour ago, put the table back, keep the evidence").
+
+        Interactions, each deliberate: the current ``txns`` idempotence
+        markers are KEPT (a stream replaying an epoch from before the
+        restore must still be recognized — rollback of data must not
+        un-apply exactly-once bookkeeping); current CHECK constraints
+        are kept and NOT re-validated against the restored rows (like
+        Delta RESTORE; restored data predating a constraint may violate
+        it — add_constraint re-validates if wanted); restoring to a
+        version whose manifest was retired by ``expire_snapshots``
+        fails loudly (FileNotFoundError) — and the restored files
+        themselves are safe from any PAST vacuum only because their
+        manifest still existed, so pair retention windows with restore
+        windows. Same optimistic commit loop as every other writer."""
+        if version < 1:
+            raise ValueError(f"cannot restore to version {version}")
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if version > v:
+                raise ValueError(
+                    f"cannot restore to version {version}: table is at {v}"
+                )
+            target = self._read_manifest(version)  # loud when expired
+            manifest = self._next_manifest(
+                v,
+                man,
+                "restore",
+                list(target["files"]),
+                target["schema"],
+                dict(target.get("stats") or {}),
+            )
+            manifest["restored_from"] = version
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"restore lost {max_retries} commit races at {self.path}"
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Retention: retire every manifest older than the newest
         ``keep_last`` versions. Time travel and ``changes()`` to an

@@ -1576,3 +1576,46 @@ def test_lakehouse_partition_vacuum_handles_nested_dirs(spark, tmp_path):
     assert removed == ["txn-orphan/lang=xx/part-00000-dead.snappy.parquet"]
     assert not (data / "txn-orphan").exists()
     assert _rows(t.read()) == [(1, "en", "a"), (2, "de", "b")]
+
+
+def test_lakehouse_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: a bad merge is undone by a new commit referencing the
+    old version's files — no data copied, history append-only, time
+    travel to the bad version still works, txn markers survive, and
+    CDC sees the rollback as changes."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "id",
+        txn_app="job",
+        txn_version=7,
+    )
+    t.merge(spark.createDataFrame([(2, "BAD"), (3, "x")], "id long, v string"), "id")
+    assert t.restore(1) == 3
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # referenced, not copied: exactly v1's files
+    assert t.snapshot(3)[1]["files"] == t.snapshot(1)[1]["files"]
+    assert [m["op"] for m in t.history()] == ["merge", "merge", "restore"]
+    assert t.snapshot(3)[1]["restored_from"] == 1
+    # the bad version is still inspectable
+    assert (2, "BAD") in _rows(t.read(version=2))
+    # exactly-once bookkeeping survives the rollback: replaying the
+    # old epoch is still a no-op
+    assert t.merge(
+        spark.createDataFrame([(9, "dup")], "id long, v string"),
+        "id",
+        txn_app="job",
+        txn_version=7,
+    ) == 3
+    # CDC across the restore reports the rollback as row changes
+    got = {(r.id, r.v, r._change_type) for r in t.changes("id", 2, 3).collect()}
+    assert got == {
+        (2, "b", "update_post"),
+        (2, "BAD", "update_pre"),
+        (3, "x", "delete"),
+    }
+    # restoring to an expired snapshot refuses loudly
+    t.merge(spark.createDataFrame([(5, "e")], "id long, v string"), "id")
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
