@@ -1619,3 +1619,75 @@ def test_lakehouse_restore_rolls_back_as_new_commit(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     with pytest.raises(FileNotFoundError):
         t.restore(1)
+
+
+def test_lakehouse_randomized_concurrent_writers_serialize(spark, tmp_path):
+    """Randomized concurrency: two writers interleave merges, deletes
+    and compactions on DISJOINT keyspaces from separate table handles.
+    Disjoint-key ops commute, so whatever order the commit races
+    resolve to, the final table must equal each writer's local replay
+    — plus the structural invariants every history must satisfy (a
+    gapless parent chain, referenced files on disk, stats only for
+    listed files). Seeded RNG: failures reproduce."""
+    import random
+    import threading
+
+    t0 = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t0.append(
+        spark.createDataFrame(
+            [(k, -1, "init") for k in range(200)], "id long, src int, v string"
+        )
+    )
+    expected = [
+        {k: (-1, "init") for k in range(w * 100, w * 100 + 100)} for w in (0, 1)
+    ]
+    errors = []
+
+    def writer(w: int) -> None:
+        rng = random.Random(1234 + w)
+        t = TransactionalTable(spark, str(tmp_path / "tbl"))
+        try:
+            for step in range(10):
+                op = rng.choice(["merge", "merge", "delete", "optimize"])
+                ks = rng.sample(
+                    range(w * 100, w * 100 + 100), rng.randint(1, 8)
+                )
+                if op == "merge":
+                    rows = [(k, w, f"w{w}s{step}") for k in ks]
+                    t.merge(
+                        spark.createDataFrame(
+                            rows, "id long, src int, v string"
+                        ),
+                        "id",
+                    )
+                    for k in ks:
+                        expected[w][k] = (w, f"w{w}s{step}")
+                elif op == "delete":
+                    t.delete(
+                        spark.createDataFrame([(k,) for k in ks], "id long"),
+                        "id",
+                    )
+                    for k in ks:
+                        expected[w].pop(k, None)
+                else:
+                    t.optimize(small_bytes=1 << 20)
+        except Exception as e:  # surfaced below with the writer id
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = {r.id: (r.src, r.v) for r in t0.read().collect()}
+    assert got == {**expected[0], **expected[1]}
+    mans = t0.history()
+    assert [m["version"] for m in mans] == list(
+        range(1, t0.current_version() + 1)
+    )
+    assert all(m["parent"] == m["version"] - 1 for m in mans)
+    _, man = t0.snapshot()
+    for rel in man["files"]:
+        assert (tmp_path / "tbl" / "data" / rel).exists(), rel
+    assert set(man.get("stats") or {}) <= set(man["files"])
