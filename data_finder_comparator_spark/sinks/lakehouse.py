@@ -986,6 +986,10 @@ class TransactionalTable:
             # so recording it here both fixes it at creation and
             # carries it through every later commit
             "partition_by": self.partition_by,
+            # dropped-column tombstones ride forever: old data files
+            # still carry the names physically, so re-adding one would
+            # resurrect stale values (no column-id mapping here)
+            "dropped_columns": sorted(set(man.get("dropped_columns") or [])),
         }
         if txn_app is not None and txn_version is not None:
             txns[txn_app] = txn_version
@@ -1030,7 +1034,9 @@ class TransactionalTable:
             if man["schema"] is not None:
                 table_schema = StructType.fromJson(json.loads(man["schema"]))
                 if evolve_schema:
-                    out_schema_json = self._evolved_schema(table_schema, df)
+                    out_schema_json = self._evolved_schema(
+                    table_schema, df, man.get("dropped_columns") or ()
+                )
                 else:
                     self._check_schema_compatible(table_schema, df.schema)
             self._enforce_constraints(df, man)
@@ -1175,7 +1181,9 @@ class TransactionalTable:
             table_schema = StructType.fromJson(json.loads(man["schema"]))
             out_schema_json = man["schema"]
             if evolve_schema:
-                out_schema_json = self._evolved_schema(table_schema, df)
+                out_schema_json = self._evolved_schema(
+                    table_schema, df, man.get("dropped_columns") or ()
+                )
             all_stats = man.get("stats") or {}
             if krange is None:
                 krange = self._key_range(keys, key_col)
@@ -1522,10 +1530,17 @@ class TransactionalTable:
         raise CommitConflict(f"delete lost {max_retries} commit races at {self.path}")
 
     @staticmethod
-    def _evolved_schema(table_schema: StructType, df: DataFrame) -> str:
+    def _evolved_schema(
+        table_schema: StructType, df: DataFrame, dropped: tuple | list = ()
+    ) -> str:
         """Additive evolution only: incoming columns not in the table
-        are appended; a TYPE change on an existing column is refused."""
+        are appended; a TYPE change on an existing column is refused.
+        So is resurrecting a DROPPED column name: without column-id
+        mapping (Delta's solution) the old physical columns still carry
+        the name, and re-adding it would read those stale values back
+        as live data — names are forever here, loudly."""
         have = {f.name: f for f in table_schema.fields}
+        tomb = set(dropped)
         for f in df.schema.fields:
             old = have.get(f.name)
             if old is not None and old.dataType != f.dataType:
@@ -1533,6 +1548,13 @@ class TransactionalTable:
                     f"schema evolution cannot change column '{f.name}' "
                     f"from {old.dataType.simpleString()} to "
                     f"{f.dataType.simpleString()}"
+                )
+            if old is None and f.name in tomb:
+                raise ValueError(
+                    f"column '{f.name}' was dropped from this table and "
+                    "cannot be re-added: old data files still carry the "
+                    "name physically, and without column-id mapping the "
+                    "stale values would resurrect on read"
                 )
         new_fields = list(table_schema.fields) + [
             f for f in df.schema.fields if f.name not in have
@@ -1747,6 +1769,79 @@ class TransactionalTable:
                 return v + 1
         raise CommitConflict(
             f"optimize lost {max_retries} commit races at {self.path}"
+        )
+
+    def drop_columns(self, cols: str | list[str], max_retries: int = 20) -> int:
+        """ALTER TABLE DROP COLUMN(S) — a manifest-only commit
+        (``op: "drop_columns"``): the new schema omits the columns,
+        every data file carries over by reference, and readers simply
+        stop projecting the physical columns (reads here are always
+        by-name against the manifest schema), so the drop is O(1) at
+        any data size. Old snapshots time travel with their own schema
+        and still see the columns.
+
+        Loud refusals: unknown columns; dropping everything; layout or
+        index columns (``partition_by``/``cluster_by``/``bloom_col``);
+        columns a CHECK constraint references (detected by analyzing
+        each constraint against the post-drop schema, not by string
+        matching). The dropped NAMES are tombstoned in the manifest and
+        can never be re-added (see ``_evolved_schema``): the bytes
+        remain in old files, so this is schema-level removal — actual
+        on-disk erasure of a column's values still requires a rewrite
+        (as in Delta without column mapping)."""
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            have = [f.name for f in schema.fields]
+            missing = [c for c in cols if c not in have]
+            if missing:
+                raise ValueError(f"cannot drop {missing}: not in schema {have}")
+            for kind, protected in (
+                ("partition_by", self.partition_by or []),
+                ("cluster_by", self.cluster_by or []),
+                ("bloom_col", [self.bloom_col] if self.bloom_col else []),
+            ):
+                bad = sorted(set(cols) & set(protected))
+                if bad:
+                    raise ValueError(
+                        f"cannot drop {bad}: referenced by the table's {kind}"
+                    )
+            keep = [f for f in schema.fields if f.name not in set(cols)]
+            if not keep:
+                raise ValueError("cannot drop every column")
+            new_schema = StructType(keep)
+            probe = self.spark.createDataFrame([], new_schema)
+            for name, expr in (man.get("constraints") or {}).items():
+                try:
+                    probe.filter(F.expr(expr)).schema  # forces analysis
+                except Exception:
+                    raise ValueError(
+                        f"cannot drop {cols}: CHECK constraint '{name}' "
+                        f"({expr}) references a dropped column — drop the "
+                        "constraint first"
+                    )
+            gone = set(cols)
+            stats = {
+                rel: {
+                    **s,
+                    "min": {k: x for k, x in s.get("min", {}).items() if k not in gone},
+                    "max": {k: x for k, x in s.get("max", {}).items() if k not in gone},
+                }
+                for rel, s in (man.get("stats") or {}).items()
+            }
+            manifest = self._next_manifest(
+                v, man, "drop_columns", man["files"], new_schema.json(), stats
+            )
+            manifest["dropped_columns"] = sorted(
+                set(man.get("dropped_columns") or []) | gone
+            )
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"drop_columns lost {max_retries} commit races at {self.path}"
         )
 
     def restore(self, version: int, max_retries: int = 20) -> int:

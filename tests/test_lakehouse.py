@@ -1691,3 +1691,56 @@ def test_lakehouse_randomized_concurrent_writers_serialize(spark, tmp_path):
     for rel in man["files"]:
         assert (tmp_path / "tbl" / "data" / rel).exists(), rel
     assert set(man.get("stats") or {}) <= set(man["files"])
+
+
+def test_lakehouse_drop_columns(spark, tmp_path):
+    """DROP COLUMN is a manifest-only commit: files carried by
+    reference, readers stop projecting the name, old snapshots still
+    see it; layout/index/constraint-referenced columns refuse; the
+    dropped name is tombstoned and cannot be re-added by evolution."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), cluster_by=["id"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id long, v string, score double"
+        )
+    )
+    t.add_constraint("pos_score", "score >= 0")
+    with pytest.raises(ValueError, match="pos_score"):
+        t.drop_columns("score")
+    t.drop_constraint("pos_score")
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.drop_columns(["id"])
+    with pytest.raises(ValueError, match="not in schema"):
+        t.drop_columns("nope")
+    files_before = t.snapshot()[1]["files"]
+    v = t.drop_columns("score")
+    _, man = t.snapshot()
+    assert man["files"] == files_before  # nothing rewritten
+    assert t.read().columns == ["id", "v"]
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    assert all(
+        "score" not in s.get("min", {}) for s in man["stats"].values()
+    )
+    # time travel still sees the column
+    assert t.read(version=v - 1).columns == ["id", "v", "score"]
+    # appends no longer need (or accept) the column
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    with pytest.raises(ValueError, match="mismatch"):
+        t.append(
+            spark.createDataFrame([(4, "d", 9.0)], "id long, v string, score double")
+        )
+    # the tombstone blocks resurrection via evolution
+    with pytest.raises(ValueError, match="cannot be re-added"):
+        t.append(
+            spark.createDataFrame(
+                [(4, "d", 9.0)], "id long, v string, score double"
+            ),
+            evolve_schema=True,
+        )
+    # but a FRESH name still evolves fine
+    t.merge(
+        spark.createDataFrame([(5, "e", 7)], "id long, v string, rank long"),
+        "id",
+        evolve_schema=True,
+    )
+    assert t.read().columns == ["id", "v", "rank"]
