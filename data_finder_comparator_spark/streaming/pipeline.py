@@ -899,6 +899,7 @@ def stream_merge_into_table(
     checkpoint: str,
     auto_optimize_every: int | None = None,
     auto_optimize_small_bytes: int = 8 << 20,
+    table_kwargs: dict | None = None,
 ):
     """Exactly-once streaming upsert into the transactional lakehouse
     table (round 9). foreachBatch delivery is AT-LEAST-ONCE: after a
@@ -928,7 +929,11 @@ def stream_merge_into_table(
     from ..sinks.lakehouse import TransactionalTable
 
     spark = stream_df.sparkSession
-    table = TransactionalTable(spark, table_path)
+    # table_kwargs passes table policies through (partition_by,
+    # cluster_by, bloom_col...) for a FRESH table; an existing table
+    # inherits its committed policies anyway, so this only matters on
+    # the first epoch that bootstraps the table
+    table = TransactionalTable(spark, table_path, **(table_kwargs or {}))
 
     def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         table.merge(

@@ -1744,3 +1744,54 @@ def test_lakehouse_drop_columns(spark, tmp_path):
         evolve_schema=True,
     )
     assert t.read().columns == ["id", "v", "rank"]
+
+
+def test_lakehouse_stream_merge_into_partitioned_table(spark, tmp_path):
+    """Composition: a stream upserts exactly-once into a PARTITIONED
+    table (policy passed via table_kwargs for the bootstrapping epoch,
+    inherited thereafter) — hive layout on every epoch's files,
+    partition stats injected, replay still a no-op."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "en", "v1"), (2, "de", "v1")], "id long, lang string, k string"
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "de", "v2"), (3, "fr", "v2")], "id long, lang string, k string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema("id long, lang string, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    t = stream_merge_into_table(
+        stream,
+        str(tmp_path / "tbl"),
+        "id",
+        "evt-job",
+        str(tmp_path / "ckpt"),
+        table_kwargs={"partition_by": ["lang"]},
+    )
+    assert t.partition_by == ["lang"]
+    _, man = t.snapshot()
+    assert all("lang=" in rel for rel in man["files"])
+    state = {(r.id, r.lang, r.k) for r in t.read().collect()}
+    assert state == {(1, "en", "v1"), (2, "de", "v2"), (3, "fr", "v2")}
+    # replay of epoch 1 is still a no-op on the partitioned table
+    v = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [(2, "de", "v2"), (3, "fr", "v2")], "id long, lang string, k string"
+        ),
+        "id",
+        txn_app="evt-job",
+        txn_version=1,
+    )
+    assert t.current_version() == v
+    # pruned read after streaming: only the de partition
+    assert {r.id for r in t.read(prune={"lang": ("de", "de")}).collect()} >= {2}
