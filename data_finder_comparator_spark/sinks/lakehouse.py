@@ -389,6 +389,32 @@ class TransactionalTable:
             return True
         return True
 
+    def detail(self) -> dict:
+        """One-call table card (DESCRIBE DETAIL): current version, file
+        count, total bytes (from manifest stats; files without stats
+        count as size-unknown), row count where known, and the table
+        policies — everything a maintenance job checks before deciding
+        to optimize/vacuum/expire, read from ONE manifest with no data
+        IO."""
+        v, man = self.snapshot()
+        stats = man.get("stats") or {}
+        sized = [stats[rel].get("bytes") for rel in man["files"] if rel in stats]
+        rows = [stats[rel].get("rows") for rel in man["files"] if rel in stats]
+        return {
+            "path": self.path,
+            "version": v,
+            "num_files": len(man["files"]),
+            "size_bytes": sum(b for b in sized if b is not None),
+            "num_rows": (
+                sum(rows) if rows and all(r is not None for r in rows) else None
+            ),
+            "partition_by": self.partition_by,
+            "cluster_by": self.cluster_by,
+            "bloom_col": self.bloom_col,
+            "constraints": dict(man.get("constraints") or {}),
+            "dropped_columns": list(man.get("dropped_columns") or []),
+        }
+
     def history(self) -> list[dict]:
         """All LIVE manifests, oldest first (expired snapshots are
         skipped — see ``expire_snapshots``)."""

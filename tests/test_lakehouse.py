@@ -1795,3 +1795,44 @@ def test_lakehouse_stream_merge_into_partitioned_table(spark, tmp_path):
     assert t.current_version() == v
     # pruned read after streaming: only the de partition
     assert {r.id for r in t.read(prune={"lang": ("de", "de")}).collect()} >= {2}
+
+
+def test_lakehouse_partition_filter_pushes_into_scan(spark, tmp_path):
+    """A plain .filter on a partition column of read() reaches the
+    scan as a PartitionFilter (directory-level pruning inside Spark,
+    on top of read(prune)'s manifest-level skip) and the column is
+    pruned from ReadSchema — Catalyst treats the reconstructed hive
+    column as a true partition column, which is the point of reading
+    per-txn with basePath instead of withColumn(lit) patches."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), partition_by=["lang"])
+    t.append(
+        spark.createDataFrame(
+            [(i, ["en", "de", "fr"][i % 3], f"v{i}") for i in range(30)],
+            "id long, lang string, v string",
+        )
+    )
+    df = t.read().filter(F.col("lang") == "de")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PartitionFilters: [isnotnull(lang" in scan and "= de)" in scan
+    assert "lang" not in scan.split("ReadSchema:")[1]
+    assert df.count() == 10
+
+
+def test_lakehouse_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: the one-manifest table card."""
+    t = TransactionalTable(
+        spark, str(tmp_path / "tbl"), partition_by=["lang"], bloom_col="v"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "id long, lang string, v string"
+        )
+    )
+    t.add_constraint("id_pos", "id > 0")
+    d = t.detail()
+    assert d["version"] == 2 and d["num_files"] == 2
+    assert d["num_rows"] == 2 and d["size_bytes"] > 0
+    assert d["partition_by"] == ["lang"] and d["bloom_col"] == "v"
+    assert d["constraints"] == {"id_pos": "id > 0"}
+    assert d["dropped_columns"] == []
