@@ -305,10 +305,34 @@ class TransactionalTable:
             return 0, {"files": [], "schema": None}
         return v, self._read_manifest(v)
 
+    def version_at(self, timestamp: float) -> int:
+        """Newest committed version whose commit time is <= the given
+        UNIX timestamp — TIMESTAMP AS OF resolution. Manifests retired
+        by ``expire_snapshots`` are skipped; manifests predating the
+        ``ts`` field fall back to their file mtime. Raises when the
+        table has no snapshot that old."""
+        best = 0
+        for v in range(1, self.current_version() + 1):
+            try:
+                man = self._read_manifest(v)
+            except FileNotFoundError:
+                continue
+            ts = man.get("ts")
+            if ts is None:
+                ts = os.path.getmtime(self._strip_scheme(self._manifest_path(v)))
+            if ts <= timestamp:
+                best = v
+        if best == 0:
+            raise ValueError(
+                f"no snapshot at or before timestamp {timestamp} at {self.path}"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """The table at ``version`` (default: latest). Empty tables
         read as zero rows with the last committed schema.
@@ -322,7 +346,12 @@ class TransactionalTable:
         rows, so the caller applies the real filter on the returned
         frame; pruning only shrinks the file list Spark opens. Pass
         (None, None) bounds for no-op entries; a bound of None on one
-        side is unbounded on that side."""
+        side is unbounded on that side. ``timestamp`` reads the table
+        AS OF that UNIX time (mutually exclusive with ``version``)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         v, man = self.snapshot(version)
         if v == 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -996,11 +1025,17 @@ class TransactionalTable:
         ``txns`` marker map propagates through every op (a delete or
         optimize between two micro-batches must not lose the stream's
         markers)."""
+        import time
+
         txns = dict(man.get("txns") or {})
         out = {
             "version": v + 1,
             "parent": v,
             "op": op,
+            # commit wall-clock, for TIMESTAMP AS OF reads; the slot
+            # claim serializes commits, so ts order == version order
+            # up to clock skew between writers (same caveat as Delta)
+            "ts": time.time(),
             "files": files,
             "schema": schema,
             "stats": stats,

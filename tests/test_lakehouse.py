@@ -1836,3 +1836,24 @@ def test_lakehouse_detail(spark, tmp_path):
     assert d["partition_by"] == ["lang"] and d["bloom_col"] == "v"
     assert d["constraints"] == {"id_pos": "id > 0"}
     assert d["dropped_columns"] == []
+
+
+def test_lakehouse_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: read(timestamp=) resolves to the newest commit
+    at or before the instant; before-the-table refuses; version and
+    timestamp together refuse."""
+    import time as _time
+
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    before = _time.time() - 1.0
+    t.merge(spark.createDataFrame([(1, "a")], "id long, v string"), "id")
+    mid = _time.time()
+    _time.sleep(0.01)
+    t.merge(spark.createDataFrame([(1, "A2"), (2, "b")], "id long, v string"), "id")
+    assert t.version_at(mid) == 1
+    assert _rows(t.read(timestamp=mid)) == [(1, "a")]
+    assert _rows(t.read(timestamp=_time.time())) == [(1, "A2"), (2, "b")]
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(timestamp=before)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=mid)
