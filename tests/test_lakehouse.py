@@ -1857,3 +1857,37 @@ def test_lakehouse_timestamp_as_of(spark, tmp_path):
         t.read(timestamp=before)
     with pytest.raises(ValueError, match="not both"):
         t.read(version=1, timestamp=mid)
+
+
+def test_lakehouse_multi_column_partitioning(spark, tmp_path):
+    """Two partition columns nest as source=<s>/lang=<l> directories;
+    both values ride the stats, conjunctive pruning composes, CDC
+    works across the nested layout, and merge respects both levels."""
+    t = TransactionalTable(
+        spark, str(tmp_path / "tbl"), partition_by=["source", "lang"]
+    )
+    rows = [
+        (i, ["web", "pdf"][i % 2], ["en", "de"][(i // 2) % 2], f"v{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, lang string, v string")
+    t.append(df)
+    _, man = t.snapshot()
+    assert all("source=" in r and "lang=" in r for r in man["files"])
+    s = man["stats"][man["files"][0]]
+    assert set(s["partition"]) == {"source", "lang"}
+    assert _rows(t.read()) == _rows(df)
+    # conjunctive partition prune: exactly one (source, lang) cell
+    got = t.read(prune={"source": ("web", "web"), "lang": ("de", "de")})
+    assert {(r.source, r.lang) for r in got.collect()} == {("web", "de")}
+    assert got.count() == 10
+    # merge keyed on id still lands rows in the right directories
+    t.merge(
+        spark.createDataFrame(
+            [(2, "web", "de", "UP")], "id long, source string, lang string, v string"
+        ),
+        "id",
+    )
+    assert (2, "web", "de", "UP") in _rows(t.read())
+    ch = {(r.id, r._change_type) for r in t.changes("id", 1, 2).collect()}
+    assert ch == {(2, "update_pre"), (2, "update_post")}
