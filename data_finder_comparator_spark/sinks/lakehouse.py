@@ -311,8 +311,11 @@ class TransactionalTable:
         by ``expire_snapshots`` are skipped; manifests predating the
         ``ts`` field fall back to their file mtime. Raises when the
         table has no snapshot that old."""
-        best = 0
-        for v in range(1, self.current_version() + 1):
+        # descending: commit slots serialize, so ts is monotone with
+        # version and the FIRST live manifest at or before the instant
+        # is the answer — the common recent-timestamp read parses one
+        # manifest instead of the whole history
+        for v in range(self.current_version(), 0, -1):
             try:
                 man = self._read_manifest(v)
             except FileNotFoundError:
@@ -321,12 +324,10 @@ class TransactionalTable:
             if ts is None:
                 ts = os.path.getmtime(self._strip_scheme(self._manifest_path(v)))
             if ts <= timestamp:
-                best = v
-        if best == 0:
-            raise ValueError(
-                f"no snapshot at or before timestamp {timestamp} at {self.path}"
-            )
-        return best
+                return v
+        raise ValueError(
+            f"no snapshot at or before timestamp {timestamp} at {self.path}"
+        )
 
     def read(
         self,
@@ -694,10 +695,18 @@ class TransactionalTable:
             layout = (self.partition_by or []) + self.cluster_by
             df = df.repartitionByRange(n_out, *layout).sortWithinPartitions(*layout)
         elif self.partition_by and not pre_clustered:
+            # point-ish frames (in-memory, or few leaf input files)
             # hash on the partition columns: each value lands wholly in
             # one task, so the hive split below writes ONE file per
-            # partition value per commit (no layout requirement inside)
-            df = df.repartition(*self.partition_by)
+            # partition value per commit. Bulk frames must NOT funnel a
+            # whole partition value through a single task — a 1-TB
+            # backfill with 3 live values would serialize into 3 huge
+            # single-task files — so past the width threshold the frame
+            # keeps its incoming layout and the hive split writes one
+            # file per (task, value): parallel, size-bounded, and
+            # optimize() compacts the count later
+            if len(df.inputFiles()) <= 32:
+                df = df.repartition(*self.partition_by)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             # hive layout: col=val directories; the partition columns
@@ -1027,6 +1036,22 @@ class TransactionalTable:
         markers)."""
         import time
 
+        # a handle constructed while the table was EMPTY resolved its
+        # partition policy against nothing; if a concurrent writer
+        # bootstrapped with a different policy since, committing on top
+        # would flip the table's committed partition_by and read the
+        # winner's hive files with NULL partition columns — refuse
+        # loudly instead (the retry loops re-snapshot, so this check is
+        # fresh on every attempt; same-policy handles never trip it)
+        if man.get("schema") is not None and (
+            (man.get("partition_by") or None) != (self.partition_by or None)
+        ):
+            raise ValueError(
+                f"partition policy conflict at {self.path}: table committed "
+                f"{man.get('partition_by')}, this handle resolved "
+                f"{self.partition_by} (a concurrent writer bootstrapped the "
+                "table after this handle was constructed) — reopen the table"
+            )
         txns = dict(man.get("txns") or {})
         out = {
             "version": v + 1,
@@ -1338,8 +1363,16 @@ class TransactionalTable:
         tagged = self._read_rels(table_schema, candidates).withColumn(
             "_file", F.input_file_name()
         )
+        # input_file_name() returns a URI — partition directories whose
+        # values contain spaces / non-ASCII / '%' come back percent-
+        # encoded ('city=New York' -> '.../city=New%20York/part-...'),
+        # while ``rel`` holds the raw on-disk name from os.walk. Match
+        # on the DECODED path or a hit in such a partition is silently
+        # missed: merge would duplicate the key, delete would no-op.
+        from urllib.parse import unquote
+
         hit_paths = {
-            r._file
+            unquote(r._file)
             for r in tagged.join(keys, key_cols).select("_file").distinct().collect()
         }
         return sorted(
@@ -1934,6 +1967,22 @@ class TransactionalTable:
                     f"cannot restore to version {version}: table is at {v}"
                 )
             target = self._read_manifest(version)  # loud when expired
+            # current constraints ride along (see docstring) — but one
+            # referencing a column ABSENT from the restored schema would
+            # wedge every later write in an AnalysisException deep in
+            # _enforce_constraints; refuse here with the fix spelled out
+            t_schema = StructType.fromJson(json.loads(target["schema"]))
+            probe = self.spark.createDataFrame([], t_schema)
+            for cname, expr in (man.get("constraints") or {}).items():
+                try:
+                    probe.filter(F.expr(expr)).schema  # forces analysis
+                except Exception:
+                    raise ValueError(
+                        f"cannot restore to version {version}: CHECK "
+                        f"constraint '{cname}' ({expr}) references a column "
+                        "absent from that version's schema — "
+                        "drop_constraint first"
+                    )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -2014,27 +2063,41 @@ class TransactionalTable:
                             continue  # raced another vacuum
                         removed.append(rel)
                 try:
-                    if not os.listdir(dp):
+                    # retention applies to DIRECTORIES too: an in-flight
+                    # writer's just-created staging dir (_temporary/...)
+                    # is momentarily empty — rmdir'ing it would fail the
+                    # about-to-commit write, exactly the race the file
+                    # mtime check already guards against. Zero retention
+                    # means writers are quiesced, so skip the guard —
+                    # deleting a dir's files refreshes its mtime, which
+                    # would otherwise defer every reclaim by one pass
+                    if (
+                        retention_seconds <= 0
+                        or os.path.getmtime(dp) <= cutoff
+                    ) and not os.listdir(dp):
                         os.rmdir(dp)
                 except OSError:
                     pass  # raced another vacuum
         # a Bloom sidecar shares its data file's lifecycle: once the
         # data file is gone (this vacuum or an earlier one), the
         # sidecar is reclaimable — no separate retention needed, the
-        # data file's removal already waited out the window
+        # data file's removal already waited out the window. Sweep by
+        # FORWARD-mapping every surviving data file to its sidecar name
+        # (always well-defined) instead of inverting the sidecar name,
+        # which is ambiguous when a partition column or value itself
+        # contains the "__" join separator
         idx_dir = self._strip_scheme(f"{self.path}/{_INDEX}")
         if os.path.isdir(idx_dir):
+            expected = set()
+            for dp, _dns, fns in os.walk(data_dir):
+                for name in fns:
+                    if name.endswith(".parquet"):
+                        rel = os.path.relpath(
+                            os.path.join(dp, name), data_dir
+                        ).replace(os.sep, "/")
+                        expected.add(self._bloom_sidecar_rel(rel))
             for name in os.listdir(idx_dir):
-                if not name.endswith(".bloom"):
-                    continue
-                # inverse of _bloom_sidecar_rel: every "__" was a "/"
-                # (Spark part names never contain "__"; a partition
-                # VALUE containing it would round-trip wrong, but the
-                # consequence is only an early sidecar delete — the
-                # Bloom layer is advisory, readers degrade to keep)
-                data_rel = name[: -len(".bloom")].replace("__", "/")
-                data_path = os.path.join(data_dir, *data_rel.split("/"))
-                if not os.path.exists(data_path):
+                if name.endswith(".bloom") and name not in expected:
                     try:
                         os.remove(os.path.join(idx_dir, name))
                     except FileNotFoundError:
