@@ -198,6 +198,16 @@ class TransactionalTable:
                     "partition_by cannot be retrofitted (rewrite via a "
                     "new partitioned table)"
                 )
+            # bloom_col is persisted in the manifest like partition_by,
+            # but unlike partition_by it is a mutable POLICY, not layout:
+            # passing none inherits the committed column (so reopened
+            # handles keep building/probing sidecars instead of silently
+            # disabling the index), passing a different one switches the
+            # policy going forward — safe because every sidecar
+            # descriptor records the column it indexes and probes on a
+            # different column conservatively keep the file
+            if self.bloom_col is None:
+                self.bloom_col = man0.get("bloom_col") or None
         if self.partition_by:
             overlap = set(self.partition_by) & set(self.cluster_by or [])
             if overlap:
@@ -212,15 +222,19 @@ class TransactionalTable:
                     "partition pruning already skips by exact value; the "
                     "column is not stored in the data files"
                 )
-        # a typo'd layout column must fail HERE, not silently skip
-        # clustering on every write (a perf cliff nothing would report)
-        if man0 is not None and (self.cluster_by or self.partition_by):
+        # a typo'd layout or index column must fail HERE, not silently
+        # skip clustering / sidecar builds on every write (a perf cliff
+        # nothing would report)
+        if man0 is not None and (
+            self.cluster_by or self.partition_by or self.bloom_col
+        ):
             committed = [
                 f["name"] for f in json.loads(man0["schema"])["fields"]
             ]
             for kind, cols in (
                 ("cluster_by", self.cluster_by),
                 ("partition_by", self.partition_by),
+                ("bloom_col", [self.bloom_col] if self.bloom_col else None),
             ):
                 missing = [c for c in cols or [] if c not in committed]
                 if missing:
@@ -509,14 +523,18 @@ class TransactionalTable:
             .unionByName(changed_post.select(key_col))
             .distinct()
         )
-        kmin, kmax = self._key_range(changed_keys, key_col)
+        kmin, kmax, has_signal = self._key_range(changed_keys, key_col)
 
         def _keys_at(man: dict) -> DataFrame:
             stats = man.get("stats") or {}
             rels = [
                 rel
                 for rel in man["files"]
-                if self._may_contain(stats.get(rel), key_col, kmin, kmax)
+                # no range signal (unaggregatable key type) -> every
+                # file must be consulted; with a signal, _may_contain
+                # prunes (including the all-NULL definite skip)
+                if not has_signal
+                or self._may_contain(stats.get(rel), key_col, kmin, kmax)
             ]
             return _load(rels).select(F.col(key_col).alias("_k")).distinct()
 
@@ -579,19 +597,28 @@ class TransactionalTable:
     def ack(self, app: str, version: int) -> None:
         """Durably advance ``app``'s cursor to ``version``. Monotonic:
         a stale ack (lower than the stored cursor) is a no-op, so a
-        delayed retry can never rewind a consumer. Atomic via
+        delayed retry can never rewind a consumer — the check and the
+        replace are SERIALIZED under a per-app flock, because a bare
+        read-check-replace lets a delayed low-version retry race a
+        fresh high-version ack and win the replace. Atomic via
         write-temp + os.replace — a crash leaves the old cursor, and
-        the next run simply reprocesses the delta (at-least-once)."""
+        the next run simply reprocesses the delta (at-least-once).
+        (flock is fine here: this class is local-path-only by
+        construction, enforced in ``__init__``.)"""
+        import fcntl
+
         cdir = self._strip_scheme(f"{self.path}/_consumers")
         os.makedirs(cdir, exist_ok=True)
-        if version <= self.consumer_cursor(app):
-            return
-        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"app": app, "version": version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._consumer_path(app))
+        with open(self._consumer_path(app) + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if version <= self.consumer_cursor(app):
+                return
+            tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"app": app, "version": version}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._consumer_path(app))
 
     def _consumer_path(self, app: str) -> str:
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in app)
@@ -658,6 +685,7 @@ class TransactionalTable:
         for kind, cols in (
             ("cluster_by", self.cluster_by if not pre_clustered else None),
             ("partition_by", self.partition_by),
+            ("bloom_col", [self.bloom_col] if self.bloom_col else None),
         ):
             missing = [c for c in cols or [] if c not in df.columns]
             if missing:
@@ -895,14 +923,31 @@ class TransactionalTable:
         nbytes = (m + 7) // 8
         with open(sidecar, "wb") as f:
             f.write(bits.to_bytes(nbytes, "little"))
-        return {"path": self._bloom_sidecar_rel(rel), "m": m, "k": k, "n": len(keys)}
+        return {
+            "path": self._bloom_sidecar_rel(rel),
+            # the INDEXED column rides in the descriptor: a handle
+            # opened later with a different bloom_col must not probe
+            # new-column values against bits built on the old column
+            # (false "definitely absent" -> merge duplicates keys,
+            # delete no-ops — silent corruption)
+            "col": col,
+            "m": m,
+            "k": k,
+            "n": len(keys),
+        }
 
-    def _bloom_excludes(self, stats_entry: dict | None, probe_keys) -> bool:
-        """True only when this file's Bloom PROVES no probe key is
-        present (definitely-absent). Missing/unreadable sidecar, or
-        any non-int/str probe → False (conservative keep)."""
+    def _bloom_excludes(
+        self, stats_entry: dict | None, probe_keys, col: str
+    ) -> bool:
+        """True only when this file's Bloom PROVES no probe key on
+        column ``col`` is present (definitely-absent). Missing or
+        unreadable sidecar, a sidecar built on a DIFFERENT column
+        (or an old descriptor that never recorded one), or any
+        non-int/str probe → False (conservative keep)."""
         bloom = (stats_entry or {}).get("bloom")
         if not bloom or probe_keys is None:
+            return False
+        if bloom.get("col") != col:
             return False
         try:
             with open(self._bloom_sidecar_path_from_desc(bloom), "rb") as f:
@@ -1072,6 +1117,12 @@ class TransactionalTable:
             # so recording it here both fixes it at creation and
             # carries it through every later commit
             "partition_by": self.partition_by,
+            # the bloom index POLICY also rides the manifest so a
+            # reopened handle that passes no bloom_col inherits it
+            # (see __init__); unlike partition_by a later handle may
+            # switch it — per-descriptor "col" tags keep old sidecars
+            # safe (probes on a different column keep the file)
+            "bloom_col": self.bloom_col,
             # dropped-column tombstones ride forever: old data files
             # still carry the names physically, so re-adding one would
             # resurrect stale values (no column-id mapping here)
@@ -1191,13 +1242,19 @@ class TransactionalTable:
 
     @staticmethod
     def _key_range(keys: DataFrame, key_col: str):
-        """(min, max) of the key frame — one tiny agg; (None, None)
-        when all keys are NULL or the type is not aggregatable."""
+        """(min, max, has_signal) of the key frame — one tiny agg.
+        ``has_signal=True`` with min/max None means the agg SUCCEEDED
+        and every key is NULL (or there are no keys): a definite
+        "nothing can equi-match" signal that skips every file with
+        stats. ``has_signal=False`` (the agg threw: unaggregatable
+        type) means NO range information — callers must keep every
+        candidate. Collapsing the two cases made an all-null merge
+        exact-scan every file (r10 ADVICE finding 4)."""
         try:
             krow = keys.agg(F.min(key_col), F.max(key_col)).first()
-            return krow[0], krow[1]
+            return krow[0], krow[1], True
         except Exception:
-            return None, None
+            return None, None, False
 
     def _hit_files(
         self,
@@ -1205,17 +1262,16 @@ class TransactionalTable:
         table_schema: StructType,
         keys: DataFrame,
         key_col: str,
-        kmin,
-        kmax,
+        krange: tuple,
     ) -> list[str]:
         """Single-key entry point for hit detection — a thin wrapper
         over ``_hit_files_on`` so merge, delete and merge_into share
         ONE implementation of range skip + Bloom probe + exact scan
-        and can never diverge. ``kmin``/``kmax`` are the caller's
-        retry-cached key range (the commit loop recomputes snapshots,
+        and can never diverge. ``krange`` is the caller's retry-cached
+        ``_key_range`` triple (the commit loop recomputes snapshots,
         not aggregates)."""
         return self._hit_files_on(
-            man, table_schema, keys, [key_col], ranges={key_col: (kmin, kmax)}
+            man, table_schema, keys, [key_col], ranges={key_col: krange}
         )
 
     def merge(
@@ -1273,9 +1329,7 @@ class TransactionalTable:
             all_stats = man.get("stats") or {}
             if krange is None:
                 krange = self._key_range(keys, key_col)
-            hit_rels = self._hit_files(
-                man, table_schema, keys, key_col, krange[0], krange[1]
-            )
+            hit_rels = self._hit_files(man, table_schema, keys, key_col, krange)
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]
             if hit_rels:
                 affected = self._read_rels(table_schema, hit_rels)
@@ -1322,7 +1376,13 @@ class TransactionalTable:
         value of that column cannot contain any composite match).
         Exact input_file_name scan joins on all key columns.
         ``ranges`` lets a retrying caller inject its cached per-column
-        (min, max); (None, None) entries mean no range signal."""
+        ``_key_range`` triples (min, max, has_signal): a successful agg
+        with None bounds means every incoming key is NULL — a definite
+        skip for every stats-bearing file (NULL never equi-matches) —
+        while has_signal=False (unaggregatable type) means no range
+        information and every candidate is kept. The two cases used to
+        collapse, making an all-null merge exact-scan every candidate
+        (r10 ADVICE finding 4)."""
         keys = source.select(*key_cols).distinct()
         if ranges is None:
             ranges = {}
@@ -1332,16 +1392,16 @@ class TransactionalTable:
                     aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
                 row = keys.agg(*aggs).first()
                 for c in key_cols:
-                    ranges[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"])
+                    ranges[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"], True)
             except Exception:
-                ranges = {c: (None, None) for c in key_cols}
+                ranges = {c: (None, None, False) for c in key_cols}
         all_stats = man.get("stats") or {}
 
         def _cand(rel: str) -> bool:
             st = all_stats.get(rel)
             for c in key_cols:
-                lo, hi = ranges[c]
-                if lo is None and hi is None:
+                lo, hi, has_signal = ranges[c]
+                if not has_signal:
                     continue  # unaggregatable type: no range signal
                 if not self._may_contain(st, c, lo, hi):
                     return False
@@ -1356,7 +1416,9 @@ class TransactionalTable:
                 candidates = [
                     rel
                     for rel in candidates
-                    if not self._bloom_excludes(all_stats.get(rel), probe)
+                    if not self._bloom_excludes(
+                        all_stats.get(rel), probe, self.bloom_col
+                    )
                 ]
         if not candidates:
             return []
@@ -1591,14 +1653,14 @@ class TransactionalTable:
         running ``vacuum``, which is a retention-policy decision, not
         a table operation."""
         keys = keys_df.select(key_col).distinct()
-        kmin, kmax = self._key_range(keys, key_col)
+        krange = self._key_range(keys, key_col)
         for _ in range(max_retries):
             v, man = self.snapshot()
             if v == 0:
                 return 0
             table_schema = StructType.fromJson(json.loads(man["schema"]))
             all_stats = man.get("stats") or {}
-            hit_rels = self._hit_files(man, table_schema, keys, key_col, kmin, kmax)
+            hit_rels = self._hit_files(man, table_schema, keys, key_col, krange)
             if not hit_rels:
                 return v  # nothing matched: no empty commit
             carried = [rel for rel in man["files"] if rel not in set(hit_rels)]

@@ -750,7 +750,7 @@ def test_lakehouse_bloom_never_excludes_present_key(spark, tmp_path):
             ).collect()
         ]
         for key in present:
-            assert not t._bloom_excludes(st, [key])
+            assert not t._bloom_excludes(st, [key], "id")
 
 
 def test_lakehouse_bloom_probe_cap_disables_skipping(spark, tmp_path):
@@ -2010,3 +2010,92 @@ def test_lakehouse_sidecar_sweep_survives_dunder_names(spark, tmp_path):
     # and the bloom layer still answers (skip probes don't error)
     _, man = t.snapshot()
     assert any("bloom" in s for s in man["stats"].values())
+
+
+def test_lakehouse_bloom_descriptor_records_indexed_column(spark, tmp_path):
+    """r10 ADVICE finding 1: a sidecar built on column A must never be
+    probed with column-B values (false definitely-absent -> merge
+    duplicates keys). The descriptor records its column; probes on any
+    other column conservatively keep the file."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="k")
+    t.append(
+        spark.createDataFrame([("a", "x", 1), ("b", "y", 2)], "k string, v string, n long")
+    )
+    _, man = t.snapshot()
+    rel = man["files"][0]
+    desc = man["stats"][rel]["bloom"]
+    assert desc["col"] == "k"
+    st = man["stats"][rel]
+    # probing the WRONG column never excludes, even for absent values
+    assert not t._bloom_excludes(st, ["zzz-not-here"], "v")
+    # probing the right column still proves absence
+    assert t._bloom_excludes(st, ["zzz-not-here"], "k")
+    # end-to-end: a handle switched to bloom_col="v" must not lose the
+    # ("b","y") row to a stale col-"k" sidecar when merging on v
+    t2 = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="v")
+    t2.merge(
+        spark.createDataFrame([("b2", "y", 99)], "k string, v string, n long"), "v"
+    )
+    rows = {(r.k, r.v, r.n) for r in t2.read().collect()}
+    assert rows == {("a", "x", 1), ("b2", "y", 99)}
+
+
+def test_lakehouse_bloom_col_inherited_and_validated(spark, tmp_path):
+    """r10 ADVICE finding 2: bloom_col persists in the manifest (a
+    reopened handle passing none inherits it instead of silently
+    dropping the index), and a typo'd bloom_col fails loudly at open
+    instead of disabling sidecar builds forever."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="k")
+    t.append(spark.createDataFrame([("a", 1)], "k string, n long"))
+    _, man = t.snapshot()
+    assert man["bloom_col"] == "k"
+    t2 = TransactionalTable(spark, str(tmp_path / "tbl"))
+    assert t2.bloom_col == "k"  # inherited
+    t2.append(spark.createDataFrame([("b", 2)], "k string, n long"))
+    _, man2 = t2.snapshot()
+    assert all("bloom" in s for s in man2["stats"].values())
+    with pytest.raises(ValueError, match="bloom_col"):
+        TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="nope")
+
+
+def test_lakehouse_all_null_merge_keys_skip_stats_files(spark, tmp_path):
+    """r10 ADVICE finding 4: an all-NULL incoming key set is a definite
+    'nothing equi-matches' signal — every stats-bearing file is skipped
+    (no exact scan), distinct from the no-signal unaggregatable case
+    which keeps every candidate."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    )
+    v, man = t.snapshot()
+    schema = t.read().schema
+    null_keys = spark.createDataFrame([(None,)], "id long")
+    assert t._hit_files_on(man, schema, null_keys, ["id"]) == []
+    # unaggregatable key type (map): agg throws -> no signal -> every
+    # candidate kept (conservative), not skipped
+    kmin, kmax, has_signal = t._key_range(
+        spark.createDataFrame([({"a": 1},)], "m map<string,int>"), "m"
+    )
+    assert (kmin, kmax, has_signal) == (None, None, False)
+
+
+def test_lakehouse_ack_monotonic_under_lock(spark, tmp_path):
+    """r10 ADVICE finding 3: ack's read-check-replace is serialized, so
+    a delayed low-version retry can never rewind the cursor."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.ack("app", 5)
+    t.ack("app", 3)  # stale retry: no-op
+    assert t.consumer_cursor("app") == 5
+    # concurrent acks from threads settle at the max, never rewind
+    import threading
+
+    def _ack(v):
+        t.ack("app", v)
+
+    threads = [threading.Thread(target=_ack, args=(v,)) for v in (7, 9, 8, 6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert t.consumer_cursor("app") == 9
