@@ -112,6 +112,9 @@ HEADLINE = [
     "hll_register_stream",
     "gram_tfidf_cosine_topk",
     "weighted_reservoir_sample",
+    # round 11 additions (registry grew 99 -> 101 on verdict orders)
+    "lakehouse_merge_roundtrip",
+    "ivf_pq_topk",
 ]
 
 

@@ -84,6 +84,32 @@ def cosine_topk(
     )
 
 
+def exact_topk_guarded(
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    max_broadcast_cands: int = 1_000_000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Scale-guarded cosine top-k — the REGISTERED form of the brute
+    baseline (r10 verdict: no registered query may plan an
+    unconditional all-pairs crossJoin). While the candidate side fits a
+    broadcast (row count <= ``max_broadcast_cands``; 64-dim float
+    arrays ≈ 600 B/row, so the 1M default is ~0.6 GB — inside Spark's
+    8 GB broadcast ceiling with headroom) the plan is the exact
+    broadcast score, bit-identical to the SQL oracle. Past the cap it
+    switches to the hyperplane-LSH bucketed top-k (equi-join on
+    (table, bucket) — sub-quadratic, shuffle-partitioned, the plan that
+    survives a 100-TB candidate side), whose recall@5 is the pytest-
+    pinned 0.94. The count that picks the branch is a parquet
+    metadata-level aggregate (footer row counts), not a data scan.
+    The UNGUARDED ``cosine_topk`` stays available as the ground-truth
+    baseline inside the recall audits only."""
+    if cands.count() <= max_broadcast_cands:
+        return cosine_topk(probes, cands, k=k)
+    return lsh_bucketed_topk(probes, cands, k=k, **lsh_kwargs)
+
+
 def centroid_vectors(flat: DataFrame) -> DataFrame:
     """Roll the flattened k-means output (cluster_id, dim,
     centroid_val) back into a (cent_id, vec_cent) table ``ivf_topk``

@@ -67,70 +67,85 @@ from . import queries_fuzzy  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
+from . import queries_lakehouse  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 
-# Alternating-window rotation (invariant: every parked query was
-# driver-green in the round that JUST ran, so parking it still leaves
-# a driver CORRECTNESS row within the last two rounds; all parked
-# queries stay hash-checked by tests/test_oracle_parity.py on every
-# pytest run). The registry is SATURATED at 99 (two 49-query sets
-# alternating around the permanently in-window alignment_pairs, whose
-# rows-only check exists ONLY as a driver row). Mechanical rule, EVERY
-# round: set this list to the 49 names hash-green in the NEWEST
-# CORRECTNESS_r{N}.json (that file's 50-query window minus
-# alignment_pairs); the previously parked 49 return to the window.
-# 99 - 49 = 50 in-window exactly. Currently parked: the
-# CORRECTNESS_r09 greens (rotated at the start of round 10).
+# Alternating-window rotation (invariant: every parked query must have
+# a driver-green CORRECTNESS row within the LAST TWO rounds and must
+# not be red in the newest one; all parked queries stay hash-checked
+# by tests/test_oracle_parity.py on every pytest run). Registry grew
+# to 101 in r11 (the r10 verdict ordered two net-new registrations:
+# lakehouse_merge_roundtrip — the 2.1k-LoC transactional table's first
+# driver row — and ivf_pq_topk, already oracle-proven in pytest), so
+# the parked set is 51: the newest round's greens plus THREE r9 greens
+# double-parked for a second consecutive round (legal: green within
+# the last-two union). Mechanical rule, EVERY round from here:
+#   parked = (greens of the round that just ran, minus any query whose
+#             code changes this round, minus alignment_pairs)
+#          + enough of the PREVIOUS round's greens to reach
+#            len(QUERIES) - 50, choosing names NOT double-parked last
+#            round (a name can sit out at most two consecutive rounds).
+# r11 window: alignment_pairs + lakehouse_merge_roundtrip + ivf_pq_topk
+# + ann_cosine_topk (plan changed this round: scale guard) + 46
+# returning r9 greens. The three double-parked r9 greens
+# (deterministic_row_ids, histogram_quantiles, hourly_gapfill) MUST
+# return to the window in r12.
 _PARKED_MULTI_GREEN = [
-    "alignment_dist",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bloom_decontaminate",
-    "bloom_merge_shards",
-    "cluster_canonical",
-    "cms_heavy_hitters",
-    "curation_counts",
-    "dedup_clusters",
-    "dedup_hybrid_verify",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
+    # -- the 49 CORRECTNESS_r10 greens minus ann_cosine_topk (in-window:
+    #    its registered plan gained the r11 scale guard) ---------------
+    "fuzzy_join_tiers",
+    "fuzzy_join_docs",
+    "fuzzy_join_docs_band",
+    "fuzzy_topk",
+    "fuzzy_tier_assembly",
+    "fuzzy_tier_counts",
+    "multimodal_frame_sample",
+    "streaming_sliding_counts",
+    "streaming_purchase_attribution",
+    "streaming_enriched_segments",
+    "streaming_session_counts",
+    "lang_robust_length_stats",
+    "doc_token_chunks",
+    "corpus_curation_pipeline",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "cms_merge_shards",
+    "weighted_reservoir_sample",
+    "gram_tfidf_cosine_topk",
+    "excel_folder_roundtrip",
+    "csv_folder_roundtrip",
+    "json_folder_roundtrip",
+    "table_version_diff",
+    "dedup_exact",
+    "dedup_simhash",
+    "hll_distinct_sketch",
+    "hll_register_stream",
+    "hll_merge_shards",
+    "ann_sq8_rerank_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_priority",
+    "orders_rollup",
+    "customers_without_orders",
+    "events_pivot_by_hour",
+    "suppliers_by_nation",
+    "event_value_quantiles",
+    "events_cube",
+    "sessionize_events",
+    "asof_latest_order",
+    "salted_segment_stats",
+    "bucketed_order_revenue",
+    "purchase_window_stats",
+    "props_json_stats",
+    "session_type_cooccurrence",
+    "event_funnel",
+    # -- three r9 greens double-parked to fit the two r11 net-new
+    #    registrations (return to the window in r12, without fail) ----
     "deterministic_row_ids",
-    "deterministic_sample",
-    "deterministic_shuffle",
-    "doc_fingerprints",
-    "doc_repetition",
-    "duplicate_spans",
-    "embedding_neardup_pairs",
-    "grouped_histogram_quantiles",
-    "grouped_hll_by_lang",
-    "histogram_merge_shards",
     "histogram_quantiles",
     "hourly_gapfill",
-    "inverted_index",
-    "ivf_kmeans_centroids",
-    "keep_replace_curation",
-    "lang_id_confusion",
-    "line_dedup_stats",
-    "mixture_token_budget",
-    "multimodal_features",
-    "multimodal_wav_decode",
-    "orc_folder_roundtrip",
-    "orders_grouping_sets",
-    "partitioned_lang_roundtrip",
-    "pcm_resample_layout",
-    "rolling_user_activity",
-    "scrub_hot_spans",
-    "sequence_packing",
-    "source_domain_caps",
-    "streaming_dedup_events",
-    "streaming_first_seen",
-    "streaming_fuzzy_tiers",
-    "streaming_watermarked_counts",
-    "streaming_window_counts",
-    "text_quality_signals",
-    "union_by_name_folder",
-    "vocab_top_tokens",
 ]
 
 

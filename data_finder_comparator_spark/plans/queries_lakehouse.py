@@ -1,0 +1,103 @@
+"""Driver-checked lakehouse queries.
+
+The transactional table (``sinks/lakehouse.py``) is the dataset-scale
+form of the reference's Keep/Replace curation loop
+(/root/reference/main.py:521-553): incoming rows replace same-key rows
+and append otherwise, with deletes as the explicit third verb. Until
+r11 the component was pytest-gated only (the registry saturated in r8
+before it existed); this module puts a full MERGE roundtrip in the
+driver's CORRECTNESS window — create from ``orders``, merge a keyed
+delta (updates + inserts), delete a keyed slice, read back the latest
+snapshot — with a plain-SQL DuckDB oracle restating the post-merge
+state (anti-join + union + filter), so the commit log, the clustered
+write layout, the Bloom/footer file-skipping stack and the snapshot
+reader are all under the driver's hash check, not just pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import query
+
+# The delta is derived deterministically from orders itself so DuckDB
+# can restate it: keys %10==0 get their price doubled and status 'U'
+# (WHEN MATCHED UPDATE), keys %1000==1 re-enter shifted past the key
+# domain as status-'N' inserts (WHEN NOT MATCHED INSERT), and the
+# post-merge %7==3 slice is deleted. Double arithmetic is *2 (exact in
+# binary floating point), so both engines hash identically with no
+# rounding fence.
+_MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 1000 = 1
+),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM merged
+WHERE o_orderkey % 7 <> 3
+"""
+
+
+@query("lakehouse_merge_roundtrip", oracle=_MERGE_ORACLE)
+def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table MERGE roundtrip (r11, the r10 verdict's top
+    item): bootstrap a clustered + Bloom-indexed table from ``orders``,
+    MERGE a keyed delta (price-doubled updates + shifted-key inserts),
+    DELETE the %7==3 key slice, and return the latest snapshot read.
+
+    Exercises, under the driver's DuckDB hash: the crash-atomic commit
+    log (3 commits), ``cluster_by`` range layout on write, per-file
+    Bloom sidecars + footer-stats hit detection in merge/delete (only
+    files containing matched keys are rewritten; the rest carry by
+    reference), and the manifest snapshot reader. At 100 TB the same
+    plan holds: hit detection is manifest + sidecar IO plus an exact
+    scan of only the hit files, the rewrite is an anti-join of those
+    files against a broadcast-size key set, and untouched data is
+    never read or written."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    d = fresh_run_dir("lakehouse_merge", sf_dir)
+    t = TransactionalTable(
+        spark,
+        os.path.join(d, "tbl"),
+        cluster_by=["o_orderkey"],
+        bloom_col="o_orderkey",
+    )
+    t.append(base)
+    delta = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 1)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    t.merge(delta, "o_orderkey")
+    t.delete(
+        t.read().filter(F.col("o_orderkey") % 7 == 3).select("o_orderkey"),
+        "o_orderkey",
+    )
+    assert t.current_version() == 3  # append, merge, delete
+    return t.read()

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine, cosine_topk, lsh_bucketed_topk
+from ..operators.similarity import (
+    cosine,
+    cosine_topk,
+    exact_topk_guarded,
+    lsh_bucketed_topk,
+)
 from ..sources.parquet import load_table
 from .catalog import query
 
@@ -34,8 +39,14 @@ FROM (
 
 @query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per probe (every 25th vector) — the
-    exact baseline every ANN variant is measured against."""
+    """Exact cosine top-5 per probe (every 25th vector), SCALE-GUARDED
+    (r11): while the candidate side fits a broadcast the plan is the
+    exact brute score (bit-identical to the oracle — the case at every
+    tested SF); past 1M candidates it degrades to the swept LSH
+    bucketed plan instead of an un-broadcastable crossJoin. The
+    unguarded brute form survives only inside ``ann_recall_audit`` as
+    the ground-truth baseline (same demotion the r9 round applied to
+    the brute near-dup pair scan)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").cast("long").alias("probe_id"),
@@ -45,7 +56,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("cand_id"),
         F.col("embedding").alias("vec_c"),
     )
-    return cosine_topk(probes, cands, k=5)
+    return exact_topk_guarded(
+        probes, cands, k=5, n_planes=6, n_tables=8, dim=64, multiprobe=1
+    )
 
 
 # Near-dup pairs through the scale path: same hyperplane tables as
@@ -324,6 +337,30 @@ FROM (
   FROM scored
 ) WHERE rnk <= 5
 """
+
+
+@query("ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
+def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ ANN, driver-registered in r11 (it was
+    pytest-gated since r10; the oracle above is the full DuckDB
+    restatement `test_ivf_pq_topk_oracle_ready` proves hash parity
+    against): coarse-cell routing prunes pairs, m=8 subspace product
+    quantization scores them from byte codes via decimal-stabilized
+    ADC table lookups, exact cosine re-ranks the 60-deep shortlist.
+    Recall@5 vs brute: 0.87 @ sf0.01 / 0.73 @ sf0.1 (router-capped —
+    bench_history/pq_sweep_r10.json)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    return ivf_pq_topk(probes, cands, k=5)
 
 
 @query("ann_lsh_topk", oracle=_LSH_ORACLE)

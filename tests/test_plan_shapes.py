@@ -431,3 +431,43 @@ def test_embedding_neardup_no_cross_join(spark):
     plan = _executed_plan(QUERIES["embedding_neardup_pairs"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_cosine_topk_guard_scale_path_no_cartesian(spark):
+    """r11: the registered exact-ANN query is scale-guarded — past the
+    broadcast cap the plan must be the LSH bucketed equi-join, never an
+    unconditional all-pairs crossJoin (the r10 verdict's 'one plan that
+    cannot survive an un-broadcastable candidate side')."""
+    from pyspark.sql import functions as F
+
+    from data_finder_comparator_spark.operators.similarity import (
+        exact_topk_guarded,
+    )
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    # force the over-cap branch: the plan must contain no cartesian or
+    # nested-loop join anywhere
+    big = exact_topk_guarded(probes, cands, k=5, max_broadcast_cands=1)
+    plan = _executed_plan(big)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # under the cap the guard returns the exact brute plan (oracle-
+    # bit-identical), whose results the registered query is hashed on
+    small = exact_topk_guarded(probes, cands, k=5)
+    exact = {(r.probe_id, r.cand_id, r.cos_sim, r.rnk) for r in small.collect()}
+    assert len(exact) > 0
+    # and the registered query (which routes through the guard) agrees
+    reg = {
+        (r.probe_id, r.cand_id, r.cos_sim, r.rnk)
+        for r in QUERIES["ann_cosine_topk"](spark, SF).collect()
+    }
+    assert reg == exact
