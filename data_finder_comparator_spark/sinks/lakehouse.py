@@ -139,6 +139,7 @@ class TransactionalTable:
         bloom_max_rows: int = 1_000_000,
         cluster_by: list[str] | None = None,
         partition_by: list[str] | None = None,
+        store=None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -175,6 +176,20 @@ class TransactionalTable:
                 f"got {self.path!r} — scheme'd filesystems need the "
                 "manifest/data IO ported to that store's client"
             )
+        # control-plane seam (r11): manifests, consumer cursors, bloom
+        # sidecars and vacuum enumeration go through a StorageAdapter
+        # (put-if-absent / put / read / list / delete / mtime / lock) —
+        # LocalStore by default; MemoryStore in tests proves the commit
+        # protocol holds with no rename/link/directories (the
+        # object-store shape). The DATA plane (Spark parquet IO) stays
+        # path-based behind the loud refusal above: a real object-store
+        # port supplies a scheme'd store here AND lets Spark's Hadoop
+        # FS layer handle the data paths.
+        if store is None:
+            from .storage import LocalStore
+
+            store = LocalStore(self._strip_scheme(self.path))
+        self.store = store
         v0 = self.current_version()
         man0 = self._read_manifest(v0) if v0 else None
         # partition_by is resolved FROM THE TABLE once one exists: the
@@ -248,16 +263,18 @@ class TransactionalTable:
     def _commits_dir(self) -> str:
         return f"{self.path}/{_COMMITS}"
 
+    @staticmethod
+    def _manifest_rel(version: int) -> str:
+        """Store-relative manifest object name for ``version``."""
+        return f"{_COMMITS}/v{version:08d}.json"
+
     def _manifest_path(self, version: int) -> str:
         return f"{self._commits_dir()}/v{version:08d}.json"
 
     def current_version(self) -> int:
         """Highest committed version (0 = table does not exist yet)."""
-        d = self._strip_scheme(self._commits_dir())
-        if not os.path.isdir(d):
-            return 0
         best = 0
-        for name in os.listdir(d):
+        for name in self.store.list(_COMMITS):
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     best = max(best, int(name[1:-5]))
@@ -270,46 +287,21 @@ class TransactionalTable:
         return p[len("file:"):] if p.startswith("file:") else p
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._strip_scheme(self._manifest_path(version))) as f:
-            return json.load(f)
+        return json.loads(self.store.read_bytes(self._manifest_rel(version)))
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim manifest slot ``version``. Returns False
         when another writer already holds it (the conflict signal).
 
-        Crash-atomic: the payload is fully written and fsynced to a
-        temp file first, then ``os.link``ed into the slot (link is the
-        POSIX exclusive-create that also carries the COMPLETE content —
-        ``EEXIST`` is the conflict). An O_CREAT|O_EXCL open-then-write
-        would claim the slot BEFORE the bytes land, so a crash or
-        ENOSPC mid-write would leave a truncated manifest that
-        ``current_version`` counts but ``_read_manifest`` cannot parse
-        — bricking the table. With link, the slot only ever holds a
-        complete JSON; a crash leaves at worst an orphan temp file."""
-        cdir = self._strip_scheme(self._commits_dir())
-        os.makedirs(cdir, exist_ok=True)
+        The claim is the store's ``put_if_absent`` — on the default
+        ``LocalStore`` a crash-atomic fsync'd-temp + ``os.link``
+        (exclusive-create whose content is already complete, so a
+        crash or ENOSPC can never leave a truncated manifest in a
+        claimed slot); on an object store the same call maps to an
+        ``If-None-Match: *`` conditional PUT. ``MemoryStore`` proves
+        the protocol needs nothing beyond that one primitive."""
         payload = json.dumps(manifest, sort_keys=True).encode()
-        target = self._strip_scheme(self._manifest_path(version))
-        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}.json")
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                return False
-            # durability of the directory entry itself
-            dfd = os.open(cdir, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-            return True
-        finally:
-            os.unlink(tmp)
+        return self.store.put_if_absent(self._manifest_rel(version), payload)
 
     # -- snapshots -----------------------------------------------------
 
@@ -336,7 +328,7 @@ class TransactionalTable:
                 continue
             ts = man.get("ts")
             if ts is None:
-                ts = os.path.getmtime(self._strip_scheme(self._manifest_path(v)))
+                ts = self.store.mtime(self._manifest_rel(v))
             if ts <= timestamp:
                 return v
         raise ValueError(
@@ -587,10 +579,10 @@ class TransactionalTable:
 
     def consumer_cursor(self, app: str) -> int:
         """Last version consumer ``app`` acknowledged (0 = never)."""
-        p = self._consumer_path(app)
         try:
-            with open(p) as f:
-                return json.load(f)["version"]
+            return json.loads(self.store.read_bytes(self._consumer_rel(app)))[
+                "version"
+            ]
         except (OSError, ValueError, KeyError):
             return 0
 
@@ -598,33 +590,24 @@ class TransactionalTable:
         """Durably advance ``app``'s cursor to ``version``. Monotonic:
         a stale ack (lower than the stored cursor) is a no-op, so a
         delayed retry can never rewind a consumer — the check and the
-        replace are SERIALIZED under a per-app flock, because a bare
-        read-check-replace lets a delayed low-version retry race a
-        fresh high-version ack and win the replace. Atomic via
-        write-temp + os.replace — a crash leaves the old cursor, and
-        the next run simply reprocesses the delta (at-least-once).
-        (flock is fine here: this class is local-path-only by
-        construction, enforced in ``__init__``.)"""
-        import fcntl
-
-        cdir = self._strip_scheme(f"{self.path}/_consumers")
-        os.makedirs(cdir, exist_ok=True)
-        with open(self._consumer_path(app) + ".lock", "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
+        write are SERIALIZED under the store's per-app lock, because a
+        bare read-check-write lets a delayed low-version retry race a
+        fresh high-version ack and win the overwrite. The put itself
+        is atomic (LocalStore: fsync'd temp + os.replace) — a crash
+        leaves the old cursor, and the next run simply reprocesses the
+        delta (at-least-once)."""
+        rel = self._consumer_rel(app)
+        with self.store.lock(rel):
             if version <= self.consumer_cursor(app):
                 return
-            tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump({"app": app, "version": version}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._consumer_path(app))
+            self.store.put(
+                rel, json.dumps({"app": app, "version": version}).encode()
+            )
 
-    def _consumer_path(self, app: str) -> str:
+    @staticmethod
+    def _consumer_rel(app: str) -> str:
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in app)
-        return os.path.join(
-            self._strip_scheme(f"{self.path}/_consumers"), f"{safe}.json"
-        )
+        return f"_consumers/{safe}.json"
 
     def consume_changes(self, app: str, key_col: str) -> dict:
         """One consumer poll: the delta between ``app``'s cursor and
@@ -917,12 +900,11 @@ class TransactionalTable:
         for v in keys:
             for pos in self._bloom_positions(v, m, k):
                 bits |= 1 << pos
-        idx_dir = self._strip_scheme(f"{self.path}/{_INDEX}")
-        os.makedirs(idx_dir, exist_ok=True)
-        sidecar = self._bloom_sidecar_path(rel)
         nbytes = (m + 7) // 8
-        with open(sidecar, "wb") as f:
-            f.write(bits.to_bytes(nbytes, "little"))
+        self.store.put(
+            f"{_INDEX}/{self._bloom_sidecar_rel(rel)}",
+            bits.to_bytes(nbytes, "little"),
+        )
         return {
             "path": self._bloom_sidecar_rel(rel),
             # the INDEXED column rides in the descriptor: a handle
@@ -950,8 +932,9 @@ class TransactionalTable:
         if bloom.get("col") != col:
             return False
         try:
-            with open(self._bloom_sidecar_path_from_desc(bloom), "rb") as f:
-                bits = int.from_bytes(f.read(), "little")
+            bits = int.from_bytes(
+                self.store.read_bytes(f"{_INDEX}/{bloom['path']}"), "little"
+            )
         except OSError:
             return False
         m, k = bloom["m"], bloom["k"]
@@ -2073,11 +2056,11 @@ class TransactionalTable:
         expired, version numbering is unaffected (the log stays
         append-only at the head), and expiry is idempotent."""
         cutoff = self.current_version() - max(keep_last, 1)
+        live = set(self.store.list(_COMMITS))
         expired = []
         for v in range(1, cutoff + 1):
-            p = self._strip_scheme(self._manifest_path(v))
-            if os.path.exists(p):
-                os.remove(p)
+            if f"v{v:08d}.json" in live:
+                self.store.delete(self._manifest_rel(v))
                 expired.append(v)
         return expired
 
@@ -2100,46 +2083,29 @@ class TransactionalTable:
         referenced: set[str] = set()
         for man in self.history():
             referenced.update(man["files"])
-        data_dir = self._strip_scheme(f"{self.path}/{_DATA}")
         removed = []
-        if not os.path.isdir(data_dir):
-            return removed
         cutoff = time.time() - max(retention_seconds, 0.0)
-        for txn in os.listdir(data_dir):
-            tdir = os.path.join(data_dir, txn)
-            if not os.path.isdir(tdir):
+        for rel in self.store.list(_DATA):
+            if not rel.endswith(".parquet") or rel in referenced:
                 continue
-            # bottom-up walk: partitioned txns nest col=val directories,
-            # and emptied leaves must go before their parents
-            for dp, dns, fns in os.walk(tdir, topdown=False):
-                for name in fns:
-                    p = os.path.join(dp, name)
-                    rel = os.path.relpath(p, data_dir).replace(os.sep, "/")
-                    if name.endswith(".parquet") and rel not in referenced:
-                        try:
-                            if os.path.getmtime(p) > cutoff:
-                                continue  # inside retention: may belong
-                                # to an in-flight, about-to-commit writer
-                            os.remove(p)
-                        except FileNotFoundError:
-                            continue  # raced another vacuum
-                        removed.append(rel)
-                try:
-                    # retention applies to DIRECTORIES too: an in-flight
-                    # writer's just-created staging dir (_temporary/...)
-                    # is momentarily empty — rmdir'ing it would fail the
-                    # about-to-commit write, exactly the race the file
-                    # mtime check already guards against. Zero retention
-                    # means writers are quiesced, so skip the guard —
-                    # deleting a dir's files refreshes its mtime, which
-                    # would otherwise defer every reclaim by one pass
-                    if (
-                        retention_seconds <= 0
-                        or os.path.getmtime(dp) <= cutoff
-                    ) and not os.listdir(dp):
-                        os.rmdir(dp)
-                except OSError:
-                    pass  # raced another vacuum
+            try:
+                if self.store.mtime(f"{_DATA}/{rel}") > cutoff:
+                    continue  # inside retention: may belong to an
+                    # in-flight, about-to-commit writer
+            except FileNotFoundError:
+                continue  # raced another vacuum
+            self.store.delete(f"{_DATA}/{rel}")
+            removed.append(rel)
+        # retention applies to emptied DIRECTORIES too (a local-store
+        # artifact — object stores have none): an in-flight writer's
+        # just-created staging dir is momentarily empty and rmdir'ing
+        # it would fail the about-to-commit write. Zero retention
+        # means writers are quiesced, so skip the guard — deleting a
+        # dir's files refreshes its mtime, which would otherwise defer
+        # every reclaim by one pass
+        self.store.prune_empty_dirs(
+            _DATA, None if retention_seconds <= 0 else cutoff
+        )
         # a Bloom sidecar shares its data file's lifecycle: once the
         # data file is gone (this vacuum or an earlier one), the
         # sidecar is reclaimable — no separate retention needed, the
@@ -2148,20 +2114,12 @@ class TransactionalTable:
         # (always well-defined) instead of inverting the sidecar name,
         # which is ambiguous when a partition column or value itself
         # contains the "__" join separator
-        idx_dir = self._strip_scheme(f"{self.path}/{_INDEX}")
-        if os.path.isdir(idx_dir):
-            expected = set()
-            for dp, _dns, fns in os.walk(data_dir):
-                for name in fns:
-                    if name.endswith(".parquet"):
-                        rel = os.path.relpath(
-                            os.path.join(dp, name), data_dir
-                        ).replace(os.sep, "/")
-                        expected.add(self._bloom_sidecar_rel(rel))
-            for name in os.listdir(idx_dir):
-                if name.endswith(".bloom") and name not in expected:
-                    try:
-                        os.remove(os.path.join(idx_dir, name))
-                    except FileNotFoundError:
-                        pass
+        expected = {
+            self._bloom_sidecar_rel(rel)
+            for rel in self.store.list(_DATA)
+            if rel.endswith(".parquet")
+        }
+        for name in self.store.list(_INDEX):
+            if name.endswith(".bloom") and name not in expected:
+                self.store.delete(f"{_INDEX}/{name}")
         return removed

@@ -1,0 +1,220 @@
+"""Storage adapters for the transactional table's CONTROL PLANE.
+
+``TransactionalTable``'s commit protocol needs exactly four primitives
+from its store: atomic put-if-absent (the version-slot claim),
+read-bytes, recursive list, and delete — plus an overwrite-put and a
+mutual-exclusion lock for the consumer cursors, and an mtime for
+retention decisions. On a POSIX filesystem those map to
+``os.link``/``open``/``os.walk``/``os.remove``; on an object store the
+slot claim becomes an ``If-None-Match: *`` conditional PUT (how Delta
+commits on S3) and list/delete map to the native API. This module is
+that seam: ``LocalStore`` is the default (and keeps the exact fsync
+discipline the crash-atomicity tests pin), ``MemoryStore`` is the
+in-process fake that proves the PROTOCOL holds on a backend with no
+rename, no directories and no hard links — the object-store shape.
+
+The DATA plane (parquet files Spark itself reads and writes) is NOT
+routed through here: Spark talks to storage through its own Hadoop
+filesystem layer, so a real object-store port gives the table a
+scheme'd client for this seam and lets Spark handle ``s3a://`` data
+paths natively. ``TransactionalTable.__init__`` keeps its loud
+local-path-only refusal until such a client exists.
+
+Rel-path convention: every method takes paths RELATIVE to the store
+root, always '/'-separated (never ``os.sep``).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+from contextlib import contextmanager
+
+
+class LocalStore:
+    """POSIX-directory store rooted at the table path.
+
+    ``put_if_absent`` keeps the crash-atomic discipline the commit log
+    depends on: payload fully written + fsynced to a temp file, then
+    ``os.link``ed into the slot (exclusive-create whose content is
+    already complete — ``EEXIST`` is the conflict signal), then the
+    directory entry fsynced. A crash or ENOSPC mid-write can never
+    leave a truncated object in a claimed slot."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, *rel.split("/"))
+
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        target = self._abs(rel)
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return False
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def put(self, rel: str, data: bytes) -> None:
+        """Overwrite-put (consumer cursors): fsync'd temp + atomic
+        replace — readers see the old or the new bytes, never a mix."""
+        target = self._abs(rel)
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, target)
+
+    def read_bytes(self, rel: str) -> bytes:
+        with open(self._abs(rel), "rb") as f:
+            return f.read()
+
+    def list(self, prefix: str) -> list[str]:
+        """All object names under ``prefix``, '/'-relative to it,
+        sorted. Directories are a local artifact and are not listed
+        (object stores have none)."""
+        base = self._abs(prefix)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for dp, _dns, fns in os.walk(base):
+            for name in fns:
+                out.append(
+                    os.path.relpath(os.path.join(dp, name), base).replace(
+                        os.sep, "/"
+                    )
+                )
+        return sorted(out)
+
+    def delete(self, rel: str) -> None:
+        """Missing-ok delete (object-store semantics)."""
+        try:
+            os.remove(self._abs(rel))
+        except FileNotFoundError:
+            pass
+
+    def mtime(self, rel: str) -> float:
+        return os.path.getmtime(self._abs(rel))
+
+    @contextmanager
+    def lock(self, name: str):
+        """Exclusive advisory lock scoped to ``name`` (flock on a
+        sibling lock file — fine on the local filesystems this store
+        is for; an object-store port would build this on a lease
+        object or accept single-writer-per-name as the contract)."""
+        import fcntl
+
+        p = self._abs(name + ".lock")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def prune_empty_dirs(self, prefix: str, cutoff: float | None) -> None:
+        """Local-only hygiene after a vacuum pass: bottom-up removal of
+        emptied directories under ``prefix`` (partition leaves, txn
+        dirs). ``cutoff`` guards in-flight writers' just-created
+        staging dirs exactly like the file retention does; ``None``
+        means writers are quiesced (zero-retention vacuum). Object
+        stores have no directories — ``MemoryStore`` no-ops."""
+        base = self._abs(prefix)
+        if not os.path.isdir(base):
+            return
+        for dp, _dns, _fns in os.walk(base, topdown=False):
+            if os.path.abspath(dp) == os.path.abspath(base):
+                continue
+            try:
+                if (
+                    cutoff is None or os.path.getmtime(dp) <= cutoff
+                ) and not os.listdir(dp):
+                    os.rmdir(dp)
+            except OSError:
+                pass  # raced another vacuum
+
+
+class MemoryStore:
+    """In-process dict-backed store — the object-store-shaped fake:
+    no rename, no hard links, no directories, atomicity only through
+    conditional puts. Exists so tests can prove the commit/cursor/
+    vacuum PROTOCOL holds on those semantics alone (put_if_absent is
+    a single atomic check-and-set under one lock, the direct analogue
+    of an If-None-Match PUT)."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._mu = threading.RLock()
+        self._locks: dict[str, threading.Lock] = {}
+
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        with self._mu:
+            if rel in self._objects:
+                return False
+            self._objects[rel] = bytes(data)
+            self._mtimes[rel] = time.time()
+            return True
+
+    def put(self, rel: str, data: bytes) -> None:
+        with self._mu:
+            self._objects[rel] = bytes(data)
+            self._mtimes[rel] = time.time()
+
+    def read_bytes(self, rel: str) -> bytes:
+        with self._mu:
+            try:
+                return self._objects[rel]
+            except KeyError:
+                raise FileNotFoundError(rel) from None
+
+    def list(self, prefix: str) -> list[str]:
+        p = prefix.rstrip("/") + "/"
+        with self._mu:
+            return sorted(
+                k[len(p):] for k in self._objects if k.startswith(p)
+            )
+
+    def delete(self, rel: str) -> None:
+        with self._mu:
+            self._objects.pop(rel, None)
+            self._mtimes.pop(rel, None)
+
+    def mtime(self, rel: str) -> float:
+        with self._mu:
+            try:
+                return self._mtimes[rel]
+            except KeyError:
+                raise FileNotFoundError(rel) from None
+
+    @contextmanager
+    def lock(self, name: str):
+        with self._mu:
+            lk = self._locks.setdefault(name, threading.Lock())
+        with lk:
+            yield
+
+    def prune_empty_dirs(self, prefix: str, cutoff: float | None) -> None:
+        pass  # no directories to prune
