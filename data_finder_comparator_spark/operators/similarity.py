@@ -176,15 +176,18 @@ def ivf_topk(
     each candidate is stored in its ``n_assign`` nearest cells instead
     of only its nearest, multiplying the inverted index by n_assign (at
     100 TB: a storage-for-recall trade that leaves the probe-side scan
-    shape unchanged). The round-9 sweep (bench_history/ann_sweep_r9.py)
-    measured recall@5 on the synthetic embeddings: nprobe=3/n_assign=1
-    gave 0.62 @ sf0.1 while nprobe=5/n_assign=2 gives 0.79 at 3.1x the
-    scored pairs — and a *confound check* showed stride-25 centroids
-    hitting 0.93 only because the centroid set coincided with the probe
-    set (disjoint-offset centroids collapsed to 0.22), so the finer-
-    quantizer "win" was rejected. On near-uniform random vectors cell
-    locality correlates weakly with the true top-k; real clustered
-    embeddings recall higher at the same parameters."""
+    shape unchanged). Swept history: r9 (bench_history/ann_sweep_r9.py)
+    moved nprobe=3/n_assign=1 (0.62 @ sf0.1) to nprobe=5/n_assign=2
+    (0.79 at 3.1x scored pairs); r11
+    (bench_history/ivf_centroid_sweep_r11.{py,json}) raised the
+    REGISTERED routing to nprobe=8 (0.86 @ sf0.1 at 1.55x pairs,
+    Spark-confirmed) and re-measured trained k-means centroids at
+    sf0.1 with probes/centroids coincidence controlled: still a clear
+    negative on these near-uniform synthetic vectors (best 0.63), so
+    the stride sample stays the default and ``centroids`` stays the
+    parameter for real clustered embeddings. The r9 confound remains
+    instructive: stride-25 "wins" (0.995) only because its centroid
+    set is a subset of the probe set — rejected both rounds."""
     base = (
         centroids.select("cent_id", "vec_cent")
         if centroids is not None
@@ -313,12 +316,13 @@ def ivf_pq_topk(
     cands: DataFrame,
     k: int = 5,
     stride: int = 50,
-    nprobe: int = 5,
+    nprobe: int = 8,
     n_assign: int = 2,
     m: int = 8,
     dim: int = 64,
     pq_stride: int = 10,
     rerank: int = 60,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: coarse cells prune WHICH candidates each
     probe scores (same routing as ``ivf_topk``), product-quantized
@@ -349,19 +353,28 @@ def ivf_pq_topk(
     arrays move after encoding. Encoding is the one-off index build,
     linear in n × m × codebook size.
 
-    Defaults from the round-10 sweep (bench_history/pq_sweep_r10.json,
-    sf0.1 synthetic near-random vectors — VQ's worst case): recall@5
+    Defaults from the round-10 PQ sweep (bench_history/pq_sweep_r10
+    .json, sf0.1 synthetic near-random vectors — VQ's worst case) plus
+    the round-11 routing bump (ivf_centroid_sweep_r11.json): recall@5
     is CAPPED by the routing stage (plain ivf_topk at the same
-    nprobe/n_assign = 0.79); pq_stride=10 × rerank=60 reaches 0.73 =
-    92% of that ceiling while exact-scoring only 60 of ~500 routed
-    candidates per probe; rerank=120 buys 0.762 (96%) at 2× the exact
-    work; coarser codebooks (pq_stride 25/50) or fewer subspaces
-    (m=4) lose 5-15 points. Real clustered embeddings quantize
-    better, same as the IVF story."""
+    nprobe/n_assign — 0.86 @ sf0.1 since nprobe=8); pq_stride=10 ×
+    rerank=60 reaches 0.78 @ sf0.1 / 0.88 @ sf0.01 (was 0.73/0.87 at
+    nprobe=5), ~91% of the routing ceiling while exact-scoring only 60
+    of the routed candidates per probe; rerank=120 buys ~96% of the
+    ceiling at 2× the exact work; coarser codebooks (pq_stride 25/50)
+    or fewer subspaces (m=4) lose 5-15 points. Real clustered
+    embeddings quantize better, same as the IVF story."""
     w = dim // m
-    # coarse routing (shared helpers — identical arithmetic to ivf_topk)
-    coarse = cands.filter(F.col("cand_id") % stride == 0).select(
-        F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent")
+    # coarse routing (shared helpers — identical arithmetic to ivf_topk;
+    # ``centroids`` swaps in a trained codebook exactly as there — a
+    # parameter, not the default, per the r8/r11 measured negative on
+    # near-random synthetic vectors: bench_history/ivf_centroid_sweep_r11.json)
+    coarse = (
+        centroids.select("cent_id", "vec_cent")
+        if centroids is not None
+        else cands.filter(F.col("cand_id") % stride == 0).select(
+            F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent")
+        )
     )
     cents = coarse.withColumn("_ncent", dot("vec_cent", "vec_cent"))
     cell = nearest_centroid_cells(cands, cents, "cand_id", "vec_c", n_assign).select(
@@ -814,7 +827,7 @@ def ann_recall_audit(
     cands: DataFrame,
     k: int = 5,
     ivf_stride: int = 50,
-    ivf_nprobe: int = 5,
+    ivf_nprobe: int = 8,
     ivf_assign: int = 2,
     lsh_planes: int = 6,
     lsh_tables: int = 8,

@@ -124,11 +124,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF-style ANN: coarse-quantizer cells (every 50th vector as a
 # deterministic centroid); candidates spill into their 2 nearest cells
-# (n_assign=2) and probes search their 5 nearest (nprobe=5) — the
-# round-9 swept parameters (recall@5 0.62 -> 0.79 @ sf0.1, see
-# bench_history/ann_sweep_r9.json). The same rounded-cosine ranking on
-# both engines makes cell assignment, routing, and the final top-k
-# exact.
+# (n_assign=2) and probes search their 8 nearest (nprobe=8 — the r11
+# routing bump: recall@5 0.79 -> 0.86 @ sf0.1 for 1.55x the scored
+# pairs, picked from bench_history/ivf_centroid_sweep_r11.json, where
+# trained k-means centroids re-measured as a clear negative on this
+# corpus). The same rounded-cosine ranking on both engines makes cell
+# assignment, routing, and the final top-k exact.
 _CENT_COS = (
     "round(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(ct.embedding AS DOUBLE[]))"
     " / sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
@@ -152,7 +153,7 @@ probe_cells AS (
                               ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
     FROM embeddings v CROSS JOIN cents ct
     WHERE v.vec_id % 25 = 0
-  ) WHERE rn <= 5
+  ) WHERE rn <= 8
 ),
 pair_ids AS (
   SELECT DISTINCT probe_id, cand_id
@@ -176,9 +177,13 @@ FROM (
 
 @query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed cosine top-5 (stride-50 centroids, nprobe=5,
+    """IVF-bucketed cosine top-5 (stride-50 centroids, nprobe=8,
     n_assign=2 spilled assignment) — the inverted-file counterpart to
-    the hyperplane-LSH scale path, at the round-9 swept parameters."""
+    the hyperplane-LSH scale path. nprobe bumped 5 -> 8 in r11
+    (recall@5 0.79 -> 0.86 @ sf0.1 at 1.55x scored pairs); trained
+    k-means centroids re-measured as a negative at sf0.1 with the
+    probe-coincidence confound controlled, so the sampled quantizer
+    stays (bench_history/ivf_centroid_sweep_r11.json)."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -190,7 +195,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("cand_id"),
         F.col("embedding").alias("vec_c"),
     )
-    return ivf_topk(probes, cands, k=5, stride=50, nprobe=5, n_assign=2)
+    return ivf_topk(probes, cands, k=5, stride=50, nprobe=8, n_assign=2)
 
 
 # LSH-bucketed ANN: the scale path. The md5-derived hyperplanes ARE
@@ -266,7 +271,7 @@ probe_cells AS (
                               ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
     FROM embeddings v CROSS JOIN cents ct
     WHERE v.vec_id % 25 = 0
-  ) WHERE rn <= 5
+  ) WHERE rn <= 8
 ),
 pair_ids AS (
   SELECT DISTINCT probe_id, cand_id
@@ -347,8 +352,9 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     against): coarse-cell routing prunes pairs, m=8 subspace product
     quantization scores them from byte codes via decimal-stabilized
     ADC table lookups, exact cosine re-ranks the 60-deep shortlist.
-    Recall@5 vs brute: 0.87 @ sf0.01 / 0.73 @ sf0.1 (router-capped —
-    bench_history/pq_sweep_r10.json)."""
+    Recall@5 vs brute: 0.88 @ sf0.01 / 0.78 @ sf0.1 (router-capped;
+    bench_history/pq_sweep_r10.json + the r11 nprobe=8 routing bump in
+    ivf_centroid_sweep_r11.json)."""
     from ..operators.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

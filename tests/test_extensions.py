@@ -2388,16 +2388,17 @@ FROM stats
     assert ok, msg
     vals = {r.method: r.recall for r in got.collect()}
     # recall is deterministic (md5 hyperplanes, stride centroids, 6-dp
-    # rounded ranking), so the round-9 swept parameters pin EXACTLY:
-    # ivf stride=50/nprobe=5/n_assign=2 and lsh 6 planes x 8 tables
-    # + Hamming-1 multiprobe (bench_history/ann_sweep_r9.json; the
-    # pre-sweep config measured ivf 0.79 / lsh 0.46 here at sf0.01,
-    # and 0.62 / 0.47 at sf0.1 where the new parameters give
-    # 0.79 / 0.94)
-    # ivf_pq shares ivf's router, so 0.98 - 0.87 = what product
+    # rounded ranking), so the swept parameters pin EXACTLY: ivf
+    # stride=50/n_assign=2 with the r11 nprobe=8 routing bump
+    # (bench_history/ivf_centroid_sweep_r11.json: 0.79 -> 0.86 @ sf0.1
+    # for 1.55x scored pairs; trained k-means centroids re-measured as
+    # a clear negative there, confound-controlled) and lsh 6 planes x
+    # 8 tables + Hamming-1 multiprobe (ann_sweep_r9.json).
+    # ivf_pq shares ivf's router, so 1.0 - 0.88 = what product
     # quantization itself gives up at pq_stride=10 x rerank=60
-    # (bench_history/pq_sweep_r10.json)
-    assert vals == {"ivf": 0.98, "lsh": 0.94, "ivf_pq": 0.87}, vals
+    # (bench_history/pq_sweep_r10.json). Pre-bump sf0.01 pins were
+    # ivf 0.98 / ivf_pq 0.87 at nprobe=5.
+    assert vals == {"ivf": 1.0, "lsh": 0.94, "ivf_pq": 0.88}, vals
 
 
 def test_ivf_trained_centroids_composition(spark):
