@@ -945,11 +945,6 @@ class TransactionalTable:
                 return False  # possibly present
         return True
 
-    def _bloom_sidecar_path_from_desc(self, bloom: dict) -> str:
-        return os.path.join(
-            self._strip_scheme(f"{self.path}/{_INDEX}"), bloom["path"]
-        )
-
     def _collect_probe_keys(self, keys: DataFrame, key_col: str):
         """The distinct incoming keys, driver-side, or None when there
         are more than _BLOOM_PROBE_CAP (bulk writes skip the Bloom
