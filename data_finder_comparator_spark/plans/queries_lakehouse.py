@@ -25,21 +25,27 @@ from ..sources.parquet import load_table
 from .catalog import query
 
 # The delta is derived deterministically from orders itself so DuckDB
-# can restate it: keys %10==0 get their price doubled and status 'U'
-# (WHEN MATCHED UPDATE), keys %1000==1 re-enter shifted past the key
-# domain as status-'N' inserts (WHEN NOT MATCHED INSERT), and the
-# post-merge %7==3 slice is deleted. Double arithmetic is *2 (exact in
-# binary floating point), so both engines hash identically with no
-# rounding fence.
+# can restate it — and it is deliberately a key BAND, not a modulus:
+# the table is range-clustered on the key, so a banded delta is the
+# point-merge regime the skipping stack exists for (only the few files
+# whose footer range overlaps the band are rewritten; a %-based delta
+# would touch every file and the "merge" would be a full-table rewrite
+# — measured 2x the wall for zero extra semantic coverage). Updates:
+# keys in [100, 5000] get their price doubled and status 'U' (WHEN
+# MATCHED UPDATE); inserts: keys in [100, 1100] re-enter shifted past
+# the key domain as status-'N' rows (WHEN NOT MATCHED INSERT); then
+# the post-merge [2000, 3200] slice is deleted. Double arithmetic is
+# *2 (exact in binary floating point), so both engines hash
+# identically with no rounding fence.
 _MERGE_ORACLE = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
          o_totalprice * 2 AS o_totalprice, o_orderdate
-  FROM orders WHERE o_orderkey % 10 = 0
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 5000
   UNION ALL
   SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
          o_totalprice, o_orderdate
-  FROM orders WHERE o_orderkey % 1000 = 1
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 1100
 ),
 merged AS (
   SELECT * FROM src
@@ -50,7 +56,7 @@ merged AS (
 )
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
 FROM merged
-WHERE o_orderkey % 7 <> 3
+WHERE o_orderkey NOT BETWEEN 2000 AND 3200
 """
 
 
@@ -58,8 +64,9 @@ WHERE o_orderkey % 7 <> 3
 def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional-table MERGE roundtrip (r11, the r10 verdict's top
     item): bootstrap a clustered + Bloom-indexed table from ``orders``,
-    MERGE a keyed delta (price-doubled updates + shifted-key inserts),
-    DELETE the %7==3 key slice, and return the latest snapshot read.
+    MERGE a key-banded delta (price-doubled updates + shifted-key
+    inserts), DELETE the [2000, 3200] key band, and return the latest
+    snapshot read.
 
     Exercises, under the driver's DuckDB hash: the crash-atomic commit
     log (3 commits), ``cluster_by`` range layout on write, per-file
@@ -83,20 +90,26 @@ def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_by=["o_orderkey"],
         bloom_col="o_orderkey",
     )
-    t.append(base)
+    # n_out=16: the source is ONE parquet file at harness SFs, and the
+    # default clustered width follows input width — which would funnel
+    # the bootstrap through one range task and leave ONE giant file for
+    # every later point merge to rewrite. 16 range files is the shape a
+    # real table has, and is what lets the banded merge/delete below
+    # rewrite 1-2 files instead of the table.
+    t.append(base, n_out=16)
     delta = (
-        base.filter(F.col("o_orderkey") % 10 == 0)
+        base.filter(F.col("o_orderkey").between(100, 5000))
         .withColumn("o_orderstatus", F.lit("U"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         .unionByName(
-            base.filter(F.col("o_orderkey") % 1000 == 1)
+            base.filter(F.col("o_orderkey").between(100, 1100))
             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
             .withColumn("o_orderstatus", F.lit("N"))
         )
     )
     t.merge(delta, "o_orderkey")
     t.delete(
-        t.read().filter(F.col("o_orderkey") % 7 == 3).select("o_orderkey"),
+        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
         "o_orderkey",
     )
     assert t.current_version() == 3  # append, merge, delete

@@ -286,6 +286,23 @@ class TransactionalTable:
     def _strip_scheme(p: str) -> str:
         return p[len("file:"):] if p.startswith("file:") else p
 
+    @staticmethod
+    def _physical_names(schema: StructType) -> dict[str, str]:
+        """logical -> PHYSICAL column name, identity unless the field
+        carries column-mapping metadata (``{"physical": ...}``) — the
+        Delta-style name-mapping that makes RENAME COLUMN and
+        drop-then-re-add safe: data files always store the physical
+        name, the manifest schema maps logical to it, and a fresh
+        physical on re-add means stale bytes in old files can never
+        resurrect. Layout/index columns (partition_by / cluster_by /
+        bloom_col) are refused by ``rename_column``, so they are
+        always identity — directory names and sidecar descriptors
+        never need translation."""
+        return {
+            f.name: (f.metadata or {}).get("physical", f.name)
+            for f in schema.fields
+        }
+
     def _read_manifest(self, version: int) -> dict:
         return json.loads(self.store.read_bytes(self._manifest_rel(version)))
 
@@ -1122,6 +1139,7 @@ class TransactionalTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         evolve_schema: bool = False,
+        n_out: int | None = None,
     ) -> int:
         """Transactional append: new data files + one commit. Safe
         under concurrency (conflicts only re-claim the next version —
@@ -1136,7 +1154,15 @@ class TransactionalTable:
         mismatch would surface only as silent nulls on read — so it
         raises here instead. ``evolve_schema=True`` opts into the same
         additive evolution ``merge`` has (new columns append, type
-        changes still refuse)."""
+        changes still refuse).
+
+        ``n_out`` pins the clustered output file count for THIS write.
+        The default follows the frame's leaf input-file width — right
+        for ingest pipelines whose parallelism mirrors their source,
+        degenerate when bulk-loading from a single file (everything
+        funnels through one range task and later point merges have one
+        giant file to rewrite); a bulk bootstrap passes the file count
+        the table should live as."""
         rels: list[str] | None = None
         st: dict = {}
         schema = df.schema.json()
@@ -1156,7 +1182,7 @@ class TransactionalTable:
                     self._check_schema_compatible(table_schema, df.schema)
             self._enforce_constraints(df, man)
             if rels is None:  # write data files once, after the checks
-                _, rels, st = self._write_data_files(df)
+                _, rels, st = self._write_data_files(df, n_out=n_out)
             manifest = self._next_manifest(
                 v,
                 man,
