@@ -108,7 +108,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -380,37 +380,55 @@ class TransactionalTable:
         if v == 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
         rels = man["files"]
+        schema = StructType.fromJson(json.loads(man["schema"]))
         if prune:
             all_stats = man.get("stats") or {}
+            pm = self._physical_names(schema)  # stats keys are physical
             for col, (lo, hi) in prune.items():
                 rels = [
                     rel
                     for rel in rels
-                    if self._range_overlap(all_stats.get(rel), col, lo, hi)
+                    if self._range_overlap(
+                        all_stats.get(rel), pm.get(col, col), lo, hi
+                    )
                 ]
-        schema = StructType.fromJson(json.loads(man["schema"]))
         return self._read_rels(schema, rels)
 
     def _read_rels(self, schema: StructType, rels: list[str]) -> DataFrame:
         """THE data-file reader: manifest-relative paths → DataFrame
-        under the given logical schema. On a partitioned table the
+        under the given logical schema. Data files store PHYSICAL
+        column names (identity unless a field was renamed/re-added
+        under column mapping — see ``rename_column``), so the scan
+        runs under the physical schema and the final projection
+        aliases back to the logical names. On a partitioned table the
         partition columns live in the path (hive layout), so files are
         read per-txn with that txn's basePath — Spark reconstructs the
-        partition columns, typed by the provided schema. One scan node
-        per txn group, bounded by commits since the last optimize();
+        partition columns (always identity: layout columns cannot be
+        renamed), typed by the provided schema. One scan node per txn
+        group, bounded by commits since the last optimize();
         unpartitioned tables keep the single flat scan."""
         if not rels:
             return self.spark.createDataFrame([], schema)
+        phys = self._physical_names(schema)
+        phys_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        to_logical = [F.col(phys[n]).alias(n) for n in schema.fieldNames()]
+        identity = all(l == p for l, p in phys.items())
         if not self.partition_by:
-            return self.spark.read.schema(schema).parquet(
+            scan = self.spark.read.schema(phys_schema).parquet(
                 *[f"{self.path}/{_DATA}/{rel}" for rel in rels]
             )
+            return scan if identity else scan.select(*to_logical)
         groups: dict[str, list[str]] = {}
         for rel in rels:
             groups.setdefault(rel.split("/", 1)[0], []).append(rel)
         parts = [
             self.spark.read.option("basePath", f"{self.path}/{_DATA}/{txn}")
-            .schema(schema)
+            .schema(phys_schema)
             .parquet(*[f"{self.path}/{_DATA}/{rel}" for rel in rs])
             for txn, rs in sorted(groups.items())
         ]
@@ -418,9 +436,9 @@ class TransactionalTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         # Spark appends discovered partition columns AFTER the file
-        # columns; restore the logical schema order so partitioned and
-        # flat tables read identically
-        return out.select(*schema.fieldNames())
+        # columns; restore the logical schema order (and logical
+        # names) so partitioned and flat tables read identically
+        return out.select(*to_logical)
 
     @staticmethod
     def _range_overlap(stats: dict | None, col: str, lo, hi) -> bool:
@@ -533,6 +551,7 @@ class TransactionalTable:
             .distinct()
         )
         kmin, kmax, has_signal = self._key_range(changed_keys, key_col)
+        key_phys = self._physical_names(schema).get(key_col, key_col)
 
         def _keys_at(man: dict) -> DataFrame:
             stats = man.get("stats") or {}
@@ -541,9 +560,10 @@ class TransactionalTable:
                 for rel in man["files"]
                 # no range signal (unaggregatable key type) -> every
                 # file must be consulted; with a signal, _may_contain
-                # prunes (including the all-NULL definite skip)
+                # prunes (including the all-NULL definite skip; stats
+                # are keyed by the PHYSICAL column name)
                 if not has_signal
-                or self._may_contain(stats.get(rel), key_col, kmin, kmax)
+                or self._may_contain(stats.get(rel), key_phys, kmin, kmax)
             ]
             return _load(rels).select(F.col(key_col).alias("_k")).distinct()
 
@@ -670,16 +690,22 @@ class TransactionalTable:
         df: DataFrame,
         n_out: int | None = None,
         pre_clustered: bool = False,
+        phys: dict[str, str] | None = None,
     ) -> tuple[str, list[str], dict[str, dict]]:
         """Materialize ``df`` as immutable data files under a fresh
         txn directory; returns (txn id, manifest-relative paths,
-        per-file footer stats keyed by relative path).
+        per-file footer stats keyed by relative path — PHYSICAL
+        column names, as stored in the files).
 
         ``n_out`` pins the clustered output file count (optimize()
         passes its bin-pack target); ``pre_clustered`` marks a frame
         whose layout was already computed upstream (the z-order path) —
         re-range-partitioning it here would silently throw that layout
-        away, so the cluster_by policy must stand down."""
+        away, so the cluster_by policy must stand down. ``phys`` is
+        the table's logical→physical column mapping (from the target
+        manifest schema): the frame arrives in logical names and is
+        renamed to physical just before the write, so files written
+        after a RENAME keep storing the stable physical name."""
         txn = f"txn-{uuid.uuid4().hex}"
         out_dir = f"{self.path}/{_DATA}/{txn}"
         for kind, cols in (
@@ -696,6 +722,15 @@ class TransactionalTable:
                     f"{kind} column(s) {missing} not in the written "
                     f"frame's columns {df.columns}"
                 )
+        if phys and any(
+            phys.get(c, c) != c for c in df.columns
+        ):
+            # layout columns are rename-refused (always identity), so
+            # the repartition/partitionBy calls below keep working on
+            # the renamed frame
+            df = df.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+            )
         if self.cluster_by and not pre_clustered:
             if n_out is None:
                 # output file count follows the number of leaf input
@@ -772,9 +807,13 @@ class TransactionalTable:
         ]
         stats = {rel: s for rel, s in stats.items() if rel in set(rels)}
         if self.bloom_col is not None and rels:
+            bcol_phys = (phys or {}).get(self.bloom_col, self.bloom_col)
             with ThreadPoolExecutor(max_workers=min(16, len(rels))) as ex:
                 blooms = ex.map(
-                    lambda rel: self._build_bloom(rel, stats.get(rel)), rels
+                    lambda rel: self._build_bloom(
+                        rel, stats.get(rel), bcol_phys
+                    ),
+                    rels,
                 )
                 for rel, bloom in zip(rels, blooms):
                     if bloom is not None:
@@ -884,15 +923,20 @@ class TransactionalTable:
         h2 = int.from_bytes(d[8:], "big") | 1
         return [(h1 + i * h2) % m for i in range(k)]
 
-    def _build_bloom(self, rel: str, stats_entry: dict | None) -> dict | None:
+    def _build_bloom(
+        self, rel: str, stats_entry: dict | None, col_phys: str | None = None
+    ) -> dict | None:
         """Build and persist the Bloom sidecar for data file ``rel``;
-        returns the manifest descriptor {path, m, k, n} or None when
-        the file is not indexable (no stats, non-int/str key, too many
-        rows, any read failure). Only columns whose footer min/max
+        returns the manifest descriptor {path, col, m, k, n} or None
+        when the file is not indexable (no stats, non-int/str key, too
+        many rows, any read failure). Only columns whose footer min/max
         recorded as int/str qualify — the same orderable-scalar
         contract as range skipping, so probe-side str() is unambiguous
-        (floats are excluded: '0.1' vs repr drift)."""
-        col = self.bloom_col
+        (floats are excluded: '0.1' vs repr drift). ``col_phys`` is
+        the PHYSICAL name to read from the file (stats are also keyed
+        physically); the descriptor records the LOGICAL ``bloom_col``,
+        which is stable because rename refuses index columns."""
+        col = col_phys or self.bloom_col
         if (
             stats_entry is None
             or stats_entry["rows"] > self.bloom_max_rows
@@ -928,8 +972,10 @@ class TransactionalTable:
             # opened later with a different bloom_col must not probe
             # new-column values against bits built on the old column
             # (false "definitely absent" -> merge duplicates keys,
-            # delete no-ops — silent corruption)
-            "col": col,
+            # delete no-ops — silent corruption). Recorded as the
+            # LOGICAL name (probes compare logical; rename refuses
+            # index columns, so it is stable)
+            "col": self.bloom_col,
             "m": m,
             "k": k,
             "n": len(keys),
@@ -1118,9 +1164,10 @@ class TransactionalTable:
             # switch it — per-descriptor "col" tags keep old sidecars
             # safe (probes on a different column keep the file)
             "bloom_col": self.bloom_col,
-            # dropped-column tombstones ride forever: old data files
-            # still carry the names physically, so re-adding one would
-            # resurrect stale values (no column-id mapping here)
+            # ghost list of RETIRED PHYSICAL names, riding forever: old
+            # data files still carry the bytes, so any later field with
+            # a colliding name gets a fresh physical via column mapping
+            # (see _evolved_schema / rename_column)
             "dropped_columns": sorted(set(man.get("dropped_columns") or [])),
         }
         if txn_app is not None and txn_version is not None:
@@ -1182,7 +1229,13 @@ class TransactionalTable:
                     self._check_schema_compatible(table_schema, df.schema)
             self._enforce_constraints(df, man)
             if rels is None:  # write data files once, after the checks
-                _, rels, st = self._write_data_files(df, n_out=n_out)
+                _, rels, st = self._write_data_files(
+                    df,
+                    n_out=n_out,
+                    phys=self._physical_names(
+                        StructType.fromJson(json.loads(out_schema_json))
+                    ),
+                )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -1341,7 +1394,12 @@ class TransactionalTable:
                 merged = survivors.unionByName(df, allowMissingColumns=evolve_schema)
             else:
                 merged = df
-            _, rels, st = self._write_data_files(merged)
+            _, rels, st = self._write_data_files(
+                merged,
+                phys=self._physical_names(
+                    StructType.fromJson(json.loads(out_schema_json))
+                ),
+            )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -1400,6 +1458,9 @@ class TransactionalTable:
             except Exception:
                 ranges = {c: (None, None, False) for c in key_cols}
         all_stats = man.get("stats") or {}
+        # footer stats are keyed by PHYSICAL column names (what the
+        # files store); key_cols arrive logical
+        pm = self._physical_names(table_schema)
 
         def _cand(rel: str) -> bool:
             st = all_stats.get(rel)
@@ -1407,7 +1468,7 @@ class TransactionalTable:
                 lo, hi, has_signal = ranges[c]
                 if not has_signal:
                     continue  # unaggregatable type: no range signal
-                if not self._may_contain(st, c, lo, hi):
+                if not self._may_contain(st, pm.get(c, c), lo, hi):
                     return False
             return True
 
@@ -1616,7 +1677,9 @@ class TransactionalTable:
             # whole written frame must pass the table's constraints
             self._enforce_constraints(merged, man)
             all_stats = man.get("stats") or {}
-            _, rels, st = self._write_data_files(merged)
+            _, rels, st = self._write_data_files(
+                merged, phys=self._physical_names(table_schema)
+            )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -1671,7 +1734,9 @@ class TransactionalTable:
             survivors = self._read_rels(table_schema, hit_rels).join(
                 keys, key_col, "left_anti"
             )
-            _, rels, st = self._write_data_files(survivors)
+            _, rels, st = self._write_data_files(
+                survivors, phys=self._physical_names(table_schema)
+            )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -1695,12 +1760,22 @@ class TransactionalTable:
     ) -> str:
         """Additive evolution only: incoming columns not in the table
         are appended; a TYPE change on an existing column is refused.
-        So is resurrecting a DROPPED column name: without column-id
-        mapping (Delta's solution) the old physical columns still carry
-        the name, and re-adding it would read those stale values back
-        as live data — names are forever here, loudly."""
+
+        Column mapping (r11) makes re-adding a DROPPED name safe: the
+        new field gets a FRESH physical name (recorded as field
+        metadata), so old data files' stale bytes under the retired
+        physical name can never resurrect — they are simply never
+        projected. ``dropped`` is the manifest's ghost list of retired
+        PHYSICAL names; a new field also gets a fresh physical when
+        its name collides with any LIVE field's physical (the
+        rename-then-re-add-the-old-name case)."""
         have = {f.name: f for f in table_schema.fields}
-        tomb = set(dropped)
+        ghosts = set(dropped)
+        live_phys = {
+            (f.metadata or {}).get("physical", f.name)
+            for f in table_schema.fields
+        }
+        new_fields = list(table_schema.fields)
         for f in df.schema.fields:
             old = have.get(f.name)
             if old is not None and old.dataType != f.dataType:
@@ -1709,16 +1784,14 @@ class TransactionalTable:
                     f"from {old.dataType.simpleString()} to "
                     f"{f.dataType.simpleString()}"
                 )
-            if old is None and f.name in tomb:
-                raise ValueError(
-                    f"column '{f.name}' was dropped from this table and "
-                    "cannot be re-added: old data files still carry the "
-                    "name physically, and without column-id mapping the "
-                    "stale values would resurrect on read"
+            if old is None:
+                phys = f.name
+                if phys in ghosts or phys in live_phys:
+                    phys = f"{f.name}-{uuid.uuid4().hex[:8]}"
+                md = {"physical": phys} if phys != f.name else None
+                new_fields.append(
+                    StructField(f.name, f.dataType, f.nullable, md)
                 )
-        new_fields = list(table_schema.fields) + [
-            f for f in df.schema.fields if f.name not in have
-        ]
         return StructType(new_fields).json()
 
     # -- CHECK constraints --------------------------------------------
@@ -1891,16 +1964,16 @@ class TransactionalTable:
             carried = [rel for rel in man["files"] if rel not in set(small)]
             total = sum(sized[rel] for rel in small)
             n_out = max(1, int(-(-total // target_bytes)))
-            compacted = self._read_rels(
-                StructType.fromJson(json.loads(man["schema"])), small
-            )
+            table_schema = StructType.fromJson(json.loads(man["schema"]))
+            compacted = self._read_rels(table_schema, small)
+            phys = self._physical_names(table_schema)
             if zorder_by is not None:
                 compacted = self._zorder_layout(compacted, zorder_by, n_out)
                 # pre_clustered: the Morton layout IS the layout; the
                 # cluster_by policy re-range-partitioning it would pay
                 # the z-order shuffle and then throw the result away
                 _, rels, st = self._write_data_files(
-                    compacted, pre_clustered=True
+                    compacted, pre_clustered=True, phys=phys
                 )
             else:
                 # coalesce only sets the file COUNT; on a cluster_by
@@ -1911,7 +1984,9 @@ class TransactionalTable:
                 # so compaction re-establishes disjoint tight footers
                 # without a second shuffle here
                 compacted = compacted.coalesce(n_out)
-                _, rels, st = self._write_data_files(compacted, n_out=n_out)
+                _, rels, st = self._write_data_files(
+                    compacted, n_out=n_out, phys=phys
+                )
             manifest = self._next_manifest(
                 v,
                 man,
@@ -1944,11 +2019,13 @@ class TransactionalTable:
         index columns (``partition_by``/``cluster_by``/``bloom_col``);
         columns a CHECK constraint references (detected by analyzing
         each constraint against the post-drop schema, not by string
-        matching). The dropped NAMES are tombstoned in the manifest and
-        can never be re-added (see ``_evolved_schema``): the bytes
-        remain in old files, so this is schema-level removal — actual
-        on-disk erasure of a column's values still requires a rewrite
-        (as in Delta without column mapping)."""
+        matching). The dropped fields' PHYSICAL names are recorded in
+        the manifest's ghost list; with column mapping (r11) the
+        logical name CAN be re-added later — ``_evolved_schema``
+        assigns it a fresh physical name, so the retired bytes in old
+        files can never resurrect. The bytes do remain in old files:
+        this is schema-level removal, and actual on-disk erasure still
+        requires a rewrite (as in Delta)."""
         cols = [cols] if isinstance(cols, str) else list(cols)
         for _ in range(max_retries):
             v, man = self.snapshot()
@@ -1983,7 +2060,10 @@ class TransactionalTable:
                         f"({expr}) references a dropped column — drop the "
                         "constraint first"
                     )
-            gone = set(cols)
+            # stats are keyed by PHYSICAL names; the ghost list records
+            # physical names too (that is what old files carry)
+            pm = self._physical_names(schema)
+            gone = {pm.get(c, c) for c in cols}
             stats = {
                 rel: {
                     **s,
@@ -2002,6 +2082,87 @@ class TransactionalTable:
                 return v + 1
         raise CommitConflict(
             f"drop_columns lost {max_retries} commit races at {self.path}"
+        )
+
+    def rename_column(self, old: str, new: str, max_retries: int = 20) -> int:
+        """ALTER TABLE RENAME COLUMN — a manifest-only commit
+        (``op: "rename_column"``) built on column mapping (Delta's
+        "name mode"): the field keeps its PHYSICAL name forever
+        (pinned into the field's metadata on first rename), only the
+        LOGICAL name changes, so every data file — past and future —
+        stays readable with zero rewrites and old snapshots time
+        travel under their own names. Footer stats and Bloom sidecars
+        are keyed by the physical name and remain valid untouched.
+
+        Loud refusals: unknown ``old``; ``new`` already a live column;
+        layout/index columns (``partition_by``/``cluster_by``/
+        ``bloom_col`` — their names live in directory paths, policy
+        metadata and sidecar descriptors); columns a CHECK constraint
+        references (the constraint text would silently stop analyzing
+        — rename the constraint's column reference first). Renaming TO
+        a previously dropped name is fine: the live field's physical
+        differs from the ghost, so stale bytes never resurrect."""
+        if old == new:
+            raise ValueError(f"rename_column: old and new are both {old!r}")
+        for _ in range(max_retries):
+            v, man = self.snapshot()
+            if v == 0:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(
+                    f"cannot rename {old!r}: not in schema {names}"
+                )
+            if new in names:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: column exists"
+                )
+            for kind, protected in (
+                ("partition_by", self.partition_by or []),
+                ("cluster_by", self.cluster_by or []),
+                ("bloom_col", [self.bloom_col] if self.bloom_col else []),
+            ):
+                if old in protected:
+                    raise ValueError(
+                        f"cannot rename {old!r}: referenced by the "
+                        f"table's {kind}"
+                    )
+            new_fields = []
+            for f in schema.fields:
+                if f.name == old:
+                    md = dict(f.metadata or {})
+                    # pin the current physical name: files keep it
+                    md.setdefault("physical", f.name)
+                    new_fields.append(
+                        StructField(new, f.dataType, f.nullable, md)
+                    )
+                else:
+                    new_fields.append(f)
+            new_schema = StructType(new_fields)
+            probe = self.spark.createDataFrame([], new_schema)
+            for cname, expr in (man.get("constraints") or {}).items():
+                try:
+                    probe.filter(F.expr(expr)).schema  # forces analysis
+                except Exception:
+                    raise ValueError(
+                        f"cannot rename {old!r}: CHECK constraint "
+                        f"'{cname}' ({expr}) references it — drop or "
+                        "re-create the constraint first"
+                    )
+            manifest = self._next_manifest(
+                v,
+                man,
+                "rename_column",
+                man["files"],
+                new_schema.json(),
+                man.get("stats") or {},
+            )
+            manifest["renamed"] = {"from": old, "to": new}
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"rename_column lost {max_retries} commit races at {self.path}"
         )
 
     def restore(self, version: int, max_retries: int = 20) -> int:

@@ -1697,7 +1697,9 @@ def test_lakehouse_drop_columns(spark, tmp_path):
     """DROP COLUMN is a manifest-only commit: files carried by
     reference, readers stop projecting the name, old snapshots still
     see it; layout/index/constraint-referenced columns refuse; the
-    dropped name is tombstoned and cannot be re-added by evolution."""
+    dropped physical name joins the ghost list, so a later re-add
+    (r11 column mapping) gets a fresh physical and old bytes stay
+    dead."""
     t = TransactionalTable(spark, str(tmp_path / "tbl"), cluster_by=["id"])
     t.append(
         spark.createDataFrame(
@@ -1729,21 +1731,25 @@ def test_lakehouse_drop_columns(spark, tmp_path):
         t.append(
             spark.createDataFrame([(4, "d", 9.0)], "id long, v string, score double")
         )
-    # the tombstone blocks resurrection via evolution
-    with pytest.raises(ValueError, match="cannot be re-added"):
-        t.append(
-            spark.createDataFrame(
-                [(4, "d", 9.0)], "id long, v string, score double"
-            ),
-            evolve_schema=True,
-        )
-    # but a FRESH name still evolves fine
+    # r11 column mapping: re-adding the dropped name is now SAFE — the
+    # newcomer gets a fresh physical name, so pre-drop 'score' bytes in
+    # old files stay dead (null) instead of resurrecting
+    t.append(
+        spark.createDataFrame(
+            [(4, "d", 9.0)], "id long, v string, score double"
+        ),
+        evolve_schema=True,
+    )
+    by_id = {r.id: r.score for r in t.read().collect()}
+    assert by_id[4] == 9.0
+    assert all(by_id[i] is None for i in by_id if i != 4)
+    # but a FRESH name still evolves fine (score stays from the re-add)
     t.merge(
         spark.createDataFrame([(5, "e", 7)], "id long, v string, rank long"),
         "id",
         evolve_schema=True,
     )
-    assert t.read().columns == ["id", "v", "rank"]
+    assert t.read().columns == ["id", "v", "score", "rank"]
 
 
 def test_lakehouse_stream_merge_into_partitioned_table(spark, tmp_path):
@@ -2099,3 +2105,110 @@ def test_lakehouse_ack_monotonic_under_lock(spark, tmp_path):
     for th in threads:
         th.join()
     assert t.consumer_cursor("app") == 9
+
+
+def test_lakehouse_rename_column_mapping(spark, tmp_path):
+    """r11 column mapping (Delta name-mode): RENAME COLUMN is a
+    manifest-only commit — the field keeps its physical name, old and
+    new files both read correctly, writes after the rename land under
+    the stable physical name, time travel shows each version's own
+    logical name, and CDC across the rename commit reports no row
+    changes."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    v_rename = t.rename_column("v", "label")
+    assert v_rename == 2
+    got = t.read()
+    assert got.columns == ["id", "label"]
+    assert sorted((r.id, r.label) for r in got.collect()) == [(1, "a"), (2, "b")]
+    # time travel: version 1 still reads under its own logical name
+    assert t.read(version=1).columns == ["id", "v"]
+    # writes after the rename: append + merge use the logical name but
+    # store the pinned physical, so every file in the table stays
+    # consistent
+    t.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    t.merge(spark.createDataFrame([(2, "B")], "id long, label string"), "id")
+    rows = sorted((r.id, r.label) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "B"), (3, "c")]
+    # physical name pinned in the manifest schema metadata
+    _, man = t.snapshot()
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    assert fields["label"]["metadata"]["physical"] == "v"
+    # the rename commit itself changes no rows
+    assert t.changes("id", from_version=1, to_version=v_rename).count() == 0
+    # refusals
+    with pytest.raises(ValueError, match="column exists"):
+        t.rename_column("id", "label")
+    with pytest.raises(ValueError, match="not in schema"):
+        t.rename_column("nope", "x")
+    t.add_constraint("pos_id", "id > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("id", "ident")
+    t2 = TransactionalTable(spark, str(tmp_path / "tbl2"), cluster_by=["id"])
+    t2.append(spark.createDataFrame([(1, "x")], "id long, v string"))
+    with pytest.raises(ValueError, match="cluster_by"):
+        t2.rename_column("id", "key")
+
+
+def test_lakehouse_drop_then_readd_never_resurrects(spark, tmp_path):
+    """r11: with column mapping, re-adding a dropped name is ALLOWED
+    and safe — the new field gets a fresh physical name, so the old
+    files' stale bytes (proven to still exist by reading a pre-drop
+    parquet file directly) can never resurrect as live data."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "OLD-1"), (2, "OLD-2")], "id long, secret string"
+        ).coalesce(1)
+    )
+    _, man1 = t.snapshot()
+    assert len(man1["files"]) == 1
+    old_rel = man1["files"][0]
+    t.drop_columns("secret")
+    # re-add the SAME logical name via additive evolution
+    t.append(
+        spark.createDataFrame([(3, "NEW-3")], "id long, secret string"),
+        evolve_schema=True,
+    )
+    rows = {r.id: r.secret for r in t.read().collect()}
+    # old rows read NULL (their physical 'secret' is a ghost), never 'OLD'
+    assert rows == {1: None, 2: None, 3: "NEW-3"}
+    # the stale bytes really are still in the old file — mapping is
+    # what keeps them dead, not their absence
+    raw = spark.read.parquet(str(tmp_path / "tbl" / "data" / old_rel))
+    assert "secret" in raw.columns
+    assert sorted(r.secret for r in raw.collect()) == ["OLD-1", "OLD-2"]
+    # and the re-added field's physical name is fresh
+    _, man = t.snapshot()
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    phys = fields["secret"]["metadata"]["physical"]
+    assert phys != "secret" and phys.startswith("secret-")
+    # merge on the re-added column's table still works end to end
+    t.merge(
+        spark.createDataFrame([(3, "NEW-3b")], "id long, secret string"), "id"
+    )
+    assert {r.secret for r in t.read().filter(F.col("id") == 3).collect()} == {
+        "NEW-3b"
+    }
+
+
+def test_lakehouse_rename_then_readd_old_name(spark, tmp_path):
+    """r11: renaming a->b then evolve-adding a NEW column named 'a'
+    must give the newcomer a fresh physical name (the live field b
+    still owns physical 'a') — b keeps reading the original bytes and
+    the new 'a' reads NULL for pre-evolution rows."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10.0)], "id long, a double"))
+    t.rename_column("a", "b")
+    t.append(
+        spark.createDataFrame([(2, 20.0, 99.0)], "id long, b double, a double"),
+        evolve_schema=True,
+    )
+    rows = {r.id: (r.b, r.a) for r in t.read().collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, 99.0)}
+    _, man = t.snapshot()
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    assert fields["b"]["metadata"]["physical"] == "a"
+    assert fields["a"]["metadata"]["physical"].startswith("a-")
