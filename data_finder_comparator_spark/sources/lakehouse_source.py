@@ -1,0 +1,288 @@
+"""``lakehouse`` Python Data Source — the transactional table as a
+first-class Spark source.
+
+PySpark 4's Python Data Source API lets the commit log drive Spark's
+own planner: after ``spark.dataSource.register(LakehouseDataSource)``,
+
+* ``spark.read.format("lakehouse").option("version", 3).load(path)``
+  reads a snapshot (time travel via ``version``), one input partition
+  per data file — no driver-side union plan, and the FILE LIST comes
+  from the manifest, never a directory listing;
+* ``spark.readStream.format("lakehouse").load(path)`` streams the
+  table's new rows with exactly-once offsets: an offset IS a committed
+  version, so checkpoint replay re-reads the same immutable manifests
+  and yields byte-identical batches.
+
+Streaming semantics (Delta-source-compatible, loud where Delta is):
+each micro-batch covers versions (start, end]; ``append`` commits emit
+their added files' rows; ``optimize`` commits are SKIPPED (rewrite-only
+— no logical rows change; Iceberg skips REPLACE snapshots the same
+way); manifest-only commits (constraints, drop/rename column, expiry)
+add no files and emit nothing; ``merge``/``merge_into``/``delete``/
+``restore`` commits REFUSE by default — their added files mix carried
+rows with changed rows, so emitting them is at-least-once with
+duplicates — unless ``ignoreChanges=true`` opts into exactly that
+contract (Delta's option of the same name). Every emitted row carries
+``_version`` (the commit that added its file) and ``_commit_op``.
+
+Column mapping is honored end to end: workers read PHYSICAL column
+names from the files and project to the logical schema; hive partition
+values come from the file path; evolution gaps read as nulls — the
+same contract as ``TransactionalTable.read``, re-implemented over
+pyarrow because data-source workers run plain Python with no
+SparkSession.
+
+A lagging stream whose versions were retired by ``expire_snapshots``
+fails loudly (FileNotFoundError) rather than silently skipping data —
+resync by restarting from a fresh checkpoint, exactly as with Delta
+CDF past retention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_PROVENANCE = [
+    StructField("_version", LongType(), False),
+    StructField("_commit_op", StringType(), True),
+]
+
+# ops whose added files are pure new rows / pure rewrites
+_APPEND_OPS = {"append", "merge_into_bootstrap"}
+_REWRITE_ONLY_OPS = {"optimize"}
+
+
+class _FilePartition(InputPartition):
+    """One data file: everything a worker needs, precomputed on the
+    driver (no table handle, no manifest IO worker-side)."""
+
+    def __init__(self, abs_path, schema_json, phys, partition_values, version, op):
+        self.abs_path = abs_path
+        self.schema_json = schema_json  # logical StructType JSON string
+        self.phys = phys  # {logical: physical}
+        self.partition_values = partition_values
+        self.version = version
+        self.op = op
+
+
+def _table(path: str):
+    from ..sinks.lakehouse import TransactionalTable
+
+    # control-plane only: schema/manifest walks never touch the
+    # SparkSession the handle normally carries
+    return TransactionalTable(None, path)
+
+
+def _logical_schema(path: str, version: int | None = None) -> StructType:
+    t = _table(path)
+    v, man = t.snapshot(version)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return StructType.fromJson(json.loads(man["schema"]))
+
+
+def _file_partitions(path: str, schema_json: str, rels, version, op):
+    """Driver-side: resolve each manifest-relative file to a worker
+    partition carrying the logical→physical projection plan.
+    ``schema_json`` is the schema the SOURCE declared (the latest /
+    requested version's) — every emitted batch must project to it,
+    whatever era the file is from; physical names are stable across
+    renames, so old files read correctly under the new schema."""
+    t = _table(path)
+    schema = StructType.fromJson(json.loads(schema_json))
+    phys = t._physical_names(schema)
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    parts = []
+    for rel in rels:
+        pvals = t._parse_partition_values(rel, ptypes)
+        parts.append(
+            _FilePartition(
+                os.path.join(
+                    t._strip_scheme(f"{t.path}/data"), *rel.split("/")
+                ),
+                schema_json,
+                phys,
+                pvals,
+                version,
+                op,
+            )
+        )
+    return parts
+
+
+def _read_file_partition(part: _FilePartition):
+    """Worker-side: parquet file → arrow RecordBatches in the LOGICAL
+    schema + provenance columns. Projection rules match
+    TransactionalTable._read_rels: physical column if present, hive
+    partition value if the column lives in the path, null otherwise
+    (additive evolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    raw = pq.read_table(part.abs_path)
+    n = raw.num_rows
+    names, arrays, fields = [], [], []
+    for f in schema.fields:
+        logical, physical = f.name, part.phys.get(f.name, f.name)
+        at = to_arrow_type(f.dataType)
+        if physical in raw.column_names:
+            col = raw.column(physical).cast(at)
+        elif logical in part.partition_values:
+            v = part.partition_values[logical]
+            col = pa.chunked_array([pa.array([v] * n).cast(at)])
+        else:
+            col = pa.chunked_array([pa.nulls(n, at)])
+        names.append(logical)
+        arrays.append(col)
+        fields.append(pa.field(logical, at, nullable=True))
+    arrays.append(
+        pa.chunked_array([pa.array([part.version] * n, pa.int64())])
+    )
+    names.append("_version")
+    fields.append(pa.field("_version", pa.int64(), nullable=False))
+    arrays.append(pa.chunked_array([pa.array([part.op] * n, pa.string())]))
+    names.append("_commit_op")
+    fields.append(pa.field("_commit_op", pa.string(), nullable=True))
+    out = pa.table(arrays, schema=pa.schema(fields))
+    yield from out.combine_chunks().to_batches()
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None):
+        self.path = path
+        self.version = version
+
+    def partitions(self):
+        t = _table(self.path)
+        v, man = t.snapshot(self.version)
+        if v == 0:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return _file_partitions(
+            self.path,
+            man["schema"],
+            man["files"],
+            v,
+            man.get("op") or "snapshot",
+        )
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+
+class _ChangeStreamReader(DataSourceStreamReader):
+    def __init__(
+        self,
+        path: str,
+        starting_version: int,
+        ignore_changes: bool,
+        declared_schema_json: str,
+    ):
+        self.path = path
+        self.starting_version = starting_version
+        self.ignore_changes = ignore_changes
+        self.declared_schema_json = declared_schema_json
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _table(self.path).current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        t = _table(self.path)
+        if end["version"] <= start["version"]:
+            return []
+        # every batch projects to the schema this source instance
+        # DECLARED at planning time (a rename committing mid-stream
+        # must not flip batch schemas under Spark); physical names are
+        # stable across renames so any era's files read correctly
+        end_schema = self.declared_schema_json
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            man = t._read_manifest(v)  # loud when expired: no silent gaps
+            op = man.get("op") or "unknown"
+            parent_files = (
+                set(t._read_manifest(v - 1)["files"]) if v > 1 else set()
+            )
+            added = [rel for rel in man["files"] if rel not in parent_files]
+            if op in _REWRITE_ONLY_OPS or not added:
+                continue  # rewrites / manifest-only commits: no new rows
+            if v == 1:
+                op = "append"  # bootstrap: the whole table is new rows
+            if op not in _APPEND_OPS and not self.ignore_changes:
+                raise ValueError(
+                    f"version {v} is a {op!r} commit: its added files mix "
+                    "carried rows with changed rows, so streaming them "
+                    "duplicates data. Pass "
+                    ".option('ignoreChanges', 'true') to accept "
+                    "at-least-once delivery of rewritten files (Delta's "
+                    "contract), or consume via "
+                    "TransactionalTable.consume_changes for exact CDC."
+                )
+            parts.extend(_file_partitions(self.path, end_schema, added, v, op))
+        return parts
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to acknowledge
+
+    def stop(self) -> None:
+        pass
+
+
+class LakehouseDataSource(DataSource):
+    """``spark.dataSource.register(LakehouseDataSource)`` then
+    ``spark.read.format("lakehouse")`` / ``spark.readStream.format(
+    "lakehouse")``. Options: ``path`` (required), ``version`` (batch
+    time travel), ``startingVersion`` (stream start, default 0 = from
+    the beginning), ``ignoreChanges`` (stream past non-append
+    commits, at-least-once)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("lakehouse source requires .load(<table path>)")
+        return p
+
+    def schema(self) -> StructType:
+        version = self.options.get("version")
+        base = _logical_schema(
+            self._path(), int(version) if version is not None else None
+        )
+        return StructType(list(base.fields) + list(_PROVENANCE))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        version = self.options.get("version")
+        return _SnapshotReader(
+            self._path(), int(version) if version is not None else None
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        # capture the MANIFEST's schema JSON (field metadata carries the
+        # physical column mapping, which may not survive the JVM round
+        # trip through the ``schema`` argument); at planning time it is
+        # exactly the logical schema this source declared
+        return _ChangeStreamReader(
+            self._path(),
+            int(self.options.get("startingVersion", 0)),
+            str(self.options.get("ignoreChanges", "false")).lower() == "true",
+            _logical_schema(self._path()).json(),
+        )

@@ -2212,3 +2212,109 @@ def test_lakehouse_rename_then_readd_old_name(spark, tmp_path):
     fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
     assert fields["b"]["metadata"]["physical"] == "a"
     assert fields["a"]["metadata"]["physical"].startswith("a-")
+
+
+def _register_lakehouse_source(spark):
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        LakehouseDataSource,
+    )
+
+    spark.dataSource.register(LakehouseDataSource)
+
+
+def test_lakehouse_datasource_batch_snapshot(spark, tmp_path):
+    """r11 Python Data Source: spark.read.format('lakehouse') plans one
+    input partition per manifest file, honors time travel, hive
+    partition values, and column mapping — all through Spark's own
+    DSv2 path, matching TransactionalTable.read row-for-row."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p, partition_by=["lang"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "en", 1.5), (2, "de", 2.5)], "id long, lang string, v double"
+        )
+    )
+    t.append(spark.createDataFrame([(3, "en", 3.5)], "id long, lang string, v double"))
+    t.rename_column("v", "score")
+    t.append(
+        spark.createDataFrame([(4, "fr", 4.5)], "id long, lang string, score double")
+    )
+    for _ in range(3):  # deterministic across replans
+        df = spark.read.format("lakehouse").load(p)
+        assert df.columns == ["id", "lang", "score", "_version", "_commit_op"]
+        got = sorted((r.id, r.lang, r.score) for r in df.collect())
+        assert got == [(1, "en", 1.5), (2, "de", 2.5), (3, "en", 3.5), (4, "fr", 4.5)]
+    # row-for-row against the handle's own reader
+    via_handle = sorted(map(tuple, t.read().collect()))
+    via_source = sorted(
+        map(tuple, spark.read.format("lakehouse").load(p).drop("_version", "_commit_op").collect())
+    )
+    assert via_source == via_handle
+    # time travel reads that version's schema and rows
+    old = spark.read.format("lakehouse").option("version", 1).load(p)
+    assert old.columns == ["id", "lang", "v", "_version", "_commit_op"]
+    assert sorted((r.id, r.v) for r in old.collect()) == [(1, 1.5), (2, 2.5)]
+
+
+def test_lakehouse_datasource_stream_appends_exactly_once(spark, tmp_path):
+    """r11 Python Data Source streaming: offsets are committed
+    versions, append commits stream their new rows exactly once
+    (checkpoint restart resumes, no re-delivery), optimize commits are
+    skipped (rewrite-only), and a merge commit REFUSES without
+    ignoreChanges, then streams its added files with it."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t = TransactionalTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    def run_stream(**opts):
+        reader = spark.readStream.format("lakehouse")
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load(p)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    first = sorted((r.id, r._version) for r in spark.read.parquet(out).collect())
+    assert first == [(1, 1), (2, 2)]
+    # append + compaction while the stream is down; restart resumes
+    # from the checkpointed version: new row once, optimize skipped
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert t.optimize(small_bytes=10**9) is not None
+    run_stream()
+    second = sorted((r.id, r._version) for r in spark.read.parquet(out).collect())
+    assert second == [(1, 1), (2, 2), (3, 3)]
+    # a merge commit: loud refusal without ignoreChanges...
+    t.merge(spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string"), "id")
+    q = (
+        spark.readStream.format("lakehouse")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.awaitTermination()
+    # ...and at-least-once delivery of the rewritten file with it:
+    # v4's optimize packed everything into ONE file, so the merge
+    # rewrote that file — its added files re-deliver the carried rows
+    # alongside the changed ones (exactly the duplication the option
+    # name warns about; Delta's ignoreChanges contract)
+    run_stream(ignoreChanges="true")
+    v5 = {(r.id, r.v) for r in spark.read.parquet(out).collect()
+          if r._version == 5}
+    assert {(2, "B"), (9, "z")} <= v5
+    assert v5 == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
