@@ -45,9 +45,12 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -244,6 +247,210 @@ class _ChangeStreamReader(DataSourceStreamReader):
         pass
 
 
+class _StagedFiles(WriterCommitMessage):
+    def __init__(self, rels):
+        self.rels = rels
+
+
+def _plan_write(path: str, incoming: StructType, overwrite: bool):
+    """Driver-side (planning) write validation shared by the batch and
+    stream writers. Returns (txn id, phys map for the TASKS to write
+    under, incoming schema json). Loud refusals for what a
+    session-less external writer cannot honor: layout policies need
+    the engine's shuffle, CHECK constraints need a SparkSession to
+    evaluate — both keep working through TransactionalTable.append."""
+    t = _table(path)
+    v, man = t.snapshot()
+    if v > 0:
+        if man.get("partition_by"):
+            raise ValueError(
+                "lakehouse writer: table is partitioned — hive layout "
+                "needs the engine's shuffle; write via "
+                "TransactionalTable.append"
+            )
+        if man.get("constraints"):
+            raise ValueError(
+                "lakehouse writer: table has CHECK constraints — "
+                "enforcement needs a SparkSession; write via "
+                "TransactionalTable.append"
+            )
+        if not overwrite:
+            t._check_schema_compatible(
+                StructType.fromJson(json.loads(man["schema"])), incoming
+            )
+    import uuid as _uuid
+
+    txn = f"txn-{_uuid.uuid4().hex}"
+    # tasks write PHYSICAL names; appends adopt the table's mapping,
+    # overwrite/bootstrap writes are identity (their files never share
+    # a manifest with pre-existing live files)
+    phys = (
+        _table(path)._physical_names(
+            StructType.fromJson(json.loads(man["schema"]))
+        )
+        if v > 0 and not overwrite
+        else {}
+    )
+    return txn, phys, incoming.json()
+
+
+def _write_arrow_partition(path, txn, phys, iterator):
+    """Task-side: arrow batches → one staged parquet part file under
+    data/<txn>/ with PHYSICAL column names. A unique filename per
+    ATTEMPT means a retried task never collides; losing attempts'
+    files are orphans until vacuum (the commit references only the
+    files of messages Spark reports as committed)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        path[len("file:"):] if path.startswith("file:") else path,
+        "data",
+        txn,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    name = f"part-{_uuid.uuid4().hex}.parquet"
+    writer = None
+    n = 0
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            tbl = tbl.rename_columns(
+                [phys.get(c, c) for c in tbl.column_names]
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(out_dir, name), tbl.schema
+                )
+            writer.write_table(tbl)
+            n += tbl.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return _StagedFiles([f"{txn}/{name}"] if n else [])
+
+
+def _commit_staged(
+    path: str,
+    messages,
+    overwrite: bool,
+    incoming_schema_json: str,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> None:
+    """Driver-side commit: footer stats + Bloom sidecars for the staged
+    files, then the same optimistic slot-claim loop as append/merge.
+    With txn markers (the stream writer passes (app, batchId)) a
+    replayed epoch is a no-op — exactly-once table state."""
+    from ..sinks.lakehouse import CommitConflict
+
+    t = _table(path)
+    rels = sorted(rel for m in messages if m is not None for rel in m.rels)
+    incoming = StructType.fromJson(json.loads(incoming_schema_json))
+    stats = {}
+    bcol_phys = None
+    if t.bloom_col is not None:
+        bcol_phys = t._physical_names(incoming).get(t.bloom_col, t.bloom_col)
+    for rel in rels:
+        s = t._file_stats(rel)
+        if s is not None:
+            stats[rel] = s
+            if bcol_phys is not None:
+                bloom = t._build_bloom(rel, s, bcol_phys)
+                if bloom is not None:
+                    s["bloom"] = bloom
+    for _ in range(20):
+        v, man = t.snapshot()
+        done = t._txn_already_applied(txn_app, txn_version, v)
+        if done is not None:
+            return
+        if v > 0 and not overwrite:
+            # revalidate against the CURRENT schema (the planning check
+            # may have raced a schema change)
+            t._check_schema_compatible(
+                StructType.fromJson(json.loads(man["schema"])), incoming
+            )
+            out_schema = man["schema"]
+            files = man["files"] + rels
+            merged_stats = {**(man.get("stats") or {}), **stats}
+            op = "append"
+        else:
+            out_schema = incoming_schema_json
+            files = list(rels)
+            merged_stats = dict(stats)
+            op = "overwrite" if v > 0 else "append"
+        manifest = t._next_manifest(
+            v, man, op, files, out_schema, merged_stats, txn_app, txn_version
+        )
+        if t._try_commit(v + 1, manifest):
+            return
+    raise CommitConflict(f"lakehouse writer lost 20 commit races at {path}")
+
+
+class _BatchWriter(DataSourceArrowWriter):
+    def __init__(self, path, incoming: StructType, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+        self.txn, self.phys, self.schema_json = _plan_write(
+            path, incoming, overwrite
+        )
+
+    def write(self, iterator):
+        return _write_arrow_partition(self.path, self.txn, self.phys, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_staged(self.path, messages, self.overwrite, self.schema_json)
+
+    def abort(self, messages) -> None:
+        pass  # staged files are unreferenced orphans; vacuum reclaims
+
+
+class _StreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: each epoch appends under a
+    (streamAppId, batchId) txn marker, so foreachBatch-style replays
+    after a crash commit nothing the table has already seen — the
+    same contract as stream_merge_into_table, with zero glue code:
+    ``df.writeStream.format("lakehouse").option("checkpointLocation",
+    ...).start(path)``."""
+
+    def __init__(self, path, incoming: StructType, app_id: str):
+        self.path = path
+        self.app_id = app_id
+        # validation runs HERE (stream planning, driver-side); tasks
+        # only stage files. phys is epoch-independent for appends.
+        _, self.phys, self.incoming_json = _plan_write(
+            path, incoming, overwrite=False
+        )
+
+    def write(self, iterator):
+        # per-TASK txn dir (uuid): tasks of one epoch stage into their
+        # own dirs; the epoch's commit references them all, and a
+        # replayed epoch's freshly staged files stay orphans because
+        # the txn-marker check skips the commit
+        import uuid as _uuid
+
+        return _write_arrow_partition(
+            self.path, f"txn-{_uuid.uuid4().hex}", self.phys, iterator
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_staged(
+            self.path,
+            messages,
+            overwrite=False,
+            incoming_schema_json=self.incoming_json,
+            txn_app=self.app_id,
+            txn_version=batchId,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # orphans; vacuum reclaims
+
+
 class LakehouseDataSource(DataSource):
     """``spark.dataSource.register(LakehouseDataSource)`` then
     ``spark.read.format("lakehouse")`` / ``spark.readStream.format(
@@ -286,3 +493,20 @@ class LakehouseDataSource(DataSource):
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
             _logical_schema(self._path()).json(),
         )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _BatchWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "lakehouse stream sink supports append output mode only"
+            )
+        # the txn-marker app id defaults to the checkpoint-scoped
+        # queryId Spark passes via options when available; override
+        # with .option('streamAppId', ...) for cross-checkpoint
+        # idempotence
+        app_id = self.options.get("streamAppId") or self.options.get(
+            "queryId", "lakehouse_stream_sink"
+        )
+        return _StreamWriter(self._path(), schema, app_id)

@@ -2318,3 +2318,93 @@ def test_lakehouse_datasource_stream_appends_exactly_once(spark, tmp_path):
           if r._version == 5}
     assert {(2, "B"), (9, "z")} <= v5
     assert v5 == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
+
+
+def test_lakehouse_datasource_batch_writer(spark, tmp_path):
+    """r11 Python Data Source write side: df.write.format('lakehouse')
+    bootstraps, appends (schema-checked), and INSERT OVERWRITEs as an
+    atomic commit with time travel intact; layout-policy and
+    constraint-bearing tables refuse (they need the engine's shuffle /
+    a SparkSession) — TransactionalTable.append remains their path."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.format(
+        "lakehouse"
+    ).mode("append").save(p)
+    spark.createDataFrame([(3, "c")], "id long, v string").write.format(
+        "lakehouse"
+    ).mode("append").save(p)
+    t = TransactionalTable(spark, p)
+    assert t.current_version() == 2
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(Exception, match="mismatch"):
+        spark.createDataFrame([(5,)], "id long").write.format("lakehouse").mode(
+            "append"
+        ).save(p)
+    # atomic INSERT OVERWRITE: new schema, old snapshots intact
+    spark.createDataFrame([(9, 1.5)], "id long, w double").write.format(
+        "lakehouse"
+    ).mode("overwrite").save(p)
+    assert sorted(map(tuple, t.read().collect())) == [(9, 1.5)]
+    assert sorted(map(tuple, t.read(version=2).collect())) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # refusals: layout policy / constraints need the engine
+    tp = TransactionalTable(spark, str(tmp_path / "part"), partition_by=["g"])
+    tp.append(spark.createDataFrame([(1, "x")], "g string, v string"))
+    with pytest.raises(Exception, match="partitioned"):
+        spark.createDataFrame([(2, "y")], "g string, v string").write.format(
+            "lakehouse"
+        ).mode("append").save(str(tmp_path / "part"))
+    tc = TransactionalTable(spark, str(tmp_path / "con"))
+    tc.append(spark.createDataFrame([(1,)], "id long"))
+    tc.add_constraint("pos", "id > 0")
+    with pytest.raises(Exception, match="constraint"):
+        spark.createDataFrame([(2,)], "id long").write.format("lakehouse").mode(
+            "append"
+        ).save(str(tmp_path / "con"))
+
+
+def test_lakehouse_datasource_stream_writer_exactly_once(spark, tmp_path):
+    """r11: writeStream.format('lakehouse') — each epoch commits under
+    a (streamAppId, batchId) txn marker, so a full checkpoint-replay
+    re-run commits nothing new (exactly-once table state, zero
+    foreachBatch glue)."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    src = tmp_path / "src"
+    for i, rows in enumerate([[(1, "a")], [(2, "b")]]):
+        spark.createDataFrame(rows, "id long, v string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("lakehouse")
+            .option("streamAppId", "ing")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start(p)
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    t = TransactionalTable(spark, p)
+    v_after = t.current_version()
+    rows = sorted(map(tuple, t.read().collect()))
+    assert rows == [(1, "a"), (2, "b")]
+    assert t.snapshot()[1]["txns"] == {"ing": 1}  # epochs 0 and 1
+    # full replay from a FRESH checkpoint: same app id, same epoch ids
+    # -> every commit is a recognized no-op
+    run("ck2")
+    assert t.current_version() == v_after
+    assert sorted(map(tuple, t.read().collect())) == rows
