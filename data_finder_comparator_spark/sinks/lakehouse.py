@@ -213,16 +213,20 @@ class TransactionalTable:
                     "partition_by cannot be retrofitted (rewrite via a "
                     "new partitioned table)"
                 )
-            # bloom_col is persisted in the manifest like partition_by,
-            # but unlike partition_by it is a mutable POLICY, not layout:
-            # passing none inherits the committed column (so reopened
-            # handles keep building/probing sidecars instead of silently
-            # disabling the index), passing a different one switches the
-            # policy going forward — safe because every sidecar
-            # descriptor records the column it indexes and probes on a
-            # different column conservatively keep the file
+            # bloom_col and cluster_by are persisted in the manifest
+            # like partition_by, but unlike partition_by they are
+            # mutable POLICIES, not layout: passing none inherits the
+            # committed value (so reopened handles keep building
+            # sidecars / range-clustering writes instead of silently
+            # degrading the skipping stack), passing a different one
+            # switches the policy going forward — safe because sidecar
+            # descriptors record their column and footer ranges are
+            # only ever a conservative skip signal
             if self.bloom_col is None:
                 self.bloom_col = man0.get("bloom_col") or None
+            if self.cluster_by is None:
+                committed_cb = man0.get("cluster_by") or None
+                self.cluster_by = list(committed_cb) if committed_cb else None
         if self.partition_by:
             overlap = set(self.partition_by) & set(self.cluster_by or [])
             if overlap:
@@ -1158,12 +1162,15 @@ class TransactionalTable:
             # so recording it here both fixes it at creation and
             # carries it through every later commit
             "partition_by": self.partition_by,
-            # the bloom index POLICY also rides the manifest so a
-            # reopened handle that passes no bloom_col inherits it
-            # (see __init__); unlike partition_by a later handle may
-            # switch it — per-descriptor "col" tags keep old sidecars
-            # safe (probes on a different column keep the file)
+            # the bloom index and write-clustering POLICIES also ride
+            # the manifest so a reopened handle (or the external
+            # lakehouse Data Source writer) that passes none inherits
+            # them (see __init__); unlike partition_by a later handle
+            # may switch them — per-descriptor "col" tags keep old
+            # sidecars safe, and footer ranges are only ever a
+            # conservative skip signal
             "bloom_col": self.bloom_col,
+            "cluster_by": self.cluster_by,
             # ghost list of RETIRED PHYSICAL names, riding forever: old
             # data files still carry the bytes, so any later field with
             # a colliding name gets a fresh physical via column mapping

@@ -268,6 +268,12 @@ def _plan_write(path: str, incoming: StructType, overwrite: bool):
                 "needs the engine's shuffle; write via "
                 "TransactionalTable.append"
             )
+        if man.get("cluster_by"):
+            raise ValueError(
+                "lakehouse writer: table has a cluster_by policy — "
+                "range clustering needs the engine's shuffle; write "
+                "via TransactionalTable.append"
+            )
         if man.get("constraints"):
             raise ValueError(
                 "lakehouse writer: table has CHECK constraints — "

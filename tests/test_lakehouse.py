@@ -2408,3 +2408,39 @@ def test_lakehouse_datasource_stream_writer_exactly_once(spark, tmp_path):
     run("ck2")
     assert t.current_version() == v_after
     assert sorted(map(tuple, t.read().collect())) == rows
+
+
+def test_lakehouse_cluster_by_inherited_and_writer_refuses(spark, tmp_path):
+    """r11: cluster_by rides the manifest like bloom_col — a reopened
+    handle passing none inherits the policy (writes keep tight
+    disjoint footer ranges instead of silently degrading the skipping
+    stack), and the session-less external writer refuses clustered
+    tables (range layout needs the engine's shuffle)."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p, cluster_by=["id"])
+    t.append(
+        spark.createDataFrame([(i, "x") for i in range(100)], "id long, v string"),
+        n_out=4,
+    )
+    t2 = TransactionalTable(spark, p)
+    assert t2.cluster_by == ["id"]  # inherited
+    t2.append(
+        spark.createDataFrame(
+            [(i, "y") for i in range(100, 200)], "id long, v string"
+        ),
+        n_out=4,
+    )
+    # the inherited policy kept the second write range-clustered:
+    # its files carry disjoint id ranges
+    _, man = t2.snapshot()
+    stats = man["stats"]
+    second = [r for r in man["files"] if stats[r]["min"]["id"] >= 100]
+    spans = sorted((stats[r]["min"]["id"], stats[r]["max"]["id"]) for r in second)
+    assert len(spans) >= 2
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo  # disjoint
+    with pytest.raises(Exception, match="cluster_by"):
+        spark.createDataFrame([(999, "z")], "id long, v string").write.format(
+            "lakehouse"
+        ).mode("append").save(p)
