@@ -60,8 +60,13 @@ def candidate_count(t: TransactionalTable, probe_key: str) -> int:
         if t._may_contain(stats.get(rel), "k", probe_key, probe_key)
     ]
     if t.bloom_col == "k":
+        # r11: _bloom_excludes grew a required probed-column argument
+        # (descriptor col identity, ADVICE finding 1) — call updated so
+        # this archived evidence script stays re-runnable
         cands = [
-            rel for rel in cands if not t._bloom_excludes(stats.get(rel), [probe_key])
+            rel
+            for rel in cands
+            if not t._bloom_excludes(stats.get(rel), [probe_key], "k")
         ]
     return len(cands)
 

@@ -1143,6 +1143,9 @@ class TransactionalTable:
                 "table after this handle was constructed) — reopen the table"
             )
         txns = dict(man.get("txns") or {})
+        out_fields = (
+            {f["name"] for f in json.loads(schema)["fields"]} if schema else set()
+        )
         out = {
             "version": v + 1,
             "parent": v,
@@ -1168,9 +1171,22 @@ class TransactionalTable:
             # them (see __init__); unlike partition_by a later handle
             # may switch them — per-descriptor "col" tags keep old
             # sidecars safe, and footer ranges are only ever a
-            # conservative skip signal
-            "bloom_col": self.bloom_col,
-            "cluster_by": self.cluster_by,
+            # conservative skip signal. Policies referencing a column
+            # ABSENT from the OUTGOING schema are dropped here (an
+            # external-writer overwrite or a restore() to a
+            # pre-evolution version can commit a schema without the
+            # policy column; persisting the stale policy would make
+            # every later __init__ fail its own typo check — a
+            # permanently unopenable table, r11 review finding 1)
+            "bloom_col": (
+                self.bloom_col if self.bloom_col in out_fields else None
+            ),
+            "cluster_by": (
+                self.cluster_by
+                if self.cluster_by
+                and all(c in out_fields for c in self.cluster_by)
+                else None
+            ),
             # ghost list of RETIRED PHYSICAL names, riding forever: old
             # data files still carry the bytes, so any later field with
             # a colliding name gets a fresh physical via column mapping
@@ -1219,6 +1235,7 @@ class TransactionalTable:
         the table should live as."""
         rels: list[str] | None = None
         st: dict = {}
+        staged_phys: dict | None = None
         schema = df.schema.json()
         for _ in range(max_retries):
             v, man = self.snapshot()
@@ -1235,13 +1252,23 @@ class TransactionalTable:
                 else:
                     self._check_schema_compatible(table_schema, df.schema)
             self._enforce_constraints(df, man)
+            phys_now = self._physical_names(
+                StructType.fromJson(json.loads(out_schema_json))
+            )
+            if rels is not None and {
+                c: phys_now.get(c, c) for c in df.columns
+            } != staged_phys:
+                # a commit race with a rename / drop-then-re-add changed
+                # the mapping for a column we already staged: the staged
+                # files carry the OLD physical name, so committing them
+                # under the new schema would silently null (or alias)
+                # that column — restage; the old files become vacuum
+                # orphans (r11 review finding 5)
+                rels = None
             if rels is None:  # write data files once, after the checks
+                staged_phys = {c: phys_now.get(c, c) for c in df.columns}
                 _, rels, st = self._write_data_files(
-                    df,
-                    n_out=n_out,
-                    phys=self._physical_names(
-                        StructType.fromJson(json.loads(out_schema_json))
-                    ),
+                    df, n_out=n_out, phys=phys_now
                 )
             manifest = self._next_manifest(
                 v,

@@ -122,6 +122,7 @@ def write_excel_folder(
 
     def _write_partition(pid: int, it):
         import itertools
+        import uuid
 
         n_files = 0
         chunk = list(itertools.islice(it, max_rows_per_file))
@@ -129,11 +130,13 @@ def write_excel_folder(
             name = f"part-{pid:05d}" + (
                 f"-{n_files:03d}" if n_files else ""
             ) + ".xlsx"
-            write_grid(
-                os.path.join(out_dir, name),
-                [header] + [list(r) for r in chunk],
-                sheet_name,
-            )
+            # write to an ATTEMPT-unique temp then atomically replace:
+            # a speculative or zombie attempt racing its retry on the
+            # same deterministic final name would otherwise interleave
+            # zip bytes into one corrupt workbook (r11 review finding 9)
+            tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}.xlsx")
+            write_grid(tmp, [header] + [list(r) for r in chunk], sheet_name)
+            os.replace(tmp, os.path.join(out_dir, name))
             n_files += 1
             chunk = list(itertools.islice(it, max_rows_per_file))
         return iter([n_files])

@@ -213,27 +213,47 @@ class _ChangeStreamReader(DataSourceStreamReader):
         # stable across renames so any era's files read correctly
         end_schema = self.declared_schema_json
         parts = []
+        # each manifest is read exactly once: the loop carries the
+        # previous version's file set forward (the naive parent lookup
+        # doubled control-plane IO — r11 review finding 7)
+        prev_files = (
+            set(t._read_manifest(start["version"])["files"])
+            if start["version"] >= 1
+            else set()
+        )
         for v in range(start["version"] + 1, end["version"] + 1):
             man = t._read_manifest(v)  # loud when expired: no silent gaps
             op = man.get("op") or "unknown"
-            parent_files = (
-                set(t._read_manifest(v - 1)["files"]) if v > 1 else set()
-            )
-            added = [rel for rel in man["files"] if rel not in parent_files]
-            if op in _REWRITE_ONLY_OPS or not added:
-                continue  # rewrites / manifest-only commits: no new rows
-            if v == 1:
+            cur_files = set(man["files"])
+            added = [rel for rel in man["files"] if rel not in prev_files]
+            removed = prev_files - cur_files
+            prev_files = cur_files
+            if op in _REWRITE_ONLY_OPS:
+                continue  # compaction: contents identical by contract
+            if v == 1 and added:
                 op = "append"  # bootstrap: the whole table is new rows
-            if op not in _APPEND_OPS and not self.ignore_changes:
-                raise ValueError(
-                    f"version {v} is a {op!r} commit: its added files mix "
-                    "carried rows with changed rows, so streaming them "
-                    "duplicates data. Pass "
-                    ".option('ignoreChanges', 'true') to accept "
-                    "at-least-once delivery of rewritten files (Delta's "
-                    "contract), or consume via "
-                    "TransactionalTable.consume_changes for exact CDC."
-                )
+            if op not in _APPEND_OPS:
+                # a delete can REMOVE whole files while adding none —
+                # skipping it would stream 'nothing changed' over a
+                # data change (r11 review finding 3), so any non-append
+                # commit that touched the file set refuses without the
+                # opt-in, exactly like Delta absent ignoreChanges/
+                # ignoreDeletes
+                if (added or removed) and not self.ignore_changes:
+                    raise ValueError(
+                        f"version {v} is a {op!r} commit that changed the "
+                        "file set: streaming its added files duplicates "
+                        "carried rows, and its removed files are not "
+                        "representable in an append-only stream. Pass "
+                        ".option('ignoreChanges', 'true') to accept "
+                        "at-least-once delivery of rewritten files "
+                        "(Delta's contract), or consume via "
+                        "TransactionalTable.consume_changes for exact CDC."
+                    )
+                if not added:
+                    continue
+            elif not added:
+                continue  # manifest-only commit: no new rows
             parts.extend(_file_partitions(self.path, end_schema, added, v, op))
         return parts
 
@@ -268,7 +288,16 @@ def _plan_write(path: str, incoming: StructType, overwrite: bool):
                 "needs the engine's shuffle; write via "
                 "TransactionalTable.append"
             )
-        if man.get("cluster_by"):
+        cb = man.get("cluster_by") or []
+        incoming_names = {f.name for f in incoming.fields}
+        if cb and (
+            not overwrite or any(c in incoming_names for c in cb)
+        ):
+            # appends must honor the clustering invariant (needs the
+            # engine's shuffle); an overwrite may proceed only when it
+            # DROPS the cluster column — the policy is then removed
+            # from the manifest — otherwise it would persist a policy
+            # its own files do not satisfy
             raise ValueError(
                 "lakehouse writer: table has a cluster_by policy — "
                 "range clustering needs the engine's shuffle; write "
@@ -291,9 +320,7 @@ def _plan_write(path: str, incoming: StructType, overwrite: bool):
     # overwrite/bootstrap writes are identity (their files never share
     # a manifest with pre-existing live files)
     phys = (
-        _table(path)._physical_names(
-            StructType.fromJson(json.loads(man["schema"]))
-        )
+        t._physical_names(StructType.fromJson(json.loads(man["schema"])))
         if v > 0 and not overwrite
         else {}
     )
@@ -374,6 +401,18 @@ def _commit_staged(
         done = t._txn_already_applied(txn_app, txn_version, v)
         if done is not None:
             return
+        if man.get("constraints"):
+            # a CHECK constraint added between planning and commit:
+            # this session-less writer cannot evaluate it over the
+            # staged rows, and committing unchecked rows would break
+            # the invariant that every live row satisfies every
+            # manifest constraint — refuse; the staged files are
+            # unreferenced orphans for vacuum (r11 review finding 6)
+            raise ValueError(
+                "lakehouse writer: table gained CHECK constraints after "
+                "write planning — enforcement needs a SparkSession; "
+                "rewrite via TransactionalTable.append"
+            )
         if v > 0 and not overwrite:
             # revalidate against the CURRENT schema (the planning check
             # may have raced a schema change)
@@ -475,18 +514,28 @@ class LakehouseDataSource(DataSource):
             raise ValueError("lakehouse source requires .load(<table path>)")
         return p
 
+    def _pinned_version(self) -> int:
+        """Resolve 'latest' EXACTLY ONCE per source instance: schema()
+        and reader() (and every re-plan of the same DataFrame) must see
+        the same snapshot, or a commit landing between load() and an
+        action would crash the read on schema drift — or silently
+        return rows from a newer version than the declared schema
+        (r11 review finding 4)."""
+        if not hasattr(self, "_resolved_version"):
+            version = self.options.get("version")
+            self._resolved_version = (
+                int(version)
+                if version is not None
+                else _table(self._path()).current_version()
+            )
+        return self._resolved_version
+
     def schema(self) -> StructType:
-        version = self.options.get("version")
-        base = _logical_schema(
-            self._path(), int(version) if version is not None else None
-        )
+        base = _logical_schema(self._path(), self._pinned_version())
         return StructType(list(base.fields) + list(_PROVENANCE))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        version = self.options.get("version")
-        return _SnapshotReader(
-            self._path(), int(version) if version is not None else None
-        )
+        return _SnapshotReader(self._path(), self._pinned_version())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         # capture the MANIFEST's schema JSON (field metadata carries the
@@ -497,7 +546,7 @@ class LakehouseDataSource(DataSource):
             self._path(),
             int(self.options.get("startingVersion", 0)),
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
-            _logical_schema(self._path()).json(),
+            _logical_schema(self._path(), self._pinned_version()).json(),
         )
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -508,11 +557,18 @@ class LakehouseDataSource(DataSource):
             raise ValueError(
                 "lakehouse stream sink supports append output mode only"
             )
-        # the txn-marker app id defaults to the checkpoint-scoped
-        # queryId Spark passes via options when available; override
-        # with .option('streamAppId', ...) for cross-checkpoint
-        # idempotence
-        app_id = self.options.get("streamAppId") or self.options.get(
-            "queryId", "lakehouse_stream_sink"
-        )
+        # the txn-marker app id is REQUIRED: batch ids restart at 0 per
+        # checkpoint, so a shared default would make a SECOND query
+        # writing the same table silently no-op its early epochs
+        # against the first query's markers (r11 review finding 2 —
+        # silent data loss; PySpark injects no query id option we
+        # could scope this by)
+        app_id = self.options.get("streamAppId")
+        if not app_id:
+            raise ValueError(
+                "lakehouse stream sink requires .option('streamAppId', "
+                "<stable per-pipeline id>): epoch txn markers are keyed "
+                "by it, and distinct pipelines writing one table must "
+                "not share a marker namespace"
+            )
         return _StreamWriter(self._path(), schema, app_id)

@@ -2444,3 +2444,92 @@ def test_lakehouse_cluster_by_inherited_and_writer_refuses(spark, tmp_path):
         spark.createDataFrame([(999, "z")], "id long, v string").write.format(
             "lakehouse"
         ).mode("append").save(p)
+
+
+def test_lakehouse_overwrite_drops_orphaned_policies(spark, tmp_path):
+    """r11 review finding 1: an external-writer overwrite whose schema
+    lacks the bloom/cluster column must DROP that policy from the
+    manifest instead of bricking the table (every later open would
+    fail the policy-column typo check)."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p, bloom_col="k", cluster_by=["k"])
+    t.append(spark.createDataFrame([("a", 1)], "k string, n long"))
+    spark.createDataFrame([(9, 1.5)], "id long, w double").write.format(
+        "lakehouse"
+    ).mode("overwrite").save(p)
+    t2 = TransactionalTable(spark, p)  # must open cleanly
+    assert t2.bloom_col is None and t2.cluster_by is None
+    assert sorted(map(tuple, t2.read().collect())) == [(9, 1.5)]
+    # time travel to the bloom era still works
+    assert sorted(map(tuple, t2.read(version=1).collect())) == [("a", 1)]
+
+
+def test_lakehouse_stream_writer_requires_app_id(spark, tmp_path):
+    """r11 review finding 2: epoch batch ids restart at 0 per
+    checkpoint, so with a shared default app id a SECOND pipeline's
+    early epochs would silently no-op against the first's markers —
+    the sink refuses to start without an explicit streamAppId."""
+    _register_lakehouse_source(spark)
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.format("lakehouse")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start(str(tmp_path / "tbl"))
+    )
+    with pytest.raises(Exception, match="streamAppId"):
+        q.awaitTermination()
+
+
+def test_lakehouse_datasource_stream_delete_only_commit_refuses(spark, tmp_path):
+    """r11 review finding 3: a delete that removes whole files while
+    adding none is still a data change — the stream must refuse it
+    without ignoreChanges instead of silently skipping it."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
+    # delete EVERY row of file 2 -> survivors empty -> zero files added
+    v = t.delete(spark.createDataFrame([(2,)], "id long"), "id")
+    _, man = t.snapshot()
+    assert man["op"] == "delete" and len(man["files"]) == 1
+    q = (
+        spark.readStream.format("lakehouse")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.awaitTermination()
+    # with the opt-in the stream proceeds (the removal itself has no
+    # rows to emit; later commits flow again)
+    q2 = (
+        spark.readStream.format("lakehouse")
+        .option("ignoreChanges", "true")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # the opt-in stream emits each row at its APPEND version (1 and 2)
+    # and nothing for the delete — removals are not representable in an
+    # append-only stream, which is exactly why the default refuses
+    got = sorted(r.id for r in spark.read.parquet(str(tmp_path / "out2")).collect())
+    assert got == [1, 2]
