@@ -321,7 +321,7 @@ def ivf_pq_topk(
     m: int = 8,
     dim: int = 64,
     pq_stride: int = 10,
-    rerank: int = 60,
+    rerank: int = 120,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: coarse cells prune WHICH candidates each
@@ -355,15 +355,18 @@ def ivf_pq_topk(
 
     Defaults from the round-10 PQ sweep (bench_history/pq_sweep_r10
     .json, sf0.1 synthetic near-random vectors — VQ's worst case) plus
-    the round-11 routing bump (ivf_centroid_sweep_r11.json): recall@5
-    is CAPPED by the routing stage (plain ivf_topk at the same
-    nprobe/n_assign — 0.86 @ sf0.1 since nprobe=8); pq_stride=10 ×
-    rerank=60 reaches 0.78 @ sf0.1 / 0.88 @ sf0.01 (was 0.73/0.87 at
-    nprobe=5), ~91% of the routing ceiling while exact-scoring only 60
-    of the routed candidates per probe; rerank=120 buys ~96% of the
-    ceiling at 2× the exact work; coarser codebooks (pq_stride 25/50)
-    or fewer subspaces (m=4) lose 5-15 points. Real clustered
-    embeddings quantize better, same as the IVF story."""
+    the round-11 routing and re-rank bumps (ivf_centroid_sweep_r11
+    .json): recall@5 is CAPPED by the routing stage (plain ivf_topk at
+    the same nprobe/n_assign — 0.86 @ sf0.1 since nprobe=8);
+    pq_stride=10 × rerank=120 reaches **0.825 @ sf0.1 / 0.96 @ sf0.01**
+    — 96% of the routing ceiling — while exact-scoring ~13% of the
+    routed candidates per probe (the same proportional policy as
+    r10's rerank=60 at nprobe=5; the r11 sweep measured 60→120 as
+    +0.043 recall for negligible wall, and 200 as +0.02 more — the
+    re-rank is a sliver of the encode cost either way); coarser
+    codebooks (pq_stride 25/50) or fewer subspaces (m=4) lose 5-15
+    points. Real clustered embeddings quantize better, same as the
+    IVF story."""
     w = dim // m
     # coarse routing (shared helpers — identical arithmetic to ivf_topk;
     # ``centroids`` swaps in a trained codebook exactly as there — a

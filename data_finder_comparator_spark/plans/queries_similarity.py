@@ -252,7 +252,7 @@ FROM (
 # IVF-PQ (round 10, pytest-gated — registry saturated): the full SQL
 # restatement of ivf_pq_topk at its swept defaults (coarse routing,
 # stride-10 subspace codebooks, argmin-L2² encoding, decimal-
-# stabilized ADC sums, rerank-60 exact re-rank). Shared by the
+# stabilized ADC sums, rerank-120 exact re-rank). Shared by the
 # operator parity test and the ANN recall audit oracle.
 _IVF_PQ_ORACLE = f"""
 WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -327,7 +327,7 @@ shortlist AS (
     SELECT *, row_number() OVER (PARTITION BY probe_id
                                  ORDER BY qsim DESC, cand_id) AS rn
     FROM approx
-  ) WHERE rn <= 60
+  ) WHERE rn <= 120
 ),
 scored AS (
   SELECT probe_id, cand_id, {_DUCK_COS} AS cos_sim
@@ -352,9 +352,9 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     against): coarse-cell routing prunes pairs, m=8 subspace product
     quantization scores them from byte codes via decimal-stabilized
     ADC table lookups, exact cosine re-ranks the 60-deep shortlist.
-    Recall@5 vs brute: 0.88 @ sf0.01 / 0.78 @ sf0.1 (router-capped;
-    bench_history/pq_sweep_r10.json + the r11 nprobe=8 routing bump in
-    ivf_centroid_sweep_r11.json)."""
+    Recall@5 vs brute: 0.96 @ sf0.01 / 0.825 @ sf0.1 (router-capped;
+    bench_history/pq_sweep_r10.json + the r11 nprobe=8 routing and
+    rerank=120 bumps in ivf_centroid_sweep_r11.json)."""
     from ..operators.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
