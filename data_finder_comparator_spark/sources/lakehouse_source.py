@@ -201,6 +201,16 @@ class _ChangeStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
+        # No maxVersionsPerTrigger-style admission control, deliberately:
+        # this API's latestOffset never sees the CHECKPOINTED start, so
+        # any self-tracked cap re-anchors wrong after a restart and can
+        # announce an offset BELOW the committed one — Spark would plan
+        # a bogus empty batch, commit the regressed offset, and then
+        # re-deliver already-processed versions. Until the planner
+        # passes the start (or per-partition admission lands in the
+        # Python API), a fresh stream over a long history pays one big
+        # first batch — bounded per version by that version's file
+        # count, and startingVersion/startingTimestamp cut the history.
         return {"version": _table(self.path).current_version()}
 
     def partitions(self, start: dict, end: dict):
@@ -500,9 +510,12 @@ class LakehouseDataSource(DataSource):
     """``spark.dataSource.register(LakehouseDataSource)`` then
     ``spark.read.format("lakehouse")`` / ``spark.readStream.format(
     "lakehouse")``. Options: ``path`` (required), ``version`` (batch
-    time travel), ``startingVersion`` (stream start, default 0 = from
-    the beginning), ``ignoreChanges`` (stream past non-append
-    commits, at-least-once)."""
+    time travel), ``startingVersion`` / ``startingTimestamp`` (stream
+    start — exclusive version, or UNIX time resolved via the same
+    rule as TIMESTAMP AS OF; default 0 = from the beginning),
+    ``ignoreChanges`` (stream past non-append commits,
+    at-least-once), ``streamAppId`` (required for the stream SINK:
+    txn-marker namespace)."""
 
     @classmethod
     def name(cls) -> str:
@@ -538,13 +551,24 @@ class LakehouseDataSource(DataSource):
         return _SnapshotReader(self._path(), self._pinned_version())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        start = int(self.options.get("startingVersion", 0))
+        ts = self.options.get("startingTimestamp")
+        if ts is not None:
+            if "startingVersion" in self.options:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            # stream from the first commit AFTER the instant: version_at
+            # resolves the newest snapshot at-or-before it, which is the
+            # correct exclusive starting offset
+            start = _table(self._path()).version_at(float(ts))
         # capture the MANIFEST's schema JSON (field metadata carries the
         # physical column mapping, which may not survive the JVM round
         # trip through the ``schema`` argument); at planning time it is
         # exactly the logical schema this source declared
         return _ChangeStreamReader(
             self._path(),
-            int(self.options.get("startingVersion", 0)),
+            start,
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
             _logical_schema(self._path(), self._pinned_version()).json(),
         )

@@ -2533,3 +2533,41 @@ def test_lakehouse_datasource_stream_delete_only_commit_refuses(spark, tmp_path)
     # append-only stream, which is exactly why the default refuses
     got = sorted(r.id for r in spark.read.parquet(str(tmp_path / "out2")).collect())
     assert got == [1, 2]
+
+
+def test_lakehouse_datasource_stream_starting_points(spark, tmp_path):
+    """r11: startingVersion skips history; startingTimestamp resolves
+    through the same rule as TIMESTAMP AS OF (newest snapshot at or
+    before the instant is the exclusive start)."""
+    import time as _time
+
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    cut = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+
+    def run(tag, **opts):
+        reader = spark.readStream.format("lakehouse")
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load(p)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r.id for r in spark.read.parquet(str(tmp_path / f"out{tag}")).collect()
+        )
+
+    assert run("v", startingVersion="2") == [3]
+    assert run("t", startingTimestamp=str(cut)) == [3]
+    with pytest.raises(Exception, match="not both"):
+        run("both", startingVersion="1", startingTimestamp=str(cut))
