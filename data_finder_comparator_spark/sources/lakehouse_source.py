@@ -162,6 +162,50 @@ def _read_file_partition(part: _FilePartition):
     yield from out.combine_chunks().to_batches()
 
 
+_HISTORY_SCHEMA = StructType(
+    [
+        StructField("version", LongType(), False),
+        StructField("parent", LongType(), True),
+        StructField("ts", StringType(), True),
+        StructField("op", StringType(), True),
+        StructField("n_files", LongType(), True),
+        StructField("txn_app", StringType(), True),
+        StructField("txn_version", LongType(), True),
+    ]
+)
+
+
+class _HistoryReader(DataSourceReader):
+    """DESCRIBE HISTORY as a metadata table: one row per LIVE manifest.
+    The rows are control-plane-small (one JSON per commit), so they are
+    resolved on the driver at planning time and shipped inside a single
+    input partition — no worker-side manifest IO."""
+
+    def __init__(self, path: str):
+        t = _table(path)
+        rows = []
+        for man in t.history():
+            txn = man.get("txn") or {}
+            rows.append(
+                (
+                    int(man["version"]),
+                    int(man["parent"]) if man.get("parent") is not None else None,
+                    str(man["ts"]) if man.get("ts") is not None else None,
+                    man.get("op"),
+                    len(man.get("files") or []),
+                    txn.get("app"),
+                    int(txn["version"]) if "version" in txn else None,
+                )
+            )
+        self.rows = rows
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        return iter(self.rows)
+
+
 class _SnapshotReader(DataSourceReader):
     def __init__(self, path: str, version: int | None):
         self.path = path
@@ -544,10 +588,14 @@ class LakehouseDataSource(DataSource):
         return self._resolved_version
 
     def schema(self) -> StructType:
+        if self.options.get("metadata") == "history":
+            return _HISTORY_SCHEMA
         base = _logical_schema(self._path(), self._pinned_version())
         return StructType(list(base.fields) + list(_PROVENANCE))
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("metadata") == "history":
+            return _HistoryReader(self._path())
         return _SnapshotReader(self._path(), self._pinned_version())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -2571,3 +2571,32 @@ def test_lakehouse_datasource_stream_starting_points(spark, tmp_path):
     assert run("t", startingTimestamp=str(cut)) == [3]
     with pytest.raises(Exception, match="not both"):
         run("both", startingVersion="1", startingTimestamp=str(cut))
+
+
+def test_lakehouse_datasource_history_metadata_table(spark, tmp_path):
+    """r11: DESCRIBE HISTORY through the source —
+    .option('metadata', 'history') reads one row per live manifest
+    with op / file-count / txn-marker provenance, and expired
+    snapshots drop out."""
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        "id",
+        txn_app="job",
+        txn_version=7,
+    )
+    t.delete(spark.createDataFrame([(1,)], "id long"), "id")
+    hist = spark.read.format("lakehouse").option("metadata", "history").load(p)
+    rows = {r.version: r for r in hist.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1].op == "append" and rows[2].op == "merge"
+    assert rows[2].txn_app == "job" and rows[2].txn_version == 7
+    assert rows[3].op == "delete" and rows[3].parent == 2
+    assert all(r.n_files >= 1 for r in rows.values())
+    t.expire_snapshots(keep_last=1)
+    left = [r.version for r in
+            spark.read.format("lakehouse").option("metadata", "history").load(p).collect()]
+    assert left == [3]
