@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.fuzzy_join import tiered_fuzzy_join, topk_fuzzy_join
 from ..sources.parquet import load_table
-from .catalog import CACHES, query
+from .catalog import CACHES, query, retired_query
 
 NORM_DUCK = "regexp_replace(lower({c}), '[^a-z0-9]', '', 'g')"
 
@@ -182,7 +182,11 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fuzzy_join_docs_band", oracle=_DOCS_ORACLE)
+# RETIRED r12 (driver-window capacity, see catalog.py): the band
+# strategy stays pytest-hash-checked against the SAME oracle as the
+# registered fuzzy_join_docs — strategy equivalence is still machine-
+# verified every run, just not driver-run.
+@retired_query("fuzzy_join_docs_band", oracle=_DOCS_ORACLE)
 def fuzzy_join_docs_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query, length-band blocking — strategy equivalence verified
     at the driver level: both variants must hash-match the ONE oracle."""

@@ -114,3 +114,75 @@ def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert t.current_version() == 3  # append, merge, delete
     return t.read()
+
+
+def _register_datasource(spark: SparkSession) -> None:
+    """Idempotent ``lakehouse`` format registration for this session
+    (the Python Data Source registry tolerates re-registration, but a
+    per-session guard keeps the driver's 50-query loop from re-shipping
+    the class every call)."""
+    if not getattr(spark, "_lakehouse_ds_registered", False):
+        from ..sources.lakehouse_source import LakehouseDataSource
+
+        spark.dataSource.register(LakehouseDataSource)
+        spark._lakehouse_ds_registered = True
+
+
+@query("lakehouse_datasource_snapshot", oracle=_MERGE_ORACLE)
+def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse Python Data Source's first driver row (r12, the
+    r11 verdict's item 4): build the SAME append→MERGE→DELETE table as
+    ``lakehouse_merge_roundtrip`` (deliberately byte-identical inputs so
+    the two queries share one oracle — engine reader vs Data Source
+    reader is a strategy-equivalence pair, like the fuzzy band/broadcast
+    variants), then read the latest snapshot back through
+    ``spark.read.format("lakehouse")`` instead of ``t.read()``.
+
+    Under the driver's hash this exercises ``sources/lakehouse_source.py``
+    end to end: manifest-driven planning (one input partition per data
+    file — the file list comes from the commit log, never a directory
+    listing), pyarrow worker-side reads honoring the physical column
+    mapping, version pinning at plan time, and the ``_version`` /
+    ``_commit_op`` provenance columns (asserted present, then projected
+    away to match the shared oracle). At 100 TB the plan is the same:
+    planning cost is manifest size, read cost is only the snapshot's
+    live files, and workers never touch the commit log.
+
+    The build is intentionally NOT factored into a shared helper:
+    ``lakehouse_merge_roundtrip`` is parked this round and the rotation
+    policy keeps parked queries' code byte-stable."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    d = fresh_run_dir("lakehouse_ds_snap", sf_dir)
+    t = TransactionalTable(
+        spark,
+        os.path.join(d, "tbl"),
+        cluster_by=["o_orderkey"],
+        bloom_col="o_orderkey",
+    )
+    t.append(base, n_out=16)
+    delta = (
+        base.filter(F.col("o_orderkey").between(100, 5000))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey").between(100, 1100))
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    t.merge(delta, "o_orderkey")
+    t.delete(
+        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
+        "o_orderkey",
+    )
+    _register_datasource(spark)
+    snap = spark.read.format("lakehouse").load(os.path.join(d, "tbl"))
+    assert {"_version", "_commit_op"} <= set(snap.columns)
+    return snap.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .catalog import query
+from .catalog import query, retired_query
 
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: the canonical partial-agg + tiny-shuffle shape.
@@ -326,7 +326,10 @@ GROUP BY CUBE (event_type, hour(ts))
 """
 
 
-@query("events_cube", oracle=_CUBE_ORACLE)
+# RETIRED r12 (driver-window capacity, see catalog.py): CUBE is the
+# grouping-sets special case already driver-evidenced by
+# orders_grouping_sets (superset) and orders_rollup; pytest-hash-checked.
+@retired_query("events_cube", oracle=_CUBE_ORACLE)
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, hour-of-day): Catalyst expands the four
     grouping sets into one Expand + single-shuffle aggregate — the

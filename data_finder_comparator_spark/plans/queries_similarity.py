@@ -517,3 +517,55 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vdim = flatten_vectors(emb, "vec_id", "embedding")
     return kmeans_lloyd(vdim, k=_KMEANS_K, iterations=2, cache_registry=CACHES)
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+cell AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT v.vec_id, ct.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_CENT_COS} DESC, ct.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b, {_DUCK_COS} AS cos_sim
+    FROM cell ca JOIN cell cb ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+    JOIN embeddings p ON p.vec_id = ca.vec_id
+    JOIN embeddings c ON c.vec_id = cb.vec_id
+  ) WHERE cos_sim >= 0.3
+),
+dups AS (
+  SELECT vec_b AS vec_id, vec_a AS dup_of, cos_sim AS dup_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_b
+                                 ORDER BY cos_sim DESC, vec_a) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT c.vec_id, c.cell_id, d.vec_id IS NULL AS is_kept, d.dup_of, d.dup_sim
+FROM cell c LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup's first driver row (r12, the r11
+    verdict's item 4; oracle-proven in pytest since r9 —
+    test_semantic_dedup_oracle_ready carries the invariant checks and
+    the loud no-centroid failure mode). One verdict row per vector:
+    (vec_id, cell_id, is_kept, dup_of, dup_sim) under the published
+    keep-rule — a vector drops iff a LOWER-id cell-mate matches at
+    cosine >= 0.3 (synthetic-corpus threshold; production ~0.95).
+
+    Plan shape at 100 TB (see operators/similarity.py:semantic_dedup):
+    coarse-quantizer assignment is a broadcast centroid join + one
+    window; pairwise cosine runs WITHIN cells only, fanout bounded by
+    cell population (more centroids => smaller cells, the paper's own
+    scaling knob); never a global cross product."""
+    from ..operators.similarity import semantic_dedup
+    from .catalog import CACHES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, stride=50, cache_registry=CACHES)

@@ -14,7 +14,7 @@ from ..operators.textops import (
     weighted_reservoir_sample,
 )
 from ..sources.parquet import load_table
-from .catalog import CACHES, query, track
+from .catalog import CACHES, query, retired_query, track
 
 _NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
@@ -1105,7 +1105,11 @@ FROM shard GROUP BY r, b
 """
 
 
-@query("cms_merge_shards", oracle=_CMS_MERGE_ORACLE)
+# RETIRED r12 (driver-window capacity, see catalog.py): the shard-merge
+# pattern keeps three registered driver rows (bloom_merge_shards,
+# histogram_merge_shards, hll_merge_shards) and CMS itself keeps
+# cms_heavy_hitters; this merge variant is pytest-hash-checked.
+@retired_query("cms_merge_shards", oracle=_CMS_MERGE_ORACLE)
 def cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level CMS: per-source 4x1024 counter matrices (map-side
     partials, <=4096 rows per shard through the exchange), merged

@@ -1382,9 +1382,18 @@ def test_sketch_merge_family_registered_with_oracles():
     each is driver-hash-checked rather than docstring-asserted. The
     former inline dress-rehearsal tests folded into these
     registrations (tests share the plans implementation via
-    test_oracle_parity)."""
-    from data_finder_comparator_spark.plans.catalog import ORACLES, QUERIES
+    test_oracle_parity). r12: cms_merge_shards moved to the RETIRED
+    registry (driver-window capacity, catalog.py) — same oracle, same
+    per-run hash check, via test_retired_oracle_parity."""
+    from data_finder_comparator_spark.plans.catalog import (
+        ORACLES,
+        QUERIES,
+        RETIRED,
+        RETIRED_ORACLES,
+    )
 
+    q = {**QUERIES, **RETIRED}
+    o = {**ORACLES, **RETIRED_ORACLES}
     for name in (
         "hll_merge_shards",
         "cms_merge_shards",
@@ -1397,7 +1406,7 @@ def test_sketch_merge_family_registered_with_oracles():
         "cluster_canonical",
         "pcm_resample_layout",
     ):
-        assert name in QUERIES and name in ORACLES, name
+        assert name in q and name in o, name
 
 
 def test_hll_estimate_grows_past_former_saturation(spark):

@@ -24,6 +24,41 @@ def test_oracle_parity(spark, name):
     assert ok, f"{name}: {msg}"
 
 
+def _retired_cases():
+    from data_finder_comparator_spark.plans.catalog import RETIRED_ORACLES
+
+    return sorted(RETIRED_ORACLES)
+
+
+@pytest.mark.parametrize("name", _retired_cases())
+def test_retired_oracle_parity(spark, name):
+    """Queries retired from the driver registry (r12: the registry's
+    sustainable capacity is 99 — see catalog.py) keep the exact same
+    hash-vs-DuckDB gate here, every pytest run."""
+    from data_finder_comparator_spark.plans.catalog import (
+        RETIRED,
+        RETIRED_ORACLES,
+    )
+
+    df = RETIRED[name](spark, SF_ORACLE)
+    ok, msg = compare(df, RETIRED_ORACLES[name], SF_ORACLE)
+    assert ok, f"{name}: {msg}"
+
+
+def test_retired_names_absent_from_driver_registry():
+    """Retirement is a MOVE, not a duplicate registration: a name in
+    RETIRED must not also occupy a driver slot, and retirement must
+    never orphan an oracle."""
+    from data_finder_comparator_spark.plans.catalog import (
+        QUERIES,
+        RETIRED,
+        RETIRED_ORACLES,
+    )
+
+    assert not set(RETIRED) & set(QUERIES)
+    assert set(RETIRED_ORACLES) <= set(RETIRED)
+
+
 def test_all_queries_return_rows(spark):
     from data_finder_comparator_spark.plans.catalog import QUERIES
 
