@@ -101,12 +101,28 @@ def exact_topk_guarded(
     switches to the hyperplane-LSH bucketed top-k (equi-join on
     (table, bucket) — sub-quadratic, shuffle-partitioned, the plan that
     survives a 100-TB candidate side), whose recall@5 is the pytest-
-    pinned 0.94. The count that picks the branch is a parquet
-    metadata-level aggregate (footer row counts), not a data scan.
-    The UNGUARDED ``cosine_topk`` stays available as the ground-truth
-    baseline inside the recall audits only."""
-    if cands.count() <= max_broadcast_cands:
+    pinned 0.94 — APPROXIMATE: past the cap the result is no longer
+    bit-identical to an exact-brute oracle, so the switch is surfaced
+    as a loud ``warnings.warn`` (r11 ADVICE: a silent branch would make
+    a driver hash mismatch at a larger SF indistinguishable from a real
+    regression). The branch-picking ``count()`` runs a Spark count job
+    over the candidate side (column-pruned to a scan + partial counts;
+    Spark does NOT answer it from parquet footers by default) — cheap
+    relative to the top-k itself, and the honest description of its
+    cost. The UNGUARDED ``cosine_topk`` stays available as the
+    ground-truth baseline inside the recall audits only."""
+    n = cands.count()
+    if n <= max_broadcast_cands:
         return cosine_topk(probes, cands, k=k)
+    import warnings
+
+    warnings.warn(
+        f"exact_topk_guarded: candidate side has {n} rows "
+        f"(> {max_broadcast_cands}); switching from the exact broadcast "
+        "plan to the approximate LSH bucketed plan (pinned recall@5 "
+        "0.94) — results will NOT match an exact-cosine oracle",
+        stacklevel=2,
+    )
     return lsh_bucketed_topk(probes, cands, k=k, **lsh_kwargs)
 
 

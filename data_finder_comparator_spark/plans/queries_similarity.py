@@ -43,10 +43,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r11): while the candidate side fits a broadcast the plan is the
     exact brute score (bit-identical to the oracle — the case at every
     tested SF); past 1M candidates it degrades to the swept LSH
-    bucketed plan instead of an un-broadcastable crossJoin. The
-    unguarded brute form survives only inside ``ann_recall_audit`` as
-    the ground-truth baseline (same demotion the r9 round applied to
-    the brute near-dup pair scan)."""
+    bucketed plan instead of an un-broadcastable crossJoin — and says
+    so via a loud warning (r12, r11 ADVICE), because past the cap the
+    registered brute-SQL oracle would legitimately stop hash-matching
+    (recall 0.94): the warning is what distinguishes the intended
+    guard branch from a real regression in a driver red. The unguarded
+    brute form survives only inside ``ann_recall_audit`` as the
+    ground-truth baseline (same demotion the r9 round applied to the
+    brute near-dup pair scan)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").cast("long").alias("probe_id"),
@@ -351,7 +355,9 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     restatement `test_ivf_pq_topk_oracle_ready` proves hash parity
     against): coarse-cell routing prunes pairs, m=8 subspace product
     quantization scores them from byte codes via decimal-stabilized
-    ADC table lookups, exact cosine re-ranks the 60-deep shortlist.
+    ADC table lookups, exact cosine re-ranks the 120-deep shortlist
+    (the r11 default — matching the oracle's ``rn <= 120``; r10 shipped
+    rerank=60 and this docstring lagged, r11 ADVICE).
     Recall@5 vs brute: 0.96 @ sf0.01 / 0.825 @ sf0.1 (router-capped;
     bench_history/pq_sweep_r10.json + the r11 nprobe=8 routing and
     rerank=120 bumps in ivf_centroid_sweep_r11.json)."""

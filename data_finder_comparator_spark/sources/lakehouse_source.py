@@ -321,6 +321,32 @@ class _ChangeStreamReader(DataSourceStreamReader):
         pass
 
 
+def _exclusive_start_for_timestamp(t, timestamp: float) -> int:
+    """Delta-compatible ``startingTimestamp`` resolution (r11 ADVICE):
+    the stream must include every commit at-or-AFTER the instant —
+    including one landing at exactly that timestamp — and an instant
+    predating the first commit streams from the beginning instead of
+    raising. The exclusive start offset is therefore the newest live
+    version committed strictly BEFORE the instant, 0 when there is
+    none. (``version_at``'s at-or-before rule is right for TIMESTAMP
+    AS OF reads but, used as an exclusive stream start, drops a commit
+    whose time equals the instant and raises on pre-history instants.)
+    Same descending walk / expiry skip / mtime fallback as
+    ``version_at``; a start resolved below an expired version still
+    fails loudly at read time, exactly like ``startingVersion``."""
+    for v in range(t.current_version(), 0, -1):
+        try:
+            man = t._read_manifest(v)
+        except FileNotFoundError:
+            continue
+        ts = man.get("ts")
+        if ts is None:
+            ts = t.store.mtime(t._manifest_rel(v))
+        if ts < timestamp:
+            return v
+    return 0
+
+
 class _StagedFiles(WriterCommitMessage):
     def __init__(self, rels):
         self.rels = rels
@@ -426,13 +452,26 @@ def _commit_staged(
     messages,
     overwrite: bool,
     incoming_schema_json: str,
+    staged_phys: dict | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
 ) -> None:
     """Driver-side commit: footer stats + Bloom sidecars for the staged
     files, then the same optimistic slot-claim loop as append/merge.
     With txn markers (the stream writer passes (app, batchId)) a
-    replayed epoch is a no-op — exactly-once table state."""
+    replayed epoch is a no-op — exactly-once table state.
+
+    ``staged_phys`` is the logical→physical column mapping the TASKS
+    wrote their files under (captured at write planning). Each commit
+    retry revalidates it against the mapping the CURRENT manifest
+    implies — names/types compatibility alone misses a drop-then-re-add
+    of a column between planning and commit, which keeps the logical
+    schema identical while retiring the staged files' physical name;
+    committing those files would read that column back as all-NULL
+    (silent data loss). The engine-side ``append`` restages on exactly
+    this race (r11 finding 5); a session-less external writer cannot
+    restage, so it refuses and the staged files become vacuum orphans
+    (r11 ADVICE, medium)."""
     from ..sinks.lakehouse import CommitConflict
 
     t = _table(path)
@@ -470,9 +509,23 @@ def _commit_staged(
         if v > 0 and not overwrite:
             # revalidate against the CURRENT schema (the planning check
             # may have raced a schema change)
-            t._check_schema_compatible(
-                StructType.fromJson(json.loads(man["schema"])), incoming
+            cur_schema = StructType.fromJson(json.loads(man["schema"]))
+            t._check_schema_compatible(cur_schema, incoming)
+            cur_phys = t._physical_names(cur_schema)
+            ghosts = sorted(
+                c
+                for c in incoming.names
+                if (staged_phys or {}).get(c, c) != cur_phys.get(c, c)
             )
+            if ghosts:
+                raise ValueError(
+                    "lakehouse writer: column mapping changed between "
+                    f"write planning and commit for {ghosts} (rename or "
+                    "drop-then-re-add raced this write) — the staged "
+                    "files carry retired physical names and would read "
+                    "back NULL; staged files are left as vacuum "
+                    "orphans, re-run the write"
+                )
             out_schema = man["schema"]
             files = man["files"] + rels
             merged_stats = {**(man.get("stats") or {}), **stats}
@@ -502,7 +555,9 @@ class _BatchWriter(DataSourceArrowWriter):
         return _write_arrow_partition(self.path, self.txn, self.phys, iterator)
 
     def commit(self, messages) -> None:
-        _commit_staged(self.path, messages, self.overwrite, self.schema_json)
+        _commit_staged(
+            self.path, messages, self.overwrite, self.schema_json, self.phys
+        )
 
     def abort(self, messages) -> None:
         pass  # staged files are unreferenced orphans; vacuum reclaims
@@ -542,6 +597,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
             messages,
             overwrite=False,
             incoming_schema_json=self.incoming_json,
+            staged_phys=self.phys,
             txn_app=self.app_id,
             txn_version=batchId,
         )
@@ -606,10 +662,9 @@ class LakehouseDataSource(DataSource):
                 raise ValueError(
                     "pass startingVersion OR startingTimestamp, not both"
                 )
-            # stream from the first commit AFTER the instant: version_at
-            # resolves the newest snapshot at-or-before it, which is the
-            # correct exclusive starting offset
-            start = _table(self._path()).version_at(float(ts))
+            start = _exclusive_start_for_timestamp(
+                _table(self._path()), float(ts)
+            )
         # capture the MANIFEST's schema JSON (field metadata carries the
         # physical column mapping, which may not survive the JVM round
         # trip through the ``schema`` argument); at planning time it is

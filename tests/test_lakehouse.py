@@ -2536,9 +2536,11 @@ def test_lakehouse_datasource_stream_delete_only_commit_refuses(spark, tmp_path)
 
 
 def test_lakehouse_datasource_stream_starting_points(spark, tmp_path):
-    """r11: startingVersion skips history; startingTimestamp resolves
-    through the same rule as TIMESTAMP AS OF (newest snapshot at or
-    before the instant is the exclusive start)."""
+    """r11: startingVersion skips history; startingTimestamp is
+    Delta-compatible (r12, r11 ADVICE): every commit at-or-AFTER the
+    instant is included — a commit at exactly the instant streams —
+    and a pre-history instant streams from the beginning instead of
+    raising."""
     import time as _time
 
     _register_lakehouse_source(spark)
@@ -2569,6 +2571,15 @@ def test_lakehouse_datasource_stream_starting_points(spark, tmp_path):
 
     assert run("v", startingVersion="2") == [3]
     assert run("t", startingTimestamp=str(cut)) == [3]
+    # Delta boundary semantics: an instant equal to a commit's own
+    # timestamp INCLUDES that commit (exclusive start resolves to the
+    # newest version strictly before it) ...
+    ts3 = t.history()[-1]["ts"]
+    assert run("eq", startingTimestamp=str(ts3)) == [3]
+    # ... and a pre-history instant streams from the beginning rather
+    # than raising (version_at would raise here)
+    ts1 = t.history()[0]["ts"]
+    assert run("pre", startingTimestamp=str(ts1 - 3600)) == [1, 2, 3]
     with pytest.raises(Exception, match="not both"):
         run("both", startingVersion="1", startingTimestamp=str(cut))
 
@@ -2600,3 +2611,52 @@ def test_lakehouse_datasource_history_metadata_table(spark, tmp_path):
     left = [r.version for r in
             spark.read.format("lakehouse").option("metadata", "history").load(p).collect()]
     assert left == [3]
+
+
+def test_lakehouse_datasource_writer_refuses_on_mapping_race(spark, tmp_path):
+    """r12 (r11 ADVICE, medium): a drop-then-re-add of a column BETWEEN
+    write planning and commit keeps the logical schema identical (same
+    names/types — the compatibility check passes) while retiring the
+    physical name the staged files were written under; committing them
+    would read that column back as all-NULL. The engine's append()
+    restages on this race; the session-less external writer cannot, so
+    the commit must refuse and leave the staged files as vacuum
+    orphans."""
+    import pyarrow as pa
+
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _BatchWriter,
+    )
+
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    inc = spark.createDataFrame([(2, "b")], "id long, v string").schema
+    w = _BatchWriter(p, inc, overwrite=False)  # plans under physical 'v'
+    msg = w.write(
+        iter([pa.record_batch([pa.array([2], pa.int64()), pa.array(["b"])],
+                              names=["id", "v"])])
+    )
+    # the race: same logical name + type, fresh physical name
+    t.drop_columns("v")
+    t.append(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        evolve_schema=True,
+    )
+    with pytest.raises(ValueError, match="column mapping changed"):
+        w.commit([msg])
+    # refused commit left table state untouched: row 1's v was dropped
+    # (reads null), row 3 carries the re-added column, row 2 never landed
+    assert sorted(map(tuple, t.read().collect())) == [(1, None), (3, "c")]
+    # sanity: absent the race, the same staged-write path commits fine
+    w2 = _BatchWriter(p, inc, overwrite=False)
+    msg2 = w2.write(
+        iter([pa.record_batch([pa.array([4], pa.int64()), pa.array(["d"])],
+                              names=["id", "v"])])
+    )
+    w2.commit([msg2])
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, None),
+        (3, "c"),
+        (4, "d"),
+    ]

@@ -455,8 +455,14 @@ def test_ann_cosine_topk_guard_scale_path_no_cartesian(spark):
         F.col("embedding").alias("vec_c"),
     )
     # force the over-cap branch: the plan must contain no cartesian or
-    # nested-loop join anywhere
-    big = exact_topk_guarded(probes, cands, k=5, max_broadcast_cands=1)
+    # nested-loop join anywhere — and the switch to the approximate
+    # plan must be LOUD (r12, r11 ADVICE: at a larger SF the brute
+    # oracle legitimately stops hash-matching here, and the warning is
+    # what distinguishes the intended guard branch from a regression)
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="switching from the exact"):
+        big = exact_topk_guarded(probes, cands, k=5, max_broadcast_cands=1)
     plan = _executed_plan(big)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
