@@ -162,34 +162,42 @@ class TransactionalTable:
         # immutable after — a reader opening the table later gets the
         # committed policy automatically (see below).
         self.partition_by = list(partition_by) if partition_by else None
-        # Local/POSIX paths only, enforced loudly: every manifest and
-        # maintenance walk (current_version, vacuum, optimize sizing)
-        # uses os-level IO, so accepting an hdfs://...s3a:// URI here
-        # would not fail until the first silent current_version()==0.
-        # Porting to an object store means routing THIS class's file IO
-        # through that store's client (the commit protocol itself maps
-        # directly: exclusive-create -> If-None-Match PUT); it is not a
-        # flag flip, so refuse rather than half-work.
-        if "://" in self.path and not self.path.startswith("file:"):
+        # Local/POSIX paths only UNLESS an explicit store is supplied,
+        # enforced loudly: with the default LocalStore every manifest
+        # and maintenance walk uses os-level IO, so accepting an
+        # hdfs://...s3a:// URI here would not fail until the first
+        # silent current_version()==0. Porting to an object store means
+        # implementing the storage protocol with that store's client
+        # (the commit protocol itself maps directly: exclusive-create
+        # -> If-None-Match PUT) and passing it as ``store=``; it is not
+        # a flag flip, so refuse rather than half-work.
+        if (
+            store is None
+            and "://" in self.path
+            and not self.path.startswith("file:")
+        ):
             raise ValueError(
                 "TransactionalTable requires a local or file: path; "
-                f"got {self.path!r} — scheme'd filesystems need the "
-                "manifest/data IO ported to that store's client"
+                f"got {self.path!r} — scheme'd filesystems need a "
+                "store= client implementing the storage protocol "
+                "(sinks/storage.py)"
             )
-        # control-plane seam (r11): manifests, consumer cursors, bloom
-        # sidecars and vacuum enumeration go through a StorageAdapter
-        # (put-if-absent / put / read / list / delete / mtime / lock) —
-        # LocalStore by default; MemoryStore in tests proves the commit
-        # protocol holds with no rename/link/directories (the
-        # object-store shape). The DATA plane (Spark parquet IO) stays
-        # path-based behind the loud refusal above: a real object-store
-        # port supplies a scheme'd store here AND lets Spark's Hadoop
-        # FS layer handle the data paths.
+        # storage seam: control plane (manifests, consumer cursors,
+        # bloom sidecars, vacuum enumeration — r11) AND data plane
+        # (parquet files — r12) go through a StorageAdapter. LocalStore
+        # by default. Data-plane capability split (see storage.py):
+        # supports_spark_io stores keep Spark's native parallel
+        # engine IO on the data paths (the 100-TB shape, unchanged
+        # plans); others (MemoryStore) switch _read_rels /
+        # _write_data_files to the pyarrow RELAY route, which proves
+        # the whole table lifecycle needs no filesystem but moves data
+        # bytes through the driver — test-scale by design.
         if store is None:
             from .storage import LocalStore
 
             store = LocalStore(self._strip_scheme(self.path))
         self.store = store
+        self._spark_data_io = getattr(store, "supports_spark_io", True)
         v0 = self.current_version()
         man0 = self._read_manifest(v0) if v0 else None
         # partition_by is resolved FROM THE TABLE once one exists: the
@@ -413,6 +421,8 @@ class TransactionalTable:
         unpartitioned tables keep the single flat scan."""
         if not rels:
             return self.spark.createDataFrame([], schema)
+        if not self._spark_data_io:
+            return self._read_rels_via_store(schema, rels)
         phys = self._physical_names(schema)
         phys_schema = StructType(
             [
@@ -443,6 +453,77 @@ class TransactionalTable:
         # columns; restore the logical schema order (and logical
         # names) so partitioned and flat tables read identically
         return out.select(*to_logical)
+
+    @staticmethod
+    def _project_arrow(raw, schema: StructType, phys: dict, partition_values: dict):
+        """Arrow-side projection of ONE data file to the logical
+        schema — the single source of truth for read semantics shared
+        by the relay route below and the data-source workers
+        (``sources/lakehouse_source.py``): physical column if present
+        in the file, hive partition value if the column lives in the
+        path, null otherwise (additive evolution)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        n = raw.num_rows
+        arrays, fields = [], []
+        for f in schema.fields:
+            at = to_arrow_type(f.dataType)
+            physical = phys.get(f.name, f.name)
+            if physical in raw.column_names:
+                col = raw.column(physical).cast(at)
+            elif f.name in partition_values:
+                v = partition_values[f.name]
+                col = pa.chunked_array([pa.array([v] * n).cast(at)])
+            else:
+                col = pa.chunked_array([pa.nulls(n, at)])
+            arrays.append(col)
+            fields.append(pa.field(f.name, at, nullable=True))
+        return pa.table(arrays, schema=pa.schema(fields))
+
+    def _read_rels_via_store(
+        self, schema: StructType, rels: list[str], rel_col: str | None = None
+    ) -> DataFrame:
+        """RELAY read for stores Spark's engine cannot reach
+        (``supports_spark_io`` False — an in-process MemoryStore):
+        each manifest file decodes via pyarrow from store bytes and
+        projects to the logical schema under exactly the Spark path's
+        rules, then the concatenated Arrow table becomes the frame.
+        Data bytes pass through the driver — the documented test-scale
+        trade of a store with no worker-reachable address; any real
+        backend keeps the Spark-native parallel path.
+
+        ``rel_col`` appends each row's manifest-relative file name as a
+        string column — the relay route's provenance, standing in for
+        ``input_file_name()`` in the hit-detection exact scan (which is
+        empty on a frame that never came from a file scan; without
+        this, merge would silently duplicate keys and delete would
+        no-op on relay tables)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StringType
+
+        phys = self._physical_names(schema)
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        tables = []
+        for rel in rels:
+            with self.store.open_read(f"{_DATA}/{rel}") as fh:
+                raw = pq.read_table(fh)
+            pvals = self._parse_partition_values(rel, ptypes)
+            tbl = self._project_arrow(raw, schema, phys, pvals)
+            if rel_col is not None:
+                tbl = tbl.append_column(
+                    rel_col, pa.array([rel] * tbl.num_rows, pa.string())
+                )
+            tables.append(tbl)
+        out_schema = schema
+        if rel_col is not None:
+            out_schema = StructType(
+                list(schema.fields) + [StructField(rel_col, StringType(), False)]
+            )
+        return self.spark.createDataFrame(
+            pa.concat_tables(tables), schema=out_schema
+        )
 
     @staticmethod
     def _range_overlap(stats: dict | None, col: str, lo, hi) -> bool:
@@ -774,21 +855,27 @@ class TransactionalTable:
             # optimize() compacts the count later
             if len(df.inputFiles()) <= 32:
                 df = df.repartition(*self.partition_by)
-        writer = df.write.mode("overwrite")
-        if self.partition_by:
-            # hive layout: col=val directories; the partition columns
-            # live in the PATH, not the files — every read goes through
-            # _read_rels, which reconstructs them via basePath
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(out_dir)
-        local = self._strip_scheme(out_dir)
-        rels = []
-        for dp, _dns, fns in os.walk(local):
-            for name in fns:
-                if name.endswith(".parquet") and not name.startswith((".", "_")):
-                    sub = os.path.relpath(os.path.join(dp, name), local)
-                    rels.append(f"{txn}/{sub.replace(os.sep, '/')}")
-        rels = sorted(rels)
+        if self._spark_data_io:
+            writer = df.write.mode("overwrite")
+            if self.partition_by:
+                # hive layout: col=val directories; the partition
+                # columns live in the PATH, not the files — every read
+                # goes through _read_rels, which reconstructs them via
+                # basePath
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(out_dir)
+            local = self._strip_scheme(out_dir)
+            rels = []
+            for dp, _dns, fns in os.walk(local):
+                for name in fns:
+                    if name.endswith(".parquet") and not name.startswith(
+                        (".", "_")
+                    ):
+                        sub = os.path.relpath(os.path.join(dp, name), local)
+                        rels.append(f"{txn}/{sub.replace(os.sep, '/')}")
+            rels = sorted(rels)
+        else:
+            rels = self._relay_write_data_files(df, txn)
         # footer reads (and Bloom builds below) are driver-side file
         # IO, one per part file — a large compaction writes thousands,
         # so run them on a thread pool (pyarrow releases the GIL on
@@ -845,6 +932,56 @@ class TransactionalTable:
                         mn[c] = pv
                         mx[c] = pv
         return txn, rels, stats
+
+    def _relay_write_data_files(self, df: DataFrame, txn: str) -> list[str]:
+        """RELAY write for stores Spark's engine cannot reach: parquet
+        ENCODING stays in the executors (``mapInArrow``, one file per
+        task partition — the cluster_by range layout applied upstream
+        is preserved, so footer ranges stay tight), then the encoded
+        bytes return as task results and the driver ``put``s them into
+        the store. Bytes-through-the-driver is the documented
+        test-scale trade of an in-process store; a worker-addressable
+        backend (LocalStore, any real object store) keeps Spark's
+        direct parallel write. Hive partitioning is refused here —
+        its path-encoding contract belongs to Spark's own writer, and
+        partition pruning is already manifest-stat-driven on this
+        table."""
+        if self.partition_by:
+            raise ValueError(
+                "partitioned (hive-layout) tables need a store Spark's "
+                "engine can write directly (supports_spark_io); the "
+                "relay route supports flat and cluster_by tables"
+            )
+
+        def _encode(batches):
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            sink = pa.BufferOutputStream()
+            w = None
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                if w is None:
+                    w = pq.ParquetWriter(sink, b.schema)
+                w.write_batch(b)
+            if w is None:
+                return
+            w.close()
+            yield pa.record_batch(
+                [
+                    pa.array([f"part-{_uuid.uuid4().hex}.parquet"]),
+                    pa.array([sink.getvalue().to_pybytes()], pa.binary()),
+                ],
+                names=["name", "data"],
+            )
+
+        rows = df.mapInArrow(_encode, "name string, data binary").collect()
+        for r in rows:
+            self.store.put(f"{_DATA}/{txn}/{r['name']}", bytes(r["data"]))
+        return sorted(f"{txn}/{r['name']}" for r in rows)
 
     @staticmethod
     def _parse_partition_values(rel: str, ptypes: dict) -> dict:
@@ -948,13 +1085,11 @@ class TransactionalTable:
             or isinstance(stats_entry.get("min", {}).get(col), bool)
         ):
             return None
-        path = os.path.join(
-            self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/")
-        )
         try:
             import pyarrow.parquet as pq
 
-            keys = pq.read_table(path, columns=[col]).column(col).to_pylist()
+            with self.store.open_read(f"{_DATA}/{rel}") as fh:
+                keys = pq.read_table(fh, columns=[col]).column(col).to_pylist()
         except Exception:
             return None
         keys = [v for v in keys if v is not None]
@@ -1029,12 +1164,16 @@ class TransactionalTable:
         JSON-representable orderable scalars (int/float/str) make it in;
         a column missing stats in ANY row group is dropped entirely so a
         consumer can trust every recorded bound. Any failure degrades to
-        None — stats are an optimization, never required."""
-        path = os.path.join(self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/"))
+        None — stats are an optimization, never required. Reads route
+        through the store (r12): a parquet FOOTER probe on a file-like
+        is the same seek-to-tail read a real object store serves as a
+        ranged GET."""
         try:
             import pyarrow.parquet as pq
 
-            meta = pq.ParquetFile(path).metadata
+            with self.store.open_read(f"{_DATA}/{rel}") as fh:
+                meta = pq.ParquetFile(fh).metadata
+            nbytes = self.store.size(f"{_DATA}/{rel}")
         except Exception:
             return None
         mins: dict[str, object] = {}
@@ -1069,7 +1208,7 @@ class TransactionalTable:
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
         return {
             "rows": meta.num_rows,
-            "bytes": os.path.getsize(path),
+            "bytes": nbytes,
             "min": mins,
             "max": maxs,
         }
@@ -1521,6 +1660,22 @@ class TransactionalTable:
                 ]
         if not candidates:
             return []
+        if not self._spark_data_io:
+            # relay route: input_file_name() is empty on a frame that
+            # never came from a file scan, so provenance rides as an
+            # explicit column appended at decode time — same join, same
+            # exactness, or merge/delete would silently miss every hit
+            tagged = self._read_rels_via_store(
+                table_schema, candidates, rel_col="_rel"
+            )
+            hit = {
+                r._rel
+                for r in tagged.join(keys, key_cols)
+                .select("_rel")
+                .distinct()
+                .collect()
+            }
+            return sorted(rel for rel in candidates if rel in hit)
         tagged = self._read_rels(table_schema, candidates).withColumn(
             "_file", F.input_file_name()
         )
@@ -1981,11 +2136,8 @@ class TransactionalTable:
                 s = all_stats.get(rel)
                 if s and "bytes" in s:
                     return s["bytes"]
-                p = os.path.join(
-                    self._strip_scheme(f"{self.path}/{_DATA}"), *rel.split("/")
-                )
                 try:
-                    return os.path.getsize(p)
+                    return self.store.size(f"{_DATA}/{rel}")
                 except OSError:
                     return None
 

@@ -1,4 +1,5 @@
-"""Storage adapters for the transactional table's CONTROL PLANE.
+"""Storage adapters for the transactional table's control AND (r12)
+data plane.
 
 ``TransactionalTable``'s commit protocol needs exactly four primitives
 from its store: atomic put-if-absent (the version-slot claim),
@@ -13,12 +14,30 @@ discipline the crash-atomicity tests pin), ``MemoryStore`` is the
 in-process fake that proves the PROTOCOL holds on a backend with no
 rename, no directories and no hard links — the object-store shape.
 
-The DATA plane (parquet files Spark itself reads and writes) is NOT
-routed through here: Spark talks to storage through its own Hadoop
-filesystem layer, so a real object-store port gives the table a
-scheme'd client for this seam and lets Spark handle ``s3a://`` data
-paths natively. ``TransactionalTable.__init__`` keeps its loud
-local-path-only refusal until such a client exists.
+DATA plane (r12): parquet files route through the store too, under a
+capability split —
+
+* ``supports_spark_io = True`` (``LocalStore``; a real S3/GCS store
+  would be the same): Spark's own engine reads and writes the data
+  paths directly — executors talk to storage in parallel through the
+  JVM's filesystem/connector layer, the only shape that survives
+  100 TB. Footer-stat reads, Bloom builds and staged-file IO use
+  ``open_read``/``open_write``/``size``, which workers reach by
+  reconstructing the store from its picklable ``spec()``.
+* ``supports_spark_io = False`` (``MemoryStore``): the table switches
+  to a RELAY route — parquet ENCODE/DECODE stays distributed-shaped
+  (``mapInArrow`` in executors / driver-side pyarrow projection), but
+  the bytes pass through the driver's ``put``/``read_bytes``, because
+  an in-process dict is unreachable from worker processes. This route
+  exists to PROVE the commit protocol and file format need no
+  filesystem at all (zero os-path IO end to end — the e2e lifecycle
+  test pins it); it is test-scale by design and says so loudly in
+  the table code.
+
+Porting to a real object store is therefore: implement this protocol
+with a network client, ``supports_spark_io = True``, and give
+``spec()`` a scheme (workers rebuild clients from specs) — no engine
+surgery.
 
 Rel-path convention: every method takes paths RELATIVE to the store
 root, always '/'-separated (never ``os.sep``).
@@ -43,11 +62,34 @@ class LocalStore:
     directory entry fsynced. A crash or ENOSPC mid-write can never
     leave a truncated object in a claimed slot."""
 
+    supports_spark_io = True  # Spark engine IO may touch data paths
+
     def __init__(self, root: str):
         self.root = root
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.root, *rel.split("/"))
+
+    def spec(self) -> dict:
+        """Picklable recipe a WORKER process can rebuild this store
+        from (``store_from_spec``) — how data-source tasks reach
+        storage without shipping live handles."""
+        return {"kind": "local", "root": self.root}
+
+    def open_read(self, rel: str):
+        """Binary file-like positioned at 0 (pyarrow-compatible)."""
+        return open(self._abs(rel), "rb")
+
+    def open_write(self, rel: str):
+        """Binary file-like for a NEW object (staged data files: names
+        are unique per attempt, so plain create — the crash-atomic
+        put_if_absent discipline is for commit slots, not data)."""
+        target = self._abs(rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        return open(target, "wb")
+
+    def size(self, rel: str) -> int:
+        return os.path.getsize(self._abs(rel))
 
     def put_if_absent(self, rel: str, data: bytes) -> bool:
         target = self._abs(rel)
@@ -164,11 +206,46 @@ class MemoryStore:
     a single atomic check-and-set under one lock, the direct analogue
     of an If-None-Match PUT)."""
 
+    supports_spark_io = False  # data plane must use the relay route
+
     def __init__(self):
         self._objects: dict[str, bytes] = {}
         self._mtimes: dict[str, float] = {}
         self._mu = threading.RLock()
         self._locks: dict[str, threading.Lock] = {}
+
+    def spec(self) -> dict | None:
+        """An in-process dict has no address a worker process could
+        dial — None means 'not shippable'; callers that need worker
+        access must refuse loudly (the data-source planner does)."""
+        return None
+
+    def open_read(self, rel: str):
+        import io
+
+        return io.BytesIO(self.read_bytes(rel))
+
+    def open_write(self, rel: str):
+        """Buffered writer whose close() publishes the object — the
+        PUT-on-complete semantics of a real object store (partial
+        uploads are never visible)."""
+        import io
+
+        store = self
+
+        class _Buf(io.BytesIO):
+            def close(buf) -> None:  # noqa: N805 - inner self
+                store.put(rel, buf.getvalue())
+                io.BytesIO.close(buf)
+
+        return _Buf()
+
+    def size(self, rel: str) -> int:
+        with self._mu:
+            try:
+                return len(self._objects[rel])
+            except KeyError:
+                raise FileNotFoundError(rel) from None
 
     def put_if_absent(self, rel: str, data: bytes) -> bool:
         with self._mu:
@@ -218,3 +295,13 @@ class MemoryStore:
 
     def prune_empty_dirs(self, prefix: str, cutoff: float | None) -> None:
         pass  # no directories to prune
+
+
+def store_from_spec(spec: dict):
+    """Rebuild a store in a WORKER process from ``Store.spec()`` —
+    the data-source read/write tasks' route to storage. New backends
+    register a kind here plus a client class above; nothing else in
+    the engine changes."""
+    if spec["kind"] == "local":
+        return LocalStore(spec["root"])
+    raise ValueError(f"unknown store spec kind {spec['kind']!r}")

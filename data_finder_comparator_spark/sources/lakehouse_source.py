@@ -41,7 +41,6 @@ CDF past retention.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -66,10 +65,15 @@ _REWRITE_ONLY_OPS = {"optimize"}
 
 class _FilePartition(InputPartition):
     """One data file: everything a worker needs, precomputed on the
-    driver (no table handle, no manifest IO worker-side)."""
+    driver (no table handle, no manifest IO worker-side). The file is
+    addressed as (store spec, manifest-relative path) — workers rebuild
+    the storage client from the picklable spec (r12: data-plane IO
+    through the storage seam; an object-store port is a new spec kind,
+    not engine surgery)."""
 
-    def __init__(self, abs_path, schema_json, phys, partition_values, version, op):
-        self.abs_path = abs_path
+    def __init__(self, store_spec, rel, schema_json, phys, partition_values, version, op):
+        self.store_spec = store_spec
+        self.rel = rel
         self.schema_json = schema_json  # logical StructType JSON string
         self.phys = phys  # {logical: physical}
         self.partition_values = partition_values
@@ -101,6 +105,13 @@ def _file_partitions(path: str, schema_json: str, rels, version, op):
     whatever era the file is from; physical names are stable across
     renames, so old files read correctly under the new schema."""
     t = _table(path)
+    spec = t.store.spec()
+    if spec is None:
+        raise ValueError(
+            "lakehouse data source: the table's store is not "
+            "addressable from worker processes (no picklable spec) — "
+            "read in-process stores via TransactionalTable.read"
+        )
     schema = StructType.fromJson(json.loads(schema_json))
     phys = t._physical_names(schema)
     ptypes = {f.name: f.dataType for f in schema.fields}
@@ -109,9 +120,8 @@ def _file_partitions(path: str, schema_json: str, rels, version, op):
         pvals = t._parse_partition_values(rel, ptypes)
         parts.append(
             _FilePartition(
-                os.path.join(
-                    t._strip_scheme(f"{t.path}/data"), *rel.split("/")
-                ),
+                spec,
+                rel,
                 schema_json,
                 phys,
                 pvals,
@@ -124,41 +134,34 @@ def _file_partitions(path: str, schema_json: str, rels, version, op):
 
 def _read_file_partition(part: _FilePartition):
     """Worker-side: parquet file → arrow RecordBatches in the LOGICAL
-    schema + provenance columns. Projection rules match
-    TransactionalTable._read_rels: physical column if present, hive
-    partition value if the column lives in the path, null otherwise
-    (additive evolution)."""
+    schema + provenance columns. The file opens through the store
+    rebuilt from the partition's spec (r12), and the projection is
+    ``TransactionalTable._project_arrow`` — the SAME code the engine
+    reader runs (physical column if present, hive partition value if
+    the column lives in the path, null otherwise), so the two readers
+    cannot drift."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pyspark.sql.pandas.types import to_arrow_type
+    from ..sinks.lakehouse import TransactionalTable
+    from ..sinks.storage import store_from_spec
 
     schema = StructType.fromJson(json.loads(part.schema_json))
-    raw = pq.read_table(part.abs_path)
+    store = store_from_spec(part.store_spec)
+    with store.open_read(f"data/{part.rel}") as fh:
+        raw = pq.read_table(fh)
     n = raw.num_rows
-    names, arrays, fields = [], [], []
-    for f in schema.fields:
-        logical, physical = f.name, part.phys.get(f.name, f.name)
-        at = to_arrow_type(f.dataType)
-        if physical in raw.column_names:
-            col = raw.column(physical).cast(at)
-        elif logical in part.partition_values:
-            v = part.partition_values[logical]
-            col = pa.chunked_array([pa.array([v] * n).cast(at)])
-        else:
-            col = pa.chunked_array([pa.nulls(n, at)])
-        names.append(logical)
-        arrays.append(col)
-        fields.append(pa.field(logical, at, nullable=True))
-    arrays.append(
-        pa.chunked_array([pa.array([part.version] * n, pa.int64())])
+    out = TransactionalTable._project_arrow(
+        raw, schema, part.phys, part.partition_values
     )
-    names.append("_version")
-    fields.append(pa.field("_version", pa.int64(), nullable=False))
-    arrays.append(pa.chunked_array([pa.array([part.op] * n, pa.string())]))
-    names.append("_commit_op")
-    fields.append(pa.field("_commit_op", pa.string(), nullable=True))
-    out = pa.table(arrays, schema=pa.schema(fields))
+    out = out.append_column(
+        pa.field("_version", pa.int64(), nullable=False),
+        pa.array([part.version] * n, pa.int64()),
+    )
+    out = out.append_column(
+        pa.field("_commit_op", pa.string(), nullable=True),
+        pa.array([part.op] * n, pa.string()),
+    )
     yield from out.combine_chunks().to_batches()
 
 
@@ -404,12 +407,21 @@ def _plan_write(path: str, incoming: StructType, overwrite: bool):
         if v > 0 and not overwrite
         else {}
     )
-    return txn, phys, incoming.json()
+    spec = t.store.spec()
+    if spec is None:
+        raise ValueError(
+            "lakehouse data source: the table's store is not "
+            "addressable from worker processes (no picklable spec) — "
+            "write to in-process stores via TransactionalTable.append"
+        )
+    return txn, phys, incoming.json(), spec
 
 
-def _write_arrow_partition(path, txn, phys, iterator):
+def _write_arrow_partition(store_spec, txn, phys, iterator):
     """Task-side: arrow batches → one staged parquet part file under
-    data/<txn>/ with PHYSICAL column names. A unique filename per
+    data/<txn>/ with PHYSICAL column names, streamed through the store
+    rebuilt from ``store_spec`` (r12: staged-file IO through the
+    storage seam, same route as the read tasks). A unique filename per
     ATTEMPT means a retried task never collides; losing attempts'
     files are orphans until vacuum (the commit references only the
     files of messages Spark reports as committed)."""
@@ -418,14 +430,12 @@ def _write_arrow_partition(path, txn, phys, iterator):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = os.path.join(
-        path[len("file:"):] if path.startswith("file:") else path,
-        "data",
-        txn,
-    )
-    os.makedirs(out_dir, exist_ok=True)
+    from ..sinks.storage import store_from_spec
+
+    store = store_from_spec(store_spec)
     name = f"part-{_uuid.uuid4().hex}.parquet"
     writer = None
+    fh = None
     n = 0
     try:
         for batch in iterator:
@@ -436,14 +446,16 @@ def _write_arrow_partition(path, txn, phys, iterator):
                 [phys.get(c, c) for c in tbl.column_names]
             )
             if writer is None:
-                writer = pq.ParquetWriter(
-                    os.path.join(out_dir, name), tbl.schema
-                )
+                # the object is created only when the task has rows
+                fh = store.open_write(f"data/{txn}/{name}")
+                writer = pq.ParquetWriter(fh, tbl.schema)
             writer.write_table(tbl)
             n += tbl.num_rows
     finally:
         if writer is not None:
             writer.close()
+        if fh is not None:
+            fh.close()
     return _StagedFiles([f"{txn}/{name}"] if n else [])
 
 
@@ -547,12 +559,14 @@ class _BatchWriter(DataSourceArrowWriter):
     def __init__(self, path, incoming: StructType, overwrite: bool):
         self.path = path
         self.overwrite = overwrite
-        self.txn, self.phys, self.schema_json = _plan_write(
+        self.txn, self.phys, self.schema_json, self.store_spec = _plan_write(
             path, incoming, overwrite
         )
 
     def write(self, iterator):
-        return _write_arrow_partition(self.path, self.txn, self.phys, iterator)
+        return _write_arrow_partition(
+            self.store_spec, self.txn, self.phys, iterator
+        )
 
     def commit(self, messages) -> None:
         _commit_staged(
@@ -575,8 +589,9 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         self.path = path
         self.app_id = app_id
         # validation runs HERE (stream planning, driver-side); tasks
-        # only stage files. phys is epoch-independent for appends.
-        _, self.phys, self.incoming_json = _plan_write(
+        # only stage files. phys is epoch-independent for appends
+        # (commit-time revalidation catches mapping races — r12).
+        _, self.phys, self.incoming_json, self.store_spec = _plan_write(
             path, incoming, overwrite=False
         )
 
@@ -588,7 +603,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         import uuid as _uuid
 
         return _write_arrow_partition(
-            self.path, f"txn-{_uuid.uuid4().hex}", self.phys, iterator
+            self.store_spec, f"txn-{_uuid.uuid4().hex}", self.phys, iterator
         )
 
     def commit(self, messages, batchId: int) -> None:
