@@ -929,3 +929,469 @@ def ann_recall_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- persisted IVF-PQ index: build once / serve many (r12) -------------
+#
+# The r11 verdict's item 3: every registered ANN query re-runs its
+# index BUILD (coarse assignment + all-candidate PQ encode — ~85% of
+# ivf_pq_topk's wall) inside the query. Correct at an oracle harness
+# that starts from a pristine directory; a scale-killer shape if copied
+# as the serving path, because at 100 TB the encode pass is a
+# write-once INDEX cost, not a per-query cost. This section splits the
+# lifecycle the way FAISS deployments do:
+#
+#   build_ivf_pq_index(...)   one-off: quantizers sampled + every
+#                             candidate encoded, persisted as four
+#                             TransactionalTables
+#   ivf_pq_index_append(...)  daily ingest: encode ONLY the new rows
+#                             under the FROZEN codebooks, append with
+#                             txn markers (same idempotence contract as
+#                             incremental_lsh_pairs, operators/dedup.py)
+#   ivf_pq_search(...)        serving: read the index, never encode
+#
+# The arithmetic (subspace split, L2² encode identity, rounded-decimal
+# ADC) is kept IDENTICAL to ivf_pq_topk — the dress-rehearsal test
+# hash-matches the prebuilt search against ivf_pq_topk's own DuckDB
+# oracle. ivf_pq_topk itself is deliberately left byte-untouched
+# (parked driver query this round); the ~20 shared expression lines are
+# duplicated here instead of refactored out from under it.
+
+
+class IvfPqIndex:
+    """Handle to a persisted IVF-PQ index rooted at ``root``:
+
+    * ``centroids`` — (cent_id, vec_cent): the coarse quantizer.
+    * ``codebook``  — (j, pq_id, csub): per-subspace PQ entries.
+    * ``cells``     — (cent_id, cand_id): the INVERTED LISTS,
+      range-clustered on cent_id so a probe reading ``nprobe`` cells
+      opens only the files whose footer range covers those cells —
+      per-probe IO is bounded by cell population, the on-disk analogue
+      of FAISS's per-list layout.
+    * ``codes``     — (cand_id, codes array<long>): one m-length code
+      row per candidate, clustered on cand_id.
+
+    Quantizers are FROZEN at build time (the FAISS contract: retraining
+    means rebuilding); appends encode new rows under them. Consistency
+    across the two mutable tables: writers commit ``codes`` FIRST, then
+    ``cells`` — membership is defined by ``cells`` (routing joins it),
+    so a crash between the two commits leaves a reachable-and-complete
+    index, never a candidate that routes but cannot score; the replayed
+    batch's txn markers then no-op the half already applied."""
+
+    def __init__(self, spark: SparkSession, root: str, stores: dict | None = None):
+        from ..sinks.lakehouse import TransactionalTable
+
+        s = stores or {}
+        self.root = root
+        self.centroids = TransactionalTable(
+            spark, f"{root}/centroids", store=s.get("centroids")
+        )
+        self.codebook = TransactionalTable(
+            spark, f"{root}/codebook", store=s.get("codebook")
+        )
+        self.cells = TransactionalTable(
+            spark, f"{root}/cells", cluster_by=["cent_id"], store=s.get("cells")
+        )
+        self.codes = TransactionalTable(
+            spark, f"{root}/codes", cluster_by=["cand_id"], store=s.get("codes")
+        )
+
+    def params(self) -> dict:
+        """The build parameters, from the codebook table's committed
+        manifest detail (persisted as constraints-free metadata rows
+        would be overkill: m and w are recoverable from the data, and
+        search takes its own nprobe/rerank)."""
+        cb = self.codebook.read()
+        row = cb.agg(
+            (F.max("j") + 1).alias("m"),
+            F.max(F.size("csub")).alias("w"),
+        ).first()
+        return {"m": int(row["m"]), "w": int(row["w"])}
+
+
+def _pq_encode_under(
+    cands: DataFrame, cents: DataFrame, pq_sub: DataFrame, m: int, w: int,
+    n_assign: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Encode ``cands`` under FROZEN quantizers: returns (cells, codes)
+    frames — (cent_id, cand_id) inverted-list rows and (cand_id,
+    codes array) rows. Arithmetic is ivf_pq_topk's encode stage
+    verbatim: argmin of the 6-dp-rounded L2² identity xx − 2xc + cc
+    per (cand, subspace), ties to the lower pq_id; join+codegen over
+    array-HOF folds per the r11 A/B (SCALE.md §13)."""
+    cells = nearest_centroid_cells(cands, cents, "cand_id", "vec_c", n_assign).select(
+        "cent_id", "cand_id"
+    )
+    cand_sub = _subspaces(cands, "cand_id", "vec_c", m, w).withColumn(
+        "_xx", dot("sub", "sub")
+    )
+    enc_w = Window.partitionBy("cand_id", "j").orderBy("l2", "pq_id")
+    codes = (
+        cand_sub.join(F.broadcast(pq_sub.select("j", "pq_id", "csub", "_cc")), "j")
+        .withColumn(
+            "l2",
+            F.round(F.col("_xx") - 2 * dot("sub", "csub") + F.col("_cc"), 6),
+        )
+        .withColumn("_rn", F.row_number().over(enc_w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("cand_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", F.col("pq_id").alias("code")))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    return cells, codes
+
+
+def _index_quantizers(index: IvfPqIndex) -> tuple[DataFrame, DataFrame]:
+    """(cents with _ncent, pq_sub with _cc/cdec) read back from the
+    index tables — norms recomputed from the persisted double arrays
+    (parquet round-trips doubles exactly, so the arithmetic is
+    bit-identical to build time)."""
+    cents = index.centroids.read().withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    pq_sub = (
+        index.codebook.read()
+        .withColumn("_cc", dot("csub", "csub"))
+        .withColumn("cdec", F.round(F.col("_cc"), 6).cast("decimal(28,10)"))
+    )
+    return cents, pq_sub
+
+
+def build_ivf_pq_index(
+    spark: SparkSession,
+    root: str,
+    cands: DataFrame,
+    stride: int = 50,
+    n_assign: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    pq_stride: int = 10,
+    centroids: DataFrame | None = None,
+    stores: dict | None = None,
+) -> IvfPqIndex:
+    """One-off index build: sample (or adopt) the coarse centroids and
+    per-subspace PQ codebooks from ``cands``, encode every candidate,
+    persist all four tables. Parameters and sampling match ivf_pq_topk's
+    defaults so a search over the built index reproduces the registered
+    query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready)."""
+    w = dim // m
+    index = IvfPqIndex(spark, root, stores=stores)
+    coarse = (
+        centroids.select("cent_id", "vec_cent")
+        if centroids is not None
+        else cands.filter(F.col("cand_id") % stride == 0).select(
+            F.col("cand_id").alias("cent_id"), F.col("vec_c").alias("vec_cent")
+        )
+    )
+    cents = coarse.withColumn("_ncent", dot("vec_cent", "vec_cent"))
+    pq_sub = (
+        _subspaces(
+            cands.filter(F.col("cand_id") % pq_stride == 0).select(
+                F.col("cand_id").alias("pq_id"), "vec_c"
+            ),
+            "pq_id",
+            "vec_c",
+            m,
+            w,
+        )
+        .withColumnRenamed("sub", "csub")
+        .withColumn("_cc", dot("csub", "csub"))
+    )
+    index.centroids.append(coarse.select("cent_id", "vec_cent"))
+    index.codebook.append(pq_sub.select("j", "pq_id", "csub"))
+    cells, codes = _pq_encode_under(cands, cents, pq_sub, m, w, n_assign)
+    # codes before cells: membership (= routability) is defined by
+    # cells, so the index is consistent at every commit boundary
+    index.codes.append(codes)
+    index.cells.append(cells)
+    return index
+
+
+def ivf_pq_index_append(
+    index: IvfPqIndex,
+    new_cands: DataFrame,
+    n_assign: int = 2,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Daily-ingest index maintenance: encode ONLY ``new_cands`` under
+    the index's frozen quantizers and append. Cost is linear in the
+    batch — never a recompute over the accumulated corpus (the same
+    100-TB shape as incremental_lsh_pairs). Idempotent under replay via
+    (txn_app, txn_version) markers on both appends; commit order
+    codes→cells keeps every routable candidate scoreable across a
+    crash between them. Returns the cells table's new version.
+
+    Note the drift contract: appended rows quantize under codebooks
+    sampled from the BOOTSTRAP corpus. If the embedding distribution
+    shifts, recall decays and the answer is a REBUILD (optimize/retrain)
+    — FAISS's contract too; the index never silently resamples."""
+    p = index.params()
+    cents, pq_sub = _index_quantizers(index)
+    cells, codes = _pq_encode_under(
+        new_cands, cents, pq_sub, p["m"], p["w"], n_assign
+    )
+    index.codes.append(codes, txn_app=txn_app, txn_version=txn_version)
+    return index.cells.append(cells, txn_app=txn_app, txn_version=txn_version)
+
+
+def ivf_pq_search(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 120,
+) -> DataFrame:
+    """Serve from the prebuilt index: route probes to ``nprobe`` cells,
+    score routed pairs by ADC over the PERSISTED codes, exact-rerank
+    the top-``rerank`` shortlist against the full-precision candidate
+    vectors. No candidate encode anywhere — the only per-query work
+    proportional to corpus size is the inverted-list equi-join, whose
+    file IO the cells table's cent_id clustering bounds to the probed
+    cells. ``cands`` supplies the full-precision vectors for the
+    re-rank only (at 100 TB: a point-lookup join against the vector
+    store for rerank x |probes| rows, not a scan)."""
+    cents, pq_sub = _index_quantizers(index)
+    p = index.params()
+    m, w = p["m"], p["w"]
+    probe_cells = nearest_centroid_cells(
+        probes, cents, "probe_id", "vec_p", nprobe
+    ).select("probe_id", "cent_id")
+    pair_ids = (
+        probe_cells.join(index.cells.read(), "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    codes = index.codes.read().select(
+        "cand_id", F.posexplode("codes").alias("j", "code")
+    )
+    lut = (
+        _subspaces(probes, "probe_id", "vec_p", m, w)
+        .join(F.broadcast(pq_sub), "j")
+        .select(
+            F.col("probe_id").alias("_lp"),
+            F.col("j").alias("_lj"),
+            F.col("pq_id").alias("_lc"),
+            F.round(dot("sub", "csub"), 6).cast("decimal(28,10)").alias("pdot"),
+            "cdec",
+        )
+    )
+    pnorm = probes.select("probe_id", dot("vec_p", "vec_p").alias("_np"))
+    adc = (
+        pair_ids.join(codes, "cand_id")
+        .join(
+            lut,
+            (F.col("probe_id") == F.col("_lp"))
+            & (F.col("j") == F.col("_lj"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.sum("pdot").cast("double").alias("_adot"),
+            F.sum("cdec").cast("double").alias("_rnorm"),
+        )
+        .join(pnorm, "probe_id")
+        .withColumn(
+            "qsim",
+            F.round(F.col("_adot") / F.sqrt(F.col("_np") * F.col("_rnorm")), 6),
+        )
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.col("qsim").desc(), "cand_id")
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank)
+        .select("probe_id", "cand_id")
+    )
+    scored = (
+        shortlist.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+def ivf_search(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Plain-IVF serving over the SAME persisted index (r12, verdict
+    item 5): the ``centroids`` + ``cells`` tables are exactly an IVF
+    index — ivf_pq's extra tables just add the compressed scoring
+    path — so one build serves both. Routed pairs come from the
+    inverted lists; scoring is exact cosine against the full-precision
+    vectors (``ivf_topk``'s arithmetic verbatim). Per-query work is
+    routing + the cells equi-join + |routed| exact scores; the encode
+    pass ``ivf_topk`` runs per query (cell assignment of every
+    candidate) is gone."""
+    cents = index.centroids.read().withColumn(
+        "_ncent", dot("vec_cent", "vec_cent")
+    )
+    probe_cells = nearest_centroid_cells(
+        probes, cents, "probe_id", "vec_p", nprobe
+    ).select("probe_id", "cent_id")
+    pair_ids = (
+        probe_cells.join(index.cells.read(), "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+def _lsh_bucket_rows(
+    cands: DataFrame, n_planes: int, n_tables: int, dim: int
+) -> DataFrame:
+    """(table_id, bucket, cand_id) hyperplane-bucket rows — the LSH
+    index's row form, identical arithmetic to lsh_bucketed_topk's
+    candidate side (md5-derived hyperplanes: no RNG state, so build
+    and append produce the same buckets on any engine)."""
+    df = cands.repartition(_fanout_partitions(cands), F.col("cand_id"))
+    out = None
+    for t in range(n_tables):
+        b = df.select(
+            F.lit(t).alias("table_id"),
+            hyperplane_bucket("vec_c", n_planes, dim, seed_tag=f"hp{t}").alias(
+                "bucket"
+            ),
+            "cand_id",
+        )
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    root: str,
+    cands: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    store=None,
+):
+    """Persist the hyperplane-LSH bucket table as a TransactionalTable
+    range-clustered on (table_id, bucket): a probe's equi-join against
+    ``nprobe x (1 + n_planes)`` bucket keys opens only the files whose
+    footer range covers them — the same inverted-list IO bound as the
+    IVF cells table. Returns the table handle; append new candidates
+    with ``lsh_index_append`` (the dedup-side ``incremental_lsh_pairs``
+    is this exact pattern, built in r9)."""
+    from ..sinks.lakehouse import TransactionalTable
+
+    index = TransactionalTable(
+        spark, root, cluster_by=["table_id", "bucket"], store=store
+    )
+    index.append(_lsh_bucket_rows(cands, n_planes, n_tables, dim))
+    return index
+
+
+def lsh_index_append(
+    index,
+    new_cands: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Bucket ONLY the new candidates and append under a txn marker —
+    per-batch cost linear in the batch, replay-idempotent."""
+    return index.append(
+        _lsh_bucket_rows(new_cands, n_planes, n_tables, dim),
+        txn_app=txn_app,
+        txn_version=txn_version,
+    )
+
+
+def lsh_search(
+    index,
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    multiprobe: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Serve LSH top-k from the prebuilt bucket table: bucket the
+    PROBES (tiny side), multiprobe their Hamming-1 neighborhoods, and
+    equi-join the persisted index — the per-query candidate bucketing
+    pass of ``lsh_bucketed_topk`` is gone. ``n_planes``/``n_tables``
+    come from the INDEX (bucket string length / max table_id), so a
+    search can never probe with mismatched hyperplanes."""
+    head = (
+        index.read()
+        .agg(
+            F.max(F.length("bucket")).alias("n_planes"),
+            (F.max("table_id") + 1).alias("n_tables"),
+        )
+        .first()
+    )
+    n_planes, n_tables = int(head["n_planes"]), int(head["n_tables"])
+    df = probes.repartition(_fanout_partitions(probes), F.col("probe_id"))
+    pb = None
+    for t in range(n_tables):
+        b = df.select(
+            "probe_id",
+            F.lit(t).alias("table_id"),
+            hyperplane_bucket("vec_p", n_planes, dim, seed_tag=f"hp{t}").alias(
+                "bucket"
+            ),
+        )
+        pb = b if pb is None else pb.unionByName(b)
+    if multiprobe:
+        pb = pb.select(
+            "probe_id",
+            "table_id",
+            F.explode(multiprobe_buckets("bucket", n_planes)).alias("bucket"),
+        )
+    pair_ids = (
+        pb.join(index.read(), ["table_id", "bucket"])
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
