@@ -41,7 +41,6 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "fuzzy_tier_assembly",
-    "events_cube",
     "text_quality_signals",
     "doc_repetition",
     "vocab_top_tokens",
@@ -98,7 +97,6 @@ HEADLINE = [
     "histogram_quantiles",
     # round 6 additions
     "hll_merge_shards",
-    "cms_merge_shards",
     # round 7 additions
     "scrub_hot_spans",
     "cluster_canonical",
@@ -109,12 +107,17 @@ HEADLINE = [
     "histogram_merge_shards",
     "pcm_resample_layout",
     # round 8 additions (the registry's final three — saturation bound)
-    "hll_register_stream",
     "gram_tfidf_cosine_topk",
     "weighted_reservoir_sample",
     # round 11 additions (registry grew 99 -> 101 on verdict orders)
     "lakehouse_merge_roundtrip",
     "ivf_pq_topk",
+    # round 12: registry back to its sustainable 99 — four variants
+    # retired to the pytest-only registry (cms_merge_shards,
+    # hll_register_stream, events_cube, fuzzy_join_docs_band dropped
+    # from this list), two verdict-ordered net-new registrations added
+    "lakehouse_datasource_snapshot",
+    "semantic_dedup",
 ]
 
 

@@ -33,6 +33,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     from data_finder_comparator_spark.plans.catalog import (
         QUERIES,
+        RETIRED,
         release_caches,
     )
     from data_finder_comparator_spark.session import get_spark
@@ -40,7 +41,9 @@ def main() -> None:
     spark = get_spark(app_name="plan-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
-    for name, fn in QUERIES.items():
+    # RETIRED queries (r12) stay part of the engine and of the
+    # zero-Cartesian invariant — sweep them too
+    for name, fn in {**QUERIES, **RETIRED}.items():
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
