@@ -114,8 +114,9 @@ HEADLINE = [
     "ivf_pq_topk",
     # round 12: registry back to its sustainable 99 — four variants
     # retired to the pytest-only registry (cms_merge_shards,
-    # hll_register_stream, events_cube, fuzzy_join_docs_band dropped
-    # from this list), two verdict-ordered net-new registrations added
+    # hll_register_stream, events_cube dropped from this list;
+    # fuzzy_join_docs_band was never listed here), two verdict-ordered
+    # net-new registrations added
     "lakehouse_datasource_snapshot",
     "semantic_dedup",
 ]

@@ -959,7 +959,9 @@ def ann_recall_audit(
 
 
 class IvfPqIndex:
-    """Handle to a persisted IVF-PQ index rooted at ``root``:
+    """Handle to a persisted IVF-PQ index rooted at ``root``
+    (five TransactionalTables; ``meta`` holds the frozen build
+    parameters and is committed last as the build's completion mark):
 
     * ``centroids`` — (cent_id, vec_cent): the coarse quantizer.
     * ``codebook``  — (j, pq_id, csub): per-subspace PQ entries.
@@ -996,18 +998,35 @@ class IvfPqIndex:
         self.codes = TransactionalTable(
             spark, f"{root}/codes", cluster_by=["cand_id"], store=s.get("codes")
         )
+        # one-row build-parameter table, committed LAST by the build so
+        # its presence marks a COMPLETE index (a crashed half-build
+        # refuses loudly instead of serving partial data)
+        self.meta = TransactionalTable(spark, f"{root}/meta", store=s.get("meta"))
 
     def params(self) -> dict:
-        """The build parameters, from the codebook table's committed
-        manifest detail (persisted as constraints-free metadata rows
-        would be overkill: m and w are recoverable from the data, and
-        search takes its own nprobe/rerank)."""
-        cb = self.codebook.read()
-        row = cb.agg(
-            (F.max("j") + 1).alias("m"),
-            F.max(F.size("csub")).alias("w"),
-        ).first()
-        return {"m": int(row["m"]), "w": int(row["w"])}
+        """The FROZEN build parameters from the one-row meta table —
+        every derived quantity an append or search needs (m, w, dim,
+        n_assign) comes from here, never from caller defaults, so a
+        mismatched re-encode is impossible by construction (r12 review
+        finding: a free n_assign default could silently halve a
+        batch's routing multiplicity). Loud refusal when the index is
+        absent or its build never completed."""
+        try:
+            row = self.meta.read().first()
+        except FileNotFoundError:
+            row = None
+        if row is None:
+            raise ValueError(
+                f"no complete IVF-PQ index at {self.root} — run "
+                "build_ivf_pq_index (the meta table is committed last, "
+                "so a crashed build also lands here)"
+            )
+        return {
+            "m": int(row["m"]),
+            "w": int(row["w"]),
+            "dim": int(row["dim"]),
+            "n_assign": int(row["n_assign"]),
+        }
 
 
 def _pq_encode_under(
@@ -1104,16 +1123,21 @@ def build_ivf_pq_index(
     index.codebook.append(pq_sub.select("j", "pq_id", "csub"))
     cells, codes = _pq_encode_under(cands, cents, pq_sub, m, w, n_assign)
     # codes before cells: membership (= routability) is defined by
-    # cells, so the index is consistent at every commit boundary
+    # cells, so the index is consistent at every commit boundary —
+    # and meta LAST, so params() refuses until the build completed
     index.codes.append(codes)
     index.cells.append(cells)
+    index.meta.append(
+        cands.sparkSession.createDataFrame(
+            [(m, w, dim, n_assign)], "m int, w int, dim int, n_assign int"
+        )
+    )
     return index
 
 
 def ivf_pq_index_append(
     index: IvfPqIndex,
     new_cands: DataFrame,
-    n_assign: int = 2,
     txn_app: str | None = None,
     txn_version: int | None = None,
 ) -> int:
@@ -1132,10 +1156,39 @@ def ivf_pq_index_append(
     p = index.params()
     cents, pq_sub = _index_quantizers(index)
     cells, codes = _pq_encode_under(
-        new_cands, cents, pq_sub, p["m"], p["w"], n_assign
+        new_cands, cents, pq_sub, p["m"], p["w"], p["n_assign"]
     )
     index.codes.append(codes, txn_app=txn_app, txn_version=txn_version)
     return index.cells.append(cells, txn_app=txn_app, txn_version=txn_version)
+
+
+def _exact_cosine_topk_over_pairs(
+    pair_ids: DataFrame, probes: DataFrame, cands: DataFrame, k: int
+) -> DataFrame:
+    """Exact-scoring tail shared by the three r12 serve paths
+    (ivf_pq_search's re-rank, ivf_search, lsh_search): join the
+    full-precision vectors onto (probe_id, cand_id) pairs, 6-dp
+    rounded cosine, per-probe (cos desc, cand_id) top-k — one place,
+    so a future rounding or tie-break change cannot make the serve
+    paths drift from each other (r12 review finding 7). The parked
+    build-in-query operators keep their inline copies (byte-stability
+    policy); this helper must stay arithmetically identical to them."""
+    scored = (
+        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
+        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
 
 
 def ivf_pq_search(
@@ -1207,20 +1260,7 @@ def ivf_pq_search(
         .filter(F.col("_rn") <= rerank)
         .select("probe_id", "cand_id")
     )
-    scored = (
-        shortlist.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
-        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
-        .withColumn(
-            "cos_sim",
-            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
-        )
-    )
-    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "cand_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("probe_id", "cand_id", "cos_sim", "rnk")
-    )
+    return _exact_cosine_topk_over_pairs(shortlist, probes, cands, k)
 
 
 def ivf_search(
@@ -1251,22 +1291,7 @@ def ivf_search(
         .select("probe_id", "cand_id")
         .distinct()
     )
-    scored = (
-        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
-        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
-        .withColumn(
-            "cos_sim",
-            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("probe_id", "cand_id", "cos_sim", "rnk")
-    )
+    return _exact_cosine_topk_over_pairs(pair_ids, probes, cands, k)
 
 
 def _lsh_bucket_rows(
@@ -1290,6 +1315,54 @@ def _lsh_bucket_rows(
     return out
 
 
+class LshIndex:
+    """Handle to a persisted hyperplane-LSH index rooted at ``root``:
+    ``buckets`` — (table_id, bucket, cand_id), range-clustered on
+    (table_id, bucket) so a probe's equi-join opens only the files
+    whose footer range covers its probed keys (the same inverted-list
+    IO bound as the IVF cells table) — and ``meta``, the one-row
+    (n_planes, n_tables, dim) build-parameter table, committed LAST so
+    its presence marks a complete build. Appends and searches derive
+    EVERY hyperplane-defining parameter from ``meta`` — never from
+    caller defaults — so mismatched buckets or projections are
+    impossible by construction (r12 review findings 1 and 3: free
+    n_planes/dim defaults could silently make appended rows invisible
+    to every probe)."""
+
+    def __init__(self, spark: SparkSession, root: str, stores: dict | None = None):
+        from ..sinks.lakehouse import TransactionalTable
+
+        s = stores or {}
+        self.root = root
+        self.buckets = TransactionalTable(
+            spark,
+            f"{root}/buckets",
+            cluster_by=["table_id", "bucket"],
+            store=s.get("buckets"),
+        )
+        self.meta = TransactionalTable(spark, f"{root}/meta", store=s.get("meta"))
+
+    def params(self) -> dict:
+        """The frozen (n_planes, n_tables, dim) from the one-row meta
+        table — a tiny read (one manifest + one small file), not the
+        full-index aggregate the first cut ran per query (r12 review
+        finding 4). Loud refusal when absent/incomplete."""
+        try:
+            row = self.meta.read().first()
+        except FileNotFoundError:
+            row = None
+        if row is None:
+            raise ValueError(
+                f"no complete LSH index at {self.root} — run "
+                "build_lsh_index (meta is committed last)"
+            )
+        return {
+            "n_planes": int(row["n_planes"]),
+            "n_tables": int(row["n_tables"]),
+            "dim": int(row["dim"]),
+        }
+
+
 def build_lsh_index(
     spark: SparkSession,
     root: str,
@@ -1297,65 +1370,54 @@ def build_lsh_index(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int = 64,
-    store=None,
-):
-    """Persist the hyperplane-LSH bucket table as a TransactionalTable
-    range-clustered on (table_id, bucket): a probe's equi-join against
-    ``nprobe x (1 + n_planes)`` bucket keys opens only the files whose
-    footer range covers them — the same inverted-list IO bound as the
-    IVF cells table. Returns the table handle; append new candidates
-    with ``lsh_index_append`` (the dedup-side ``incremental_lsh_pairs``
-    is this exact pattern, built in r9)."""
-    from ..sinks.lakehouse import TransactionalTable
-
-    index = TransactionalTable(
-        spark, root, cluster_by=["table_id", "bucket"], store=store
+    stores: dict | None = None,
+) -> LshIndex:
+    """Persist the hyperplane-LSH bucket table (+ its frozen build
+    parameters); append new candidates with ``lsh_index_append`` (the
+    dedup-side ``incremental_lsh_pairs`` is this exact pattern, built
+    in r9). Defaults match the registered ``ann_lsh_topk``."""
+    index = LshIndex(spark, root, stores=stores)
+    index.buckets.append(_lsh_bucket_rows(cands, n_planes, n_tables, dim))
+    index.meta.append(
+        cands.sparkSession.createDataFrame(
+            [(n_planes, n_tables, dim)], "n_planes int, n_tables int, dim int"
+        )
     )
-    index.append(_lsh_bucket_rows(cands, n_planes, n_tables, dim))
     return index
 
 
 def lsh_index_append(
-    index,
+    index: LshIndex,
     new_cands: DataFrame,
-    n_planes: int = 6,
-    n_tables: int = 8,
-    dim: int = 64,
     txn_app: str | None = None,
     txn_version: int | None = None,
 ) -> int:
-    """Bucket ONLY the new candidates and append under a txn marker —
-    per-batch cost linear in the batch, replay-idempotent."""
-    return index.append(
-        _lsh_bucket_rows(new_cands, n_planes, n_tables, dim),
+    """Bucket ONLY the new candidates — under the INDEX's frozen
+    hyperplane parameters — and append under a txn marker: per-batch
+    cost linear in the batch, replay-idempotent, and a parameter
+    mismatch is structurally impossible."""
+    p = index.params()
+    return index.buckets.append(
+        _lsh_bucket_rows(new_cands, p["n_planes"], p["n_tables"], p["dim"]),
         txn_app=txn_app,
         txn_version=txn_version,
     )
 
 
 def lsh_search(
-    index,
+    index: LshIndex,
     probes: DataFrame,
     cands: DataFrame,
     k: int = 5,
     multiprobe: int = 1,
-    dim: int = 64,
 ) -> DataFrame:
     """Serve LSH top-k from the prebuilt bucket table: bucket the
-    PROBES (tiny side), multiprobe their Hamming-1 neighborhoods, and
-    equi-join the persisted index — the per-query candidate bucketing
-    pass of ``lsh_bucketed_topk`` is gone. ``n_planes``/``n_tables``
-    come from the INDEX (bucket string length / max table_id), so a
-    search can never probe with mismatched hyperplanes."""
-    head = (
-        index.read()
-        .agg(
-            F.max(F.length("bucket")).alias("n_planes"),
-            (F.max("table_id") + 1).alias("n_tables"),
-        )
-        .first()
-    )
-    n_planes, n_tables = int(head["n_planes"]), int(head["n_tables"])
+    PROBES (tiny side) under the index's frozen parameters, multiprobe
+    their Hamming-1 neighborhoods, and equi-join the persisted index —
+    the per-query candidate bucketing pass of ``lsh_bucketed_topk`` is
+    gone, and the bucket table is read once per query."""
+    p = index.params()
+    n_planes, n_tables, dim = p["n_planes"], p["n_tables"], p["dim"]
     df = probes.repartition(_fanout_partitions(probes), F.col("probe_id"))
     pb = None
     for t in range(n_tables):
@@ -1374,24 +1436,9 @@ def lsh_search(
             F.explode(multiprobe_buckets("bucket", n_planes)).alias("bucket"),
         )
     pair_ids = (
-        pb.join(index.read(), ["table_id", "bucket"])
+        pb.join(index.buckets.read(), ["table_id", "bucket"])
         .filter(F.col("probe_id") != F.col("cand_id"))
         .select("probe_id", "cand_id")
         .distinct()
     )
-    scored = (
-        pair_ids.join(probes.withColumn("_np", dot("vec_p", "vec_p")), "probe_id")
-        .join(cands.withColumn("_nc", dot("vec_c", "vec_c")), "cand_id")
-        .withColumn(
-            "cos_sim",
-            F.round(dot("vec_p", "vec_c") / F.sqrt(F.col("_np") * F.col("_nc")), 6),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("probe_id", "cand_id", "cos_sim", "rnk")
-    )
+    return _exact_cosine_topk_over_pairs(pair_ids, probes, cands, k)

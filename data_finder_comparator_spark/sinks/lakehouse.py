@@ -864,16 +864,18 @@ class TransactionalTable:
                 # basePath
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out_dir)
-            local = self._strip_scheme(out_dir)
-            rels = []
-            for dp, _dns, fns in os.walk(local):
-                for name in fns:
-                    if name.endswith(".parquet") and not name.startswith(
-                        (".", "_")
-                    ):
-                        sub = os.path.relpath(os.path.join(dp, name), local)
-                        rels.append(f"{txn}/{sub.replace(os.sep, '/')}")
-            rels = sorted(rels)
+            # enumerate the written parts through the STORE, not
+            # os.walk: on a worker-addressable object store
+            # (supports_spark_io, scheme'd path) Spark's write lands
+            # remotely and a local walk would silently find nothing —
+            # committing a manifest that references zero files (r12
+            # review finding 2). LocalStore.list is the same walk.
+            rels = sorted(
+                f"{txn}/{name}"
+                for name in self.store.list(f"{_DATA}/{txn}")
+                if name.rsplit("/", 1)[-1].endswith(".parquet")
+                and not name.rsplit("/", 1)[-1].startswith((".", "_"))
+            )
         else:
             rels = self._relay_write_data_files(df, txn)
         # footer reads (and Bloom builds below) are driver-side file

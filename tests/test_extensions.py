@@ -3044,14 +3044,17 @@ def test_prebuilt_serve_paths_match_build_in_query(spark, tmp_path):
         )
     )
     assert served == inquery and len(served) > 0
-    # LSH: split build, then serve; registered defaults
+    # LSH: split build, then serve; registered defaults. Appends take
+    # NO hyperplane parameters — they come from the index's meta table
+    # (r12 review findings 1/3: free defaults could silently write
+    # buckets invisible to every probe)
     half = cands.filter(F.col("cand_id") % 2 == 0)
     rest = cands.filter(F.col("cand_id") % 2 == 1)
     lsh = build_lsh_index(spark, str(tmp_path / "lsh"), half)
     lsh_index_append(lsh, rest, txn_app="lsh-ing", txn_version=1)
-    v = lsh.current_version()
+    v = lsh.buckets.current_version()
     lsh_index_append(lsh, rest, txn_app="lsh-ing", txn_version=1)  # replay
-    assert lsh.current_version() == v
+    assert lsh.buckets.current_version() == v
     served = sorted(map(tuple, lsh_search(lsh, probes, cands, k=5).collect()))
     inquery = sorted(
         map(
@@ -3062,3 +3065,30 @@ def test_prebuilt_serve_paths_match_build_in_query(spark, tmp_path):
         )
     )
     assert served == inquery and len(served) > 0
+
+
+def test_index_handles_refuse_loudly_when_incomplete(spark, tmp_path):
+    """r12 review findings 4/5: an absent or half-built index must
+    refuse with a named error at the handle, not crash with a bare
+    TypeError deep in a plan — meta is committed LAST by both builds,
+    so its absence also covers a build that crashed mid-way."""
+    from data_finder_comparator_spark.operators.similarity import (
+        IvfPqIndex,
+        LshIndex,
+        ivf_pq_index_append,
+        lsh_index_append,
+    )
+
+    empty = IvfPqIndex(spark, str(tmp_path / "missing"))
+    with pytest.raises(ValueError, match="no complete IVF-PQ index"):
+        empty.params()
+    one = spark.createDataFrame(
+        [(1, [0.1] * 64)], "cand_id long, vec_c array<double>"
+    )
+    with pytest.raises(ValueError, match="no complete IVF-PQ index"):
+        ivf_pq_index_append(empty, one)
+    lsh = LshIndex(spark, str(tmp_path / "missing-lsh"))
+    with pytest.raises(ValueError, match="no complete LSH index"):
+        lsh.params()
+    with pytest.raises(ValueError, match="no complete LSH index"):
+        lsh_index_append(lsh, one)
