@@ -3092,3 +3092,47 @@ def test_index_handles_refuse_loudly_when_incomplete(spark, tmp_path):
         lsh.params()
     with pytest.raises(ValueError, match="no complete LSH index"):
         lsh_index_append(lsh, one)
+
+
+def test_ivf_pq_index_on_memory_store_with_compaction(spark, tmp_path):
+    """r12 composition: the persisted ANN index is just transactional
+    tables, so it inherits BOTH new capabilities for free — (a) the
+    whole build/append/serve lifecycle runs on MemoryStore with zero
+    os-path IO under the index root, and (b) optimize() compacting the
+    append-accreted cells/codes files must not change a single search
+    result (compaction is rewrite-only by contract)."""
+    import os
+
+    from data_finder_comparator_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_search,
+    )
+    from data_finder_comparator_spark.sinks.storage import MemoryStore
+    from data_finder_comparator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    n = cands.count()
+    cut = int(n * 0.7)
+    boot = cands.filter(F.col("cand_id") < cut)
+    rest = cands.filter(F.col("cand_id") >= cut)
+    label = str(tmp_path / "never-on-disk-idx")
+    stores = {k: MemoryStore() for k in ("centroids", "codebook", "cells", "codes", "meta")}
+    idx = build_ivf_pq_index(spark, label, boot, stores=stores)
+    ivf_pq_index_append(idx, rest, txn_app="mem-ing", txn_version=1)
+    before = sorted(map(tuple, ivf_pq_search(idx, probes, cands, k=5).collect()))
+    assert len(before) > 0
+    # compact the append-accreted small files; results must not move
+    idx.cells.optimize(small_bytes=1 << 30)
+    idx.codes.optimize(small_bytes=1 << 30)
+    after = sorted(map(tuple, ivf_pq_search(idx, probes, cands, k=5).collect()))
+    assert before == after
+    assert not os.path.exists(label)
