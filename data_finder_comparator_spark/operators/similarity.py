@@ -1012,15 +1012,24 @@ class IvfPqIndex:
         batch's routing multiplicity). Loud refusal when the index is
         absent or its build never completed."""
         try:
-            row = self.meta.read().first()
+            rows = self.meta.read().limit(2).collect()
         except FileNotFoundError:
-            row = None
-        if row is None:
+            rows = []
+        if not rows:
             raise ValueError(
                 f"no complete IVF-PQ index at {self.root} — run "
                 "build_ivf_pq_index (the meta table is committed last, "
-                "so a crashed build also lands here)"
+                "so a crashed build also lands here; the format has "
+                "carried meta since its introduction — there is no "
+                "pre-meta index to migrate)"
             )
+        if len(rows) > 1:
+            raise ValueError(
+                f"corrupt IVF-PQ index at {self.root}: multiple meta "
+                "rows — two builds were layered on one root (builds "
+                "refuse this; rebuilds go to a fresh root)"
+            )
+        row = rows[0]
         return {
             "m": int(row["m"]),
             "w": int(row["w"]),
@@ -1098,6 +1107,13 @@ def build_ivf_pq_index(
     query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready)."""
     w = dim // m
     index = IvfPqIndex(spark, root, stores=stores)
+    if index.meta.current_version() > 0:
+        raise ValueError(
+            f"an IVF-PQ index already exists at {root} — layering a "
+            "second build would mix codebooks and make params() "
+            "ambiguous (silently wrong search results); rebuild into a "
+            "fresh root and swap readers over"
+        )
     coarse = (
         centroids.select("cent_id", "vec_cent")
         if centroids is not None
@@ -1128,7 +1144,7 @@ def build_ivf_pq_index(
     index.codes.append(codes)
     index.cells.append(cells)
     index.meta.append(
-        cands.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(m, w, dim, n_assign)], "m int, w int, dim int, n_assign int"
         )
     )
@@ -1208,8 +1224,8 @@ def ivf_pq_search(
     cells. ``cands`` supplies the full-precision vectors for the
     re-rank only (at 100 TB: a point-lookup join against the vector
     store for rerank x |probes| rows, not a scan)."""
+    p = index.params()  # loud completeness check BEFORE any table read
     cents, pq_sub = _index_quantizers(index)
-    p = index.params()
     m, w = p["m"], p["w"]
     probe_cells = nearest_centroid_cells(
         probes, cents, "probe_id", "vec_p", nprobe
@@ -1279,6 +1295,7 @@ def ivf_search(
     routing + the cells equi-join + |routed| exact scores; the encode
     pass ``ivf_topk`` runs per query (cell assignment of every
     candidate) is gone."""
+    index.params()  # completeness marker: a half-built index refuses
     cents = index.centroids.read().withColumn(
         "_ncent", dot("vec_cent", "vec_cent")
     )
@@ -1348,14 +1365,23 @@ class LshIndex:
         full-index aggregate the first cut ran per query (r12 review
         finding 4). Loud refusal when absent/incomplete."""
         try:
-            row = self.meta.read().first()
+            rows = self.meta.read().limit(2).collect()
         except FileNotFoundError:
-            row = None
-        if row is None:
+            rows = []
+        if not rows:
             raise ValueError(
                 f"no complete LSH index at {self.root} — run "
-                "build_lsh_index (meta is committed last)"
+                "build_lsh_index (meta is committed last; the format "
+                "has carried meta since its introduction — there is no "
+                "pre-meta index to migrate)"
             )
+        if len(rows) > 1:
+            raise ValueError(
+                f"corrupt LSH index at {self.root}: multiple meta "
+                "rows — two builds were layered on one root (builds "
+                "refuse this; rebuilds go to a fresh root)"
+            )
+        row = rows[0]
         return {
             "n_planes": int(row["n_planes"]),
             "n_tables": int(row["n_tables"]),
@@ -1377,9 +1403,16 @@ def build_lsh_index(
     dedup-side ``incremental_lsh_pairs`` is this exact pattern, built
     in r9). Defaults match the registered ``ann_lsh_topk``."""
     index = LshIndex(spark, root, stores=stores)
+    if index.meta.current_version() > 0:
+        raise ValueError(
+            f"an LSH index already exists at {root} — layering a second "
+            "build would mix hyperplane families (appended rows "
+            "invisible to probes); rebuild into a fresh root and swap "
+            "readers over"
+        )
     index.buckets.append(_lsh_bucket_rows(cands, n_planes, n_tables, dim))
     index.meta.append(
-        cands.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(n_planes, n_tables, dim)], "n_planes int, n_tables int, dim int"
         )
     )

@@ -198,6 +198,22 @@ class TransactionalTable:
             store = LocalStore(self._strip_scheme(self.path))
         self.store = store
         self._spark_data_io = getattr(store, "supports_spark_io", True)
+        # a spark-io store MUST be rooted at the table path: Spark
+        # writes data files under the PATH while stats/enumeration go
+        # through the STORE, and a mismatch would commit manifests
+        # referencing zero files — silent data loss, caught here
+        # instead (r12 review finding 2)
+        if self._spark_data_io and hasattr(store, "root"):
+            if os.path.abspath(store.root) != os.path.abspath(
+                self._strip_scheme(self.path)
+            ):
+                raise ValueError(
+                    f"store root {store.root!r} does not match the "
+                    f"table path {self.path!r} — a spark-io store must "
+                    "be rooted at the table (Spark writes by path, the "
+                    "store enumerates; mismatched roots would commit "
+                    "empty manifests)"
+                )
         v0 = self.current_version()
         man0 = self._read_manifest(v0) if v0 else None
         # partition_by is resolved FROM THE TABLE once one exists: the
@@ -870,9 +886,20 @@ class TransactionalTable:
             # remotely and a local walk would silently find nothing —
             # committing a manifest that references zero files (r12
             # review finding 2). LocalStore.list is the same walk.
+            listed = self.store.list(f"{_DATA}/{txn}")
+            if not listed:
+                # a successful Spark write always leaves at least the
+                # _SUCCESS marker: seeing NOTHING means the store is
+                # not looking where Spark wrote — refuse rather than
+                # commit an empty manifest (also guarded at __init__
+                # for root-bearing stores)
+                raise ValueError(
+                    f"store cannot see the files Spark just wrote under "
+                    f"{out_dir!r} — store/table mismatch"
+                )
             rels = sorted(
                 f"{txn}/{name}"
-                for name in self.store.list(f"{_DATA}/{txn}")
+                for name in listed
                 if name.rsplit("/", 1)[-1].endswith(".parquet")
                 and not name.rsplit("/", 1)[-1].startswith((".", "_"))
             )

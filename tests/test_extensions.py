@@ -3136,3 +3136,39 @@ def test_ivf_pq_index_on_memory_store_with_compaction(spark, tmp_path):
     after = sorted(map(tuple, ivf_pq_search(idx, probes, cands, k=5).collect()))
     assert before == after
     assert not os.path.exists(label)
+
+
+def test_index_rebuild_and_misrooted_store_refuse(spark, tmp_path):
+    """r12 review (second pass): layering a second build on an
+    existing index root would mix codebooks/hyperplane families and
+    make params() ambiguous — builds refuse; and a spark-io store not
+    rooted at its table's path would commit manifests referencing zero
+    files — the table refuses at construction."""
+    from data_finder_comparator_spark.operators.similarity import (
+        build_ivf_pq_index,
+        build_lsh_index,
+    )
+    from data_finder_comparator_spark.sinks.lakehouse import (
+        TransactionalTable,
+    )
+    from data_finder_comparator_spark.sinks.storage import LocalStore
+
+    cands = spark.createDataFrame(
+        [
+            (i, [float((i + j) % 7) + 1.0 for j in range(64)])
+            for i in range(0, 200, 1)
+        ],
+        "cand_id long, vec_c array<double>",
+    )
+    build_ivf_pq_index(spark, str(tmp_path / "pq"), cands)
+    with pytest.raises(ValueError, match="already exists"):
+        build_ivf_pq_index(spark, str(tmp_path / "pq"), cands)
+    build_lsh_index(spark, str(tmp_path / "lsh"), cands)
+    with pytest.raises(ValueError, match="already exists"):
+        build_lsh_index(spark, str(tmp_path / "lsh"), cands)
+    with pytest.raises(ValueError, match="does not match the table path"):
+        TransactionalTable(
+            spark,
+            str(tmp_path / "tbl-a"),
+            store=LocalStore(str(tmp_path / "tbl-b")),
+        )
