@@ -521,8 +521,8 @@ class TransactionalTable:
 
         phys = self._physical_names(schema)
         ptypes = {f.name: f.dataType for f in schema.fields}
-        tables = []
-        for rel in rels:
+
+        def _one(rel: str):
             with self.store.open_read(f"{_DATA}/{rel}") as fh:
                 raw = pq.read_table(fh)
             pvals = self._parse_partition_values(rel, ptypes)
@@ -531,7 +531,15 @@ class TransactionalTable:
                 tbl = tbl.append_column(
                     rel_col, pa.array([rel] * tbl.num_rows, pa.string())
                 )
-            tables.append(tbl)
+            return tbl
+
+        # same thread pool shape as the footer-stats reads: pyarrow
+        # releases the GIL on IO/decode, and a snapshot can list many
+        # small files
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(rels))) as ex:
+            tables = list(ex.map(_one, rels))
         out_schema = schema
         if rel_col is not None:
             out_schema = StructType(
