@@ -131,7 +131,15 @@ from . import queries_relational  # noqa: E402,F401
 # Policy note: ann_cosine_topk / ivf_pq_topk are parked with r12 code
 # deltas that are observability-only (a fallback-branch warning and
 # docstring corrections per r11 ADVICE) — results byte-identical,
-# re-verified by this round's pytest oracle parity.
+# re-verified by this round's pytest oracle parity. Additionally,
+# streaming_fuzzy_tiers / streaming_first_seen (parked) gained a
+# correctness fix mid-round: their foreachBatch sinks were blind
+# appends (duplicate rows under crash-replay — r12 self-review) and
+# now write epoch-keyed overwrite dirs; happy-path results are
+# identical (re-hash-verified vs DuckDB this round) and the replay
+# path is pinned by test_fuzzy_stream_sink_idempotent_under_epoch_
+# replay. Shipping a known silent-duplication bug for a round to honor
+# window choreography would invert the policy's purpose.
 _PARKED_MULTI_GREEN = [
     # -- the 49 CORRECTNESS_r11 hash-greens (everything in that file
     #    except rows-only alignment_pairs) ----------------------------

@@ -347,8 +347,11 @@ def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             q.stop()
-    return spark.read.parquet(sink).select(
-        "probe_id", "probe", "cand_id", "cand", "dist", "tier"
+    # epoch subdirs (idempotent replay sink, r12) -> recursive scan
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .select("probe_id", "probe", "cand_id", "cand", "dist", "tier")
     )
 
 

@@ -452,17 +452,25 @@ def first_seen_to_parquet(
     spark: SparkSession, out_stream: DataFrame, sink_dir: str
 ) -> DataFrame:
     """Drive a ``first_seen_stream`` output to completion with each
-    micro-batch's emissions APPENDED to a parquet sink via foreachBatch
-    — a distributed write per epoch, nothing through the driver. Safe
-    because the stateful operator emits each key at most once across
-    the stream's lifetime, so appends never duplicate. At 100 TB the
+    micro-batch's emissions written to an EPOCH-KEYED parquet subdir
+    via foreachBatch — a distributed write per epoch, nothing through
+    the driver. foreachBatch delivery is AT-LEAST-ONCE: after a crash
+    between the sink write and the checkpoint commit, the whole epoch
+    replays with the SAME epoch_id — and the replay re-runs against the
+    PRE-epoch state version, re-emitting the same first-seen keys. A
+    blind append would duplicate them (r12 review); mode("overwrite")
+    into ``out/e<epoch_id>`` makes the replay rewrite its own directory
+    instead — idempotent sink, exactly-once results. At 100 TB the
     emission set is corpus-sized (one row per distinct content hash);
-    this is the only shape that survives that cardinality."""
+    the epoch-dir layout adds one directory per micro-batch, compacted
+    like any streaming sink."""
     out_path = os.path.join(sink_dir, "out")
     ckpt = os.path.join(sink_dir, "ckpt")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"e{int(epoch_id):09d}")
+        )
 
     with _stream_confs(spark):
         q = (
@@ -476,7 +484,11 @@ def first_seen_to_parquet(
             q.awaitTermination()
         finally:
             q.stop()
-    return spark.read.schema(FIRST_SEEN_SCHEMA).parquet(out_path)
+    return (
+        spark.read.schema(FIRST_SEEN_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_path)
+    )
 
 
 def fuzzy_match_stream(
@@ -509,7 +521,9 @@ def fuzzy_match_stream(
     Returns the started StreamingQuery (caller drives/stops it). With
     ``available_now`` the trigger drains everything available then
     terminates — the bounded-run shape the driver-checked query uses;
-    ``checkpoint`` makes epochs exactly-once across restarts.
+    ``checkpoint`` + the epoch-keyed overwrite sink make epochs
+    exactly-once across restarts (the checkpoint alone only makes
+    delivery at-least-once; idempotent epoch dirs close the sink side).
     """
     from ..operators.fuzzy_join import prepare_candidates, tiered_fuzzy_join
 
@@ -528,9 +542,15 @@ def fuzzy_match_stream(
             prepared=prepared,
         )
         try:
-            tiers.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-                sink_path
-            )
+            # epoch-keyed overwrite, not blind append: foreachBatch is
+            # at-least-once, and a crash between this write and the
+            # checkpoint commit replays the SAME epoch_id — the replay
+            # rewrites its own subdir instead of duplicating the tier
+            # table (r12 review; readers scan the sink with
+            # recursiveFileLookup)
+            tiers.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sink_path, f"e{int(epoch_id):09d}"))
         finally:
             for df in reg:
                 df.unpersist()
@@ -540,7 +560,16 @@ def fuzzy_match_stream(
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    started = writer.start()
+    try:
+        started = writer.start()
+    except Exception:
+        # start() can fail before any termination listener exists (bad
+        # checkpoint path, invalid sink): release the prepared-candidate
+        # caches we own or they stay pinned until driver GC (r12 review)
+        if own_registry:
+            for df in cache_registry:
+                df.unpersist()
+        raise
     if own_registry:
         listener = _release_on_termination(spark, str(started.id), cache_registry)
         # the termination event is only delivered to listeners registered
@@ -775,6 +804,10 @@ def hll_register_stream(
     )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # blind append is REPLAY-SAFE here by algebra, unlike the tier/
+        # first-seen sinks: a crash-replayed epoch appends duplicate
+        # register partials, and the read-side register-wise MAX merge
+        # absorbs duplicates without changing the sketch
         (
             _hll_rho_rows(batch_df.select("text"))
             .groupBy("register_id")
