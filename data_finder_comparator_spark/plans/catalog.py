@@ -139,7 +139,12 @@ from . import queries_relational  # noqa: E402,F401
 # identical (re-hash-verified vs DuckDB this round) and the replay
 # path is pinned by test_fuzzy_stream_sink_idempotent_under_epoch_
 # replay. Shipping a known silent-duplication bug for a round to honor
-# window choreography would invert the policy's purpose.
+# window choreography would invert the policy's purpose. Same
+# reasoning, smaller stakes: union_by_name_folder / orc_folder_
+# roundtrip (parked) share read_folder_union_by_name, whose schema
+# probes went thread-parallel this round (r12 review; identical
+# results, re-hash-verified) — the in-window csv/json/excel roundtrips
+# carry the driver evidence for the changed function.
 _PARKED_MULTI_GREEN = [
     # -- the 49 CORRECTNESS_r11 hash-greens (everything in that file
     #    except rows-only alignment_pairs) ----------------------------

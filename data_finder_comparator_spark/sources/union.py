@@ -65,22 +65,96 @@ def read_folder_union_by_name(
     Tries the fast single-scan path first (works when schemas agree);
     falls back to per-file reads + unionByName for heterogeneous
     folders, mirroring /root/reference/main.py:692-696.
-    """
-    files = hadoop_ls(spark, folder, None if fmt == "any" else f".{fmt}")
+    ``fmt="any"`` dispatches a MIXED folder per file extension
+    (see ``_read_mixed_folder``).
+
+    Probe cost (r12 review): per-file schema probes run on a driver
+    thread pool (parquet/orc probes are footer reads; json/csv probes
+    are inference scans — inherently per-file when heterogeneity must
+    be DETECTED, which is this function's contract), and when the
+    folder turns out homogeneous the probed schema is passed to the
+    single multi-file scan so json/csv never pay a second full
+    inference pass over all files."""
+    if fmt == "any":
+        return _read_mixed_folder(spark, folder)
+    files = hadoop_ls(spark, folder, f".{fmt}")
     if not files:
         raise ValueError(f"no .{fmt} files in {folder}")
+
     # format(...).load accepts a path LIST for every source; the
     # per-format reader methods differ (parquet(*paths) is varargs but
     # json/csv take (path, schema, ...) — unpacking files into json()
-    # would parse the second path as a DDL schema string)
-    src = spark.read.format(fmt if fmt != "any" else "parquet")
-    schemas = set()
-    dfs = []
-    for f in files:
-        df = src.load(f)
-        dfs.append(df)
-        schemas.add(tuple(sorted((c.name, c.dataType.simpleString()) for c in df.schema)))
+    # would parse the second path as a DDL schema string).
+    # spark.read returns a FRESH DataFrameReader per access, so probe
+    # threads never share a mutable builder.
+    def _probe(f: str) -> DataFrame:
+        return spark.read.format(fmt).load(f)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        dfs = list(ex.map(_probe, files))
+    schemas = {
+        tuple(sorted((c.name, c.dataType.simpleString()) for c in df.schema))
+        for df in dfs
+    }
     if len(schemas) == 1:
-        # homogeneous: one multi-file scan, partition-parallel
+        # homogeneous: one multi-file scan, partition-parallel. The
+        # self-describing columnar formats re-resolve cheaply from
+        # footers; the inference formats reuse the probed schema
+        # instead of re-inferring over every file
+        src = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            src = src.schema(dfs[0].schema)
         return src.load(files)
+    return union_by_name(dfs)
+
+
+# fmt="any" file routing: self-describing formats only. csv is
+# deliberately absent (header-vs-data is a caller contract — pass
+# fmt="csv" explicitly); .gz acceptance mirrors hadoop_ls (text
+# sources decompress transparently, containers do not).
+_MIXED_READERS = ("parquet", "orc", "json", "jsonl", "xlsx")
+
+
+def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
+    """True mixed-format folder union (``fmt="any"`` — previously an
+    untested trap that read every file with the parquet reader, r12
+    review): each file routes through its format's reader by
+    extension, frames align by name with null fill. Unknown
+    extensions refuse LOUDLY with the full offending list — a silent
+    skip would under-count the corpus."""
+    files = hadoop_ls(spark, folder, None)
+    if not files:
+        raise ValueError(f"no files in {folder}")
+    dfs, unknown = [], []
+    for f in files:
+        name = f.rsplit("/", 1)[-1].lower()
+        base, gz = (name[:-3], True) if name.endswith(".gz") else (name, False)
+        ext = base.rsplit(".", 1)[-1] if "." in base else ""
+        if gz and ext not in ("json", "jsonl"):
+            unknown.append(name)  # gzip wraps containers unreadably
+        elif ext == "parquet":
+            dfs.append(spark.read.parquet(f))
+        elif ext == "orc":
+            dfs.append(spark.read.orc(f))
+        elif ext in ("json", "jsonl"):
+            dfs.append(spark.read.json(f))
+        elif ext == "xlsx":
+            from .excel import read_excel
+
+            local = f[len("file:"):] if f.startswith("file:") else f
+            if ":" in local.split("/", 1)[0] and "://" in f:
+                raise ValueError(
+                    f"xlsx decode needs a local path; got {f!r}"
+                )
+            dfs.append(read_excel(spark, local))
+        else:
+            unknown.append(name)
+    if unknown:
+        raise ValueError(
+            f"fmt='any' cannot route {sorted(unknown)} — supported "
+            f"extensions: {_MIXED_READERS} (+.gz for json/jsonl); csv "
+            "needs an explicit fmt='csv' call (header contract)"
+        )
     return union_by_name(dfs)

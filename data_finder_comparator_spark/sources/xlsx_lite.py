@@ -110,7 +110,14 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return _ooxml_decode(v.text)
     if t == "e":  # formula error cell (#DIV/0!, #N/A, ...) -> missing
         return None
-    return float(v.text)
+    txt = v.text
+    # pure-integer text parses EXACTLY: float() would silently round
+    # longs at/above 2^53 (IDs corrupt by one — r12 review); column-
+    # level long-vs-double typing stays the caller's concern
+    body = txt[1:] if txt[:1] in "+-" else txt
+    if body.isdigit():
+        return int(txt)
+    return float(txt)
 
 
 def read_grid(path: str, sheet: int | str = 0) -> list[list]:
@@ -169,14 +176,37 @@ _WORKBOOK_RELS = (
 
 
 def _cell_xml(ref: str, val) -> str:
+    import datetime
+    import decimal
+    import math
+
     if isinstance(val, bool):
         return f'<c r="{ref}" t="b"><v>{1 if val else 0}</v></c>'
+    if isinstance(val, float) and not math.isfinite(val):
+        # SpreadsheetML has no NaN/Infinity numeric cell; writing the
+        # repr would produce workbooks external tools reject, and an
+        # empty cell would silently drop data — refuse loudly
+        raise ValueError(
+            f"xlsx cannot represent non-finite float {val!r} (cell "
+            f"{ref}); filter or null the value before exporting"
+        )
     if isinstance(val, (int, float)):
         return f'<c r="{ref}"><v>{val!r}</v></c>'
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        # serial-date numbers need style records this lite codec does
+        # not carry; ISO-8601 inline strings are unambiguous, lossless
+        # and round-trip as strings (documented contract)
+        val = val.isoformat(sep=" ") if isinstance(val, datetime.datetime) else val.isoformat()
+    elif isinstance(val, decimal.Decimal):
+        val = str(val)  # exact digits; floats would round
     if isinstance(val, str):
         text = escape(_ooxml_encode(val))
         return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
-    raise TypeError(f"unsupported xlsx cell type {type(val).__name__}")
+    raise TypeError(
+        f"unsupported xlsx cell type {type(val).__name__} (cell {ref}) — "
+        "the lite codec writes bool/int/float/str, dates as ISO strings "
+        "and Decimal as exact digit strings; binary belongs in parquet"
+    )
 
 
 def write_grid(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:

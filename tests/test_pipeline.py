@@ -118,3 +118,132 @@ def test_run_find_compare_xlsx_sink(spark, tmp_path):
     assert sorted(map(tuple, back.collect()), key=repr) == sorted(
         map(tuple, curated.collect()), key=repr
     )
+
+
+def test_excel_exact_long_roundtrip_past_2_53(spark, tmp_path):
+    """r12 review: read_grid parsed every number as float, silently
+    rounding longs at/above 2**53 (IDs off by one). Pure-integer cell
+    text now parses as exact int and the column types Long at any
+    magnitude."""
+    from data_finder_comparator_spark.sources.excel import (
+        read_excel,
+        write_excel,
+    )
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [(big, "a"), (big + 2, "b")], "id long, v string"
+    )
+    p = str(tmp_path / "big.xlsx")
+    write_excel(df, p)
+    back = read_excel(spark, p)
+    assert dict(back.dtypes)["id"] == "bigint"
+    assert sorted(r.id for r in back.collect()) == [big, big + 2]
+
+
+def test_excel_typed_cells_dates_decimals_nonfinite(spark, tmp_path):
+    """r12 review: the cell codec crashed with a bare TypeError on
+    date/timestamp/Decimal and wrote invalid XML for NaN/Inf. Dates
+    and timestamps now serialize as ISO-8601 inline strings, Decimal
+    as exact digit strings (both documented, lossless, round-trip as
+    strings); non-finite floats refuse loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from data_finder_comparator_spark.sources.excel import (
+        read_excel,
+        write_excel,
+    )
+    from data_finder_comparator_spark.sources.xlsx_lite import write_grid
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                datetime.date(2026, 8, 15),
+                datetime.datetime(2026, 8, 15, 12, 30, 45),
+            )
+        ],
+        "id long, d date, ts timestamp",
+    )
+    p = str(tmp_path / "typed.xlsx")
+    write_excel(df, p)
+    row = read_excel(spark, p).collect()[0]
+    assert row.d == "2026-08-15"
+    assert row.ts.startswith("2026-08-15 12:30:45")
+    import decimal
+
+    p2 = str(tmp_path / "dec.xlsx")
+    write_grid(p2, [["x"], [decimal.Decimal("1.23456789012345678901")]])
+    got = read_excel(spark, p2).collect()[0].x
+    assert got == "1.23456789012345678901"  # exact digits, no float pass
+    with _pytest.raises(ValueError, match="non-finite"):
+        write_grid(str(tmp_path / "nan.xlsx"), [["x"], [float("nan")]])
+
+
+def test_excel_folder_read_back_and_scheme_refusal(spark, tmp_path):
+    """r12 review: the folder sink's documented read-back path did not
+    exist (read_excel_folder now does), and single-slash Hadoop URIs
+    ('hdfs:/x') bypassed the '://'-based local-path refusal."""
+    import pytest as _pytest
+
+    from data_finder_comparator_spark.sources.excel import (
+        read_excel_folder,
+        write_excel_folder,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    ).repartition(3)
+    folder = str(tmp_path / "xfolder")
+    n = write_excel_folder(df, folder)
+    assert n >= 1
+    back = read_excel_folder(spark, folder)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, f"v{i}") for i in range(20)
+    ]
+    with _pytest.raises(ValueError, match="local or file:"):
+        write_excel_folder(df, "hdfs:/warehouse/export")
+    with _pytest.raises(ValueError, match="local or file:"):
+        write_excel_folder(df, "s3a://bucket/export")
+
+
+def test_read_folder_any_mixed_formats(spark, tmp_path):
+    """r12 review: fmt='any' used to read EVERY listed file with the
+    parquet reader (crash on the first json). It now routes each file
+    through its format's reader by extension and unions by name with
+    null fill; unknown extensions refuse loudly with the offending
+    list."""
+    import pytest as _pytest
+
+    from data_finder_comparator_spark.sources.excel import write_excel
+    from data_finder_comparator_spark.sources.union import (
+        read_folder_union_by_name,
+    )
+
+    folder = tmp_path / "mixed"
+    folder.mkdir()
+    spark.createDataFrame([(1, "p")], "id long, src string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "pq"))
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "pq" / "*.parquet"))[0],
+        str(folder / "a.parquet"),
+    )
+    (folder / "b.json").write_text('{"id": 2, "extra": "j"}\n')
+    write_excel(
+        spark.createDataFrame([(3, "x")], "id long, src string"),
+        str(folder / "c.xlsx"),
+    )
+    got = read_folder_union_by_name(spark, str(folder), fmt="any")
+    rows = {r.id: (r.src, r.extra) for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == ("p", None) and rows[2] == (None, "j")
+    assert rows[3][0] == "x"
+    (folder / "d.csv").write_text("id\n9\n")
+    with _pytest.raises(ValueError, match="cannot route"):
+        read_folder_union_by_name(spark, str(folder), fmt="any")
