@@ -95,3 +95,83 @@ def test_token_entropy_matches_reference(spark, corpus):
         clogc = sum(round(c * math.log(c), 6) for c in counts.values())
         want[d] = (n, len(counts), round(math.log(n) - clogc / n, 6))
     assert got == want
+
+
+# -- xlsx lite codec: grid round-trip property (r12) -------------------
+#
+# The r12 review found three silent holes in the vendored codec (longs
+# past 2^53 rounding through float, date/Decimal TypeErrors, invalid
+# XML for non-finite floats). This property hunts the rest of that
+# space: ANY grid of supported cell values must round-trip through
+# write_grid/read_grid under the documented value mapping, including
+# XML metacharacters, whitespace-significant strings, huge exact ints
+# and ragged rows.
+
+_CELL = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+            # xlsx cannot carry most C0 controls even escaped; the
+            # codec's _ooxml_encode handles them via _xHHHH_ escapes,
+            # which this property exercises through printable + a few
+            # controls below
+        ),
+        max_size=12,
+    ),
+)
+_GRID = st.lists(
+    st.lists(_CELL, min_size=0, max_size=5), min_size=1, max_size=6
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(grid=_GRID)
+def test_xlsx_grid_roundtrip_property(tmp_path_factory, grid):
+    from data_finder_comparator_spark.sources.xlsx_lite import (
+        read_grid,
+        write_grid,
+    )
+
+    d = tmp_path_factory.mktemp("xlsx_prop")
+    p = str(d / "g.xlsx")
+    write_grid(p, grid)
+    back = read_grid(p)
+
+    # expected: None cells skipped on write (trailing Nones shorten
+    # rows; the reader re-densifies to the widest written row);
+    # ints exact at any magnitude; floats by repr; '' cells are
+    # written as inline strings and read back as ''
+    def cells(g):
+        out = {}
+        for i, row in enumerate(g):
+            for j, v in enumerate(row):
+                if v is None:
+                    continue
+                out[(i, j)] = v
+        return out
+
+    want = cells(grid)
+    got = cells(back)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        if isinstance(v, bool):
+            assert g is True or g is False
+            assert g == v
+        elif isinstance(v, int):
+            assert isinstance(g, int) and g == v  # exact past 2^53 too
+        elif isinstance(v, float):
+            # repr round-trips doubles exactly ('5.0' keeps the float
+            # form, so integral floats still parse as float and compare
+            # equal; exponent forms parse as float directly)
+            assert g == v
+        else:
+            assert g == v
