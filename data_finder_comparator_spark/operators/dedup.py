@@ -170,13 +170,16 @@ def lsh_candidate_pairs(
     """Distinct (doc_a < doc_b) pairs sharing any band bucket — an
     equi-join on (band, sig), never a cross product.
 
-    The self-join consumes ``bands`` twice; persist so the minhash
-    pipeline upstream (shingle explode + signature aggregation — the
-    expensive part) materializes once. The band table itself is tiny:
-    n_bands rows per doc. Long-lived callers pass ``cache_registry``
-    (a list) and unpersist its entries after their action."""
-    bands = bands.persist()
+    The self-join consumes ``bands`` twice; with a ``cache_registry``
+    the frame persists so the minhash pipeline upstream (shingle
+    explode + signature aggregation — the expensive part) materializes
+    once, and the registry owner unpersists after its action. WITHOUT
+    a registry there is deliberately no persist (r12 review): an
+    ownerless cached frame the caller never sees cannot be released
+    and pins executor blocks for the session — recompute-twice is the
+    honest price of not passing a registry."""
     if cache_registry is not None:
+        bands = bands.persist()
         cache_registry.append(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
@@ -320,21 +323,31 @@ def connected_components(
     as singleton clusters; pass the full corpus id set so the output is
     a total map, not just the paired subset.
     """
-    sym = (
-        edges.select(F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst"))
-        .union(edges.select(F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    sym = edges.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    ).union(
+        edges.select(F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst"))
+    ).distinct()
+    # ownership rule (r12 review): persist only when a registry takes
+    # the handle — an ownerless cache cannot be released. sym feeds the
+    # edge count plus every hop (or the one-task solve); registry-less
+    # callers trade recompute for leak-freedom.
     if cache_registry is not None:
+        sym = sym.persist()
         cache_registry.append(sym)
 
     cap = CC_LOCAL_EDGE_CAP if local_edge_cap is None else local_edge_cap
-    n_edges = sym.count()  # also materializes the persist
+    n_edges = sym.count()  # also materializes any persist
     if n_edges <= cap:
         # Small sparse graph: one-task union-find (see CC_LOCAL_EDGE_CAP
         # rationale) — no barrier rounds, no checkpoints.
-        labels = _local_union_find(sym).persist()
+        labels = _local_union_find(sym)
+        if cache_registry is not None:
+            # the union-find output feeds _with_singletons' anti-join
+            # AND the final result: register the inner frame too, or
+            # the re-assignment there orphans its cache (r12 review)
+            labels = labels.persist()
+            cache_registry.append(labels)
         return _with_singletons(labels, nodes, cache_registry)
 
     # Loop domain: nodes with at least one edge. sym is symmetric, so
@@ -410,9 +423,9 @@ def _with_singletons(
         singles = node_ids.join(labels, "doc_id", "left_anti").select(
             "doc_id", F.col("doc_id").alias("cluster_id")
         )
-        labels = labels.union(singles).persist()
-
+        labels = labels.union(singles)
     if cache_registry is not None:
+        labels = labels.persist()
         cache_registry.append(labels)
     return labels
 
@@ -442,9 +455,18 @@ def drop_hot_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
     shingles (boilerplate, common words) dominate the pair fanout while
     carrying almost no similarity signal. This CHANGES the measured
     intersection (documented approximation — callers must apply the same
-    cap to every side and to any oracle)."""
-    hot = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") > max_df
+    cap to every side and to any oracle).
+
+    df counts DISTINCT documents (r12 review): on non-distinct shingle
+    input (the ``distinct=False`` variant this module's minhash path
+    uses) a row count would silently turn the per-document cap into an
+    occurrence cap — one document repeating a shingle 200 times would
+    evict it corpus-wide. Identical on distinct input (every current
+    caller), where (doc, shingle) rows are unique."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
     )
     return shingles.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 

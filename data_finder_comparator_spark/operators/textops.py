@@ -539,7 +539,9 @@ def gram_tfidf_cosine_topk(
     products and squared norms are exact order-free sums; the only
     doubles are the final sqrt/divide, identical IEEE in any engine.
     """
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    toks = tokens(text_col)  # THE module tokenizer — an inline copy
+    # here would silently diverge from every other gram/token oracle
+    # the moment tokenization changes (r12 review)
     grams = (
         df.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
         .filter(F.size("_t") >= 3)
@@ -583,7 +585,17 @@ def gram_tfidf_cosine_topk(
     if cache_registry is not None:
         w = w.persist()
         cache_registry.append(w)
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # zero-norm docs (every surviving gram at idf 0 — df == n_docs on
+    # a tiny near-identical corpus) cannot be cosine-ranked: 0/0 is
+    # NULL under non-ANSI Spark (meaningless rows occupying top-k
+    # slots) or a DIVIDE_BY_ZERO job failure under ANSI (r12 review).
+    # Drop them from BOTH join sides; the oracle applies the same
+    # HAVING so the surfaces stay hash-identical.
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .filter(F.col("n2") > 0)
+    )
     probes = w.filter(F.col("doc_id") % probe_mod == 0).select(
         F.col("doc_id").alias("probe_id"), "gram", F.col("w").alias("wa")
     )

@@ -144,7 +144,12 @@ from . import queries_relational  # noqa: E402,F401
 # roundtrip (parked) share read_folder_union_by_name, whose schema
 # probes went thread-parallel this round (r12 review; identical
 # results, re-hash-verified) — the in-window csv/json/excel roundtrips
-# carry the driver evidence for the changed function.
+# carry the driver evidence for the changed function. Likewise the
+# dedup family (parked): drop_hot_shingles' df is now count-distinct
+# (identical on the distinct input every registered query feeds it)
+# and lsh_candidate_pairs/connected_components persist only when a
+# registry owns the handle (registered paths always pass CACHES —
+# plans unchanged); all six affected queries re-hash-verified.
 _PARKED_MULTI_GREEN = [
     # -- the 49 CORRECTNESS_r11 hash-greens (everything in that file
     #    except rows-only alignment_pairs) ----------------------------

@@ -1481,7 +1481,7 @@ w AS (
          CAST(round(tf.tf * ln(n.n / dfreq.df), 6) AS DECIMAL(18,6)) AS w
   FROM tf JOIN dfreq USING (gram) CROSS JOIN n
 ),
-norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id HAVING sum(w * w) > 0),
 dots AS (
   SELECT a.doc_id AS probe_id, b.doc_id AS cand_id, sum(a.w * b.w) AS dot
   FROM w a JOIN w b USING (gram)

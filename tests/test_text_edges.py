@@ -217,3 +217,45 @@ def test_staged_text_ops_edge_corpus_parity(spark, edge_dir):
     ids = {r.probe_id for r in rows} | {r.cand_id for r in rows}
     assert 200 not in ids and 1 not in ids
     assert all(r.rnk <= 3 for r in rows)
+
+
+def test_gram_tfidf_zero_norm_docs_excluded_not_null(spark):
+    """r12 review: a corpus where every surviving gram has idf 0 (df ==
+    n_docs under the cap) used to emit NULL cos_sim rows into the
+    top-k (or fail the job under ANSI). Zero-norm docs are now dropped
+    from both sides, mirrored in the oracle's HAVING."""
+    from data_finder_comparator_spark.operators.textops import (
+        gram_tfidf_cosine_topk,
+    )
+
+    same = [(i, "alpha beta gamma delta") for i in range(6)]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    out = gram_tfidf_cosine_topk(df, probe_mod=2).collect()
+    assert out == []  # nothing rankable — and no NULL rows
+    mixed = spark.createDataFrame(
+        same + [(100, "epsilon zeta eta theta iota unique words here")],
+        "doc_id long, text string",
+    )
+    rows = gram_tfidf_cosine_topk(mixed, probe_mod=2).collect()
+    assert all(r.cos_sim is not None for r in rows)
+
+
+def test_drop_hot_shingles_df_is_per_document(spark):
+    """r12 review: df must count DISTINCT documents — one document
+    repeating a shingle many times must not evict it corpus-wide."""
+    from data_finder_comparator_spark.operators.dedup import (
+        char_shingles,
+        drop_hot_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcde" * 50), (2, "abcdefgh")], "doc_id long, text string"
+    )
+    sh = char_shingles(docs, "doc_id", "text", k=5, distinct=False)
+    # 'abcde' occurs ~dozens of times in doc 1 but in only 2 documents:
+    # max_df=2 must KEEP it
+    kept = drop_hot_shingles(sh, max_df=2)
+    assert kept.filter("shingle = 'abcde'").count() > 0
+    # and max_df=1 drops it (2 documents > 1)
+    dropped = drop_hot_shingles(sh, max_df=1)
+    assert dropped.filter("shingle = 'abcde'").count() == 0
