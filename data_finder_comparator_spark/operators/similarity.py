@@ -1017,11 +1017,15 @@ class IvfPqIndex:
             rows = []
         if not rows:
             raise ValueError(
-                f"no complete IVF-PQ index at {self.root} — run "
-                "build_ivf_pq_index (the meta table is committed last, "
-                "so a crashed build also lands here; the format has "
-                "carried meta since its introduction — there is no "
-                "pre-meta index to migrate)"
+                f"no complete IVF-PQ index at {self.root} — a never-"
+                "built root needs build_ivf_pq_index; a build that "
+                "CRASHED before its final meta commit also lands here, "
+                "and its recovery is a rebuild into a FRESH root "
+                "(rerunning the build on this root would layer "
+                "duplicate rows onto the half-built tables — the build "
+                "itself refuses that). The format has carried meta "
+                "since its introduction — there is no pre-meta index "
+                "to migrate."
             )
         if len(rows) > 1:
             raise ValueError(
@@ -1107,12 +1111,22 @@ def build_ivf_pq_index(
     query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready)."""
     w = dim // m
     index = IvfPqIndex(spark, root, stores=stores)
-    if index.meta.current_version() > 0:
+    # Refuse on ANY constituent table, not just meta: a build that
+    # crashed before its final meta commit leaves centroids/codebook/
+    # codes/cells rows behind, and a retry would layer duplicates onto
+    # them — duplicated code rows double the ADC _adot/_rnorm sums
+    # (qsim inflated ~sqrt(2) for bootstrap candidates) and duplicate
+    # centroids eat nprobe slots: a "complete" index with silently
+    # wrong results (r12 ADVICE, medium). Centroids commits first, so
+    # it witnesses every crash point; meta stays checked for depth.
+    if index.meta.current_version() > 0 or index.centroids.current_version() > 0:
         raise ValueError(
-            f"an IVF-PQ index already exists at {root} — layering a "
-            "second build would mix codebooks and make params() "
-            "ambiguous (silently wrong search results); rebuild into a "
-            "fresh root and swap readers over"
+            f"an IVF-PQ index (complete or crashed mid-build) already "
+            f"exists at {root} — layering a second build would mix or "
+            "duplicate codebooks/codes/centroids (silently wrong "
+            "search results); recover by building into a FRESH root "
+            "and swapping readers over, never by rerunning the build "
+            "on this root"
         )
     coarse = (
         centroids.select("cent_id", "vec_cent")
@@ -1170,12 +1184,32 @@ def ivf_pq_index_append(
     shifts, recall decays and the answer is a REBUILD (optimize/retrain)
     — FAISS's contract too; the index never silently resamples."""
     p = index.params()
+    _require_vec_dim(new_cands, "vec_c", p["dim"], "append batch")
     cents, pq_sub = _index_quantizers(index)
     cells, codes = _pq_encode_under(
         new_cands, cents, pq_sub, p["m"], p["w"], p["n_assign"]
     )
     index.codes.append(codes, txn_app=txn_app, txn_version=txn_version)
     return index.cells.append(cells, txn_app=txn_app, txn_version=txn_version)
+
+
+def _require_vec_dim(df: DataFrame, col: str, dim: int, what: str) -> None:
+    """Loud dimension guard at every index serve/append entry: a
+    probe or candidate batch whose vectors differ from the frozen
+    params()['dim'] would otherwise silently yield null-padded
+    zip_with projections and garbage/empty routing (r12 ADVICE #3 —
+    the 'mismatch impossible by construction' contract covered only
+    the PARAMETER side; the data side needs this check). One-row
+    control-plane probe, same cost class as params() itself; an empty
+    frame passes (vacuously dimension-correct)."""
+    row = df.select(F.size(F.col(col)).alias("n")).limit(1).first()
+    if row is not None and row["n"] != dim:
+        raise ValueError(
+            f"{what} vector dimension {row['n']} does not match the "
+            f"index's frozen dim {dim} — re-embed the batch or rebuild "
+            "the index into a fresh root; serving a mismatched batch "
+            "would silently null-pad subspace projections"
+        )
 
 
 def _exact_cosine_topk_over_pairs(
@@ -1225,6 +1259,8 @@ def ivf_pq_search(
     re-rank only (at 100 TB: a point-lookup join against the vector
     store for rerank x |probes| rows, not a scan)."""
     p = index.params()  # loud completeness check BEFORE any table read
+    _require_vec_dim(probes, "vec_p", p["dim"], "probe")
+    _require_vec_dim(cands, "vec_c", p["dim"], "candidate (re-rank)")
     cents, pq_sub = _index_quantizers(index)
     m, w = p["m"], p["w"]
     probe_cells = nearest_centroid_cells(
@@ -1295,7 +1331,9 @@ def ivf_search(
     routing + the cells equi-join + |routed| exact scores; the encode
     pass ``ivf_topk`` runs per query (cell assignment of every
     candidate) is gone."""
-    index.params()  # completeness marker: a half-built index refuses
+    p = index.params()  # completeness marker: a half-built index refuses
+    _require_vec_dim(probes, "vec_p", p["dim"], "probe")
+    _require_vec_dim(cands, "vec_c", p["dim"], "candidate (scoring)")
     cents = index.centroids.read().withColumn(
         "_ncent", dot("vec_cent", "vec_cent")
     )
@@ -1370,10 +1408,14 @@ class LshIndex:
             rows = []
         if not rows:
             raise ValueError(
-                f"no complete LSH index at {self.root} — run "
-                "build_lsh_index (meta is committed last; the format "
-                "has carried meta since its introduction — there is no "
-                "pre-meta index to migrate)"
+                f"no complete LSH index at {self.root} — a never-built "
+                "root needs build_lsh_index; a build that CRASHED "
+                "before its final meta commit also lands here, and its "
+                "recovery is a rebuild into a FRESH root (rerunning "
+                "the build on this root would duplicate bucket rows — "
+                "the build itself refuses that). The format has "
+                "carried meta since its introduction — there is no "
+                "pre-meta index to migrate."
             )
         if len(rows) > 1:
             raise ValueError(
@@ -1403,12 +1445,18 @@ def build_lsh_index(
     dedup-side ``incremental_lsh_pairs`` is this exact pattern, built
     in r9). Defaults match the registered ``ann_lsh_topk``."""
     index = LshIndex(spark, root, stores=stores)
-    if index.meta.current_version() > 0:
+    # Same constituent-table guard as build_ivf_pq_index (r12 ADVICE):
+    # buckets commits before meta, so a crashed build leaves bucket
+    # rows that a retry would duplicate — benign for pair generation
+    # only by accident (pair_ids are distinct-deduped today), and a
+    # guard keeps that from becoming load-bearing.
+    if index.meta.current_version() > 0 or index.buckets.current_version() > 0:
         raise ValueError(
-            f"an LSH index already exists at {root} — layering a second "
-            "build would mix hyperplane families (appended rows "
-            "invisible to probes); rebuild into a fresh root and swap "
-            "readers over"
+            f"an LSH index (complete or crashed mid-build) already "
+            f"exists at {root} — layering a second build would mix "
+            "hyperplane families or duplicate bucket rows; recover by "
+            "building into a FRESH root and swapping readers over, "
+            "never by rerunning the build on this root"
         )
     index.buckets.append(_lsh_bucket_rows(cands, n_planes, n_tables, dim))
     index.meta.append(
@@ -1430,6 +1478,7 @@ def lsh_index_append(
     cost linear in the batch, replay-idempotent, and a parameter
     mismatch is structurally impossible."""
     p = index.params()
+    _require_vec_dim(new_cands, "vec_c", p["dim"], "append batch")
     return index.buckets.append(
         _lsh_bucket_rows(new_cands, p["n_planes"], p["n_tables"], p["dim"]),
         txn_app=txn_app,
@@ -1451,6 +1500,8 @@ def lsh_search(
     gone, and the bucket table is read once per query."""
     p = index.params()
     n_planes, n_tables, dim = p["n_planes"], p["n_tables"], p["dim"]
+    _require_vec_dim(probes, "vec_p", dim, "probe")
+    _require_vec_dim(cands, "vec_c", dim, "candidate (scoring)")
     df = probes.repartition(_fanout_partitions(probes), F.col("probe_id"))
     pb = None
     for t in range(n_tables):

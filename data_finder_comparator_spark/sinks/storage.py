@@ -226,16 +226,37 @@ class MemoryStore:
         return io.BytesIO(self.read_bytes(rel))
 
     def open_write(self, rel: str):
-        """Buffered writer whose close() publishes the object — the
-        PUT-on-complete semantics of a real object store (partial
-        uploads are never visible)."""
+        """Buffered writer whose SUCCESSFUL close() publishes the
+        object — the PUT-on-complete semantics of a real object store.
+        A writer that aborts (``abort()``, or ``with``-exit under an
+        exception) publishes NOTHING: before the r12 ADVICE fix,
+        close() published unconditionally, so a ParquetWriter that
+        raised mid-stream left a partial object visible under its
+        final name — benign only because failed attempts' names are
+        never referenced by a commit, which this keeps from becoming
+        load-bearing."""
         import io
 
         store = self
 
         class _Buf(io.BytesIO):
+            _aborted = False
+
+            def abort(buf) -> None:  # noqa: N805 - inner self
+                """Discard the buffer without publishing (the
+                multipart-upload-abort analogue)."""
+                buf._aborted = True
+                io.BytesIO.close(buf)
+
+            def __exit__(buf, exc_type, exc, tb):  # noqa: N805
+                if exc_type is not None:
+                    buf.abort()
+                    return False
+                return io.BytesIO.__exit__(buf, exc_type, exc, tb)
+
             def close(buf) -> None:  # noqa: N805 - inner self
-                store.put(rel, buf.getvalue())
+                if not buf._aborted and not buf.closed:
+                    store.put(rel, buf.getvalue())
                 io.BytesIO.close(buf)
 
         return _Buf()

@@ -35,13 +35,21 @@ def _column_type(values: list) -> T.DataType:
             # exact integer cells (pure-integer text) need no 2^53
             # guard — int parse is lossless at any magnitude
             return T.LongType()
-        if all(float(v).is_integer() and abs(v) < 2**53 for v in present):
+        # Floats are present. Long-typable iff every FLOAT is integral
+        # and small enough to be an exact double; the exact ints in
+        # the mix need no magnitude guard (int(v) is lossless at any
+        # size — r12 ADVICE: [2**53+1, 3.0] must type Long, not raise).
+        floats = [v for v in present if isinstance(v, float)]
+        if all(f.is_integer() and abs(f) < 2**53 for f in floats):
             return T.LongType()
+        # A genuinely double-only float coexists in the column; only
+        # now can exact ints at/above 2^53 actually be corrupted.
         if any(isinstance(v, int) and abs(v) >= 2**53 for v in present):
             raise ValueError(
                 "xlsx column mixes exact integers at/above 2**53 with "
-                "non-integral numbers — double typing would corrupt the "
-                "integers; refusing (split the column or export parquet)"
+                "non-integral (or >=2**53-magnitude) floats — double "
+                "typing would corrupt the integers; refusing (split "
+                "the column or export parquet)"
             )
         return T.DoubleType()
     if all(isinstance(v, str) for v in present):

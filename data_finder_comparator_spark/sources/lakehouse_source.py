@@ -451,11 +451,24 @@ def _write_arrow_partition(store_spec, txn, phys, iterator):
                 writer = pq.ParquetWriter(fh, tbl.schema)
             writer.write_table(tbl)
             n += tbl.num_rows
-    finally:
-        if writer is not None:
-            writer.close()
-        if fh is not None:
-            fh.close()
+    except BaseException:
+        # Failed attempt: never publish the partial object. Stores
+        # with PUT-on-complete writers (MemoryStore) expose abort();
+        # plain file stores just close — their stray attempt-named
+        # file is unreferenced by any commit and vacuumable.
+        try:
+            if writer is not None:
+                writer.close()
+        except Exception:
+            pass
+        finally:
+            if fh is not None:
+                getattr(fh, "abort", fh.close)()
+        raise
+    if writer is not None:
+        writer.close()
+    if fh is not None:
+        fh.close()
     return _StagedFiles([f"{txn}/{name}"] if n else [])
 
 

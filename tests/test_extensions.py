@@ -3268,3 +3268,100 @@ def test_fuzzy_stream_sink_idempotent_under_epoch_replay(spark, tmp_path):
         os.remove(crc)
     run_once()  # replays the uncommitted epoch
     assert read() == clean  # rewrite, not duplicate
+
+
+def test_crashed_index_build_refuses_retry_on_same_root(spark, tmp_path):
+    """r13 (r12 ADVICE, medium): the rebuild guard used to check only
+    meta.current_version() — but meta is committed LAST, so a build
+    that crashed before its meta commit passed the guard on retry and
+    the retry layered duplicate centroid/codebook/code rows onto the
+    half-built tables (duplicated codes double the ADC sums → qsim
+    inflated ~sqrt(2); duplicate centroids eat nprobe slots). The
+    guard now trips on ANY constituent table, and params()'s error
+    sends crashed-build recovery to a FRESH root, not back into the
+    build."""
+    from data_finder_comparator_spark.operators.similarity import (
+        IvfPqIndex,
+        LshIndex,
+        build_ivf_pq_index,
+        build_lsh_index,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            (i, [float((i + j) % 7) + 1.0 for j in range(64)])
+            for i in range(0, 200)
+        ],
+        "cand_id long, vec_c array<double>",
+    )
+    # simulate the crash point the ADVICE names: centroids committed,
+    # everything after (incl. meta) lost
+    crashed = IvfPqIndex(spark, str(tmp_path / "pq"))
+    crashed.centroids.append(
+        cands.filter(F.col("cand_id") % 50 == 0).select(
+            F.col("cand_id").alias("cent_id"),
+            F.col("vec_c").alias("vec_cent"),
+        )
+    )
+    with pytest.raises(ValueError, match="crashed mid-build"):
+        build_ivf_pq_index(spark, str(tmp_path / "pq"), cands)
+    with pytest.raises(ValueError, match="FRESH root"):
+        crashed.params()
+    # same crash shape for LSH: buckets committed, meta lost
+    crashed_lsh = LshIndex(spark, str(tmp_path / "lsh"))
+    crashed_lsh.buckets.append(
+        spark.createDataFrame(
+            [(0, "000000", 1)], "table_id int, bucket string, cand_id long"
+        )
+    )
+    with pytest.raises(ValueError, match="crashed mid-build"):
+        build_lsh_index(spark, str(tmp_path / "lsh"), cands)
+    with pytest.raises(ValueError, match="FRESH root"):
+        crashed_lsh.params()
+
+
+def test_index_serve_and_append_refuse_dim_mismatch(spark, tmp_path):
+    """r13 (r12 ADVICE #3): searches and appends over a prebuilt index
+    never validated probe/candidate vector width against the frozen
+    params()['dim'] — a mismatched batch silently yielded null-padded
+    zip_with projections and garbage/empty routing. All five entry
+    points now refuse loudly."""
+    from data_finder_comparator_spark.operators.similarity import (
+        build_ivf_pq_index,
+        build_lsh_index,
+        ivf_pq_index_append,
+        ivf_pq_search,
+        ivf_search,
+        lsh_index_append,
+        lsh_search,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            (i, [float((i + j) % 7) + 1.0 for j in range(64)])
+            for i in range(0, 200)
+        ],
+        "cand_id long, vec_c array<double>",
+    )
+    probes_bad = spark.createDataFrame(
+        [(1, [1.0] * 32)], "probe_id long, vec_p array<double>"
+    )
+    cands_bad = spark.createDataFrame(
+        [(9001, [1.0] * 32)], "cand_id long, vec_c array<double>"
+    )
+    probes_ok = spark.createDataFrame(
+        [(1, [1.0] * 64)], "probe_id long, vec_p array<double>"
+    )
+    pq = build_ivf_pq_index(spark, str(tmp_path / "pq"), cands)
+    lsh = build_lsh_index(spark, str(tmp_path / "lsh"), cands)
+    for search, idx in ((ivf_pq_search, pq), (ivf_search, pq), (lsh_search, lsh)):
+        with pytest.raises(ValueError, match="dimension 32"):
+            search(idx, probes_bad, cands, k=3)
+        with pytest.raises(ValueError, match="dimension 32"):
+            search(idx, probes_ok, cands_bad, k=3)
+    with pytest.raises(ValueError, match="dimension 32"):
+        ivf_pq_index_append(pq, cands_bad)
+    with pytest.raises(ValueError, match="dimension 32"):
+        lsh_index_append(lsh, cands_bad)
+    # the guard is a guard, not a filter: well-formed batches still work
+    assert ivf_search(pq, probes_ok, cands, k=3).count() > 0

@@ -247,3 +247,34 @@ def test_read_folder_any_mixed_formats(spark, tmp_path):
     (folder / "d.csv").write_text("id\n9\n")
     with _pytest.raises(ValueError, match="cannot route"):
         read_folder_union_by_name(spark, str(folder), fmt="any")
+
+
+def test_excel_big_int_mixed_with_integral_float_types_long():
+    """r12 ADVICE #2: a column mixing an exact int at/above 2**53 with
+    an INTEGRAL float (e.g. [2**53+1, 3.0]) is losslessly Long-typable
+    and used to raise (with an error text blaming 'non-integral
+    numbers' that weren't there). Only a genuinely double-only float —
+    non-integral, or integral at/above 2**53 — may trigger the
+    corruption refusal."""
+    from pyspark.sql import types as T
+
+    from data_finder_comparator_spark.sources.excel import (
+        _coerce,
+        _column_type,
+    )
+
+    import pytest
+
+    big = 2**53 + 1
+    dt = _column_type([big, 3.0])
+    assert isinstance(dt, T.LongType)
+    assert [_coerce(v, dt) for v in (big, 3.0)] == [big, 3]
+    # a real non-integral float next to a big exact int: still refuses
+    with pytest.raises(ValueError, match="non-integral"):
+        _column_type([big, 3.5])
+    # an integral float at/above 2**53 next to a big exact int: the
+    # float itself may already be rounded — refuses too
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        _column_type([big, float(2**53 + 4)])
+    # without big ints in the mix, doubles remain doubles
+    assert isinstance(_column_type([3, 3.5]), T.DoubleType)

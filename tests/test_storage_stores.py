@@ -229,3 +229,38 @@ def test_store_parquet_roundtrip_via_file_likes(store):
         assert pq.read_table(f).equals(tbl)
     with store.open_read("data/t/p.parquet") as f:
         assert pq.ParquetFile(f).metadata.num_rows == 3
+
+
+def test_memory_store_open_write_abort_never_publishes():
+    """r12 ADVICE #4: open_write's close() used to publish the buffer
+    even when the writer aborted mid-stream, so a partial/corrupt
+    object became visible under its final name — weaker than the
+    PUT-on-complete semantics the docstring claims. Aborts (explicit
+    or via an exception inside ``with``) must publish nothing; only a
+    clean close puts."""
+    store = MemoryStore()
+    # explicit abort
+    f = store.open_write("data/t1/a.bin")
+    f.write(b"partial")
+    f.abort()
+    with pytest.raises(FileNotFoundError):
+        store.read_bytes("data/t1/a.bin")
+    # exception inside the context manager
+    with pytest.raises(RuntimeError, match="mid-stream"):
+        with store.open_write("data/t1/b.bin") as g:
+            g.write(b"also partial")
+            raise RuntimeError("writer failed mid-stream")
+    with pytest.raises(FileNotFoundError):
+        store.read_bytes("data/t1/b.bin")
+    # clean close (direct and via with) still publishes exactly once
+    h = store.open_write("data/t1/c.bin")
+    h.write(b"complete")
+    h.close()
+    assert store.read_bytes("data/t1/c.bin") == b"complete"
+    with store.open_write("data/t1/d.bin") as i:
+        i.write(b"managed")
+    assert store.read_bytes("data/t1/d.bin") == b"managed"
+    # close after abort stays a no-op (finally-blocks double-close)
+    f.close()
+    with pytest.raises(FileNotFoundError):
+        store.read_bytes("data/t1/a.bin")
