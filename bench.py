@@ -111,7 +111,6 @@ HEADLINE = [
     "weighted_reservoir_sample",
     # round 11 additions (registry grew 99 -> 101 on verdict orders)
     "lakehouse_merge_roundtrip",
-    "ivf_pq_topk",
     # round 12: registry back to its sustainable 99 — four variants
     # retired to the pytest-only registry (cms_merge_shards,
     # hll_register_stream, events_cube dropped from this list;
@@ -119,6 +118,12 @@ HEADLINE = [
     # net-new registrations added
     "lakehouse_datasource_snapshot",
     "semantic_dedup",
+    # round 13: the build-in-query ANN forms (ivf_pq_topk,
+    # ann_lsh_topk — the former previously listed here) retired to the
+    # pytest-only registry; their driver slots and headline entries
+    # now carry the persisted-index build+serve roundtrips
+    "ivf_pq_build_serve_roundtrip",
+    "ann_lsh_build_serve_roundtrip",
 ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# Queries RETIRED from the driver registry (r12): still first-class —
+# Queries RETIRED from the driver registry (r12 onward): still first-class —
 # implemented, oracled, and hash-checked against DuckDB on EVERY pytest
 # run (tests/test_oracle_parity.py::test_retired_oracle_parity) — but
 # no longer shipped to the driver. Why: the driver verifies exactly 50
@@ -31,7 +31,11 @@ ORACLES: dict[str, str] = {}
 # redundant BY CONSTRUCTION: each is a strategy/shape variant of an
 # operator that keeps other registered driver rows (see the retired_
 # query call sites for the per-name rationale), so no SURVEY §2 row
-# loses its driver evidence.
+# loses its driver evidence. r13 (verdict items 2 and 6): the
+# build-in-query ANN forms ivf_pq_topk and ann_lsh_topk retired; their
+# slots carry ivf_pq_build_serve_roundtrip and
+# ann_lsh_build_serve_roundtrip — same oracles, persisted-index
+# lifecycle under driver evidence.
 RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 RETIRED_ORACLES: dict[str, str] = {}
 

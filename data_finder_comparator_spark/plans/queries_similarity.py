@@ -12,7 +12,7 @@ from ..operators.similarity import (
     lsh_bucketed_topk,
 )
 from ..sources.parquet import load_table
-from .catalog import query
+from .catalog import query, retired_query
 
 # DuckDB double-precision cosine with the same formula/rounding as the
 # Spark side: dot / sqrt(norm_a * norm_b), rounded to 6 dp.
@@ -348,9 +348,17 @@ FROM (
 """
 
 
-@query("ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
+@retired_query("ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
 def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FAISS-style IVF-PQ ANN, driver-registered in r11 (it was
+    """RETIRED to the pytest-only registry in r13 (verdict item 2):
+    the build-in-query cost shape this row documented — re-encoding
+    every candidate per query — was obsoleted by the r12 index
+    lifecycle split, and its driver slot now carries
+    ``ivf_pq_build_serve_roundtrip``, which exercises the build ONCE +
+    serve path under the SAME oracle. This form stays hash-checked vs
+    DuckDB on every pytest run (test_retired_oracle_parity).
+
+    FAISS-style IVF-PQ ANN, driver-registered in r11 (it was
     pytest-gated since r10; the oracle above is the full DuckDB
     restatement `test_ivf_pq_topk_oracle_ready` proves hash parity
     against): coarse-cell routing prunes pairs, m=8 subspace product
@@ -375,9 +383,72 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(probes, cands, k=5)
 
 
-@query("ann_lsh_topk", oracle=_LSH_ORACLE)
+def _ann_probe_cand(spark: SparkSession, sf_dir: str):
+    """The ANN family's shared probe/candidate frames: every 25th
+    vector probes against the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    return probes, cands
+
+
+def _fresh_index_root(tag: str) -> str:
+    """A pristine directory for an in-query index build. The driver's
+    correctness/bench harnesses call each registered query in a fresh
+    context with no carried state, so roundtrip queries must build
+    into a root that provably has no prior index (builds refuse
+    non-empty roots). The directory outlives the function on purpose:
+    the returned DataFrame is lazy and the driver collects it AFTER
+    the query function returns, so the index tables must stay
+    readable; the tempdir lands under the OS tmp root and is bounded
+    by one small index per query run."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"{tag}-")
+
+
+@query("ivf_pq_build_serve_roundtrip", oracle=_IVF_PQ_ORACLE)
+def ivf_pq_build_serve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN lifecycle under driver evidence (r13,
+    verdict item 2): build the IVF-PQ index ONCE — coarse centroids,
+    PQ codebooks, cent_id-clustered inverted lists and code arrays
+    persisted as TransactionalTables, meta committed last as the
+    completeness marker — then answer the probe set via
+    ``ivf_pq_search``, which routes probes to cells, ADC-scores the
+    routed pairs from the PERSISTED codes and exact-reranks the
+    120-deep shortlist. No candidate is encoded after the build
+    commits (plan-pinned by test_ivf_pq_roundtrip_serves_without_
+    candidate_encode); measured serve-only cost is 0.26x of the
+    retired build-in-query form at sf0.1
+    (bench_history/ivf_pq_serve_split_r12.json). Same oracle as the
+    retired ``ivf_pq_topk`` — the split changed the lifecycle, not
+    the answer (hash parity also pinned by
+    test_ivf_pq_prebuilt_oracle_ready)."""
+    from ..operators.similarity import build_ivf_pq_index, ivf_pq_search
+
+    probes, cands = _ann_probe_cand(spark, sf_dir)
+    root = _fresh_index_root("ivfpq-roundtrip")
+    index = build_ivf_pq_index(spark, f"{root}/idx", cands)
+    return ivf_pq_search(index, probes, cands, k=5)
+
+
+@retired_query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe hyperplane-LSH cosine top-5 at the round-9 swept
+    """RETIRED to the pytest-only registry in r13 (verdict item 6):
+    its driver slot now carries ``ann_lsh_build_serve_roundtrip`` —
+    the same bucketing arithmetic under the same oracle, but through
+    the persisted-index build/serve split (row-equality of the two
+    forms is separately pinned by
+    test_prebuilt_serve_paths_match_build_in_query). Stays
+    hash-checked vs DuckDB on every pytest run.
+
+    Multi-probe hyperplane-LSH cosine top-5 at the round-9 swept
     parameters (6 planes x 8 tables, Hamming-1 multiprobe): measured
     recall@5 = 0.94 at both sf0.01 and sf0.1 vs 0.47 for the previous
     4x4 exact-probe config, for 2.6x the scored pairs and half the
@@ -394,6 +465,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         probes, cands, k=5, n_planes=6, n_tables=8, dim=64, multiprobe=1
     )
+
+
+@query("ann_lsh_build_serve_roundtrip", oracle=_LSH_ORACLE)
+def ann_lsh_build_serve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted hyperplane-LSH lifecycle under driver evidence
+    (r13, verdict item 6): build the bucket table once —
+    (table_id, bucket, cand_id) rows range-clustered on the probe key,
+    frozen (n_planes, n_tables, dim) meta committed last — then serve
+    via ``lsh_search``: only the PROBES are bucketed per query, their
+    Hamming-1 neighborhoods equi-join the persisted index, and the
+    exact cosine top-5 reranks. Candidate bucketing happens exactly
+    once, at build. Same oracle as the retired build-in-query
+    ``ann_lsh_topk``; row-equality of the two forms is pinned by
+    test_prebuilt_serve_paths_match_build_in_query."""
+    from ..operators.similarity import build_lsh_index, lsh_search
+
+    probes, cands = _ann_probe_cand(spark, sf_dir)
+    root = _fresh_index_root("lsh-roundtrip")
+    index = build_lsh_index(spark, f"{root}/idx", cands)
+    return lsh_search(index, probes, cands, k=5, multiprobe=1)
 
 
 # SQ8 compressed-scan + exact-rerank ANN: candidates quantize to an

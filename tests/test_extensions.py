@@ -18,13 +18,15 @@ def test_lsh_topk_subset_and_recall(spark):
     """LSH-bucketed top-k must (a) only return pairs the brute force
     also scores, with identical cosine values, and (b) keep rank-1
     recall above a floor on this corpus."""
-    from data_finder_comparator_spark.plans.catalog import QUERIES
+    from data_finder_comparator_spark.plans.catalog import QUERIES, RETIRED
 
     brute = {
         (r.probe_id, r.cand_id): r.cos_sim
         for r in QUERIES["ann_cosine_topk"](spark, SF_ORACLE).collect()
     }
-    lsh_rows = QUERIES["ann_lsh_topk"](spark, SF_ORACLE).collect()
+    # ann_lsh_topk retired to the pytest-only registry in r13 (its
+    # driver slot carries the build/serve roundtrip); same arithmetic
+    lsh_rows = RETIRED["ann_lsh_topk"](spark, SF_ORACLE).collect()
     assert lsh_rows, "LSH query returned nothing"
     # cosine values must agree exactly where pairs overlap
     for r in lsh_rows:

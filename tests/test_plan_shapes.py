@@ -477,3 +477,32 @@ def test_ann_cosine_topk_guard_scale_path_no_cartesian(spark):
         for r in QUERIES["ann_cosine_topk"](spark, SF).collect()
     }
     assert reg == exact
+
+
+def test_ivf_pq_roundtrip_serves_without_candidate_encode(spark):
+    """r13 (verdict item 2 'Done' criterion): the registered
+    ``ivf_pq_build_serve_roundtrip`` must SERVE — after its in-query
+    index build commits, the returned DataFrame's plan may contain no
+    candidate-encode stage. The encode's unmistakable signature is a
+    window partitioned by the CANDIDATE key (cell assignment's
+    (cand_id, _csim) argmax and PQ coding's (cand_id, j) argmin);
+    serving computes only probe-side windows (routing, ADC shortlist,
+    final rerank — all partitioned by probe_id). Same pin for the LSH
+    roundtrip: candidate bucketing happens at build, so the served
+    plan carries no candidate-side hyperplane projection."""
+    import re
+
+    df = QUERIES["ivf_pq_build_serve_roundtrip"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"windowspecdefinition\(cand_id#", plan), (
+        "serve plan re-encodes candidates (cand_id-partitioned window)"
+    )
+    # and it actually answers (routing over the persisted cells works)
+    assert df.count() > 0
+    lsh = QUERIES["ann_lsh_build_serve_roundtrip"](spark, SF)
+    lplan = lsh._jdf.queryExecution().optimizedPlan().toString()
+    # probe-side bucketing projects vec_p; the candidate side must
+    # arrive pre-bucketed from the index scan (no vec_c hyperplane
+    # math — vec_c appears only in the exact rerank's dot products)
+    assert not re.search(r"windowspecdefinition\(cand_id#", lplan)
+    assert lsh.count() > 0
