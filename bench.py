@@ -97,13 +97,14 @@ HEADLINE = [
     "histogram_quantiles",
     # round 6 additions
     "hll_merge_shards",
-    # round 7 additions
+    # round 7 additions (grouped_histogram_quantiles and
+    # bloom_merge_shards retired to the pytest-only registry in r13 —
+    # displaced by the code-changed returns excel_folder_roundtrip /
+    # lakehouse_datasource_snapshot per the rotation rule)
     "scrub_hot_spans",
     "cluster_canonical",
     "grouped_hll_by_lang",
-    "grouped_histogram_quantiles",
     "inverted_index",
-    "bloom_merge_shards",
     "histogram_merge_shards",
     "pcm_resample_layout",
     # round 8 additions (the registry's final three — saturation bound)

@@ -1144,9 +1144,18 @@ def _grouped_quantile_bins(spark: SparkSession, ev: DataFrame, quantiles):
     return sel, bounds
 
 
-@query("grouped_histogram_quantiles", oracle=_GROUPED_HISTQ_ORACLE)
+@retired_query("grouped_histogram_quantiles", oracle=_GROUPED_HISTQ_ORACLE)
 def grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 per event_type from per-group equi-width histograms.
+    """RETIRED to the pytest-only registry in r13: its driver slot was
+    displaced by ``excel_folder_roundtrip`` returning in-window (its
+    read path's column typing changed this round — the rotation rule).
+    Redundant by construction: the histogram-sketch operator keeps
+    ``histogram_quantiles`` (ungrouped) and ``histogram_merge_shards``
+    (shard merges), and the per-group-sketch shape keeps
+    ``grouped_hll_by_lang``. Hash-checked vs DuckDB on every pytest
+    run.
+
+    p50/p90/p99 per event_type from per-group equi-width histograms.
     The per-group bounds table is group-cardinality-sized, so it
     broadcasts; the cumulative walk windows on (event_type, bin) with
     at most 4096 rows per partition."""

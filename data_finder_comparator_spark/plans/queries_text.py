@@ -1410,9 +1410,17 @@ FROM shard_bits GROUP BY b
 """
 
 
-@query("bloom_merge_shards", oracle=_BLOOM_MERGE_ORACLE)
+@retired_query("bloom_merge_shards", oracle=_BLOOM_MERGE_ORACLE)
 def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Bloom bit tables (4 salted md5 positions per 3-gram,
+    """RETIRED to the pytest-only registry in r13: its driver slot was
+    displaced by ``lakehouse_datasource_snapshot`` returning in-window
+    (its code changed this round — the rotation rule). Redundant by
+    construction: the mergeable-sketch shard-merge shape keeps driver
+    rows via ``hll_merge_shards`` and ``histogram_merge_shards``, and
+    the Bloom operator keeps ``bloom_decontaminate``. Hash-checked vs
+    DuckDB on every pytest run.
+
+    Per-source Bloom bit tables (4 salted md5 positions per 3-gram,
     2^16 bits) merged by distinct union. Shard state is <=2^16 rows per
     source through every exchange — the fixed-size property that makes
     the filter shippable at 100 TB."""

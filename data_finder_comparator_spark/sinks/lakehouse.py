@@ -500,14 +500,90 @@ class TransactionalTable:
     def _read_rels_via_store(
         self, schema: StructType, rels: list[str], rel_col: str | None = None
     ) -> DataFrame:
-        """RELAY read for stores Spark's engine cannot reach
-        (``supports_spark_io`` False — an in-process MemoryStore):
-        each manifest file decodes via pyarrow from store bytes and
-        projects to the logical schema under exactly the Spark path's
-        rules, then the concatenated Arrow table becomes the frame.
-        Data bytes pass through the driver — the documented test-scale
-        trade of a store with no worker-reachable address; any real
-        backend keeps the Spark-native parallel path.
+        """Data-file read for stores Spark's engine cannot reach by
+        path (``supports_spark_io`` False). Two shapes (r13):
+        worker-addressable stores — picklable ``spec()`` — decode in
+        EXECUTORS (each task GETs and projects its own files; no data
+        byte touches the driver); spec-less in-process stores
+        (MemoryStore) fall back to the driver relay."""
+        spec = self.store.spec() if hasattr(self.store, "spec") else None
+        if spec is not None:
+            return self._store_read_rels_distributed(
+                schema, rels, spec, rel_col
+            )
+        return self._relay_read_rels(schema, rels, rel_col)
+
+    def _store_read_rels_distributed(
+        self,
+        schema: StructType,
+        rels: list[str],
+        spec: dict,
+        rel_col: str | None = None,
+    ) -> DataFrame:
+        """Distributed read over a worker-addressable non-spark-io
+        store (r13, verdict item 3): the file list becomes a one-column
+        frame, and each ``mapInArrow`` task rebuilds the store client
+        from ``spec``, GETs its files (one ranged-capable request per
+        file) and projects them to the logical schema under exactly
+        ``_project_arrow``'s rules — the same decode the relay and the
+        data-source workers run, now on executors. Partition values
+        are parsed driver-side from the manifest names (string work,
+        no IO) and shipped in the closure."""
+        from pyspark.sql.types import StringType
+
+        phys = self._physical_names(schema)
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        pvals_by_rel = {
+            rel: self._parse_partition_values(rel, ptypes) for rel in rels
+        }
+        out_schema = schema
+        if rel_col is not None:
+            out_schema = StructType(
+                list(schema.fields) + [StructField(rel_col, StringType(), True)]
+            )
+        project = TransactionalTable._project_arrow
+        data_prefix = _DATA
+
+        def _fetch(batches):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from data_finder_comparator_spark.sinks.storage import (
+                store_from_spec,
+            )
+
+            store = store_from_spec(spec)
+            for b in batches:
+                for rel in b.column("_rel").to_pylist():
+                    raw = pq.read_table(
+                        pa.BufferReader(
+                            store.read_bytes(f"{data_prefix}/{rel}")
+                        )
+                    )
+                    tbl = project(raw, schema, phys, pvals_by_rel[rel])
+                    if rel_col is not None:
+                        tbl = tbl.append_column(
+                            rel_col,
+                            pa.array([rel] * tbl.num_rows, pa.string()),
+                        )
+                    yield from tbl.to_batches()
+
+        rels_df = self.spark.createDataFrame(
+            [(r,) for r in rels], "_rel string"
+        ).repartition(len(rels), F.col("_rel"))
+        return rels_df.mapInArrow(_fetch, out_schema)
+
+    def _relay_read_rels(
+        self, schema: StructType, rels: list[str], rel_col: str | None = None
+    ) -> DataFrame:
+        """RELAY read for stores with NO worker-reachable address
+        (``spec()`` is None — an in-process MemoryStore): each manifest
+        file decodes via pyarrow from store bytes and projects to the
+        logical schema under exactly the Spark path's rules, then the
+        concatenated Arrow table becomes the frame. Data bytes pass
+        through the driver — the documented test-scale trade of an
+        in-process store; every addressable backend takes the
+        spark-io or distributed-store path instead.
 
         ``rel_col`` appends each row's manifest-relative file name as a
         string column — the relay route's provenance, standing in for
@@ -912,7 +988,11 @@ class TransactionalTable:
                 and not name.rsplit("/", 1)[-1].startswith((".", "_"))
             )
         else:
-            rels = self._relay_write_data_files(df, txn)
+            spec = self.store.spec() if hasattr(self.store, "spec") else None
+            if spec is not None:
+                rels = self._store_write_data_files_distributed(df, txn, spec)
+            else:
+                rels = self._relay_write_data_files(df, txn)
         # footer reads (and Bloom builds below) are driver-side file
         # IO, one per part file — a large compaction writes thousands,
         # so run them on a thread pool (pyarrow releases the GIL on
@@ -969,6 +1049,72 @@ class TransactionalTable:
                         mn[c] = pv
                         mx[c] = pv
         return txn, rels, stats
+
+    def _store_write_data_files_distributed(
+        self, df: DataFrame, txn: str, spec: dict
+    ) -> list[str]:
+        """Distributed write over a worker-addressable non-spark-io
+        store (r13, verdict item 3): each ``mapInArrow`` task encodes
+        its partition to parquet and PUTs its own part file through a
+        client rebuilt from ``spec`` (PUT-on-complete writer: a failed
+        task publishes nothing; a retried task writes a fresh
+        uuid-name and only the successful attempt's name reaches the
+        commit — stray attempt objects are unreferenced and fall to
+        vacuum). The driver collects only the file NAMES; no data
+        byte passes through it. The cluster_by range layout applied
+        upstream is preserved (one file per task partition, tight
+        footer ranges). Hive partitioning is refused exactly like the
+        relay — its path-encoding contract belongs to Spark's own
+        writer."""
+        if self.partition_by:
+            raise ValueError(
+                "partitioned (hive-layout) tables need a store Spark's "
+                "engine can write directly (supports_spark_io); the "
+                "store-routed data plane supports flat and cluster_by "
+                "tables"
+            )
+        data_prefix = _DATA
+
+        def _encode_put(batches):
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from data_finder_comparator_spark.sinks.storage import (
+                store_from_spec,
+            )
+
+            store = store_from_spec(spec)
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            fh = None
+            w = None
+            try:
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    if w is None:
+                        fh = store.open_write(f"{data_prefix}/{txn}/{name}")
+                        w = pq.ParquetWriter(fh, b.schema)
+                    w.write_batch(b)
+            except BaseException:
+                try:
+                    if w is not None:
+                        w.close()
+                except Exception:
+                    pass
+                finally:
+                    if fh is not None:
+                        getattr(fh, "abort", fh.close)()
+                raise
+            if w is None:
+                return  # empty task partition: no object at all
+            w.close()
+            fh.close()
+            yield pa.record_batch([pa.array([name])], names=["name"])
+
+        rows = df.mapInArrow(_encode_put, "name string").collect()
+        return sorted(f"{txn}/{r['name']}" for r in rows)
 
     def _relay_write_data_files(self, df: DataFrame, txn: str) -> list[str]:
         """RELAY write for stores Spark's engine cannot reach: parquet

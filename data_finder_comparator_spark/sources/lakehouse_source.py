@@ -81,30 +81,47 @@ class _FilePartition(InputPartition):
         self.op = op
 
 
-def _table(path: str):
+def _table(path: str, store_spec=None):
     from ..sinks.lakehouse import TransactionalTable
 
     # control-plane only: schema/manifest walks never touch the
-    # SparkSession the handle normally carries
-    return TransactionalTable(None, path)
+    # SparkSession the handle normally carries. ``store_spec`` (r13 —
+    # the .option("storeSpec", <json>) plumbing, a JSON string or the
+    # decoded dict) rebuilds a non-default store client, so tables on
+    # worker-addressable network stores are readable and writable
+    # through the DSv2 surface exactly like path-backed ones.
+    store = None
+    if store_spec:
+        from ..sinks.storage import store_from_spec
+
+        spec = (
+            json.loads(store_spec)
+            if isinstance(store_spec, str)
+            else store_spec
+        )
+        store = store_from_spec(spec)
+    return TransactionalTable(None, path, store=store)
 
 
-def _logical_schema(path: str, version: int | None = None) -> StructType:
-    t = _table(path)
+def _logical_schema(
+    path: str, version: int | None = None, store_spec=None
+) -> StructType:
+    t = _table(path, store_spec)
     v, man = t.snapshot(version)
     if v == 0:
         raise FileNotFoundError(f"no committed version at {path}")
     return StructType.fromJson(json.loads(man["schema"]))
 
 
-def _file_partitions(path: str, schema_json: str, rels, version, op):
+def _file_partitions(path: str, schema_json: str, rels, version, op,
+                     store_spec=None):
     """Driver-side: resolve each manifest-relative file to a worker
     partition carrying the logical→physical projection plan.
     ``schema_json`` is the schema the SOURCE declared (the latest /
     requested version's) — every emitted batch must project to it,
     whatever era the file is from; physical names are stable across
     renames, so old files read correctly under the new schema."""
-    t = _table(path)
+    t = _table(path, store_spec)
     spec = t.store.spec()
     if spec is None:
         raise ValueError(
@@ -184,8 +201,8 @@ class _HistoryReader(DataSourceReader):
     resolved on the driver at planning time and shipped inside a single
     input partition — no worker-side manifest IO."""
 
-    def __init__(self, path: str):
-        t = _table(path)
+    def __init__(self, path: str, store_spec=None):
+        t = _table(path, store_spec)
         rows = []
         for man in t.history():
             txn = man.get("txn") or {}
@@ -210,12 +227,13 @@ class _HistoryReader(DataSourceReader):
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None, store_spec=None):
         self.path = path
         self.version = version
+        self.store_spec = store_spec
 
     def partitions(self):
-        t = _table(self.path)
+        t = _table(self.path, self.store_spec)
         v, man = t.snapshot(self.version)
         if v == 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -225,6 +243,7 @@ class _SnapshotReader(DataSourceReader):
             man["files"],
             v,
             man.get("op") or "snapshot",
+            store_spec=self.store_spec,
         )
 
     def read(self, partition):
@@ -238,11 +257,13 @@ class _ChangeStreamReader(DataSourceStreamReader):
         starting_version: int,
         ignore_changes: bool,
         declared_schema_json: str,
+        store_spec=None,
     ):
         self.path = path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.declared_schema_json = declared_schema_json
+        self.store_spec = store_spec
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -258,10 +279,10 @@ class _ChangeStreamReader(DataSourceStreamReader):
         # Python API), a fresh stream over a long history pays one big
         # first batch — bounded per version by that version's file
         # count, and startingVersion/startingTimestamp cut the history.
-        return {"version": _table(self.path).current_version()}
+        return {"version": _table(self.path, self.store_spec).current_version()}
 
     def partitions(self, start: dict, end: dict):
-        t = _table(self.path)
+        t = _table(self.path, self.store_spec)
         if end["version"] <= start["version"]:
             return []
         # every batch projects to the schema this source instance
@@ -311,7 +332,12 @@ class _ChangeStreamReader(DataSourceStreamReader):
                     continue
             elif not added:
                 continue  # manifest-only commit: no new rows
-            parts.extend(_file_partitions(self.path, end_schema, added, v, op))
+            parts.extend(
+                _file_partitions(
+                    self.path, end_schema, added, v, op,
+                    store_spec=self.store_spec,
+                )
+            )
         return parts
 
     def read(self, partition):
@@ -355,14 +381,15 @@ class _StagedFiles(WriterCommitMessage):
         self.rels = rels
 
 
-def _plan_write(path: str, incoming: StructType, overwrite: bool):
+def _plan_write(path: str, incoming: StructType, overwrite: bool,
+                store_spec=None):
     """Driver-side (planning) write validation shared by the batch and
     stream writers. Returns (txn id, phys map for the TASKS to write
     under, incoming schema json). Loud refusals for what a
     session-less external writer cannot honor: layout policies need
     the engine's shuffle, CHECK constraints need a SparkSession to
     evaluate — both keep working through TransactionalTable.append."""
-    t = _table(path)
+    t = _table(path, store_spec)
     v, man = t.snapshot()
     if v > 0:
         if man.get("partition_by"):
@@ -480,6 +507,7 @@ def _commit_staged(
     staged_phys: dict | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    store_spec=None,
 ) -> None:
     """Driver-side commit: footer stats + Bloom sidecars for the staged
     files, then the same optimistic slot-claim loop as append/merge.
@@ -499,7 +527,7 @@ def _commit_staged(
     (r11 ADVICE, medium)."""
     from ..sinks.lakehouse import CommitConflict
 
-    t = _table(path)
+    t = _table(path, store_spec)
     rels = sorted(rel for m in messages if m is not None for rel in m.rels)
     incoming = StructType.fromJson(json.loads(incoming_schema_json))
     stats = {}
@@ -569,11 +597,13 @@ def _commit_staged(
 
 
 class _BatchWriter(DataSourceArrowWriter):
-    def __init__(self, path, incoming: StructType, overwrite: bool):
+    def __init__(self, path, incoming: StructType, overwrite: bool,
+                 table_store_spec=None):
         self.path = path
         self.overwrite = overwrite
+        self.table_store_spec = table_store_spec
         self.txn, self.phys, self.schema_json, self.store_spec = _plan_write(
-            path, incoming, overwrite
+            path, incoming, overwrite, store_spec=table_store_spec
         )
 
     def write(self, iterator):
@@ -583,7 +613,8 @@ class _BatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         _commit_staged(
-            self.path, messages, self.overwrite, self.schema_json, self.phys
+            self.path, messages, self.overwrite, self.schema_json, self.phys,
+            store_spec=self.table_store_spec,
         )
 
     def abort(self, messages) -> None:
@@ -598,14 +629,16 @@ class _StreamWriter(DataSourceStreamArrowWriter):
     ``df.writeStream.format("lakehouse").option("checkpointLocation",
     ...).start(path)``."""
 
-    def __init__(self, path, incoming: StructType, app_id: str):
+    def __init__(self, path, incoming: StructType, app_id: str,
+                 table_store_spec=None):
         self.path = path
         self.app_id = app_id
+        self.table_store_spec = table_store_spec
         # validation runs HERE (stream planning, driver-side); tasks
         # only stage files. phys is epoch-independent for appends
         # (commit-time revalidation catches mapping races — r12).
         _, self.phys, self.incoming_json, self.store_spec = _plan_write(
-            path, incoming, overwrite=False
+            path, incoming, overwrite=False, store_spec=table_store_spec
         )
 
     def write(self, iterator):
@@ -628,6 +661,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
             staged_phys=self.phys,
             txn_app=self.app_id,
             txn_version=batchId,
+            store_spec=self.table_store_spec,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -643,7 +677,10 @@ class LakehouseDataSource(DataSource):
     rule as TIMESTAMP AS OF; default 0 = from the beginning),
     ``ignoreChanges`` (stream past non-append commits,
     at-least-once), ``streamAppId`` (required for the stream SINK:
-    txn-marker namespace)."""
+    txn-marker namespace), ``storeSpec`` (r13: JSON of
+    ``Store.spec()`` for tables living on a non-default store — e.g.
+    the network object store — letting the DSv2 surface plan and
+    write against them; defaults to the path-backed LocalStore)."""
 
     @classmethod
     def name(cls) -> str:
@@ -654,6 +691,9 @@ class LakehouseDataSource(DataSource):
         if not p:
             raise ValueError("lakehouse source requires .load(<table path>)")
         return p
+
+    def _table_store_spec(self):
+        return self.options.get("storeSpec")
 
     def _pinned_version(self) -> int:
         """Resolve 'latest' EXACTLY ONCE per source instance: schema()
@@ -667,20 +707,26 @@ class LakehouseDataSource(DataSource):
             self._resolved_version = (
                 int(version)
                 if version is not None
-                else _table(self._path()).current_version()
+                else _table(
+                    self._path(), self._table_store_spec()
+                ).current_version()
             )
         return self._resolved_version
 
     def schema(self) -> StructType:
         if self.options.get("metadata") == "history":
             return _HISTORY_SCHEMA
-        base = _logical_schema(self._path(), self._pinned_version())
+        base = _logical_schema(
+            self._path(), self._pinned_version(), self._table_store_spec()
+        )
         return StructType(list(base.fields) + list(_PROVENANCE))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("metadata") == "history":
-            return _HistoryReader(self._path())
-        return _SnapshotReader(self._path(), self._pinned_version())
+            return _HistoryReader(self._path(), self._table_store_spec())
+        return _SnapshotReader(
+            self._path(), self._pinned_version(), self._table_store_spec()
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
@@ -691,7 +737,7 @@ class LakehouseDataSource(DataSource):
                     "pass startingVersion OR startingTimestamp, not both"
                 )
             start = _exclusive_start_for_timestamp(
-                _table(self._path()), float(ts)
+                _table(self._path(), self._table_store_spec()), float(ts)
             )
         # capture the MANIFEST's schema JSON (field metadata carries the
         # physical column mapping, which may not survive the JVM round
@@ -701,11 +747,17 @@ class LakehouseDataSource(DataSource):
             self._path(),
             start,
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
-            _logical_schema(self._path(), self._pinned_version()).json(),
+            _logical_schema(
+                self._path(), self._pinned_version(), self._table_store_spec()
+            ).json(),
+            store_spec=self._table_store_spec(),
         )
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _BatchWriter(self._path(), schema, overwrite)
+        return _BatchWriter(
+            self._path(), schema, overwrite,
+            table_store_spec=self._table_store_spec(),
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
@@ -726,4 +778,7 @@ class LakehouseDataSource(DataSource):
                 "by it, and distinct pipelines writing one table must "
                 "not share a marker namespace"
             )
-        return _StreamWriter(self._path(), schema, app_id)
+        return _StreamWriter(
+            self._path(), schema, app_id,
+            table_store_spec=self._table_store_spec(),
+        )

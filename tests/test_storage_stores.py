@@ -19,11 +19,27 @@ from data_finder_comparator_spark.sinks.lakehouse import TransactionalTable
 from data_finder_comparator_spark.sinks.storage import LocalStore, MemoryStore
 
 
-@pytest.fixture(params=["local", "memory"])
+@pytest.fixture(params=["local", "memory", "http"])
 def store(request, tmp_path):
     if request.param == "local":
-        return LocalStore(str(tmp_path / "store"))
-    return MemoryStore()
+        yield LocalStore(str(tmp_path / "store"))
+        return
+    if request.param == "memory":
+        yield MemoryStore()
+        return
+    # the loopback network store (r13): every conformance test below
+    # also proves the PROTOCOL holds over an actual wire — ranged GET,
+    # If-None-Match PUT as the slot claim, HEAD-backed size/mtime
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        yield HttpStore(base)
+    finally:
+        server.shutdown()
 
 
 def test_store_put_if_absent_single_winner(store):
