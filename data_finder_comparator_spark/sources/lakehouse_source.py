@@ -33,9 +33,13 @@ pyarrow because data-source workers run plain Python with no
 SparkSession.
 
 A lagging stream whose versions were retired by ``expire_snapshots``
-fails loudly (FileNotFoundError) rather than silently skipping data —
-resync by restarting from a fresh checkpoint, exactly as with Delta
-CDF past retention.
+either serves its catch-up from the table's manifest CHECKPOINT (r13:
+possible exactly when the covered history is clean appends — the
+checkpoint's ``entries`` carry every live file's adding version, so
+the batch is identical to the manifest walk's) or fails loudly
+(FileNotFoundError) rather than silently skipping data — resync by
+restarting from a fresh stream checkpoint, exactly as with Delta CDF
+past retention.
 """
 
 from __future__ import annotations
@@ -58,9 +62,13 @@ _PROVENANCE = [
     StructField("_commit_op", StringType(), True),
 ]
 
-# ops whose added files are pure new rows / pure rewrites
-_APPEND_OPS = {"append", "merge_into_bootstrap"}
-_REWRITE_ONLY_OPS = {"optimize"}
+# ops whose added files are pure new rows / pure rewrites — one source
+# of truth with the table's checkpoint builder, whose `dirty` list must
+# classify commits exactly like this reader does
+from ..sinks.lakehouse import (  # noqa: E402
+    _STREAM_APPEND_OPS as _APPEND_OPS,
+    _STREAM_REWRITE_OPS as _REWRITE_ONLY_OPS,
+)
 
 
 class _FilePartition(InputPartition):
@@ -291,15 +299,70 @@ class _ChangeStreamReader(DataSourceStreamReader):
         # stable across renames so any era's files read correctly
         end_schema = self.declared_schema_json
         parts = []
-        # each manifest is read exactly once: the loop carries the
-        # previous version's file set forward (the naive parent lookup
-        # doubled control-plane IO — r11 review finding 7)
-        prev_files = (
-            set(t._read_manifest(start["version"])["files"])
-            if start["version"] >= 1
-            else set()
-        )
-        for v in range(start["version"] + 1, end["version"] + 1):
+        sv, ev = start["version"], end["version"]
+        # Checkpoint shortcut (r13): when a manifest checkpoint at C in
+        # (sv, ev] exists and no commit in (sv, C] changed the file set
+        # non-appendably, the checkpoint's entries — live files with
+        # their adding version/op — ARE the walk's output for (sv, C],
+        # file for file (clean appends never remove, so every added
+        # file of the range is still live). Catch-up over a long
+        # history then reads ONE object instead of every manifest, and
+        # works even below the expiry cutoff. Any dirt in range, an
+        # entries-less (gap-degraded) checkpoint, or no checkpoint at
+        # all falls back to the plain walk — identical semantics,
+        # including the ignoreChanges refusal.
+        walk_from = sv
+        ck = t.latest_checkpoint(max_version=ev)
+        if (
+            ck is not None
+            and ck.get("entries") is not None
+            and ck.get("dirty") is not None
+            and sv < int(ck["version"]) <= ev
+            and all(int(d) <= sv for d in ck["dirty"])
+        ):
+            groups: dict[int, tuple[str, list]] = {}
+            for rel, v_add, op in ck["entries"]:
+                if int(v_add) > sv:  # <= C by construction
+                    groups.setdefault(int(v_add), (op, []))[1].append(rel)
+            # resolve store spec / schema / partition types ONCE for the
+            # whole checkpoint range (per-version _file_partitions calls
+            # would re-resolve them per commit — O(history) table
+            # constructions, defeating the single-object read)
+            spec = t.store.spec()
+            if spec is None:
+                raise ValueError(
+                    "lakehouse data source: the table's store is not "
+                    "addressable from worker processes (no picklable "
+                    "spec) — read in-process stores via "
+                    "TransactionalTable.read"
+                )
+            schema = StructType.fromJson(json.loads(end_schema))
+            phys = t._physical_names(schema)
+            ptypes = {f.name: f.dataType for f in schema.fields}
+            for v_add in sorted(groups):
+                op, rels = groups[v_add]
+                parts.extend(
+                    _FilePartition(
+                        spec,
+                        rel,
+                        end_schema,
+                        phys,
+                        t._parse_partition_values(rel, ptypes),
+                        v_add,
+                        op,
+                    )
+                    for rel in rels
+                )
+            prev_files = {rel for rel, _v, _op in ck["entries"]}
+            walk_from = int(ck["version"])
+        else:
+            # each manifest is read exactly once: the loop carries the
+            # previous version's file set forward (the naive parent
+            # lookup doubled control-plane IO — r11 review finding 7)
+            prev_files = (
+                set(t._read_manifest(sv)["files"]) if sv >= 1 else set()
+            )
+        for v in range(walk_from + 1, ev + 1):
             man = t._read_manifest(v)  # loud when expired: no silent gaps
             op = man.get("op") or "unknown"
             cur_files = set(man["files"])

@@ -1,0 +1,308 @@
+"""Manifest checkpoints (r13): Delta-style commit-log rollups.
+
+Every `checkpoint_interval` commits (and before every expiry) the
+table writes a checkpoint object — the live file list annotated with
+each file's adding version/op, the non-append ("dirty") version list,
+and the (version, commit-ts) pairs — plus a rolling `_last_checkpoint`
+pointer. What these buy, each pinned here:
+
+* `current_version` / the stream's `latestOffset` probe FORWARD from
+  the pointer instead of listing the whole commit log — flat in
+  history length;
+* a fresh stream's catch-up over clean-append history serves from ONE
+  checkpoint object instead of walking every manifest — byte-identical
+  partitions to the walk, proven by direct comparison;
+* `version_at` binary-searches the checkpoint's recorded commit times
+  below the descending walk's reach;
+* a lagging stream below the expiry cutoff still serves clean-append
+  history (expiry checkpoints first), while dirty history keeps the
+  loud FileNotFoundError/resync contract;
+* everything is ADVISORY: corrupt/missing pointer or checkpoint
+  degrades to the plain walk, never to a wrong answer.
+
+Most tests fabricate manifests directly through `_try_commit` (the
+checkpoint plane is pure control-plane JSON — no Spark needed); one
+end-to-end test drives a real readStream over an expired history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from data_finder_comparator_spark.sinks.lakehouse import (
+    _CKPT_POINTER,
+    TransactionalTable,
+)
+from data_finder_comparator_spark.sources.lakehouse_source import (
+    _ChangeStreamReader,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+SCHEMA_JSON = StructType([StructField("id", LongType())]).json()
+
+
+def _mk_table(tmp_path, interval=4):
+    return TransactionalTable(
+        None, str(tmp_path / "tbl"), checkpoint_interval=interval
+    )
+
+
+def _commit(t, v, op, files, ts=None):
+    man = {
+        "version": v,
+        "parent": v - 1,
+        "op": op,
+        "ts": time.time() + v if ts is None else ts,
+        "files": list(files),
+        "schema": SCHEMA_JSON,
+        "stats": {},
+        "txns": {},
+    }
+    assert t._try_commit(v, man), f"slot {v} already claimed"
+
+
+def _append_chain(t, n, start=1, prefix="txn"):
+    """n clean single-file appends; returns the running file list."""
+    files = []
+    for v in range(start, start + n):
+        files.append(f"{prefix}{v}/part-0.parquet")
+        _commit(t, v, "append", files)
+    return files
+
+
+def _parts(reader, start, end):
+    return [
+        (p.rel, p.version, p.op)
+        for p in reader.partitions({"version": start}, {"version": end})
+    ]
+
+
+def _walk_parts(t, reader, start, end):
+    """partitions() with the checkpoint plane disabled — the reference
+    walk the shortcut must reproduce file-for-file."""
+    orig = TransactionalTable.latest_checkpoint
+    TransactionalTable.latest_checkpoint = (
+        lambda self, max_version=None: None
+    )
+    try:
+        return _parts(reader, start, end)
+    finally:
+        TransactionalTable.latest_checkpoint = orig
+
+
+def test_checkpoint_cadence_pointer_and_fast_head(tmp_path):
+    """Every interval-th commit writes a checkpoint + advances the
+    pointer; current_version probes forward from it and stays correct
+    as commits land past the newest checkpoint."""
+    t = _mk_table(tmp_path, interval=4)
+    _append_chain(t, 10)
+    assert t._pointer_version() == 8  # cadence: v4 superseded by v8
+    ck = t.latest_checkpoint()
+    assert ck["version"] == 8 and len(ck["entries"]) == 8
+    assert ck["dirty"] == []
+    assert t.current_version() == 10  # probe walks 8 -> 10
+    # checkpoint objects for both cadence hits exist until expiry
+    assert t._load_checkpoint(4) is not None
+    # an interval of 0 disables the cadence entirely
+    t2 = TransactionalTable(
+        None, str(tmp_path / "tbl2"), checkpoint_interval=0
+    )
+    _append_chain(t2, 5)
+    assert t2._pointer_version() is None
+    assert t2.current_version() == 5  # listing fallback
+
+
+def test_catchup_via_checkpoint_matches_walk_exactly(tmp_path):
+    """Clean-append history (with a manifest-only commit mixed in):
+    the checkpoint-served catch-up equals the manifest walk partition
+    for partition — rel, version and op — from any start offset."""
+    t = _mk_table(tmp_path, interval=4)
+    files = _append_chain(t, 6)
+    _commit(t, 7, "add_constraint", files)  # manifest-only: no rows
+    _append_chain(t, 2, start=8, prefix="late")  # v8 ckpt fires
+    files = json.loads(
+        t.store.read_bytes(t._manifest_rel(9))
+    )["files"]
+    assert t._pointer_version() == 8
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    for start in (0, 3, 7):
+        assert _parts(r, start, 9) == _walk_parts(t, r, start, 9), start
+    # bootstrap op normalization: v1's files stream as 'append'
+    assert _parts(r, 0, 9)[0][2] == "append"
+
+
+def test_dirty_range_refuses_like_walk_and_past_dirt_serves(tmp_path):
+    """A merge inside the covered range blocks the shortcut: the
+    refusal (no ignoreChanges) is identical to the walk's; a start
+    offset past the dirt re-enables the shortcut, still walk-equal."""
+    t = _mk_table(tmp_path, interval=4)
+    _commit(t, 1, "append", ["txn1/a.parquet"])
+    _commit(t, 2, "append", ["txn1/a.parquet", "txn2/b.parquet"])
+    # merge rewrites file a
+    _commit(t, 3, "merge", ["txn2/b.parquet", "txn3/rw.parquet"])
+    _commit(
+        t, 4, "append", ["txn2/b.parquet", "txn3/rw.parquet", "txn4/c.parquet"]
+    )
+    assert t.latest_checkpoint()["dirty"] == [3]
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r.partitions({"version": 0}, {"version": 4})
+    assert _parts(r, 3, 4) == _walk_parts(t, r, 3, 4)
+    # ignoreChanges over the dirty range: checkpoint must NOT shortcut
+    # (it would miss the merge-added file grouping) — walk fallback,
+    # identical to the no-checkpoint result
+    r2 = _ChangeStreamReader(t.path, 0, True, SCHEMA_JSON)
+    assert _parts(r2, 0, 4) == _walk_parts(t, r2, 0, 4)
+    assert ("txn3/rw.parquet", 3, "merge") in _parts(r2, 0, 4)
+
+
+def test_optimize_is_dirty_for_the_stream_shortcut(tmp_path):
+    """Compaction changes the file set but no logical row: the walk
+    skips its files entirely, so the shortcut must refuse the range
+    (entries carry the compacted file, not the originals it replaced)."""
+    t = _mk_table(tmp_path, interval=2)
+    _append_chain(t, 2)
+    _commit(t, 3, "optimize", ["txn3/compact.parquet"])
+    _commit(t, 4, "append", ["txn3/compact.parquet", "txn4/d.parquet"])
+    assert t.latest_checkpoint()["dirty"] == [3]
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    got = _parts(r, 0, 4)
+    assert got == _walk_parts(t, r, 0, 4)
+    assert not any(rel.startswith("txn3/") for rel, _v, _op in got)
+
+
+def test_corrupt_pointer_and_checkpoint_are_advisory(tmp_path):
+    """Torn pointer, truncated checkpoint, pointer at a missing
+    checkpoint: every reader degrades to the listing/walk and stays
+    correct."""
+    t = _mk_table(tmp_path, interval=4)
+    _append_chain(t, 9)
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    want = _walk_parts(t, r, 0, 9)
+    # torn pointer bytes
+    t.store.put(_CKPT_POINTER, b"not json {")
+    assert t.current_version() == 9
+    assert t.latest_checkpoint()["version"] == 8  # listing scan fallback
+    assert _parts(r, 0, 9) == want
+    # pointer at a version with no checkpoint object
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 7}).encode())
+    assert t.current_version() == 9
+    assert _parts(r, 0, 9) == want
+    # truncated checkpoint object under a valid pointer
+    t.store.put(t._checkpoint_rel(8), b'{"version": 8, "entr')
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 8}).encode())
+    assert t.current_version() == 9
+    assert t.latest_checkpoint()["version"] == 4  # next-best readable
+    assert _parts(r, 0, 9) == want
+    # version_at still resolves through the degraded plane
+    ts3 = json.loads(t.store.read_bytes(t._manifest_rel(3)))["ts"]
+    assert t.version_at(ts3 + 1e-4) == 3
+
+
+def test_expiry_checkpoints_first_and_serves_lagging_clean_stream(tmp_path):
+    """expire_snapshots writes a head checkpoint before deleting, so a
+    stream starting below the cutoff over clean-append history gets its
+    whole catch-up from the checkpoint — where the walk alone would die
+    on the first expired manifest. Dirty history keeps the loud
+    failure. Old checkpoint objects are pruned to the newest two."""
+    t = _mk_table(tmp_path, interval=4)
+    _append_chain(t, 10)
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    want = _parts(r, 0, 10)
+    assert t.expire_snapshots(keep_last=1) == list(range(1, 10))
+    assert t.current_version() == 10
+    assert _parts(r, 0, 10) == want  # served from ckpt-v10
+    with pytest.raises(FileNotFoundError):
+        _walk_parts(t, r, 0, 10)  # the walk alone is dead — shortcut did it
+    # ckpt pruning: cadence wrote v4/v8, expiry wrote v10 — keep 2
+    assert t._load_checkpoint(4) is None
+    assert t._load_checkpoint(8) is not None
+    assert t._load_checkpoint(10) is not None
+    # dirty history below the cutoff: loud failure, not silent serve
+    t2 = _mk_table(tmp_path / "dirty", interval=0)
+    _commit(t2, 1, "append", ["txn1/a.parquet"])
+    _commit(t2, 2, "merge", ["txn2/rw.parquet"])
+    _commit(t2, 3, "append", ["txn2/rw.parquet", "txn3/b.parquet"])
+    t2.expire_snapshots(keep_last=1)
+    r2 = _ChangeStreamReader(t2.path, 0, True, SCHEMA_JSON)
+    with pytest.raises(FileNotFoundError):
+        r2.partitions({"version": 0}, {"version": 3})
+
+
+def test_version_at_binary_search_matches_walk(tmp_path):
+    """Below the newest checkpoint, version_at answers from the
+    checkpoint's (version, ts) pairs — same result as the full
+    descending walk for every commit instant, and expired versions
+    are skipped identically (ValueError when nothing old enough
+    survives)."""
+    t = _mk_table(tmp_path, interval=4)
+    base = time.time()
+    files = []
+    for v in range(1, 10):
+        files.append(f"txn{v}/part-0.parquet")
+        _commit(t, v, "append", files, ts=base + 10 * v)
+    for v in range(1, 10):
+        assert t.version_at(base + 10 * v + 1) == v
+        assert t.version_at(base + 10 * v) == v
+    with pytest.raises(ValueError):
+        t.version_at(base + 5)  # predates v1
+    t.expire_snapshots(keep_last=2)
+    assert t.version_at(base + 91) == 9
+    assert t.version_at(base + 81) == 8
+    with pytest.raises(ValueError):
+        t.version_at(base + 79)  # only expired versions are that old
+
+
+def test_current_version_pointer_below_cutoff_falls_back(tmp_path):
+    """A stale pointer whose checkpoint manifest was expired (e.g. a
+    crashed expiry's leftovers) must not strand the probe: the missing
+    base manifest routes to the authoritative listing."""
+    t = _mk_table(tmp_path, interval=4)
+    _append_chain(t, 6)
+    t.expire_snapshots(keep_last=1)  # pointer -> 6, manifests 1..5 gone
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 3}).encode())
+    assert t.current_version() == 6  # manifest v3 missing -> listing
+
+
+def test_streaming_e2e_catchup_from_checkpoint_after_expiry(
+    spark, tmp_path
+):
+    """Real table, real readStream: appends past the cadence, expire
+    everything but the head, then a FRESH stream (no prior offsets)
+    still delivers every row — its first batch plans from the manifest
+    checkpoint, including file reads below the expiry cutoff (clean
+    appends are never vacuumable: every file is still live at head)."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        LakehouseDataSource,
+    )
+
+    spark.dataSource.register(LakehouseDataSource)
+    path = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, path, checkpoint_interval=3)
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string")
+        )
+    t.expire_snapshots(keep_last=1)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.v, r._version)
+        for r in spark.read.parquet(out)
+        .select("id", "v", "_version")
+        .collect()
+    )
+    assert got == [(i, f"r{i}", i + 1) for i in range(5)]

@@ -141,10 +141,13 @@ def test_lakehouse_commit_protocol_on_memory_store(spark, tmp_path):
     t2.ack("job", 1)  # stale: must not rewind
     assert t2.consumer_cursor("job") == 3
     assert t2.consume_changes("job", "id")["frame"] is None
-    # expire retires old manifests from the store
+    # expire retires old manifests from the store; it also writes the
+    # r13 manifest checkpoint (object + pointer) before deleting
     expired = t2.expire_snapshots(keep_last=1)
     assert expired == [1, 2]
-    assert st.list("_commits") == ["v00000003.json"]
+    names = st.list("_commits")
+    assert [n for n in names if n.startswith("v")] == ["v00000003.json"]
+    assert "ckpt-v00000003.json" in names and "_last_checkpoint.json" in names
     with pytest.raises(FileNotFoundError):
         t2.read(version=1)
 
