@@ -175,6 +175,31 @@ def main():
         min(BOOTSTRAP + 4 * BATCH, n_total),
         True,
     )
+
+    # scenario B — majority drift: the same bootstrap quantizers serve
+    # a corpus whose APPENDED HALF is out-of-distribution (every vector
+    # reversed). This is the aging failure mode at full strength; the
+    # incr-vs-rebuild recall gap here calibrates the rebuild threshold.
+    index_b = build_ivf_pq_index(spark, fresh_root(), batch_df(0, BOOTSTRAP))
+    shifted = batch_df(BOOTSTRAP, n_total, shifted=True)
+    ivf_pq_index_append(index_b, shifted)
+    corpus_b = batch_df(0, BOOTSTRAP).unionByName(shifted).cache()
+    corpus_b.count()
+    r_incr_b = recall_at_k(
+        ivf_pq_search(index_b, probes, corpus_b, k=K), corpus_b
+    )
+    rebuilt_b = build_ivf_pq_index(spark, fresh_root(), corpus_b)
+    r_reb_b = recall_at_k(
+        ivf_pq_search(rebuilt_b, probes, corpus_b, k=K), corpus_b
+    )
+    scenario_b = {
+        "ood_fraction": round((n_total - BOOTSTRAP) / n_total, 3),
+        "recall_incr": r_incr_b,
+        "recall_rebuild": r_reb_b,
+        "recall_gap": round(r_reb_b - r_incr_b, 4),
+    }
+    print(json.dumps(scenario_b), flush=True)
+
     for r in roots:
         shutil.rmtree(r, ignore_errors=True)
     out = {
@@ -183,6 +208,7 @@ def main():
         "batch": BATCH,
         "bootstrap_build_s": build_s,
         "rungs": rungs,
+        "majority_drift": scenario_b,
     }
     path = os.path.join(
         os.path.dirname(__file__), "ivf_pq_append_rung_r13.json"

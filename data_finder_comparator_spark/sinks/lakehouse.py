@@ -453,11 +453,32 @@ class TransactionalTable:
             return None
 
     def _load_checkpoint(self, version: int) -> dict | None:
+        """Read + STRUCTURALLY validate a checkpoint: advisory means a
+        malformed one (hand-edited, foreign writer) must degrade every
+        consumer to the manifest walk, not crash it mid-plan — so the
+        shapes the stream shortcut and version_at index into are
+        checked here, once."""
         try:
             ck = json.loads(
                 self.store.read_bytes(self._checkpoint_rel(version))
             )
-            return ck if int(ck["version"]) == version else None
+            if int(ck["version"]) != version:
+                return None
+            entries, dirty = ck.get("entries"), ck.get("dirty")
+            if entries is not None and not all(
+                isinstance(e, list)
+                and len(e) == 3
+                and isinstance(e[0], str)
+                and isinstance(e[1], int)
+                for e in entries
+            ):
+                return None
+            if dirty is not None:
+                ck["dirty"] = [int(d) for d in dirty]
+            ck["version_ts"] = [
+                [int(v), float(ts)] for v, ts in (ck.get("version_ts") or [])
+            ]
+            return ck
         except (FileNotFoundError, KeyError, TypeError, ValueError):
             return None
 
