@@ -1110,6 +1110,12 @@ def build_ivf_pq_index(
     defaults so a search over the built index reproduces the registered
     query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready)."""
     w = dim // m
+    # the BUILD is the entry that makes a dimension mismatch permanent:
+    # an unguarded mismatched corpus would freeze null-padded centroids/
+    # codebooks under a meta that every later (guarded) serve call
+    # happily matches — wrong neighbors forever (r13 review finding 1,
+    # closing the gap the r12 serve/append guards left open)
+    _require_vec_dim(cands, "vec_c", dim, "build corpus")
     index = IvfPqIndex(spark, root, stores=stores)
     # Refuse on ANY constituent table, not just meta: a build that
     # crashed before its final meta commit leaves centroids/codebook/
@@ -1444,6 +1450,9 @@ def build_lsh_index(
     parameters); append new candidates with ``lsh_index_append`` (the
     dedup-side ``incremental_lsh_pairs`` is this exact pattern, built
     in r9). Defaults match the registered ``ann_lsh_topk``."""
+    # same build-entry dimension guard as build_ivf_pq_index: a
+    # mismatched corpus must refuse here, not serve garbage later
+    _require_vec_dim(cands, "vec_c", dim, "build corpus")
     index = LshIndex(spark, root, stores=stores)
     # Same constituent-table guard as build_ivf_pq_index (r12 ADVICE):
     # buckets commits before meta, so a crashed build leaves bucket

@@ -122,7 +122,10 @@ _CKPT_POINTER = f"{_COMMITS}/_last_checkpoint.json"
 # Stream-facing commit-op classification (shared with the lakehouse
 # data source): ops whose added files are PURE NEW ROWS are streamable
 # as appends; rewrite-only ops change the file set but no logical row.
-_STREAM_APPEND_OPS = {"append", "merge_into_bootstrap"}
+# NOTE a bootstrap (v==1) commit of ANY op is all new rows by
+# definition — both consumers override it to "append" by version, not
+# by op name (no writer emits a distinct bootstrap op).
+_STREAM_APPEND_OPS = {"append"}
 _STREAM_REWRITE_OPS = {"optimize"}
 
 
@@ -508,15 +511,42 @@ class TransactionalTable:
                 return ck
         return None
 
+    def _latest_full_checkpoint(self, max_version: int) -> dict | None:
+        """Newest readable checkpoint at-or-below ``max_version`` whose
+        ``entries`` survived (i.e. not gap-degraded) — the rebase
+        target that keeps one racing expiry from degrading every
+        future checkpoint (see write_checkpoint)."""
+        cands = []
+        for name in self.store.list(_COMMITS):
+            if name.startswith("ckpt-v") and name.endswith(".json"):
+                try:
+                    v = int(name[len("ckpt-v"):-5])
+                except ValueError:
+                    continue
+                if v <= max_version:
+                    cands.append(v)
+        for v in sorted(cands, reverse=True):
+            ck = self._load_checkpoint(v)
+            if ck is not None and ck.get("entries") is not None:
+                return ck
+        return None
+
     def write_checkpoint(self) -> int:
         """Write a checkpoint at the current head (idempotent; builds
         INCREMENTALLY from the newest prior checkpoint so cost is
         O(commits since) + O(live files), not O(history)). Returns the
-        checkpointed version, 0 on an empty table. An expired-manifest
-        gap inside the extension range degrades the checkpoint to
-        pointer-only duty (``entries``/``dirty`` null): per-file add
-        provenance is unknowable, so the stream shortcut refuses it,
-        while ``current_version``/``version_at`` still benefit."""
+        checkpointed version, 0 on an empty table.
+
+        An expired-manifest gap inside the extension range REBASES onto
+        the newest FULL checkpoint past the gap when one exists (an
+        expiry racing a cadence build always wrote one before deleting
+        — without the rebase, one such race would degrade every future
+        checkpoint of the table, r13 review finding 3); a gap with no
+        full checkpoint to rebase onto (legacy expiry) degrades this
+        checkpoint to pointer-only duty (``entries``/``dirty`` null):
+        per-file add provenance is unknowable, so the stream shortcut
+        refuses it, while ``current_version``/``version_at`` still
+        benefit."""
         import time as _time
 
         head = self._current_version_listed()
@@ -526,29 +556,52 @@ class TransactionalTable:
         if prev is not None and int(prev["version"]) == head:
             self._advance_pointer(head)  # crash-repair: object without pointer
             return head
-        if prev is not None:
-            base = int(prev["version"])
-            entries = (
-                {rel: (int(v), op) for rel, v, op in prev["entries"]}
-                if prev.get("entries") is not None
-                else None
+        if prev is not None and prev.get("entries") is None:
+            # the newest checkpoint is degraded; prefer the newest FULL
+            # one as the base — if every manifest since it is live, the
+            # new checkpoint comes out full again instead of inheriting
+            # the degradation forever
+            full = self._latest_full_checkpoint(head)
+            if full is not None:
+                prev = full
+
+        def _state_from(ck: dict | None):
+            if ck is None:
+                return 0, {}, [], []
+            return (
+                int(ck["version"]),
+                (
+                    {rel: (int(v), op) for rel, v, op in ck["entries"]}
+                    if ck.get("entries") is not None
+                    else None
+                ),
+                (
+                    [int(d) for d in ck["dirty"]]
+                    if ck.get("dirty") is not None
+                    else None
+                ),
+                [[int(v), float(ts)] for v, ts in (ck.get("version_ts") or [])],
             )
-            dirty = (
-                [int(d) for d in prev["dirty"]]
-                if prev.get("dirty") is not None
-                else None
-            )
-            version_ts = [
-                [int(v), float(ts)] for v, ts in (prev.get("version_ts") or [])
-            ]
-        else:
-            base, entries, dirty, version_ts = 0, {}, [], []
+
+        base, entries, dirty, version_ts = _state_from(prev)
         prev_files = set(entries) if entries is not None else set()
-        for v in range(base + 1, head + 1):
+        rebases = 0
+        v = base + 1
+        while v <= head:
             try:
                 man = self._read_manifest(v)
-            except FileNotFoundError:  # expired gap: provenance unknowable
-                entries, dirty = None, None
+            except FileNotFoundError:  # expired gap inside the range
+                cand = (
+                    self._latest_full_checkpoint(head) if rebases < 2 else None
+                )
+                if cand is not None and int(cand["version"]) >= v:
+                    base, entries, dirty, version_ts = _state_from(cand)
+                    prev_files = set(entries)
+                    rebases += 1
+                    v = base + 1
+                    continue
+                entries, dirty = None, None  # provenance unknowable
+                v += 1
                 continue
             ts = man.get("ts")
             if ts is None:
@@ -558,24 +611,24 @@ class TransactionalTable:
                     ts = None
             if ts is not None:
                 version_ts.append([v, float(ts)])
-            if entries is None:
-                continue
-            cur = list(man["files"])
-            cur_set = set(cur)
-            added = [rel for rel in cur if rel not in prev_files]
-            removed = prev_files - cur_set
-            op = man.get("op") or "unknown"
-            if v == 1 and added:
-                op = "append"  # bootstrap: the whole table is new rows
-            if (added or removed) and not (
-                op in _STREAM_APPEND_OPS and not removed
-            ):
-                dirty.append(v)
-            for rel in removed:
-                entries.pop(rel, None)
-            for rel in added:
-                entries[rel] = (v, op)
-            prev_files = cur_set
+            if entries is not None:
+                cur = list(man["files"])
+                cur_set = set(cur)
+                added = [rel for rel in cur if rel not in prev_files]
+                removed = prev_files - cur_set
+                op = man.get("op") or "unknown"
+                if v == 1 and added:
+                    op = "append"  # bootstrap: the whole table is new rows
+                if (added or removed) and not (
+                    op in _STREAM_APPEND_OPS and not removed
+                ):
+                    dirty.append(v)
+                for rel in removed:
+                    entries.pop(rel, None)
+                for rel in added:
+                    entries[rel] = (v, op)
+                prev_files = cur_set
+            v += 1
         payload = {
             "version": head,
             "ts": _time.time(),

@@ -209,6 +209,41 @@ class LocalStore:
                 pass  # raced another vacuum
 
 
+def _put_on_complete_writer(store, rel: str):
+    """Buffered writer whose SUCCESSFUL close() publishes the object —
+    the PUT-on-complete semantics of a real object store. A writer that
+    aborts (``abort()``, or ``with``-exit under an exception) publishes
+    NOTHING: before the r12 ADVICE fix, close() published
+    unconditionally, so a ParquetWriter that raised mid-stream left a
+    partial object visible under its final name — benign only because
+    failed attempts' names are never referenced by a commit, which this
+    keeps from becoming load-bearing. Shared by every buffering store
+    (MemoryStore, HttpStore) so the abort semantics cannot diverge."""
+    import io
+
+    class _Buf(io.BytesIO):
+        _aborted = False
+
+        def abort(buf) -> None:  # noqa: N805 - inner self
+            """Discard the buffer without publishing (the
+            multipart-upload-abort analogue)."""
+            buf._aborted = True
+            io.BytesIO.close(buf)
+
+        def __exit__(buf, exc_type, exc, tb):  # noqa: N805
+            if exc_type is not None:
+                buf.abort()
+                return False
+            return io.BytesIO.__exit__(buf, exc_type, exc, tb)
+
+        def close(buf) -> None:  # noqa: N805 - inner self
+            if not buf._aborted and not buf.closed:
+                store.put(rel, buf.getvalue())
+            io.BytesIO.close(buf)
+
+    return _Buf()
+
+
 class MemoryStore:
     """In-process dict-backed store — the object-store-shaped fake:
     no rename, no hard links, no directories, atomicity only through
@@ -237,40 +272,7 @@ class MemoryStore:
         return io.BytesIO(self.read_bytes(rel))
 
     def open_write(self, rel: str):
-        """Buffered writer whose SUCCESSFUL close() publishes the
-        object — the PUT-on-complete semantics of a real object store.
-        A writer that aborts (``abort()``, or ``with``-exit under an
-        exception) publishes NOTHING: before the r12 ADVICE fix,
-        close() published unconditionally, so a ParquetWriter that
-        raised mid-stream left a partial object visible under its
-        final name — benign only because failed attempts' names are
-        never referenced by a commit, which this keeps from becoming
-        load-bearing."""
-        import io
-
-        store = self
-
-        class _Buf(io.BytesIO):
-            _aborted = False
-
-            def abort(buf) -> None:  # noqa: N805 - inner self
-                """Discard the buffer without publishing (the
-                multipart-upload-abort analogue)."""
-                buf._aborted = True
-                io.BytesIO.close(buf)
-
-            def __exit__(buf, exc_type, exc, tb):  # noqa: N805
-                if exc_type is not None:
-                    buf.abort()
-                    return False
-                return io.BytesIO.__exit__(buf, exc_type, exc, tb)
-
-            def close(buf) -> None:  # noqa: N805 - inner self
-                if not buf._aborted and not buf.closed:
-                    store.put(rel, buf.getvalue())
-                io.BytesIO.close(buf)
-
-        return _Buf()
+        return _put_on_complete_writer(self, rel)
 
     def size(self, rel: str) -> int:
         with self._mu:
@@ -404,7 +406,14 @@ class HttpStore:
                 raise FileNotFoundError(rel)
             if r.status not in (200, 206):
                 raise OSError(f"ranged GET {rel}: HTTP {r.status}")
-            return r.read()
+            data = r.read()
+            if r.status == 200:
+                # RFC 7233: a server may ignore Range and answer 200
+                # with the WHOLE object (proxies, range-less backends).
+                # Returning it unsliced would hand parquet probes the
+                # wrong bytes with no error — slice to the asked range.
+                data = data[start:start + length]
+            return data
 
     def size(self, rel: str) -> int:
         r = self._request("HEAD", self._obj_url(rel))
@@ -461,31 +470,7 @@ class HttpStore:
         return _RangedReader(self, rel)
 
     def open_write(self, rel: str):
-        """PUT-on-complete buffered writer, same abort semantics as
-        MemoryStore (a failed writer publishes nothing)."""
-        import io
-
-        store = self
-
-        class _Buf(io.BytesIO):
-            _aborted = False
-
-            def abort(buf) -> None:  # noqa: N805 - inner self
-                buf._aborted = True
-                io.BytesIO.close(buf)
-
-            def __exit__(buf, exc_type, exc, tb):  # noqa: N805
-                if exc_type is not None:
-                    buf.abort()
-                    return False
-                return io.BytesIO.__exit__(buf, exc_type, exc, tb)
-
-            def close(buf) -> None:  # noqa: N805 - inner self
-                if not buf._aborted and not buf.closed:
-                    store.put(rel, buf.getvalue())
-                io.BytesIO.close(buf)
-
-        return _Buf()
+        return _put_on_complete_writer(self, rel)
 
     @contextmanager
     def lock(self, name: str):

@@ -312,7 +312,18 @@ class _ChangeStreamReader(DataSourceStreamReader):
         # all falls back to the plain walk — identical semantics,
         # including the ignoreChanges refusal.
         walk_from = sv
-        ck = t.latest_checkpoint(max_version=ev)
+        # pointer pre-check: a caught-up stream (sv at-or-past the
+        # newest checkpoint — every steady-state trigger) must not GET
+        # and parse the O(live files) checkpoint object just to discover
+        # the shortcut cannot apply; one tiny pointer read decides
+        # (r13 review finding 4). A pointer past ev (old-range replay)
+        # still consults the listing for an older checkpoint — rare by
+        # construction. A missing/corrupt pointer skips the shortcut
+        # outright: advisory plane, the walk is always correct.
+        pv = t._pointer_version()
+        ck = t.latest_checkpoint(max_version=ev) if (
+            pv is not None and pv > sv
+        ) else None
         if (
             ck is not None
             and ck.get("entries") is not None

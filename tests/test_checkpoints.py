@@ -65,9 +65,12 @@ def _commit(t, v, op, files, ts=None):
     assert t._try_commit(v, man), f"slot {v} already claimed"
 
 
-def _append_chain(t, n, start=1, prefix="txn"):
-    """n clean single-file appends; returns the running file list."""
-    files = []
+def _append_chain(t, n, start=1, prefix="txn", files=None):
+    """n clean single-file appends; returns the running file list.
+    Continuations (start > 1) must pass the prior ``files`` list —
+    an append's manifest carries the FULL file set, so omitting it
+    fabricates an overwrite."""
+    files = list(files or [])
     for v in range(start, start + n):
         files.append(f"{prefix}{v}/part-0.parquet")
         _commit(t, v, "append", files)
@@ -123,7 +126,7 @@ def test_catchup_via_checkpoint_matches_walk_exactly(tmp_path):
     t = _mk_table(tmp_path, interval=4)
     files = _append_chain(t, 6)
     _commit(t, 7, "add_constraint", files)  # manifest-only: no rows
-    _append_chain(t, 2, start=8, prefix="late")  # v8 ckpt fires
+    _append_chain(t, 2, start=8, prefix="late", files=files)  # v8 ckpt fires
     files = json.loads(
         t.store.read_bytes(t._manifest_rel(9))
     )["files"]
@@ -306,3 +309,50 @@ def test_streaming_e2e_catchup_from_checkpoint_after_expiry(
         .collect()
     )
     assert got == [(i, f"r{i}", i + 1) for i in range(5)]
+
+
+def test_checkpoint_rebases_past_gap_onto_full_checkpoint(tmp_path):
+    """The degradation race (r13 review finding 3): an expiry
+    checkpoints at ITS head then deletes old manifests while another
+    writer builds from an older base and hits the gap. The gapped
+    build must REBASE onto the surviving full checkpoint — one race
+    must not degrade the table's checkpoints forever."""
+    t = _mk_table(tmp_path, interval=4)
+    files = _append_chain(t, 8)  # full checkpoints at 4 and 8, pointer at 8
+    # simulate the racer's view: manifests 1..5 expired, pointer
+    # regressed to the OLD checkpoint so the next build walks the gap
+    for v in range(1, 6):
+        t.store.delete(t._manifest_rel(v))
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 4}).encode())
+    _append_chain(t, 1, start=9, prefix="late", files=files)
+    t.write_checkpoint()  # base ckpt-4 -> gap at v5 -> rebase on ckpt-8
+    ck = t.latest_checkpoint()
+    assert ck["version"] == 9 and ck.get("entries") is not None
+    assert len(ck["entries"]) == 9 and ck["dirty"] == []
+    # and the stream shortcut works over the (expired) history again
+    r = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    assert [p[1] for p in _parts(r, 0, 9)] == list(range(1, 10))
+
+
+def test_degraded_checkpoint_base_recovers_to_full(tmp_path):
+    """A degraded (entries-less) checkpoint that became the newest one
+    must not be inherited forever: the next build prefers the newest
+    FULL checkpoint as its base and comes out full again when every
+    manifest since it is live."""
+    t = _mk_table(tmp_path, interval=0)
+    files = _append_chain(t, 6)
+    t.write_checkpoint()  # full ckpt-6
+    files = _append_chain(t, 2, start=7, prefix="late", files=files)
+    t.store.put_if_absent(
+        t._checkpoint_rel(8),
+        json.dumps(
+            {"version": 8, "ts": 0.0, "entries": None, "dirty": None,
+             "version_ts": []}
+        ).encode(),
+    )
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 8}).encode())
+    _append_chain(t, 1, start=9, prefix="x", files=files)
+    t.write_checkpoint()
+    ck = t.latest_checkpoint()
+    assert ck["version"] == 9 and ck.get("entries") is not None
+    assert len(ck["entries"]) == 9

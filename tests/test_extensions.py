@@ -3365,5 +3365,12 @@ def test_index_serve_and_append_refuse_dim_mismatch(spark, tmp_path):
         ivf_pq_index_append(pq, cands_bad)
     with pytest.raises(ValueError, match="dimension 32"):
         lsh_index_append(lsh, cands_bad)
+    # the BUILD entry refuses too (r13 review finding 1): an unguarded
+    # mismatched build corpus would freeze null-padded quantizers that
+    # every later (guarded, dim-matching) serve call happily trusts
+    with pytest.raises(ValueError, match="dimension 32"):
+        build_ivf_pq_index(spark, str(tmp_path / "pq-bad"), cands_bad)
+    with pytest.raises(ValueError, match="dimension 32"):
+        build_lsh_index(spark, str(tmp_path / "lsh-bad"), cands_bad)
     # the guard is a guard, not a filter: well-formed batches still work
     assert ivf_search(pq, probes_ok, cands, k=3).count() > 0

@@ -283,3 +283,31 @@ def test_memory_store_open_write_abort_never_publishes():
     f.close()
     with pytest.raises(FileNotFoundError):
         store.read_bytes("data/t1/a.bin")
+
+
+def test_http_read_range_tolerates_200_full_body():
+    """RFC 7233 lets a server (or an intervening proxy) ignore Range
+    and answer 200 with the whole object; read_range must slice to the
+    asked window instead of handing parquet probes the wrong bytes
+    (r13 review finding 2)."""
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        st = HttpStore(base)
+        st.put("obj", b"0123456789")
+        orig = st._request
+
+        def strip_range(method, url, data=None, headers=None):
+            headers = dict(headers or {})
+            headers.pop("Range", None)  # a proxy that drops Range
+            return orig(method, url, data=data, headers=headers)
+
+        st._request = strip_range
+        assert st.read_range("obj", 2, 3) == b"234"
+        assert st.read_range("obj", 8, 5) == b"89"  # over-长 tail clamps
+    finally:
+        server.shutdown()
