@@ -361,6 +361,15 @@ class HttpStore:
     def spec(self) -> dict:
         return {"kind": "http", "base": self.base}
 
+    # transient-fault retry budget: object stores throttle (503) and
+    # TCP connections reset; every verb here is SAFE to retry —
+    # GET/HEAD/LIST/DELETE are idempotent, unconditional PUT is
+    # last-writer-wins, and the conditional PUT's ambiguous-outcome
+    # case (request applied server-side, response lost, retry sees
+    # 412) is disambiguated by ``put_if_absent``'s read-back below.
+    _RETRIES = 5
+    _BACKOFF_S = 0.05  # doubled per attempt: worst case ~1.5 s total
+
     # -- wire helpers ---------------------------------------------------
     def _request(self, method: str, url: str, data=None, headers=None):
         import urllib.error
@@ -373,10 +382,21 @@ class HttpStore:
         opener = urllib.request.build_opener(
             urllib.request.ProxyHandler({})
         )
-        try:
-            return opener.open(req, timeout=60)
-        except urllib.error.HTTPError as e:
-            return e  # status-carrying response; callers branch on it
+        delay = self._BACKOFF_S
+        for attempt in range(self._RETRIES):
+            last = attempt == self._RETRIES - 1
+            try:
+                return opener.open(req, timeout=60)
+            except urllib.error.HTTPError as e:
+                if e.code in (500, 502, 503, 504) and not last:
+                    e.close()
+                else:
+                    return e  # status-carrying response; callers branch
+            except (urllib.error.URLError, ConnectionError, TimeoutError):
+                if last:
+                    raise
+            time.sleep(delay)
+            delay *= 2
 
     def _obj_url(self, rel: str) -> str:
         from urllib.parse import quote
@@ -446,7 +466,18 @@ class HttpStore:
             if r.status == 201:
                 return True
             if r.status == 412:
-                return False
+                # ambiguous-outcome disambiguation: if OUR earlier
+                # attempt was applied server-side but its response was
+                # lost (the retry then collides with our own object),
+                # the slot holds exactly our payload — read back and
+                # compare rather than reporting a lost race, which
+                # would make the commit loop skip its own committed
+                # version (how S3 conditional-put clients resolve the
+                # same ambiguity)
+                try:
+                    return self.read_bytes(rel) == bytes(data)
+                except FileNotFoundError:
+                    return False  # claimed then deleted: genuine loss
             raise OSError(f"conditional PUT {rel}: HTTP {r.status}")
 
     def delete(self, rel: str) -> None:

@@ -311,3 +311,81 @@ def test_http_read_range_tolerates_200_full_body():
         assert st.read_range("obj", 8, 5) == b"89"  # over-长 tail clamps
     finally:
         server.shutdown()
+
+
+def test_http_store_retries_transient_failures(monkeypatch):
+    """Object stores throttle (5xx) and connections reset; the client
+    must absorb a transient burst with backoff and only surface an
+    error once the retry budget is exhausted."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        st = HttpStore(base)
+        st._BACKOFF_S = 0.001
+        st.put("obj", b"payload")
+        real_build = urllib.request.build_opener
+        fails = {"n": 0, "exc": ConnectionResetError("injected")}
+
+        class Flaky:
+            def __init__(self, real):
+                self.real = real
+
+            def open(self, req, timeout=None):
+                if fails["n"] > 0:
+                    fails["n"] -= 1
+                    raise fails["exc"]
+                return self.real.open(req, timeout=timeout)
+
+        monkeypatch.setattr(
+            urllib.request,
+            "build_opener",
+            lambda *h: Flaky(real_build(*h)),
+        )
+        # two connection resets, then success — absorbed
+        fails["n"] = 2
+        assert st.read_bytes("obj") == b"payload"
+        assert fails["n"] == 0
+        # a 503 burst takes the HTTP-status retry branch
+        fails["n"] = 2
+        fails["exc"] = urllib.error.HTTPError(
+            base + "/o/obj", 503, "throttled", {}, io.BytesIO(b"")
+        )
+        assert st.read_bytes("obj") == b"payload"
+        # budget exhausted: the failure surfaces, never an infinite loop
+        fails["n"] = 99
+        fails["exc"] = ConnectionResetError("injected")
+        with pytest.raises(ConnectionError):
+            st.read_bytes("obj")
+    finally:
+        server.shutdown()
+
+
+def test_http_conditional_put_ambiguous_outcome_resolves_by_readback():
+    """The S3 conditional-PUT ambiguity: our attempt is applied
+    server-side but the response is lost, so the retry sees 412 against
+    OUR OWN object. The client must read back and report the claim WON
+    (a 'lost race' here would make the commit loop abandon its own
+    committed version); a 412 against someone else's bytes stays a
+    genuine loss."""
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        st = HttpStore(base)
+        # simulate the applied-but-unacknowledged first attempt
+        st.put("slot", b"mine")
+        assert st.put_if_absent("slot", b"mine") is True
+        assert st.put_if_absent("slot", b"other") is False
+    finally:
+        server.shutdown()
