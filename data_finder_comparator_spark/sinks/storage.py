@@ -496,12 +496,76 @@ class HttpStore:
                 raise OSError(f"LIST {prefix}: HTTP {r.status}")
             return _json.loads(r.read())
 
+    # -- multipart upload (r13) -------------------------------------------
+    # S3-shaped MPU: initiate -> numbered parts -> complete publishes the
+    # whole object atomically (or abort discards everything). This is
+    # what bounds a writer's memory at ONE part instead of the whole
+    # object — a 512 MB parquet part file streams through an 8 MB
+    # buffer, the shape every real object-store writer uses.
+    _MPU_PART_BYTES = 8 * 1024 * 1024
+
+    def _mpu_url(self, verb: str, rel: str, **params) -> str:
+        from urllib.parse import quote, urlencode
+
+        url = f"{self.base}/{verb}/{quote(rel)}"
+        return f"{url}?{urlencode(params)}" if params else url
+
+    def mpu_initiate(self, rel: str) -> str:
+        import json as _json
+
+        r = self._request("POST", self._mpu_url("mpu", rel))
+        with r:
+            if r.status != 200:
+                raise OSError(f"MPU initiate {rel}: HTTP {r.status}")
+            return _json.loads(r.read())["id"]
+
+    def mpu_put_part(self, rel: str, upload_id: str, n: int, data: bytes):
+        r = self._request(
+            "PUT",
+            self._mpu_url("mpu", rel, id=upload_id, part=n),
+            data=bytes(data),
+        )
+        with r:
+            if r.status != 200:
+                raise OSError(f"MPU part {n} {rel}: HTTP {r.status}")
+
+    def mpu_complete(self, rel: str, upload_id: str) -> None:
+        r = self._request(
+            "POST", self._mpu_url("mpu-complete", rel, id=upload_id)
+        )
+        with r:
+            if r.status == 200:
+                return
+            if r.status == 404:
+                # ambiguous outcome, same shape as the conditional PUT:
+                # our earlier complete was applied (upload consumed,
+                # object published) but the response was lost — the
+                # object's presence under a per-attempt-unique name is
+                # the proof it was ours
+                try:
+                    self.size(rel)
+                    return
+                except FileNotFoundError:
+                    pass
+            raise OSError(f"MPU complete {rel}: HTTP {r.status}")
+
+    def mpu_abort(self, rel: str, upload_id: str) -> None:
+        r = self._request("DELETE", self._mpu_url("mpu", rel, id=upload_id))
+        with r:
+            if r.status not in (204, 404):
+                raise OSError(f"MPU abort {rel}: HTTP {r.status}")
+
     # -- file-likes ------------------------------------------------------
     def open_read(self, rel: str):
         return _RangedReader(self, rel)
 
     def open_write(self, rel: str):
-        return _put_on_complete_writer(self, rel)
+        """Streaming multipart writer: memory bounded at one part;
+        small objects (under one part with no part yet flushed) take a
+        single unconditional PUT. Publish-on-complete is preserved —
+        nothing is visible under ``rel`` until a SUCCESSFUL close();
+        abort / with-exit-under-exception discards every part."""
+        return _MultipartWriter(self, rel)
 
     @contextmanager
     def lock(self, name: str):
@@ -523,6 +587,91 @@ class HttpStore:
 
     def prune_empty_dirs(self, prefix: str, cutoff: float | None) -> None:
         pass  # no directories on an object store
+
+
+class _MultipartWriter:
+    """Sequential write-only file-like over ``HttpStore`` multipart
+    uploads (pyarrow-compatible: write/tell/flush/close). Buffers at
+    most one part; the upload is initiated lazily on the first part
+    flush, so control-plane-sized objects (manifests, sidecars) stay a
+    single PUT. Same abort semantics as the buffering stores' writer:
+    only a successful close() publishes."""
+
+    def __init__(self, store: HttpStore, rel: str):
+        self._store = store
+        self._rel = rel
+        self._buf = bytearray()
+        self._part_bytes = store._MPU_PART_BYTES
+        self._upload_id = None
+        self._next_part = 0
+        self._written = 0
+        self._aborted = False
+        self.closed = False
+
+    def writable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return False
+
+    def seekable(self) -> bool:
+        return False
+
+    def tell(self) -> int:
+        return self._written
+
+    def write(self, b) -> int:
+        b = bytes(b)
+        self._buf.extend(b)
+        self._written += len(b)
+        while len(self._buf) >= self._part_bytes:
+            self._flush_part(self._buf[: self._part_bytes])
+            del self._buf[: self._part_bytes]
+        return len(b)
+
+    def _flush_part(self, data) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._store.mpu_initiate(self._rel)
+        self._store.mpu_put_part(
+            self._rel, self._upload_id, self._next_part, bytes(data)
+        )
+        self._next_part += 1
+
+    def flush(self) -> None:
+        pass  # parts flush on size; close() handles the tail
+
+    def abort(self) -> None:
+        """Discard everything uploaded so far; nothing becomes
+        visible (the multipart-upload-abort)."""
+        if self._aborted or self.closed:
+            return
+        self._aborted = True
+        self.closed = True
+        if self._upload_id is not None:
+            self._store.mpu_abort(self._rel, self._upload_id)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self._upload_id is None:
+            # small object: never grew past one part — single PUT
+            self._store.put(self._rel, bytes(self._buf))
+        else:
+            if self._buf:
+                self._flush_part(self._buf)
+            self._store.mpu_complete(self._rel, self._upload_id)
+        self._buf = bytearray()
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            self.abort()
+            return False
+        self.close()
+        return False
 
 
 class _RangedReader:
@@ -659,9 +808,32 @@ def serve_store_http(backing=None, host: str = "127.0.0.1", port: int = 0):
             self.send_header("X-Object-Mtime", repr(mt))
             self.end_headers()
 
+        def _mpu_target(self, verb):
+            """(rel, query dict) for an /mpu path; None if not one."""
+            from urllib.parse import parse_qs, urlsplit
+
+            parts = urlsplit(self.path)
+            prefix = f"/{verb}/"
+            if not parts.path.startswith(prefix):
+                return None
+            q = {k: v[0] for k, v in parse_qs(parts.query).items()}
+            return unquote(parts.path[len(prefix):]), q
+
         def do_PUT(self):
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
+            mpu = self._mpu_target("mpu")
+            if mpu is not None:
+                rel, q = mpu
+                key = (rel, q.get("id", ""))
+                with uploads_mu:
+                    parts = uploads.get(key)
+                    if parts is None:
+                        self._send(404)
+                        return
+                    parts[int(q["part"])] = body
+                self._send(200)
+                return
             rel = self._rel()
             if self.headers.get("If-None-Match") == "*":
                 self._send(201 if store.put_if_absent(rel, body) else 412)
@@ -669,10 +841,51 @@ def serve_store_http(backing=None, host: str = "127.0.0.1", port: int = 0):
                 store.put(rel, body)
                 self._send(200)
 
+        def do_POST(self):
+            mpu = self._mpu_target("mpu")
+            if mpu is not None:  # initiate
+                rel, _q = mpu
+                uid = _uuid.uuid4().hex
+                with uploads_mu:
+                    uploads[(rel, uid)] = {}
+                self._send(
+                    200,
+                    _json.dumps({"id": uid}).encode(),
+                    {"Content-Type": "application/json"},
+                )
+                return
+            done = self._mpu_target("mpu-complete")
+            if done is not None:
+                rel, q = done
+                key = (rel, q.get("id", ""))
+                with uploads_mu:
+                    parts = uploads.pop(key, None)
+                if parts is None:
+                    self._send(404)
+                    return
+                # compose in part order; the backing put publishes the
+                # whole object atomically (complete-or-absent, exactly
+                # like S3 CompleteMultipartUpload)
+                store.put(rel, b"".join(parts[i] for i in sorted(parts)))
+                self._send(200)
+                return
+            self._send(404)
+
         def do_DELETE(self):
+            mpu = self._mpu_target("mpu")
+            if mpu is not None:  # abort: discard staged parts
+                rel, q = mpu
+                with uploads_mu:
+                    uploads.pop((rel, q.get("id", "")), None)
+                self._send(204)
+                return
             store.delete(self._rel())
             self._send(204)
 
+    import uuid as _uuid
+
+    uploads: dict = {}  # (rel, upload id) -> {part n: bytes}
+    uploads_mu = _threading.Lock()
     server = ThreadingHTTPServer((host, port), _Handler)
     _threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, f"http://{server.server_address[0]}:{server.server_address[1]}"

@@ -389,3 +389,57 @@ def test_http_conditional_put_ambiguous_outcome_resolves_by_readback():
         assert st.put_if_absent("slot", b"other") is False
     finally:
         server.shutdown()
+
+
+def test_http_multipart_writer_streams_large_objects():
+    """open_write on the network store is a true multipart upload:
+    memory bounded at one part, object invisible until close(),
+    byte-identical readback, abort/exception discards everything, and
+    small objects take the single-PUT fast path."""
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        st = HttpStore(base)
+        st._MPU_PART_BYTES = 1024  # tiny parts so the test is real MPU
+        blob = bytes(range(256)) * 17  # 4352 B -> 4 full parts + tail
+        w = st.open_write("big.bin")
+        w.write(blob[:3000])
+        with pytest.raises(FileNotFoundError):
+            st.read_bytes("big.bin")  # nothing visible mid-upload
+        w.write(blob[3000:])
+        assert w.tell() == len(blob)
+        w.close()
+        assert st.read_bytes("big.bin") == blob
+        # ranged read over the composed object
+        assert st.read_range("big.bin", 1024, 10) == blob[1024:1034]
+        # abort discards every staged part
+        w2 = st.open_write("gone.bin")
+        w2.write(b"x" * 5000)
+        w2.abort()
+        with pytest.raises(FileNotFoundError):
+            st.read_bytes("gone.bin")
+        # with-exit under an exception aborts too
+        with pytest.raises(RuntimeError):
+            with st.open_write("also-gone.bin") as w3:
+                w3.write(b"y" * 5000)
+                raise RuntimeError("writer died")
+        with pytest.raises(FileNotFoundError):
+            st.read_bytes("also-gone.bin")
+        # small object: no upload initiated, single PUT on close
+        with st.open_write("small.bin") as w4:
+            w4.write(b"tiny")
+        assert w4._upload_id is None
+        assert st.read_bytes("small.bin") == b"tiny"
+        # retried complete whose first attempt was applied: idempotent
+        w5 = st.open_write("idem.bin")
+        w5.write(b"z" * 3000)
+        w5._flush_part(w5._buf)
+        st.mpu_complete("idem.bin", w5._upload_id)  # "response lost"
+        st.mpu_complete("idem.bin", w5._upload_id)  # retry -> 404 -> ok
+        assert st.read_bytes("idem.bin") == b"z" * 3000
+    finally:
+        server.shutdown()
