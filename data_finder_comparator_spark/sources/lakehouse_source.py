@@ -436,8 +436,30 @@ def _exclusive_start_for_timestamp(t, timestamp: float) -> int:
     whose time equals the instant and raises on pre-history instants.)
     Same descending walk / expiry skip / mtime fallback as
     ``version_at``; a start resolved below an expired version still
-    fails loudly at read time, exactly like ``startingVersion``."""
+    fails loudly at read time, exactly like ``startingVersion``.
+
+    Below the newest manifest checkpoint the answer comes from its
+    recorded (version, ts) pairs (r13) — O(interval + log history)
+    like ``version_at``, and strictly MORE exact than the walk when
+    the boundary version itself was expired: the walk could only slide
+    down to the next live manifest (re-delivering a commit that
+    predates the instant), while the checkpoint knows the true
+    boundary — an exclusive start offset need not be live."""
+    ckv = t._pointer_version()
     for v in range(t.current_version(), 0, -1):
+        if ckv is not None and v <= ckv:
+            ck = t._load_checkpoint(ckv)
+            vts = (ck or {}).get("version_ts")
+            if vts:
+                import bisect
+
+                idx = bisect.bisect_left(
+                    [float(ts) for _v, ts in vts], timestamp
+                ) - 1
+                while idx >= 0 and int(vts[idx][0]) > v:
+                    idx -= 1  # clock-skew guard, as in version_at
+                return int(vts[idx][0]) if idx >= 0 else 0
+            ckv = None  # unreadable checkpoint: plain walk continues
         try:
             man = t._read_manifest(v)
         except FileNotFoundError:

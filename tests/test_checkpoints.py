@@ -356,3 +356,31 @@ def test_degraded_checkpoint_base_recovers_to_full(tmp_path):
     ck = t.latest_checkpoint()
     assert ck["version"] == 9 and ck.get("entries") is not None
     assert len(ck["entries"]) == 9
+
+
+def test_starting_timestamp_resolution_via_checkpoint(tmp_path):
+    """startingTimestamp's exclusive-start resolution answers from the
+    checkpoint's recorded commit times below the walk's reach — same
+    result as the walk for live history, and EXACT (not slid down to
+    the next live manifest) when the boundary version was expired."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _exclusive_start_for_timestamp,
+    )
+
+    t = _mk_table(tmp_path, interval=4)
+    base = time.time()
+    files = []
+    for v in range(1, 10):
+        files.append(f"txn{v}/part-0.parquet")
+        _commit(t, v, "append", files, ts=base + 10 * v)
+    # parity with the walk on live history: exclusive start = newest
+    # version strictly BEFORE the instant
+    for v in range(1, 10):
+        assert _exclusive_start_for_timestamp(t, base + 10 * v) == v - 1
+        assert _exclusive_start_for_timestamp(t, base + 10 * v + 1) == v
+    assert _exclusive_start_for_timestamp(t, base) == 0
+    # expired boundary: keep_last=2 retires 1..7; an instant just past
+    # v5's commit must still resolve to exactly 5 (the walk alone could
+    # only answer 0 here and re-deliver v1..v5)
+    t.expire_snapshots(keep_last=2)
+    assert _exclusive_start_for_timestamp(t, base + 51) == 5
