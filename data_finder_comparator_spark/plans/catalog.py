@@ -150,6 +150,15 @@ from . import queries_relational  # noqa: E402,F401
 # bloom_merge_shards and grouped_histogram_quantiles — both redundant
 # by construction (see their retired_query docstrings). Registry is
 # therefore 97 (50 window + 47 parked); 99 is a ceiling, not a quota.
+#
+# Late-r13 audit (manifest checkpoints + HttpStore hardening): the
+# changed code paths — TransactionalTable commit/current_version/
+# version_at/expire, the DSv2 stream planner, and the network store —
+# are executed ONLY by queries already in this window
+# (lakehouse_merge_roundtrip, lakehouse_datasource_snapshot, the two
+# ANN build/serve roundtrips); no registered query runs on HttpStore
+# or MemoryStore. No parked query's executed path changed, so no
+# further displacement is required by the mechanical rule.
 _PARKED_MULTI_GREEN = [
     # -- the CORRECTNESS_r12 hash-greens except rows-only
     #    alignment_pairs and the two code-changed returns above -------

@@ -89,6 +89,12 @@ def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(d, "tbl"),
         cluster_by=["o_orderkey"],
         bloom_col="o_orderkey",
+        # r13: checkpoint after EVERY commit, so the manifest-checkpoint
+        # plane — the incremental builder (incl. merge/delete dirty
+        # classification), the rolling pointer, and current_version's
+        # forward probe — runs under the driver's hash gate too, not
+        # just pytest; three one-manifest checkpoints cost ~nothing
+        checkpoint_interval=1,
     )
     # n_out=16: the source is ONE parquet file at harness SFs, and the
     # default clustered width follows input width — which would funnel
@@ -163,6 +169,12 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
         os.path.join(d, "tbl"),
         cluster_by=["o_orderkey"],
         bloom_col="o_orderkey",
+        # r13: checkpoint after EVERY commit, so the manifest-checkpoint
+        # plane — the incremental builder (incl. merge/delete dirty
+        # classification), the rolling pointer, and current_version's
+        # forward probe — runs under the driver's hash gate too, not
+        # just pytest; three one-manifest checkpoints cost ~nothing
+        checkpoint_interval=1,
     )
     t.append(base, n_out=16)
     delta = (
