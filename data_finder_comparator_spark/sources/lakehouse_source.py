@@ -240,6 +240,11 @@ class _SnapshotReader(DataSourceReader):
         self.version = version
         self.store_spec = store_spec
 
+    def _select_rels(self, t, man) -> list:
+        """The file list this read plans; the pruning subclass shrinks
+        it by pushed-filter footer ranges."""
+        return man["files"]
+
     def partitions(self):
         t = _table(self.path, self.store_spec)
         v, man = t.snapshot(self.version)
@@ -248,14 +253,98 @@ class _SnapshotReader(DataSourceReader):
         return _file_partitions(
             self.path,
             man["schema"],
-            man["files"],
+            self._select_rels(t, man),
             v,
             man.get("op") or "snapshot",
             store_spec=self.store_spec,
         )
 
     def read(self, partition):
+        # Spark's planner represents an EMPTY partitions() list as one
+        # None partition (plan_data_source_read) — a fully-pruned read
+        # or an all-rows-deleted snapshot must yield nothing, not crash
+        if partition is None:
+            return
         yield from _read_file_partition(partition)
+
+
+class _PruningSnapshotReader(_SnapshotReader):
+    """Snapshot reader with FILE-SKIPPING filter pushdown (r13):
+    null-rejecting comparison filters become per-column [lo, hi]
+    bounds tested against each data file's manifest footer range —
+    `df.filter(key == k)` through plain ``spark.read`` then opens only
+    the files that can hold ``k``, exactly like the engine reader's
+    ``read(prune=...)`` (partition values ride the same stats as
+    min==max, so hive pruning falls out too). Skipping is conservative
+    and ADVISORY: every pushed filter is returned unhandled, so Spark
+    re-applies the full predicate to the surviving files — correctness
+    never depends on the stats.
+
+    Opt-in via ``.option("filterPushdown", "true")`` because Spark
+    REFUSES any reader that merely implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (its default)
+    — shipping this on the default reader would break every session
+    that has not enabled the conf."""
+
+    _constraints: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        cons = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue  # nested columns: no file stats recorded
+            col = attr[0]
+            # only NULL-REJECTING shapes prune: footer min/max exclude
+            # nulls, so a no-overlap verdict proves no MATCHING row —
+            # IsNull/IsNotNull/Not/string matches stay unhandled-only
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                # = NULL matches nothing; <=> NULL matches nulls, which
+                # stats cannot see — both prune only on a real value
+                if f.value is not None:
+                    cons.append((col, f.value, f.value))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # strictness ignored: an endpoint-only overlap keeps the
+                # file (conservative), never drops one
+                if f.value is not None:
+                    cons.append((col, f.value, None))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                if f.value is not None:
+                    cons.append((col, None, f.value))
+            elif isinstance(f, In):
+                vals = [x for x in f.value if x is not None]
+                if vals:
+                    try:
+                        cons.append((col, min(vals), max(vals)))
+                    except TypeError:
+                        pass  # mixed/unorderable values: no pruning
+        self._constraints = cons
+        return filters  # ALL unhandled: Spark re-applies everything
+
+    def _select_rels(self, t, man) -> list:
+        rels = man["files"]
+        if not self._constraints:
+            return rels
+        stats = man.get("stats") or {}
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        pm = t._physical_names(schema)  # stats keys are physical
+        for col, lo, hi in self._constraints:
+            rels = [
+                rel
+                for rel in rels
+                if t._range_overlap(stats.get(rel), pm.get(col, col), lo, hi)
+            ]
+        return rels
 
 
 class _ChangeStreamReader(DataSourceStreamReader):
@@ -415,6 +504,8 @@ class _ChangeStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
+        if partition is None:  # empty plan, same contract as batch
+            return
         yield from _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
@@ -820,7 +911,17 @@ class LakehouseDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("metadata") == "history":
             return _HistoryReader(self._path(), self._table_store_spec())
-        return _SnapshotReader(
+        # .option("filterPushdown", "true") selects the file-skipping
+        # reader; opt-in because Spark refuses any pushFilters-bearing
+        # reader while spark.sql.python.filterPushdown.enabled (default
+        # false) is off — see _PruningSnapshotReader
+        cls = (
+            _PruningSnapshotReader
+            if str(self.options.get("filterPushdown", "false")).lower()
+            == "true"
+            else _SnapshotReader
+        )
+        return cls(
             self._path(), self._pinned_version(), self._table_store_spec()
         )
 

@@ -2985,3 +2985,94 @@ def test_lakehouse_datasource_on_http_store(spark, tmp_path):
         assert not os.path.exists(label)
     finally:
         server.shutdown()
+
+
+def test_lakehouse_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """The DSv2 reader's opt-in file-skipping pushdown (r13): with
+    spark.sql.python.filterPushdown.enabled and
+    .option('filterPushdown','true'), null-rejecting filters prune the
+    planned file list by manifest footer ranges — a point/band read of
+    a range-clustered table opens 1-2 of 16 files — while every pushed
+    filter is re-applied by Spark, so results are identical to the
+    unpruned read. IsNull and no-stats columns never prune."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        LakehouseDataSource,
+        _PruningSnapshotReader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull, LessThan
+
+    spark.dataSource.register(LakehouseDataSource)
+    path = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, path, cluster_by=["id"])
+    t.append(
+        spark.range(0, 1600).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        ),
+        n_out=16,
+    )
+    n_files = len(t.snapshot()[1]["files"])
+    assert n_files == 16
+
+    # unit level: pushFilters -> bounds -> pruned partitions
+    r = _PruningSnapshotReader(path, None)
+    returned = r.pushFilters([EqualTo(("id",), 500)])
+    assert len(list(returned)) == 1  # everything back: Spark re-applies
+    assert len(r.partitions()) <= 2
+    r.pushFilters([GreaterThan(("id",), 1500)])
+    assert len(r.partitions()) <= 2
+    r.pushFilters([LessThan(("id",), -5)])
+    assert len(r.partitions()) == 0  # nothing can match
+    r.pushFilters([In(("id",), (3, 5, None))])  # NULL never matches IN
+    assert len(r.partitions()) <= 2
+    r.pushFilters([IsNull(("id",))])  # stats exclude nulls: no pruning
+    assert len(r.partitions()) == n_files
+    r.pushFilters([EqualTo(("grp",), 3)])  # every file holds every grp
+    assert len(r.partitions()) == n_files
+
+    # e2e: Spark plans through pushFilters and answers identically
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        base = spark.read.format("lakehouse").load(path)
+        want = sorted(
+            (x.id, x.grp)
+            for x in base.filter("id between 495 and 505").collect()
+        )
+        pruned = (
+            spark.read.format("lakehouse")
+            .option("filterPushdown", "true")
+            .load(path)
+            .filter("id between 495 and 505")
+        )
+        assert sorted((x.id, x.grp) for x in pruned.collect()) == want
+        assert len(want) == 11
+        # an impossible predicate reads zero files, zero rows
+        assert (
+            spark.read.format("lakehouse")
+            .option("filterPushdown", "true")
+            .load(path)
+            .filter("id = -1")
+            .count()
+            == 0
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_lakehouse_datasource_reads_empty_snapshot(spark, tmp_path):
+    """An all-rows-deleted snapshot has an empty file list, which
+    Spark's planner represents as one None partition — the read must
+    yield zero rows with the committed schema, not crash (latent until
+    the pruning reader made empty plans routine)."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        LakehouseDataSource,
+    )
+
+    spark.dataSource.register(LakehouseDataSource)
+    path = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.delete(spark.createDataFrame([(1,), (2,)], "id long"), "id")
+    assert t.snapshot()[1]["files"] == []
+    df = spark.read.format("lakehouse").load(path)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields][:2] == ["id", "v"]
