@@ -287,6 +287,7 @@ class _PruningSnapshotReader(_SnapshotReader):
     that has not enabled the conf."""
 
     _constraints: list = []
+    _point_probes: list = []
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
@@ -300,6 +301,7 @@ class _PruningSnapshotReader(_SnapshotReader):
         )
 
         cons = []
+        probes = []  # (col, point keys) for the Bloom sidecar layer
         for f in filters:
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
@@ -313,6 +315,7 @@ class _PruningSnapshotReader(_SnapshotReader):
                 # stats cannot see — both prune only on a real value
                 if f.value is not None:
                     cons.append((col, f.value, f.value))
+                    probes.append((col, (f.value,)))
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 # strictness ignored: an endpoint-only overlap keeps the
                 # file (conservative), never drops one
@@ -328,12 +331,14 @@ class _PruningSnapshotReader(_SnapshotReader):
                         cons.append((col, min(vals), max(vals)))
                     except TypeError:
                         pass  # mixed/unorderable values: no pruning
+                    probes.append((col, tuple(vals)))
         self._constraints = cons
+        self._point_probes = probes
         return filters  # ALL unhandled: Spark re-applies everything
 
     def _select_rels(self, t, man) -> list:
         rels = man["files"]
-        if not self._constraints:
+        if not (self._constraints or self._point_probes):
             return rels
         stats = man.get("stats") or {}
         schema = StructType.fromJson(json.loads(man["schema"]))
@@ -343,6 +348,20 @@ class _PruningSnapshotReader(_SnapshotReader):
                 rel
                 for rel in rels
                 if t._range_overlap(stats.get(rel), pm.get(col, col), lo, hi)
+            ]
+        # the Bloom layer under the ranges: a point probe (=, IN) on
+        # the table's bloom_col drops files whose sidecar PROVES every
+        # probed key absent — the hash-like-key case footer ranges
+        # cannot see. Same conservative contract (sidecar missing /
+        # different column / non-int-str key keeps the file), applied
+        # AFTER range pruning so at most the range survivors pay the
+        # sidecar read.
+        for col, keys in self._point_probes:
+            pcol = pm.get(col, col)
+            rels = [
+                rel
+                for rel in rels
+                if not t._bloom_excludes(stats.get(rel), keys, pcol)
             ]
         return rels
 

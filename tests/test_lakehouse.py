@@ -3076,3 +3076,50 @@ def test_lakehouse_datasource_reads_empty_snapshot(spark, tmp_path):
     df = spark.read.format("lakehouse").load(path)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields][:2] == ["id", "v"]
+
+
+def test_lakehouse_datasource_pushdown_bloom_layer(spark, tmp_path):
+    """Under the footer ranges sits the Bloom sidecar layer: a pushed
+    point probe (=, IN) on the table's bloom_col drops files whose
+    sidecar proves every probed key absent — the case ranges cannot
+    see (an even-keys file's range covers every odd key). Probes on
+    other columns or sidecar-less files never prune."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        LakehouseDataSource,
+        _PruningSnapshotReader,
+    )
+    from pyspark.sql.datasource import EqualTo, In
+
+    spark.dataSource.register(LakehouseDataSource)
+    path = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, path, cluster_by=["id"], bloom_col="id")
+    t.append(  # even keys only: every odd key is in-range but absent
+        spark.range(0, 1600).select(
+            (F.col("id") * 2).alias("id"), (F.col("id") % 7).alias("grp")
+        ),
+        n_out=8,
+    )
+    r = _PruningSnapshotReader(path, None)
+    r.pushFilters([EqualTo(("id",), 501)])  # odd: range hits, Bloom kills
+    assert len(r.partitions()) == 0
+    r.pushFilters([EqualTo(("id",), 500)])  # even: present, 1 file
+    assert len(r.partitions()) == 1
+    r.pushFilters([In(("id",), (501, 777))])  # all absent -> 0
+    assert len(r.partitions()) == 0
+    r.pushFilters([In(("id",), (501, 500))])  # one present -> keep
+    assert len(r.partitions()) == 1
+    r.pushFilters([EqualTo(("grp",), 3)])  # not the bloom col: no prune
+    assert len(r.partitions()) == 8
+    # e2e answer with the Bloom-killed plan is a correct empty result
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("lakehouse")
+            .option("filterPushdown", "true")
+            .load(path)
+            .filter("id = 501")
+            .count()
+        )
+        assert got == 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
