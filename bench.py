@@ -125,6 +125,8 @@ HEADLINE = [
     # now carry the persisted-index build+serve roundtrips
     "ivf_pq_build_serve_roundtrip",
     "ann_lsh_build_serve_roundtrip",
+    # r13: the DSv2 filter-pushdown reader's driver row
+    "lakehouse_pushdown_snapshot",
 ]
 
 

@@ -159,6 +159,13 @@ from . import queries_relational  # noqa: E402,F401
 # ANN build/serve roundtrips); no registered query runs on HttpStore
 # or MemoryStore. No parked query's executed path changed, so no
 # further displacement is required by the mechanical rule.
+#
+# Late-r13 net-new registration: lakehouse_pushdown_snapshot (the DSv2
+# filter-pushdown reader's driver row) took a window slot by retiring
+# histogram_merge_shards — redundant by construction: the shard-merge
+# sketch shape keeps hll_merge_shards's driver row, the histogram
+# family keeps histogram_quantiles's (see its retired_query
+# docstring). Registry stays 97 (50 window + 47 parked), retired 9.
 _PARKED_MULTI_GREEN = [
     # -- the CORRECTNESS_r12 hash-greens except rows-only
     #    alignment_pairs and the two code-changed returns above -------

@@ -155,8 +155,9 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     live files, and workers never touch the commit log.
 
     The build is intentionally NOT factored into a shared helper:
-    ``lakehouse_merge_roundtrip`` is parked this round and the rotation
-    policy keeps parked queries' code byte-stable."""
+    whichever sibling query is parked in a given round, the rotation
+    policy keeps parked queries' code byte-stable — so each of the
+    three lakehouse rows owns its build verbatim."""
     from ..sinks.lakehouse import TransactionalTable
     from ..util import fresh_run_dir
 
@@ -195,6 +196,72 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     _register_datasource(spark)
     snap = spark.read.format("lakehouse").load(os.path.join(d, "tbl"))
     assert {"_version", "_commit_op"} <= set(snap.columns)
+    return snap.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+_PUSHDOWN_ORACLE = (
+    "SELECT * FROM (" + _MERGE_ORACLE + ") WHERE o_orderkey BETWEEN 4000 AND 4700"
+)
+
+
+@query("lakehouse_pushdown_snapshot", oracle=_PUSHDOWN_ORACLE)
+def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 filter-pushdown reader's first driver row (r13): the
+    same append→MERGE→DELETE table as ``lakehouse_merge_roundtrip``,
+    read back through ``spark.read.format("lakehouse")`` with
+    ``.option("filterPushdown", "true")`` and a key-band predicate —
+    the pushed range becomes per-file footer-bound checks at planning,
+    so only the 1-2 of 16 range-clustered files whose ranges can hold
+    [4000, 4700] are ever opened (pruning behavior unit-pinned by
+    test_lakehouse_datasource_filter_pushdown_prunes_files; this row
+    puts the RESULT under the driver's DuckDB hash: pushdown must
+    never change an answer, only the files read).
+
+    Requires ``spark.sql.python.filterPushdown.enabled``; set here and
+    left on for the session — Spark consults it lazily at every plan
+    of this DataFrame, so resetting before return would break the
+    driver's later collect, and the conf only affects readers that
+    opt into pushFilters (ours is per-read opt-in)."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    d = fresh_run_dir("lakehouse_pushdown", sf_dir)
+    t = TransactionalTable(
+        spark,
+        os.path.join(d, "tbl"),
+        cluster_by=["o_orderkey"],
+        bloom_col="o_orderkey",
+        checkpoint_interval=1,
+    )
+    t.append(base, n_out=16)
+    delta = (
+        base.filter(F.col("o_orderkey").between(100, 5000))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey").between(100, 1100))
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    t.merge(delta, "o_orderkey")
+    t.delete(
+        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
+        "o_orderkey",
+    )
+    _register_datasource(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    snap = (
+        spark.read.format("lakehouse")
+        .option("filterPushdown", "true")
+        .load(os.path.join(d, "tbl"))
+        .filter(F.col("o_orderkey").between(4000, 4700))
+    )
     return snap.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )

@@ -1194,9 +1194,16 @@ FROM shard GROUP BY bin
 """
 
 
-@query("histogram_merge_shards", oracle=_HIST_MERGE_ORACLE)
+@retired_query("histogram_merge_shards", oracle=_HIST_MERGE_ORACLE)
 def histogram_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard histograms on a pinned global grid, merged by cell
+    """RETIRED from the driver registry in r13, displaced by
+    ``lakehouse_pushdown_snapshot`` (the DSv2 filter-pushdown reader's
+    first driver row). Redundant by construction: the shard-merge
+    sketch shape keeps ``hll_merge_shards``'s driver row and the
+    histogram family keeps ``histogram_quantiles``'s. Hash-checked vs
+    DuckDB on every pytest run.
+
+    Per-shard histograms on a pinned global grid, merged by cell
     sum (integer-exact, associative). Shard state through every
     exchange is <=4096 cells — the fixed-size merge the sketches exist
     for."""
