@@ -105,7 +105,6 @@ HEADLINE = [
     "cluster_canonical",
     "grouped_hll_by_lang",
     "inverted_index",
-    "histogram_merge_shards",
     "pcm_resample_layout",
     # round 8 additions (the registry's final three — saturation bound)
     "gram_tfidf_cosine_topk",

@@ -666,6 +666,31 @@ class TransactionalTable:
             return 0, {"files": [], "schema": None}
         return v, self._read_manifest(v)
 
+    def _checkpoint_ts_candidates(
+        self, ckv: int, vcap: int, timestamp: float, inclusive: bool
+    ) -> list[int] | None:
+        """Candidate versions from checkpoint ``ckv``'s recorded
+        (version, ts) pairs, newest first: every version <= ``vcap``
+        whose commit time is at-or-before (``inclusive``) / strictly
+        before the instant. None when the checkpoint is unreadable or
+        carries no times (callers continue their manifest walk). One
+        binary search — shared by TIMESTAMP AS OF (inclusive) and the
+        stream's ``startingTimestamp`` (exclusive) so the two
+        resolvers cannot drift."""
+        ck = self._load_checkpoint(ckv)
+        vts = (ck or {}).get("version_ts")
+        if not vts:
+            return None
+        import bisect
+
+        cut = bisect.bisect_right if inclusive else bisect.bisect_left
+        idx = cut([float(ts) for _v, ts in vts], timestamp) - 1
+        # clock-skew guard: never answer above the caller's walk
+        # position (versions above vcap already probed past the instant)
+        while idx >= 0 and int(vts[idx][0]) > vcap:
+            idx -= 1
+        return [int(vts[i][0]) for i in range(idx, -1, -1)]
+
     def version_at(self, timestamp: float) -> int:
         """Newest committed version whose commit time is <= the given
         UNIX timestamp — TIMESTAMP AS OF resolution. Manifests retired
@@ -682,24 +707,13 @@ class TransactionalTable:
         ckv = self._pointer_version()
         for v in range(self.current_version(), 0, -1):
             if ckv is not None and v <= ckv:
-                ck = self._load_checkpoint(ckv)
-                vts = (ck or {}).get("version_ts")
-                if vts:
-                    import bisect
-
-                    idx = bisect.bisect_right(
-                        [float(ts) for _v, ts in vts], timestamp
-                    ) - 1
-                    # clock-skew guard: never answer above the walk's
-                    # current position (versions above v already probed
-                    # newer than the instant)
-                    while idx >= 0 and int(vts[idx][0]) > v:
-                        idx -= 1
-                    while idx >= 0:  # skip expired, exactly like the walk
-                        cand = int(vts[idx][0])
+                cands = self._checkpoint_ts_candidates(
+                    ckv, v, timestamp, inclusive=True
+                )
+                if cands is not None:
+                    for cand in cands:  # skip expired, like the walk
                         if self._object_exists(self._manifest_rel(cand)):
                             return cand
-                        idx -= 1
                     break  # nothing at-or-before survives -> ValueError
                 ckv = None  # unreadable checkpoint: plain walk continues
             try:

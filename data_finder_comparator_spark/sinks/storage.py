@@ -217,8 +217,9 @@ def _put_on_complete_writer(store, rel: str):
     unconditionally, so a ParquetWriter that raised mid-stream left a
     partial object visible under its final name — benign only because
     failed attempts' names are never referenced by a commit, which this
-    keeps from becoming load-bearing. Shared by every buffering store
-    (MemoryStore, HttpStore) so the abort semantics cannot diverge."""
+    keeps from becoming load-bearing. MemoryStore's writer; HttpStore
+    moved to the streaming _MultipartWriter (r13), which keeps the
+    same publish-on-successful-close / abort-discards contract."""
     import io
 
     class _Buf(io.BytesIO):
@@ -372,6 +373,12 @@ class HttpStore:
 
     # -- wire helpers ---------------------------------------------------
     def _request(self, method: str, url: str, data=None, headers=None):
+        return self._request_traced(method, url, data, headers)[0]
+
+    def _request_traced(self, method: str, url: str, data=None, headers=None):
+        """(response, retried): ``retried`` tells conditional-PUT
+        callers whether an ambiguous-outcome window even exists — a
+        first-attempt 412 is an unambiguous lost race."""
         import urllib.error
         import urllib.request
 
@@ -386,12 +393,12 @@ class HttpStore:
         for attempt in range(self._RETRIES):
             last = attempt == self._RETRIES - 1
             try:
-                return opener.open(req, timeout=60)
+                return opener.open(req, timeout=60), attempt > 0
             except urllib.error.HTTPError as e:
                 if e.code in (500, 502, 503, 504) and not last:
                     e.close()
                 else:
-                    return e  # status-carrying response; callers branch
+                    return e, attempt > 0  # status-carrying response
             except (urllib.error.URLError, ConnectionError, TimeoutError):
                 if last:
                     raise
@@ -456,7 +463,7 @@ class HttpStore:
                 raise OSError(f"PUT {rel}: HTTP {r.status}")
 
     def put_if_absent(self, rel: str, data: bytes) -> bool:
-        r = self._request(
+        r, retried = self._request_traced(
             "PUT",
             self._obj_url(rel),
             data=bytes(data),
@@ -466,14 +473,17 @@ class HttpStore:
             if r.status == 201:
                 return True
             if r.status == 412:
-                # ambiguous-outcome disambiguation: if OUR earlier
-                # attempt was applied server-side but its response was
-                # lost (the retry then collides with our own object),
-                # the slot holds exactly our payload — read back and
-                # compare rather than reporting a lost race, which
-                # would make the commit loop skip its own committed
-                # version (how S3 conditional-put clients resolve the
-                # same ambiguity)
+                if not retried:
+                    return False  # first-attempt 412: unambiguous loss
+                # ambiguous-outcome disambiguation: OUR earlier attempt
+                # may have been applied server-side with its response
+                # lost (the retry then collides with our own object) —
+                # the slot holding exactly our payload proves the claim
+                # was won; reporting a lost race would make the commit
+                # loop skip its own committed version (how S3
+                # conditional-put clients resolve the same ambiguity).
+                # Gated on `retried` so the common contended-lock spin
+                # pays one 412, never a payload-sized read-back.
                 try:
                     return self.read_bytes(rel) == bytes(data)
                 except FileNotFoundError:
@@ -653,13 +663,24 @@ class _MultipartWriter:
     def close(self) -> None:
         if self.closed:
             return
-        if self._upload_id is None:
-            # small object: never grew past one part — single PUT
-            self._store.put(self._rel, bytes(self._buf))
-        else:
-            if self._buf:
-                self._flush_part(self._buf)
-            self._store.mpu_complete(self._rel, self._upload_id)
+        try:
+            if self._upload_id is None:
+                # small object: never grew past one part — single PUT
+                self._store.put(self._rel, bytes(self._buf))
+            else:
+                if self._buf:
+                    self._flush_part(self._buf)
+                self._store.mpu_complete(self._rel, self._upload_id)
+        except BaseException:
+            # a failed publish must not leak the staged parts: unlike
+            # orphaned data files, incomplete MPUs are invisible to
+            # vacuum() and accrue forever on a real object store —
+            # abort best-effort, then surface the original failure
+            try:
+                self.abort()
+            except OSError:
+                pass  # the abort is advisory; the publish error wins
+            raise
         self._buf = bytearray()
         self.closed = True
 

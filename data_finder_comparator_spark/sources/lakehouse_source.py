@@ -268,6 +268,14 @@ class _SnapshotReader(DataSourceReader):
         yield from _read_file_partition(partition)
 
 
+# Bloom layer probe cap for pushed IN lists — the planning-time mirror
+# of the engine's _BLOOM_PROBE_CAP rationale: a bulk key set touches
+# most files anyway, and hashing k positions x |keys| per surviving
+# file serially on the driver would turn planning into the scan it is
+# supposed to avoid. Range pruning still applies above the cap.
+_PUSHDOWN_BLOOM_PROBE_CAP = 1_000
+
+
 class _PruningSnapshotReader(_SnapshotReader):
     """Snapshot reader with FILE-SKIPPING filter pushdown (r13):
     null-rejecting comparison filters become per-column [lo, hi]
@@ -286,8 +294,13 @@ class _PruningSnapshotReader(_SnapshotReader):
     — shipping this on the default reader would break every session
     that has not enabled the conf."""
 
-    _constraints: list = []
-    _point_probes: list = []
+    def __init__(self, path: str, version: int | None, store_spec=None):
+        super().__init__(path, version, store_spec)
+        # per-instance from birth: one plan's pushed filters must never
+        # leak into another reader (class-level defaults would be a
+        # shared-mutable trap the moment anything appends in place)
+        self._constraints: list = []
+        self._point_probes: list = []
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
@@ -331,7 +344,8 @@ class _PruningSnapshotReader(_SnapshotReader):
                         cons.append((col, min(vals), max(vals)))
                     except TypeError:
                         pass  # mixed/unorderable values: no pruning
-                    probes.append((col, tuple(vals)))
+                    if len(vals) <= _PUSHDOWN_BLOOM_PROBE_CAP:
+                        probes.append((col, tuple(vals)))
         self._constraints = cons
         self._point_probes = probes
         return filters  # ALL unhandled: Spark re-applies everything
@@ -558,17 +572,13 @@ def _exclusive_start_for_timestamp(t, timestamp: float) -> int:
     ckv = t._pointer_version()
     for v in range(t.current_version(), 0, -1):
         if ckv is not None and v <= ckv:
-            ck = t._load_checkpoint(ckv)
-            vts = (ck or {}).get("version_ts")
-            if vts:
-                import bisect
-
-                idx = bisect.bisect_left(
-                    [float(ts) for _v, ts in vts], timestamp
-                ) - 1
-                while idx >= 0 and int(vts[idx][0]) > v:
-                    idx -= 1  # clock-skew guard, as in version_at
-                return int(vts[idx][0]) if idx >= 0 else 0
+            cands = t._checkpoint_ts_candidates(
+                ckv, v, timestamp, inclusive=False
+            )
+            if cands is not None:
+                # no liveness probe: an exclusive start offset need
+                # not be live, and the checkpoint's answer is exact
+                return cands[0] if cands else 0
             ckv = None  # unreadable checkpoint: plain walk continues
         try:
             man = t._read_manifest(v)

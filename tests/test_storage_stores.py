@@ -380,14 +380,38 @@ def test_http_conditional_put_ambiguous_outcome_resolves_by_readback():
         serve_store_http,
     )
 
+    import urllib.request
+
     server, base = serve_store_http()
+    real_build = urllib.request.build_opener
     try:
         st = HttpStore(base)
+        st._BACKOFF_S = 0.001
         # simulate the applied-but-unacknowledged first attempt
         st.put("slot", b"mine")
+        # WITHOUT a retry, a 412 is an unambiguous loss — even against
+        # our own bytes — and costs no payload read-back
+        assert st.put_if_absent("slot", b"mine") is False
+
+        fails = {"n": 0}
+
+        class Flaky:
+            def __init__(self, real):
+                self.real = real
+
+            def open(self, req, timeout=None):
+                if fails["n"] > 0:
+                    fails["n"] -= 1
+                    raise ConnectionResetError("injected")
+                return self.real.open(req, timeout=timeout)
+
+        urllib.request.build_opener = lambda *h: Flaky(real_build(*h))
+        fails["n"] = 1  # the retry that creates the ambiguity window
         assert st.put_if_absent("slot", b"mine") is True
+        fails["n"] = 1
         assert st.put_if_absent("slot", b"other") is False
     finally:
+        urllib.request.build_opener = real_build
         server.shutdown()
 
 
@@ -441,5 +465,41 @@ def test_http_multipart_writer_streams_large_objects():
         st.mpu_complete("idem.bin", w5._upload_id)  # "response lost"
         st.mpu_complete("idem.bin", w5._upload_id)  # retry -> 404 -> ok
         assert st.read_bytes("idem.bin") == b"z" * 3000
+    finally:
+        server.shutdown()
+
+
+def test_http_multipart_failed_close_aborts_upload():
+    """A close() whose publish fails must ABORT the upload (staged MPU
+    parts are invisible to vacuum and would accrue forever on a real
+    object store) and re-raise the publish failure; nothing becomes
+    visible under the name."""
+    from data_finder_comparator_spark.sinks.storage import (
+        HttpStore,
+        serve_store_http,
+    )
+
+    server, base = serve_store_http()
+    try:
+        st = HttpStore(base)
+        st._MPU_PART_BYTES = 512
+        w = st.open_write("fail.bin")
+        w.write(b"q" * 2000)  # several parts staged server-side
+        aborted = []
+        orig_abort = st.mpu_abort
+        st.mpu_abort = lambda rel, uid: (
+            aborted.append((rel, uid)),
+            orig_abort(rel, uid),
+        )[1]
+
+        def boom(rel, uid):
+            raise OSError("injected complete failure")
+
+        st.mpu_complete = boom
+        with pytest.raises(OSError, match="injected"):
+            w.close()
+        assert aborted and w.closed
+        with pytest.raises(FileNotFoundError):
+            st.read_bytes("fail.bin")
     finally:
         server.shutdown()
