@@ -22,8 +22,11 @@ add no files and emit nothing; ``merge``/``merge_into``/``delete``/
 ``restore`` commits REFUSE by default — their added files mix carried
 rows with changed rows, so emitting them is at-least-once with
 duplicates — unless ``ignoreChanges=true`` opts into exactly that
-contract (Delta's option of the same name). Every emitted row carries
-``_version`` (the commit that added its file) and ``_commit_op``.
+contract, or ``ignoreDeletes=true`` (the narrower opt-in, r13) skips
+DELETE-ONLY commits — files removed, none added — without accepting
+rewrites (both are Delta's options of the same names; ignoreChanges
+subsumes ignoreDeletes). Every emitted row carries ``_version`` (the
+commit that added its file) and ``_commit_op``.
 
 Column mapping is honored end to end: workers read PHYSICAL column
 names from the files and project to the logical schema; hive partition
@@ -388,10 +391,17 @@ class _ChangeStreamReader(DataSourceStreamReader):
         ignore_changes: bool,
         declared_schema_json: str,
         store_spec=None,
+        ignore_deletes: bool = False,
     ):
         self.path = path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
+        # Delta's narrower opt-in: accept DELETE-ONLY commits (files
+        # removed, none added) by skipping them — removed rows are not
+        # retractable in an append-only stream — without accepting
+        # rewrites (those still need ignoreChanges). ignoreChanges
+        # subsumes this, exactly as in Delta.
+        self.ignore_deletes = ignore_deletes
         self.declared_schema_json = declared_schema_json
         self.store_spec = store_spec
 
@@ -513,6 +523,12 @@ class _ChangeStreamReader(DataSourceStreamReader):
                 # commit that touched the file set refuses without the
                 # opt-in, exactly like Delta absent ignoreChanges/
                 # ignoreDeletes
+                if (
+                    not added
+                    and removed
+                    and (self.ignore_deletes or self.ignore_changes)
+                ):
+                    continue  # delete-only commit, explicitly opted out
                 if (added or removed) and not self.ignore_changes:
                     raise ValueError(
                         f"version {v} is a {op!r} commit that changed the "
@@ -520,8 +536,10 @@ class _ChangeStreamReader(DataSourceStreamReader):
                         "carried rows, and its removed files are not "
                         "representable in an append-only stream. Pass "
                         ".option('ignoreChanges', 'true') to accept "
-                        "at-least-once delivery of rewritten files "
-                        "(Delta's contract), or consume via "
+                        "at-least-once delivery of rewritten files, or "
+                        ".option('ignoreDeletes', 'true') if only "
+                        "delete-only commits need skipping (both are "
+                        "Delta's contracts), or consume via "
                         "TransactionalTable.consume_changes for exact CDC."
                     )
                 if not added:
@@ -977,6 +995,10 @@ class LakehouseDataSource(DataSource):
                 self._path(), self._pinned_version(), self._table_store_spec()
             ).json(),
             store_spec=self._table_store_spec(),
+            ignore_deletes=str(
+                self.options.get("ignoreDeletes", "false")
+            ).lower()
+            == "true",
         )
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -384,3 +384,38 @@ def test_starting_timestamp_resolution_via_checkpoint(tmp_path):
     # only answer 0 here and re-deliver v1..v5)
     t.expire_snapshots(keep_last=2)
     assert _exclusive_start_for_timestamp(t, base + 51) == 5
+
+
+def test_ignore_deletes_skips_delete_only_commits(tmp_path):
+    """Delta's narrower opt-in: ignoreDeletes accepts DELETE-ONLY
+    commits (files removed, none added) by skipping them, while
+    rewrite commits still demand ignoreChanges; without either flag
+    the delete-only commit refuses loudly, naming both options."""
+    t = _mk_table(tmp_path, interval=0)
+    _commit(t, 1, "append", ["txn1/a.parquet"])
+    _commit(t, 2, "append", ["txn1/a.parquet", "txn2/b.parquet"])
+    # delete drops a whole file, adds nothing
+    _commit(t, 3, "delete", ["txn2/b.parquet"])
+    _commit(t, 4, "append", ["txn2/b.parquet", "txn4/c.parquet"])
+
+    plain = _ChangeStreamReader(t.path, 0, False, SCHEMA_JSON)
+    with pytest.raises(ValueError, match="ignoreDeletes"):
+        plain.partitions({"version": 0}, {"version": 4})
+
+    skip_deletes = _ChangeStreamReader(
+        t.path, 0, False, SCHEMA_JSON, ignore_deletes=True
+    )
+    got = _parts(skip_deletes, 0, 4)
+    assert [(p[0], p[1]) for p in got] == [
+        ("txn1/a.parquet", 1),
+        ("txn2/b.parquet", 2),
+        ("txn4/c.parquet", 4),
+    ]
+    # a REWRITE commit is not covered by ignoreDeletes
+    _commit(t, 5, "merge", ["txn2/b.parquet", "txn4/c.parquet", "txn5/rw.parquet"])
+    _commit(t, 6, "delete", ["txn4/c.parquet", "txn5/rw.parquet"])
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        skip_deletes.partitions({"version": 4}, {"version": 6})
+    # ignoreChanges subsumes ignoreDeletes: both commits pass
+    both = _ChangeStreamReader(t.path, 0, True, SCHEMA_JSON)
+    assert [p[1] for p in _parts(both, 4, 6)] == [5]
