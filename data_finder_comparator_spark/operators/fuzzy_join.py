@@ -97,11 +97,16 @@ def prepare_candidates(
     ``tiered_fuzzy_join`` calls (pass the result as ``prepared=``)."""
     c = _prep(cand, cand_id, cand_val, "cand_id", "cand", "_nc").persist()
     matchable = c.filter(F.col("_nc").isNotNull()).persist()
+    # register BEFORE the stats action: a failure in that job must
+    # leave both persisted frames findable by the caller's cleanup
+    # path, or they pin cache-manager entries for the process lifetime
+    # (r13 review finding — fuzzy_match_stream's except-path found an
+    # empty registry when .first() raised)
+    if cache_registry is not None:
+        cache_registry.extend([c, matchable])
     n_cand, max_c = matchable.agg(
         F.count(F.lit(1)), F.max(F.length("_nc"))
     ).first()
-    if cache_registry is not None:
-        cache_registry.extend([c, matchable])
     return PreparedCandidates(c, matchable, n_cand, max_c)
 
 

@@ -160,6 +160,17 @@ from . import queries_relational  # noqa: E402,F401
 # or MemoryStore. No parked query's executed path changed, so no
 # further displacement is required by the mechanical rule.
 #
+# DEFERRED to the r14 window by the rotation rule (found by an r13
+# review of streaming/pipeline.py but touching PARKED queries'
+# executed paths — streaming_sliding_counts/_purchase_attribution/
+# _enriched_segments/_session_counts all run _stream_confs):
+#   1. _stream_confs should pin spark.sql.session.timeZone=UTC — the
+#      NTZ<->TIMESTAMP casts in the windowed streaming queries assume
+#      it; latent only (driver/tests/bench sessions are all UTC).
+#   2. consolidate the six copy-pasted drain-to-parquet run blocks and
+#      the purchase_click_attribution inner/outer duplication.
+# r14 must land these WITH the affected queries in-window.
+#
 # Late-r13 net-new registration: lakehouse_pushdown_snapshot (the DSv2
 # filter-pushdown reader's driver row) took a window slot by retiring
 # histogram_merge_shards — redundant by construction: the shard-merge

@@ -85,9 +85,6 @@ def _stream_confs(spark: SparkSession, extra: dict[str, str] | None = None):
                 spark.conf.set(k, prior)
 
 
-# Backwards-compatible alias (shuffle partitions only).
-_stream_shuffle = _stream_confs
-
 
 def events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """Declared stream schema for the events table, derived from the
@@ -466,6 +463,13 @@ def first_seen_to_parquet(
     like any streaming sink."""
     out_path = os.path.join(sink_dir, "out")
     ckpt = os.path.join(sink_dir, "ckpt")
+    # foreachBatch creates out/ only when an epoch actually runs; a
+    # source with nothing to deliver (already-drained checkpoint, empty
+    # folder) would otherwise make the final explicit-schema read crash
+    # PATH_NOT_FOUND instead of returning the correct empty frame —
+    # the format('parquet') sinks get this for free because start()
+    # creates their directory (r13 review finding)
+    os.makedirs(out_path, exist_ok=True)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -978,15 +982,20 @@ def stream_merge_into_table(
         if auto_optimize_every and (int(epoch_id) + 1) % auto_optimize_every == 0:
             table.optimize(small_bytes=auto_optimize_small_bytes)
 
-    with _stream_confs(spark):
-        q = (
-            stream_df.writeStream.foreachBatch(commit_epoch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    # deliberately NOT under _stream_confs: this sink has no stateful
+    # streaming operator, so the small stream shuffle-partition count
+    # (sized for state-store instance overhead) would only throttle the
+    # per-epoch merge/optimize jobs' parallelism on the table's hot
+    # path — those run as ordinary batch jobs inside foreachBatch and
+    # should keep the session's width (r13 review finding)
+    q = (
+        stream_df.writeStream.foreachBatch(commit_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return table
