@@ -56,14 +56,25 @@ def curation_decisions(tiers: DataFrame) -> DataFrame:
 def apply_curation(probe_df: DataFrame, decisions: DataFrame, id_col: str, key_col: str) -> DataFrame:
     """Point-update the key column per decision (P5/S4): broadcast the
     small decisions table, conditional replace — no row positions."""
-    d = F.broadcast(decisions.select(F.col("probe_id").alias(id_col), "final_key", "action"))
+    # reserved names for the decision columns: a probe table may
+    # legitimately carry its own 'action'/'final_key' (audit data) —
+    # joining them verbatim made the reference ambiguous and the final
+    # drop would delete the user's column (r13 review finding)
+    d = F.broadcast(
+        decisions.select(
+            F.col("probe_id").alias(id_col),
+            F.col("final_key").alias("__curation_final_key"),
+            F.col("action").alias("__curation_action"),
+        )
+    )
     joined = probe_df.join(d, id_col, "left")
     return joined.withColumn(
         key_col,
-        F.when(F.col("action") == "replace", F.col("final_key")).otherwise(
-            F.col(key_col)
-        ),
-    ).drop("final_key", "action")
+        F.when(
+            F.col("__curation_action") == "replace",
+            F.col("__curation_final_key"),
+        ).otherwise(F.col(key_col)),
+    ).drop("__curation_final_key", "__curation_action")
 
 
 def append_sink(df: DataFrame, path: str) -> None:
@@ -144,7 +155,16 @@ def upsert_sink(df: DataFrame, path: str, key_col: str) -> None:
     if not fs.rename(jpath, old):
         raise IOError(f"upsert_sink: could not move {path} aside for swap")
     if not fs.rename(staging, jpath):
-        fs.rename(old, jpath)  # roll back; sink unchanged
+        # demote the staged merge BEFORE rolling back: this call is
+        # about to report failure, so a later call's recovery must not
+        # promote the staged result behind the caller's back
+        fs.delete(hpath(str(staging) + "/_SUCCESS"), False)
+        if not fs.rename(old, jpath):  # roll back; sink unchanged
+            raise IOError(
+                f"upsert_sink: promote AND rollback both failed — the "
+                f"previous sink is intact at {old} and the next call's "
+                "recovery restores it (the demoted staging dir is swept)"
+            )
         raise IOError(f"upsert_sink: could not promote staged merge at {staging}")
     fs.delete(old, True)
 

@@ -106,6 +106,11 @@ def _decode_wav(payload: bytes) -> dict:
             )
         body = payload[off + 8 : off + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # PCM fmt chunk is exactly 16 bytes
+                raise ValueError(
+                    f"malformed WAVE: fmt chunk is {len(body)} bytes, "
+                    "PCM needs 16"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -115,6 +120,13 @@ def _decode_wav(payload: bytes) -> dict:
     audio_format, channels, rate, _byte_rate, block_align, bits = fmt
     if audio_format != 1:
         raise NotImplementedError(f"non-PCM WAVE (format {audio_format})")
+    if block_align == 0 or rate == 0:
+        # corrupt-but-well-formed fmt values: the clean malformed-WAVE
+        # error, not a ZeroDivisionError out of the arithmetic below
+        raise ValueError(
+            f"malformed WAVE: block_align={block_align}, "
+            f"sample_rate={rate} (both must be nonzero)"
+        )
     n_samples = len(data) // block_align
     first = (
         struct.unpack_from("<h", data, 0)[0]
@@ -132,10 +144,11 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Parse a binary PPM (P6) image: ASCII header (magic, width,
-    height, maxval, with #-comments allowed) followed by raw RGB
-    triplets — the netpbm spec."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header: (width, height, maxval, raster offset). The
+    offset lets consumers slice the raster FORWARD — a negative slice
+    from the payload end would shift every pixel when spec-tolerated
+    trailing bytes follow the raster (r13 review finding)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     fields: list[int] = []
@@ -153,6 +166,22 @@ def _decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raster
     width, height, maxval = fields
+    if not 0 < maxval <= 255:
+        # maxval > 255 means TWO bytes per sample (16-bit netpbm) —
+        # decoding it as one would silently halve every pixel; refuse
+        # loudly like the WAV parser does for non-PCM codecs
+        raise NotImplementedError(
+            f"P6 maxval {maxval}: only 1-byte samples (maxval 1..255) "
+            "are supported"
+        )
+    return width, height, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) image: ASCII header (magic, width,
+    height, maxval, with #-comments allowed) followed by raw RGB
+    triplets — the netpbm spec."""
+    width, height, maxval, pos = _ppm_header(payload)
     raster = payload[pos : pos + width * height * 3]
     if len(raster) < width * height * 3:
         raise ValueError("truncated PPM raster")
@@ -197,25 +226,34 @@ def binary_features(df: DataFrame, decode=None) -> DataFrame:
     plumbing (batch iteration, schema, output shape) is identical.
     """
 
-    def fake_decode(payload: bytes, mime: str) -> list[float]:
-        digest = hashlib.md5(payload).hexdigest()
-        return [int(digest[j], 16) / 15.0 for j in range(FEATURE_DIM)]
-
-    extract = decode or fake_decode
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            # a null payload (null source cell) must drop the row, not
+            # TypeError the task — one bad row would kill the whole job
+            pdf = pdf[pdf["payload"].notna()]
+            if pdf.empty:
+                # yielding an empty frame would hand Arrow an untyped
+                # object column where the schema wants list<double>
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
             mimes = [m["mime"] for m in pdf["meta"]]
+            digests = [hashlib.md5(p).hexdigest() for p in payloads]
+            if decode is None:
+                # default fake features come from the SAME digest as
+                # payload_md5 — hash each payload once, not twice
+                feats = [
+                    [int(d[j], 16) / 15.0 for j in range(FEATURE_DIM)]
+                    for d in digests
+                ]
+            else:
+                feats = [decode(p, m) for p, m in zip(payloads, mimes)]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": list(pdf["doc_id"]),
                     "mime": mimes,
                     "n_bytes": [len(p) for p in payloads],
-                    "payload_md5": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
-                    ],
-                    "feat": [extract(bytes(p), m) for p, m in zip(payloads, mimes)],
+                    "payload_md5": digests,
+                    "feat": feats,
                 }
             )
 
@@ -249,6 +287,8 @@ def wav_decode_features(df: DataFrame) -> DataFrame:
                 "n_samples", "duration_s", "first_sample",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # null source cell: drop, not crash
+                    continue
                 data = bytes(payload)
                 if len(data) < 2:  # no whole sample to carry
                     continue
@@ -339,8 +379,6 @@ def pcm_resample_features(
     As with ``wav_decode_features`` the testdata ships no real audio,
     so the PCM stream is fabricated from the payload bytes (int16 LE),
     exactly the byte-interpretation ``synth_wav_payload`` embeds."""
-    import hashlib
-
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -350,6 +388,8 @@ def pcm_resample_features(
                 "out_first", "out_last", "out_md5",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # null source cell: drop, not crash
+                    continue
                 data = bytes(payload)
                 n_in = len(data) // 2
                 if n_in < 2:  # nothing to interpolate between
@@ -440,8 +480,6 @@ def ppm_resize_features(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFr
     (`frame_sample`), audio resample (`pcm_resample_features`), image
     resize (here).
     """
-    import hashlib
-
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -451,9 +489,17 @@ def ppm_resize_features(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFr
                 "n_pixel_bytes", "pixel_sum", "resized_md5",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = _decode_ppm(bytes(payload))
-                in_w, in_h = meta["width"], meta["height"]
-                raster = bytes(payload)[-in_w * in_h * 3 :]
+                if payload is None:  # null source cell: drop, not crash
+                    continue
+                data = bytes(payload)
+                in_w, in_h, _maxval, off = _ppm_header(data)
+                # forward slice from the header end: a negative slice
+                # from the payload end shifts every pixel when
+                # spec-tolerated trailing bytes follow the raster, and
+                # grabs the whole payload for a 0-pixel image
+                raster = data[off : off + in_w * in_h * 3]
+                if len(raster) < in_w * in_h * 3:
+                    raise ValueError("truncated PPM raster")
                 px = np.frombuffer(raster, dtype=np.uint8).reshape(in_h, in_w, 3)
                 sx = (np.arange(out_w, dtype=np.int64) * in_w) // out_w
                 sy = (np.arange(out_h, dtype=np.int64) * in_h) // out_h

@@ -169,6 +169,14 @@ from . import queries_relational  # noqa: E402,F401
 #      it; latent only (driver/tests/bench sessions are all UTC).
 #   2. consolidate the six copy-pasted drain-to-parquet run blocks and
 #      the purchase_click_attribution inner/outer duplication.
+#   3. sources/union.py (csv/json_folder_roundtrip parked): the csv
+#      probe path sets neither header nor inferSchema (header rows
+#      ingest as data for ad-hoc csv folders; the registered queries
+#      pass explicit options and are unaffected), and fmt='jsonl'/
+#      'xlsx' crash in spark.read.format instead of aliasing/dispatch.
+#   4. operators/multimodal.py frame_sample (multimodal_frame_sample
+#      parked): needs the same null-payload row-drop guard its three
+#      sibling extractors received in-window this round.
 # r14 must land these WITH the affected queries in-window.
 #
 # Late-r13 net-new registration: lakehouse_pushdown_snapshot (the DSv2

@@ -3374,3 +3374,111 @@ def test_index_serve_and_append_refuse_dim_mismatch(spark, tmp_path):
         build_lsh_index(spark, str(tmp_path / "lsh-bad"), cands_bad)
     # the guard is a guard, not a filter: well-formed batches still work
     assert ivf_search(pq, probes_ok, cands, k=3).count() > 0
+
+
+def test_ppm_decode_hardening_r13(spark):
+    """r13 review findings on the P6 parser/resizer: spec-tolerated
+    trailing bytes after the raster must not shift pixels (forward
+    slice from the header end, not a negative slice from the payload
+    end); 16-bit PPM (maxval > 255) refuses loudly instead of silently
+    halving every sample."""
+    import hashlib as _hashlib
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        _decode_ppm,
+        ppm_resize_features,
+    )
+
+    raster = bytes(range(10, 10 + 3 * 2 * 3))
+    clean = b"P6\n3 2\n255\n" + raster
+    trailing = clean + b"\n\n"  # text-mode writers append newlines
+    assert _decode_ppm(trailing)["first_px"] == (10, 11, 12)
+    docs = spark.createDataFrame(
+        [(1, bytearray(clean)), (2, bytearray(trailing))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: (r.pixel_sum, r.resized_md5)
+        for r in ppm_resize_features(docs, out_w=3, out_h=2).collect()
+    }
+    assert got[1] == got[2]  # trailing bytes change nothing
+    want_md5 = _hashlib.md5(raster).hexdigest()
+    assert got[1][1] == want_md5  # identity resize = the raster itself
+    with pytest.raises(NotImplementedError, match="maxval"):
+        _decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_wav_decode_malformed_fmt_raises_value_error():
+    """Corrupt-but-well-formed fmt values (zero block_align/rate, short
+    fmt chunk) raise the parser's ValueError, not ZeroDivisionError or
+    struct.error — callers catching ValueError for bad payloads see
+    them."""
+    import struct as _struct
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        _decode_wav,
+        synth_wav_payload,
+    )
+
+    good = synth_wav_payload(b"\x01\x00\x02\x00")
+
+    def patch_fmt(payload: bytes, block_align: int, rate: int) -> bytes:
+        fmt = _struct.pack(
+            "<IHHIIHH", 16, 1, 1, rate, rate * 2, block_align, 16
+        )
+        i = payload.index(b"fmt ")
+        return payload[:i] + b"fmt " + fmt + payload[i + 4 + len(fmt):]
+
+    with pytest.raises(ValueError, match="block_align"):
+        _decode_wav(patch_fmt(good, 0, 8000))
+    with pytest.raises(ValueError, match="sample_rate"):
+        _decode_wav(patch_fmt(good, 2, 0))
+    short = good.replace(
+        b"fmt " + _struct.pack("<I", 16), b"fmt " + _struct.pack("<I", 8)
+    )
+    # shrink declared fmt size AND cut the body so the chunk walk stays
+    # aligned: 8 bytes of fmt is too short for PCM
+    i = short.index(b"fmt ") + 8
+    short = short[:i + 8] + short[i + 16:]
+    with pytest.raises(ValueError, match="fmt chunk"):
+        _decode_wav(short)
+
+
+def test_multimodal_null_payload_rows_drop_not_crash(spark):
+    """A null payload (null source cell) drops the row instead of
+    TypeError-ing the task (r13 review finding) — one bad row in a
+    large corpus must not kill the job."""
+    from data_finder_comparator_spark.operators.multimodal import (
+        binary_features,
+        pcm_resample_features,
+        wav_decode_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-bytes"), {"mime": "text/plain", "n_bytes": 13}),
+         (2, None, {"mime": "text/plain", "n_bytes": 0})],
+        "doc_id long, payload binary, meta struct<mime string, n_bytes long>",
+    )
+    assert [r.doc_id for r in binary_features(df).collect()] == [1]
+    assert [r.doc_id for r in wav_decode_features(df).collect()] == [1]
+    assert [r.doc_id for r in pcm_resample_features(df).collect()] == [1]
+
+
+def test_apply_curation_tolerates_action_column_collision(spark):
+    """A probe table legitimately carrying its own 'action'/'final_key'
+    columns must survive apply_curation unscathed (the decision columns
+    join under reserved names — r13 review finding)."""
+    from data_finder_comparator_spark.operators.curation import apply_curation
+
+    probe = spark.createDataFrame(
+        [(1, "alpha", "audit-keep", "user-final"),
+         (2, "beta", "audit-drop", "user-final2")],
+        "pid long, key string, action string, final_key string",
+    )
+    decisions = spark.createDataFrame(
+        [(1, "replace", "ALPHA")], "probe_id long, action string, final_key string"
+    )
+    got = {r.pid: (r.key, r.action, r.final_key)
+           for r in apply_curation(probe, decisions, "pid", "key").collect()}
+    assert got[1] == ("ALPHA", "audit-keep", "user-final")
+    assert got[2] == ("beta", "audit-drop", "user-final2")
