@@ -476,6 +476,12 @@ class TransactionalTable:
                 for e in entries
             ):
                 return None
+            if (entries is None) != (ck.get("dirty") is None):
+                # entries and dirty degrade TOGETHER by construction; a
+                # half-null pair (hand-edited / foreign writer) would
+                # crash the incremental builder's dirty.append — treat
+                # it as unreadable instead (degrade, never crash)
+                return None
             if dirty is not None:
                 ck["dirty"] = [int(d) for d in dirty]
             ck["version_ts"] = [
@@ -496,7 +502,17 @@ class TransactionalTable:
             ck = self._load_checkpoint(p)
             if ck is not None:
                 return ck
-        cands = []
+        for v in self._checkpoint_versions(max_version):
+            ck = self._load_checkpoint(v)
+            if ck is not None:  # newest READABLE wins
+                return ck
+        return None
+
+    def _checkpoint_versions(self, max_version: int | None = None) -> list[int]:
+        """Checkpoint object versions at-or-below ``max_version``,
+        newest first — the one place the ckpt-v naming scheme is
+        parsed out of a commit-log listing."""
+        out = []
         for name in self.store.list(_COMMITS):
             if name.startswith("ckpt-v") and name.endswith(".json"):
                 try:
@@ -504,28 +520,15 @@ class TransactionalTable:
                 except ValueError:
                     continue
                 if max_version is None or v <= max_version:
-                    cands.append(v)
-        for v in sorted(cands, reverse=True):  # newest READABLE wins
-            ck = self._load_checkpoint(v)
-            if ck is not None:
-                return ck
-        return None
+                    out.append(v)
+        return sorted(out, reverse=True)
 
     def _latest_full_checkpoint(self, max_version: int) -> dict | None:
         """Newest readable checkpoint at-or-below ``max_version`` whose
         ``entries`` survived (i.e. not gap-degraded) — the rebase
         target that keeps one racing expiry from degrading every
         future checkpoint (see write_checkpoint)."""
-        cands = []
-        for name in self.store.list(_COMMITS):
-            if name.startswith("ckpt-v") and name.endswith(".json"):
-                try:
-                    v = int(name[len("ckpt-v"):-5])
-                except ValueError:
-                    continue
-                if v <= max_version:
-                    cands.append(v)
-        for v in sorted(cands, reverse=True):
+        for v in self._checkpoint_versions(max_version):
             ck = self._load_checkpoint(v)
             if ck is not None and ck.get("entries") is not None:
                 return ck
@@ -722,7 +725,11 @@ class TransactionalTable:
                 continue
             ts = man.get("ts")
             if ts is None:
-                ts = self.store.mtime(self._manifest_rel(v))
+                try:
+                    ts = self.store.mtime(self._manifest_rel(v))
+                except FileNotFoundError:
+                    continue  # expired between the manifest read and
+                    # the mtime probe: skip, like the read above
             if ts <= timestamp:
                 return v
         raise ValueError(
@@ -1672,12 +1679,36 @@ class TransactionalTable:
         except OSError:
             return False
         m, k = bloom["m"], bloom["k"]
-        for v in probe_keys:
-            if not isinstance(v, (int, str)) or isinstance(v, bool):
+        for h1, h2 in self._probe_key_hashes(probe_keys):
+            if h1 is None:  # unhashable probe type: conservative keep
                 return False
-            if all(bits >> p & 1 for p in self._bloom_positions(v, m, k)):
+            if all(bits >> ((h1 + i * h2) % m) & 1 for i in range(k)):
                 return False  # possibly present
         return True
+
+    def _probe_key_hashes(self, probe_keys):
+        """(h1, h2) per probe key, computed ONCE per probe set and
+        memoized on the keys tuple: the md5 is independent of each
+        file's (m, k), so re-digesting every key per candidate file
+        (up to probe-cap x file-count digests on the driver) was pure
+        waste (r13 review finding). (None, None) marks a key type the
+        Bloom cannot represent — callers keep the file."""
+        cached = getattr(self, "_probe_hash_cache", None)
+        if cached is not None and cached[0] is probe_keys:
+            return cached[1]
+        import hashlib
+
+        out = []
+        for v in probe_keys:
+            if not isinstance(v, (int, str)) or isinstance(v, bool):
+                out.append((None, None))
+                continue
+            d = hashlib.md5(str(v).encode("utf-8")).digest()
+            out.append(
+                (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1)
+            )
+        self._probe_hash_cache = (probe_keys, out)
+        return out
 
     def _collect_probe_keys(self, keys: DataFrame, key_col: str):
         """The distinct incoming keys, driver-side, or None when there
@@ -2088,6 +2119,15 @@ class TransactionalTable:
                 out_schema_json = self._evolved_schema(
                     table_schema, df, man.get("dropped_columns") or ()
                 )
+            else:
+                # the same guard append() has carried since r10: a
+                # no-hit merge (all-new keys) writes the incoming frame
+                # AS-IS under the committed schema, so a column typo
+                # would otherwise commit files whose data reads back as
+                # silent NULLs — the unionByName on the hit path only
+                # incidentally caught this when hit_rels was non-empty
+                # (r13 review finding)
+                self._check_schema_compatible(table_schema, df.schema)
             all_stats = man.get("stats") or {}
             if krange is None:
                 krange = self._key_range(keys, key_col)
@@ -3009,6 +3049,17 @@ class TransactionalTable:
         referenced: set[str] = set()
         for man in self.history():
             referenced.update(man["files"])
+        # retained manifest CHECKPOINTS are readers too: a stream
+        # replaying below the expiry cutoff plans its catch-up from a
+        # checkpoint's entries, so files those entries name must
+        # survive even when no live manifest references them (e.g. a
+        # post-checkpoint merge rewrote them) — without this, the
+        # checkpoint-served catch-up expire_snapshots promises would
+        # read deleted files (r13 review finding)
+        for v in self._checkpoint_versions():
+            ck = self._load_checkpoint(v)
+            for rel, _v, _op in (ck or {}).get("entries") or []:
+                referenced.add(rel)
         removed = []
         cutoff = time.time() - max(retention_seconds, 0.0)
         for rel in self.store.list(_DATA):

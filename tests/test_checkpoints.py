@@ -419,3 +419,24 @@ def test_ignore_deletes_skips_delete_only_commits(tmp_path):
     # ignoreChanges subsumes ignoreDeletes: both commits pass
     both = _ChangeStreamReader(t.path, 0, True, SCHEMA_JSON)
     assert [p[1] for p in _parts(both, 4, 6)] == [5]
+
+
+def test_half_null_checkpoint_degrades_not_crashes(tmp_path):
+    """entries and dirty degrade together by construction; a hand-edited
+    checkpoint with entries present but dirty null must read as
+    unreadable (walk fallback) instead of crashing the incremental
+    builder — one malformed object must never wedge expire_snapshots."""
+    t = _mk_table(tmp_path, interval=0)
+    files = _append_chain(t, 3)
+    t.write_checkpoint()
+    ck = json.loads(t.store.read_bytes(t._checkpoint_rel(3)))
+    ck["dirty"] = None  # entries stay
+    t.store.delete(t._checkpoint_rel(3))
+    t.store.put_if_absent(
+        t._checkpoint_rel(3), json.dumps(ck).encode()
+    )
+    assert t.latest_checkpoint() is None  # structurally invalid
+    _append_chain(t, 1, start=4, files=files)
+    assert t.write_checkpoint() == 4  # rebuilt from scratch, no crash
+    assert t.latest_checkpoint()["version"] == 4
+    assert t.expire_snapshots(keep_last=1) == [1, 2, 3]

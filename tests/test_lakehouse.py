@@ -3123,3 +3123,56 @@ def test_lakehouse_datasource_pushdown_bloom_layer(spark, tmp_path):
         assert got == 0
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_lakehouse_merge_no_hit_schema_mismatch_refuses(spark, tmp_path):
+    """A merge whose keys hit NO existing file previously wrote the
+    incoming frame as-is: a column typo committed files whose data
+    read back as silent NULLs. merge now runs append's schema check
+    (exact columns, order/nullability-insensitive) unless
+    evolve_schema opts into additive evolution."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame([(1, "a")], "id long, val string"), "id"
+    )
+    bad = spark.createDataFrame([(9, "x")], "id long, vall string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(bad, "id")
+    # order difference alone stays fine; evolution path unaffected
+    t.merge(
+        spark.createDataFrame([("b", 2)], "val string, id long"), "id"
+    )
+    t.merge(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, val string, w double"),
+        "id",
+        evolve_schema=True,
+    )
+    got = {(r.id, r.val) for r in t.read().select("id", "val").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_lakehouse_vacuum_spares_checkpoint_referenced_files(spark, tmp_path):
+    """A retained manifest checkpoint is a reader: files its entries
+    name must survive vacuum even when no live manifest references
+    them, or the checkpoint-served catch-up below the expiry cutoff
+    reads deleted files."""
+    t = TransactionalTable(
+        spark, str(tmp_path / "tbl"), checkpoint_interval=2
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"r{i}")], "id long, v string"))
+    # merge rewrites every file AFTER the v4 checkpoint froze its list
+    t.merge(
+        spark.createDataFrame([(i, "new") for i in range(4)], "id long, v string"),
+        "id",
+    )
+    ck = t.latest_checkpoint()
+    assert ck["version"] == 4 and ck.get("entries") is not None
+    ck_files = {rel for rel, _v, _op in ck["entries"]}
+    live = set(t.snapshot()[1]["files"])
+    assert ck_files - live  # the rewritten files are checkpoint-only
+    t.expire_snapshots(keep_last=5)  # every manifest stays live
+    removed = t.vacuum(retention_seconds=0)
+    assert not (ck_files & set(removed))
+    for rel in ck_files:  # every checkpoint-referenced file survives
+        t.store.size(f"data/{rel}")  # raises FileNotFoundError if vacuumed
