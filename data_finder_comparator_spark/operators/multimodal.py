@@ -228,9 +228,10 @@ def binary_features(df: DataFrame, decode=None) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # a null payload (null source cell) must drop the row, not
-            # TypeError the task — one bad row would kill the whole job
-            pdf = pdf[pdf["payload"].notna()]
+            # a null payload OR null meta struct (null source cells)
+            # must drop the row, not TypeError the task — one bad row
+            # would kill the whole job (meta guard: r13 ADVICE #3)
+            pdf = pdf[pdf["payload"].notna() & pdf["meta"].notna()]
             if pdf.empty:
                 # yielding an empty frame would hand Arrow an untyped
                 # object column where the schema wants list<double>
@@ -334,6 +335,8 @@ def frame_sample(
             idxs: list[int] = []
             sigs: list[str] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # null source cell: drop, not crash
+                    continue
                 data = bytes(payload)
                 for j, start in enumerate(range(0, len(data) - width + 1, stride)):
                     ids.append(doc_id)

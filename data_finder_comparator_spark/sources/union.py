@@ -80,6 +80,22 @@ def read_folder_union_by_name(
     files = hadoop_ls(spark, folder, f".{fmt}")
     if not files:
         raise ValueError(f"no .{fmt} files in {folder}")
+    # xlsx is not a Spark data source: route every workbook through the
+    # stdlib SpreadsheetML codec, same as the fmt="any" dispatch (the
+    # bare format("xlsx") previously crashed here, r13 review)
+    if fmt == "xlsx":
+        from .excel import read_excel
+
+        return union_by_name([read_excel(spark, _xlsx_local(f)) for f in files])
+    # jsonl is an extension alias, not a registered source name — it
+    # reads through the json reader (previously crashed, r13 review)
+    src_fmt = "json" if fmt == "jsonl" else fmt
+    # csv contract for the ad-hoc probe path: files carry a header row
+    # (the reference's ingestion assumption) and types are inferred —
+    # without these options header rows ingested as DATA rows and every
+    # column arrived as string (r13 review). Callers with headerless
+    # csv read explicitly with their own options.
+    opts = {"header": "true", "inferSchema": "true"} if src_fmt == "csv" else {}
 
     # format(...).load accepts a path LIST for every source; the
     # per-format reader methods differ (parquet(*paths) is varargs but
@@ -88,7 +104,7 @@ def read_folder_union_by_name(
     # spark.read returns a FRESH DataFrameReader per access, so probe
     # threads never share a mutable builder.
     def _probe(f: str) -> DataFrame:
-        return spark.read.format(fmt).load(f)
+        return spark.read.format(src_fmt).options(**opts).load(f)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -103,11 +119,20 @@ def read_folder_union_by_name(
         # self-describing columnar formats re-resolve cheaply from
         # footers; the inference formats reuse the probed schema
         # instead of re-inferring over every file
-        src = spark.read.format(fmt)
-        if fmt in ("json", "csv"):
+        src = spark.read.format(src_fmt).options(**opts)
+        if src_fmt in ("json", "csv"):
             src = src.schema(dfs[0].schema)
         return src.load(files)
     return union_by_name(dfs)
+
+
+def _xlsx_local(f: str) -> str:
+    """Strip the ``file:`` scheme for the driver-side xlsx codec;
+    refuse non-local schemes loudly (workbooks decode on the driver)."""
+    local = f[len("file:"):] if f.startswith("file:") else f
+    if ":" in local.split("/", 1)[0] and "://" in f:
+        raise ValueError(f"xlsx decode needs a local path; got {f!r}")
+    return local
 
 
 # fmt="any" file routing: self-describing formats only. csv is
@@ -143,12 +168,7 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
         elif ext == "xlsx":
             from .excel import read_excel
 
-            local = f[len("file:"):] if f.startswith("file:") else f
-            if ":" in local.split("/", 1)[0] and "://" in f:
-                raise ValueError(
-                    f"xlsx decode needs a local path; got {f!r}"
-                )
-            dfs.append(read_excel(spark, local))
+            dfs.append(read_excel(spark, _xlsx_local(f)))
         else:
             unknown.append(name)
     if unknown:

@@ -497,6 +497,47 @@ def test_read_folder_union_by_name(spark, tmp_path):
     assert read_folder_union_by_name(spark, str(hom)).count() == 2
 
 
+def test_read_folder_csv_headers_and_types(spark, tmp_path):
+    """Ad-hoc csv folder probe reads the header row as HEADER (not
+    data) and infers types — the r13-deferred union.py fix: the probe
+    previously set neither option, so headers ingested as data rows
+    and every column arrived as string."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "a.csv").write_text("id,score\n1,1.5\n2,2.5\n")
+    (d / "b.csv").write_text("id,score\n3,3.5\n")
+    df = read_folder_union_by_name(spark, str(d), fmt="csv")
+    assert df.count() == 3  # header rows are NOT data rows
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"id": "int", "score": "double"}
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_read_folder_jsonl_and_xlsx_fmt_alias(spark, tmp_path):
+    """fmt='jsonl' aliases to the json reader and fmt='xlsx' routes
+    through the stdlib codec — both previously crashed in
+    spark.read.format(fmt) (r13-deferred union.py fix)."""
+    from data_finder_comparator_spark.sources.excel import write_excel
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    jd = tmp_path / "jl"
+    jd.mkdir()
+    (jd / "a.jsonl").write_text('{"id": 1, "x": "a"}\n{"id": 2, "x": "b"}\n')
+    (jd / "b.jsonl").write_text('{"id": 3, "x": "c"}\n')
+    df = read_folder_union_by_name(spark, str(jd), fmt="jsonl")
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+    xd = tmp_path / "xl"
+    xd.mkdir()
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string")
+    write_excel(src.filter("id = 1"), str(xd / "f1.xlsx"))
+    write_excel(src.filter("id = 2"), str(xd / "f2.xlsx"))
+    back = read_folder_union_by_name(spark, str(xd), fmt="xlsx")
+    assert sorted((r.id, r.x) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
 def test_excel_roundtrip_types_and_values(spark, tmp_path):
     """Vendored xlsx codec: schema (long/double/boolean/string) and
     values — including XML metacharacters, unicode, nulls, and exact
@@ -3445,23 +3486,32 @@ def test_wav_decode_malformed_fmt_raises_value_error():
 
 
 def test_multimodal_null_payload_rows_drop_not_crash(spark):
-    """A null payload (null source cell) drops the row instead of
-    TypeError-ing the task (r13 review finding) — one bad row in a
-    large corpus must not kill the job."""
+    """A null payload OR a null meta struct (null source cells) drops
+    the row instead of TypeError-ing the task (r13 review finding +
+    r13 ADVICE #3) — one bad row in a large corpus must not kill the
+    job. Covers all four extractors, including frame_sample (the
+    sibling that missed the r13 guard, deferred to r14 by the
+    rotation rule)."""
     from data_finder_comparator_spark.operators.multimodal import (
         binary_features,
+        frame_sample,
         pcm_resample_features,
         wav_decode_features,
     )
 
     df = spark.createDataFrame(
         [(1, bytearray(b"payload-bytes"), {"mime": "text/plain", "n_bytes": 13}),
-         (2, None, {"mime": "text/plain", "n_bytes": 0})],
+         (2, None, {"mime": "text/plain", "n_bytes": 0}),
+         (3, bytearray(b"meta-is-null"), None)],
         "doc_id long, payload binary, meta struct<mime string, n_bytes long>",
     )
+    # binary_features reads meta.mime, so the null-meta row drops too
     assert [r.doc_id for r in binary_features(df).collect()] == [1]
-    assert [r.doc_id for r in wav_decode_features(df).collect()] == [1]
-    assert [r.doc_id for r in pcm_resample_features(df).collect()] == [1]
+    # the byte-level extractors never touch meta: only null payload drops
+    assert sorted({r.doc_id for r in wav_decode_features(df).collect()}) == [1, 3]
+    assert sorted({r.doc_id for r in pcm_resample_features(df).collect()}) == [1, 3]
+    frames = frame_sample(df, width=4, stride=4).collect()
+    assert sorted({r.doc_id for r in frames}) == [1, 3]
 
 
 def test_apply_curation_tolerates_action_column_collision(spark):

@@ -308,7 +308,7 @@ def test_http_read_range_tolerates_200_full_body():
 
         st._request = strip_range
         assert st.read_range("obj", 2, 3) == b"234"
-        assert st.read_range("obj", 8, 5) == b"89"  # over-长 tail clamps
+        assert st.read_range("obj", 8, 5) == b"89"  # over-long tail clamps
     finally:
         server.shutdown()
 
