@@ -69,6 +69,14 @@ def _stream_confs(spark: SparkSession, extra: dict[str, str] | None = None):
     ``spark.newSession()`` so the conf override is isolated."""
     confs = {
         "spark.sql.shuffle.partitions": str(STREAM_SHUFFLE_PARTITIONS),
+        # The windowed streaming queries cast NTZ event times to
+        # TIMESTAMP for watermarking and cast window bounds back to NTZ
+        # on output; those casts are wall-clock-identical ONLY in a UTC
+        # session. Driver/test/bench sessions all run UTC already, so
+        # this pin closes the latent dependency on ambient session TZ
+        # rather than changing any current result (r13 review, deferred
+        # to r14 by the rotation rule).
+        "spark.sql.session.timeZone": "UTC",
         **(extra or {}),
     }
     old: dict[str, str | None] = {}
@@ -84,6 +92,40 @@ def _stream_confs(spark: SparkSession, extra: dict[str, str] | None = None):
             else:
                 spark.conf.set(k, prior)
 
+
+
+def _run_to_completion(writer) -> None:
+    """Start a one-shot drain (availableNow trigger: process everything
+    available, then terminate — no idle trigger polling) and block
+    until it finishes. The caller scopes confs with ``_stream_confs``."""
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def _drain_to_parquet_sink(
+    spark: SparkSession,
+    out: DataFrame,
+    out_path: str,
+    ckpt: str,
+    extra_confs: dict[str, str] | None = None,
+) -> None:
+    """Run an APPEND-mode streaming plan to completion into a parquet
+    file sink — the shared production drain every windowed/joined
+    streaming query in this module uses (checkpointed, distributed
+    write, nothing through the driver). Replaces six copy-pasted run
+    blocks (r13 review, deferred to r14 by the rotation rule)."""
+    confs = dict(_NANOS_CONF)
+    confs.update(extra_confs or {})
+    with _stream_confs(spark, confs):
+        _run_to_completion(
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+        )
 
 
 def events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
@@ -188,20 +230,12 @@ def windowed_event_counts(
         batch_df.write.mode("overwrite").parquet(out_path)
 
     with _stream_confs(spark, _NANOS_CONF):
-        q = (
+        _run_to_completion(
             agg.writeStream.outputMode("complete")
             .foreachBatch(write_epoch)
             .queryName(query_name)
             .option("checkpointLocation", ckpt)
-            # one-shot drain: process everything available, then
-            # terminate — no idle trigger polling between micro-batches
-            .trigger(availableNow=True)
-            .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
     return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
 
@@ -251,19 +285,7 @@ def watermarked_event_counts(
             "sum_value",
         )
     )
-    with _stream_confs(spark, _NANOS_CONF):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(spark, agg, out_path, ckpt)
     # explicit schema: the sink may be empty when no window has closed
     return spark.read.schema(WINDOW_COUNTS_SCHEMA).parquet(out_path)
 
@@ -317,19 +339,7 @@ def session_windowed_counts(
             "sum_value",
         )
     )
-    with _stream_confs(spark, _NANOS_CONF):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(spark, agg, out_path, ckpt)
     return spark.read.schema(SESSION_COUNTS_SCHEMA).parquet(out_path)
 
 
@@ -382,19 +392,7 @@ def enriched_segment_counts(
             "sum_value",
         )
     )
-    with _stream_confs(spark, _NANOS_CONF):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(spark, agg, out_path, ckpt)
     return spark.read.schema(SEGMENT_COUNTS_SCHEMA).parquet(out_path)
 
 
@@ -477,17 +475,11 @@ def first_seen_to_parquet(
         )
 
     with _stream_confs(spark):
-        q = (
+        _run_to_completion(
             out_stream.writeStream.outputMode("update")
             .foreachBatch(write_epoch)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
     return (
         spark.read.schema(FIRST_SEEN_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -622,6 +614,48 @@ def _release_on_termination(spark: SparkSession, query_id: str, frames: list):
 STREAM_JOIN_SCHEMA = "purchase_id long, user_id long, click_id long, gap_us long"
 
 
+def _attribution_join(
+    spark: SparkSession, sf_dir: str, lookback_minutes: int, how: str
+) -> DataFrame:
+    """The shared stream-stream attribution join plan: purchases
+    equi-keyed to the same user's clicks within the preceding lookback
+    window, BOTH sides watermarked so the state store evicts a buffered
+    row as soon as the other stream's watermark passes the end of its
+    match window — bounded state on an unbounded stream. The inner and
+    leftOuter variants differ only in join type and output projection
+    (previously two full copies of this plan, r13 review)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTE")
+        )
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    )
+
+
 def purchase_click_attribution(
     spark: SparkSession,
     sf_dir: str,
@@ -649,34 +683,7 @@ def purchase_click_attribution(
         sink_dir = fresh_run_dir("purchase_click_join", f"{sf_dir}|{lookback_minutes}")
     out_path = os.path.join(sink_dir, "out")
     ckpt = os.path.join(sink_dir, "ckpt")
-    # watermark needs TIMESTAMP; session is UTC so the cast is exact
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").cast("timestamp").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").cast("timestamp").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTE"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-    )
-    out = joined.select(
+    out = _attribution_join(spark, sf_dir, lookback_minutes, "inner").select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         "click_id",
@@ -690,21 +697,13 @@ def purchase_click_attribution(
     # Scoped HERE only: append-mode windowed aggs need no-data batches
     # to emit closed windows, and the OUTER variant needs them to
     # late-release unmatched rows.
-    confs = dict(_NANOS_CONF)
-    confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
-    with _stream_confs(spark, confs):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(
+        spark,
+        out,
+        out_path,
+        ckpt,
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+    )
     return spark.read.schema(STREAM_JOIN_SCHEMA).parquet(out_path)
 
 
@@ -752,19 +751,7 @@ def dedup_events_stream(
             "value",
         )
     )
-    with _stream_confs(spark, _NANOS_CONF):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(spark, out, out_path, ckpt)
     return spark.read.schema(DEDUP_EVENTS_SCHEMA).parquet(out_path)
 
 
@@ -821,16 +808,10 @@ def hll_register_stream(
         )
 
     with _stream_confs(spark):
-        q = (
+        _run_to_completion(
             stream.writeStream.foreachBatch(write_epoch)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
     reg = (
         spark.read.schema("register_id long, rho long")
         .parquet(sink)
@@ -875,56 +856,14 @@ def purchase_click_attribution_outer(
         )
     out_path = os.path.join(sink_dir, "out")
     ckpt = os.path.join(sink_dir, "ckpt")
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").cast("timestamp").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").cast("timestamp").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (
-            F.col("c_ts")
-            >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTE")
-        )
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "leftOuter",
-    )
-    out = joined.select(
+    out = _attribution_join(spark, sf_dir, lookback_minutes, "leftOuter").select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
         F.col("click_id").isNotNull().alias("attributed"),
     )
-    with _stream_confs(spark, _NANOS_CONF):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+    _drain_to_parquet_sink(spark, out, out_path, ckpt)
     return spark.read.schema(OUTER_JOIN_SCHEMA).parquet(out_path)
 
 
@@ -988,14 +927,8 @@ def stream_merge_into_table(
     # per-epoch merge/optimize jobs' parallelism on the table's hot
     # path — those run as ordinary batch jobs inside foreachBatch and
     # should keep the session's width (r13 review finding)
-    q = (
+    _run_to_completion(
         stream_df.writeStream.foreachBatch(commit_epoch)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
     return table

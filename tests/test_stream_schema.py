@@ -120,6 +120,34 @@ def test_stream_confs_restored_after_query(spark, tmp_path):
             spark.conf.set(key, prior_nanos)
 
 
+def test_stream_results_independent_of_session_timezone(spark, tmp_path):
+    """A non-UTC ambient session must produce byte-identical windowed
+    results: ``_stream_confs`` pins spark.sql.session.timeZone=UTC for
+    the query's lifetime (the NTZ<->TIMESTAMP casts in the windowed
+    queries assume UTC — r13 review finding, previously latent because
+    every harness session already ran UTC), then restores the caller's
+    value."""
+    from data_finder_comparator_spark.streaming.pipeline import (
+        watermarked_event_counts,
+    )
+
+    key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(key)
+    utc_rows = sorted(
+        map(tuple, watermarked_event_counts(spark, SF, sink_dir=str(tmp_path / "utc")).collect())
+    )
+    try:
+        spark.conf.set(key, "America/New_York")
+        est_rows = sorted(
+            map(tuple, watermarked_event_counts(spark, SF, sink_dir=str(tmp_path / "est")).collect())
+        )
+        # caller's ambient TZ restored, not clobbered to UTC
+        assert spark.conf.get(key) == "America/New_York"
+    finally:
+        spark.conf.set(key, prior)
+    assert est_rows == utc_rows and len(utc_rows) > 0
+
+
 def test_windowed_counts_memory_sink_equivalence(spark):
     """Stream/batch equivalence harness (complete-mode memory sink) —
     unit-test only; the REGISTERED streaming_window_counts query runs
