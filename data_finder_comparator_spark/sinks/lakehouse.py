@@ -118,6 +118,13 @@ _INDEX = "_index"
 # `v********.json` manifest namespace so version listings and expiry's
 # exact-name membership checks never see it
 _CKPT_POINTER = f"{_COMMITS}/_last_checkpoint.json"
+# Backstop cap on a checkpoint's (version, ts) pair list: ~8k pairs is
+# ~180 KB of JSON — far past any practical expiry lag, and the bound
+# that keeps checkpoint size O(live history), never O(all history)
+# (r13 ADVICE #2). Pairs pruned by the cap only serve startingTimestamp
+# exactness for instants older than the retained window; losing one
+# lowers the resolved start (more inclusive replay), never loses data.
+_VERSION_TS_CAP = 8192
 
 # Stream-facing commit-op classification (shared with the lakehouse
 # data source): ops whose added files are PURE NEW ROWS are streamable
@@ -326,12 +333,25 @@ class TransactionalTable:
         instead of listing the whole commit log, so the stream source's
         per-trigger ``latestOffset`` stays flat in history length.
         Sound because commit slots serialize (versions are contiguous
-        at the head) and ``expire_snapshots`` advances the pointer
-        BEFORE deleting any manifest: a probe that finds a gap re-reads
-        the pointer, and an UNCHANGED pointer proves no expiry deleted
-        inside the probed range — the gap is the real head. Any doubt
-        (no/corrupt pointer, pointer below the expiry cutoff, repeated
-        mid-probe pointer movement) falls back to the full listing."""
+        at the head), ``expire_snapshots`` advances the pointer BEFORE
+        deleting any manifest AND deletes expired manifests in
+        ASCENDING version order — so at every instant the live
+        manifests form a contiguous range ending at the head. The
+        probe's termination ("v+1 absent") is therefore ambiguous only
+        when a deletion sweep ran THROUGH the probed range mid-walk,
+        and ascending order makes that case self-revealing: if the
+        sweep deleted v+1 it deleted v first, so re-checking v after
+        termination distinguishes the true head (v still live — heads
+        are never expired) from a mid-sweep gap (v gone → full
+        listing). This stays sound even if a slow cadence checkpointer
+        REGRESSES the pointer after an expiry advanced it (the
+        read-then-put race, r13 ADVICE #1) — the unchanged-pointer
+        re-read alone did not (a reader hitting the sweep from a
+        regressed pointer could return a stale head, and a committer
+        could then reclaim an expired version slot). Any doubt
+        (no/corrupt pointer, dead starting manifest, vanished
+        terminal manifest, repeated mid-probe pointer movement) falls
+        back to the full listing."""
         p = self._pointer_version()
         for _attempt in range(4):
             if p is None or not self._object_exists(self._manifest_rel(p)):
@@ -341,20 +361,36 @@ class TransactionalTable:
                 v += 1
             p2 = self._pointer_version()
             if p2 is None or p2 <= v:
-                return v
+                if self._object_exists(self._manifest_rel(v)):
+                    return v
+                # v vanished between the walk and this re-check: the
+                # termination was a deletion-sweep gap, not the head
+                return self._current_version_listed()
             p = p2  # expiry advanced the pointer mid-probe: restart
         return self._current_version_listed()
 
     def _current_version_listed(self) -> int:
         """Authoritative head via a full commit-log listing."""
-        best = 0
+        return self._live_manifest_bounds()[1]
+
+    def _live_manifest_bounds(self) -> tuple[int, int]:
+        """(oldest, newest) live manifest versions from one commit-log
+        listing pass — (0, 0) on an empty log. ``write_checkpoint``
+        uses both ends: the newest is the checkpoint version, the
+        oldest is the floor below which (version, ts) pairs are pruned
+        (an expired version can never be a ``version_at`` answer — its
+        candidates are liveness-probed — so pairs below the floor only
+        padded every future checkpoint)."""
+        lo = hi = 0
         for name in self.store.list(_COMMITS):
             if name.startswith("v") and name.endswith(".json"):
                 try:
-                    best = max(best, int(name[1:-5]))
+                    v = int(name[1:-5])
                 except ValueError:
                     continue
-        return best
+                hi = max(hi, v)
+                lo = v if lo == 0 else min(lo, v)
+        return lo, hi
 
     def _object_exists(self, rel: str) -> bool:
         try:
@@ -552,7 +588,7 @@ class TransactionalTable:
         benefit."""
         import time as _time
 
-        head = self._current_version_listed()
+        oldest_live, head = self._live_manifest_bounds()
         if head == 0:
             return 0
         prev = self.latest_checkpoint(max_version=head)
@@ -632,6 +668,17 @@ class TransactionalTable:
                     entries[rel] = (v, op)
                 prev_files = cur_set
             v += 1
+        # Bound the (version, ts) list (r13 ADVICE #2): without this it
+        # accreted one pair per commit FOREVER and every checkpoint
+        # rewrote the whole list — O(all history) size contradicting the
+        # documented O(commits since + live files) build cost. Pairs
+        # below the oldest live manifest are invisible to version_at
+        # (liveness-probed candidates) and only lower — never raise —
+        # _exclusive_start_for_timestamp's resolved stream start; the
+        # hard cap is the backstop for never-expiring tables.
+        version_ts = [
+            p for p in version_ts if int(p[0]) >= oldest_live
+        ][-_VERSION_TS_CAP:]
         payload = {
             "version": head,
             "ts": _time.time(),
@@ -653,13 +700,23 @@ class TransactionalTable:
     def _advance_pointer(self, version: int) -> None:
         """Monotone rolling pointer update (never regress: a slow
         writer finishing an OLD checkpoint must not hide a newer one,
-        and the current_version probe invariant needs every manifest
-        at-or-above the pointer to be live)."""
+        and the current_version probe wants every manifest at-or-above
+        the pointer live). The read-then-put pair is NOT atomic, so a
+        slow writer can still interleave its stale put after ours —
+        the re-read-and-repair loop below narrows that window (r13
+        ADVICE #1), and ``current_version``'s post-probe liveness
+        re-check keeps readers sound even when a regression slips
+        through (the pointer is advisory; correctness never rests on
+        it)."""
         cur = self._pointer_version()
-        if cur is None or cur < version:
-            self.store.put(
-                _CKPT_POINTER, json.dumps({"version": version}).encode()
-            )
+        if cur is not None and cur >= version:
+            return
+        payload = json.dumps({"version": version}).encode()
+        for _attempt in range(3):
+            self.store.put(_CKPT_POINTER, payload)
+            seen = self._pointer_version()
+            if seen is not None and seen >= version:
+                return  # ours, or a newer writer's — both fine
 
     # -- snapshots -----------------------------------------------------
 
@@ -3011,6 +3068,12 @@ class TransactionalTable:
         cutoff = head - max(keep_last, 1)
         live = set(self.store.list(_COMMITS))
         expired = []
+        # INVARIANT: delete in ASCENDING version order. current_version's
+        # pointer probe relies on it — live manifests then form a
+        # contiguous range at every instant, so a probe that terminates
+        # inside a concurrent sweep finds its terminal version already
+        # deleted on re-check and falls back to the listing instead of
+        # returning a stale head (see current_version's docstring).
         for v in range(1, cutoff + 1):
             if f"v{v:08d}.json" in live:
                 self.store.delete(self._manifest_rel(v))

@@ -440,3 +440,81 @@ def test_half_null_checkpoint_degrades_not_crashes(tmp_path):
     assert t.write_checkpoint() == 4  # rebuilt from scratch, no crash
     assert t.latest_checkpoint()["version"] == 4
     assert t.expire_snapshots(keep_last=1) == [1, 2, 3]
+
+
+def test_mid_sweep_probe_returns_listing_not_stale_head(tmp_path):
+    """A reader whose pointer was REGRESSED by the _advance_pointer race
+    and who walks into a concurrent expiry sweep must fall back to the
+    listing, never return a stale head (r13 ADVICE #1). Simulated at
+    the existence-probe level: manifest 5 is alive when the probe
+    starts, 6 is already swept, and 5 is gone by the post-walk
+    re-check — exactly the ascending-sweep TOCTOU interleaving."""
+    t = _mk_table(tmp_path, interval=4)
+    _append_chain(t, 10)
+    t.write_checkpoint()
+    # the race's end state: pointer regressed below the sweep range
+    t.store.put(_CKPT_POINTER, json.dumps({"version": 5}).encode())
+    real = t._object_exists
+    seen = {"v5": 0}
+
+    def fake(rel):
+        if rel.endswith("v00000005.json"):
+            seen["v5"] += 1
+            return seen["v5"] == 1  # alive at probe start, swept by re-check
+        if rel.endswith("v00000006.json"):
+            return False  # sweep already deleted it
+        return real(rel)
+
+    t._object_exists = fake
+    assert t.current_version() == 10  # listing fallback, not stale 5
+    assert seen["v5"] >= 2  # the post-walk liveness re-check ran
+
+
+def test_advance_pointer_repairs_stale_overwrite(tmp_path):
+    """_advance_pointer re-reads after its put and re-puts when a racing
+    stale writer clobbered it (r13 ADVICE #1): simulate the bad
+    interleaving by turning our first pointer put into the racer's
+    stale value landing after ours."""
+    t = _mk_table(tmp_path, interval=0)
+    _append_chain(t, 3)
+    real_put = t.store.put
+    state = {"raced": False}
+
+    def racing_put(rel, data):
+        if rel == _CKPT_POINTER and not state["raced"]:
+            state["raced"] = True
+            # our put lands, then the stale racer overwrites: net effect
+            real_put(rel, json.dumps({"version": 1}).encode())
+            return None
+        return real_put(rel, data)
+
+    t.store.put = racing_put
+    t._advance_pointer(2)
+    assert t._pointer_version() == 2  # repaired, not left at the racer's 1
+
+
+def test_checkpoint_version_ts_pruned_to_live_and_capped(tmp_path, monkeypatch):
+    """The checkpoint's (version, ts) list is bounded (r13 ADVICE #2):
+    pairs below the oldest live manifest are pruned at the next build
+    (they can never be a version_at answer — candidates are
+    liveness-probed), and the hard cap backstops never-expiring
+    tables."""
+    import data_finder_comparator_spark.sinks.lakehouse as lh
+
+    t = _mk_table(tmp_path, interval=4)
+    files = _append_chain(t, 12)
+    t.write_checkpoint()
+    ck = t.latest_checkpoint()
+    assert [v for v, _ in ck["version_ts"]] == list(range(1, 13))
+
+    t.expire_snapshots(keep_last=3)  # deletes manifests 1..9
+    files = _append_chain(t, 2, start=13, files=files)
+    t.write_checkpoint()
+    ck = t.latest_checkpoint()
+    assert [v for v, _ in ck["version_ts"]] == list(range(10, 15))
+
+    monkeypatch.setattr(lh, "_VERSION_TS_CAP", 3)
+    _append_chain(t, 1, start=15, files=files)
+    t.write_checkpoint()
+    ck = t.latest_checkpoint()
+    assert [v for v, _ in ck["version_ts"]] == [13, 14, 15]
