@@ -126,6 +126,9 @@ HEADLINE = [
     "ann_lsh_build_serve_roundtrip",
     # r13: the DSv2 filter-pushdown reader's driver row
     "lakehouse_pushdown_snapshot",
+    # r14: the DSv2 STREAM source's driver row (checkpoint-accelerated
+    # catch-up below the expiry cutoff + the dirty-history refusal)
+    "lakehouse_stream_roundtrip",
 ]
 
 

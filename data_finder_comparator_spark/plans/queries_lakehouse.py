@@ -12,6 +12,21 @@ snapshot — with a plain-SQL DuckDB oracle restating the post-merge
 state (anti-join + union + filter), so the commit log, the clustered
 write layout, the Bloom/footer file-skipping stack and the snapshot
 reader are all under the driver's hash check, not just pytest.
+
+Shared build (r14, closing the r13 verdict's item 5): the three
+snapshot rows — engine reader, DSv2 reader, DSv2 + pushdown —
+deliberately read the SAME append→MERGE→DELETE table, so the build
+lives in ONE helper (``_built_merge_table``) memoized per
+(process, sf_dir). Until r13 each query owned its build verbatim so a
+parked sibling's code stayed byte-stable; that bought nothing in
+practice — every engine-level TransactionalTable change pulls ALL the
+lakehouse rows in-window at once (r13's late audit and r14's pointer
+fix both did), so the trio already rotates as a unit. The helper cuts
+~160 triplicated lines and two of the three identical ~5 s lifecycle
+builds from every driver/bench pass; lifecycle coverage is unchanged —
+the first row to run executes append/merge/delete under the driver's
+hash, and a torn or missing table rebuilds from scratch (the memo
+validates head version before reuse).
 """
 
 from __future__ import annotations
@@ -59,41 +74,50 @@ FROM merged
 WHERE o_orderkey NOT BETWEEN 2000 AND 3200
 """
 
+# sf_dir -> path of the fully-built (3-commit) table in THIS process.
+_MERGE_TABLES: dict[str, str] = {}
 
-@query("lakehouse_merge_roundtrip", oracle=_MERGE_ORACLE)
-def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transactional-table MERGE roundtrip (r11, the r10 verdict's top
-    item): bootstrap a clustered + Bloom-indexed table from ``orders``,
-    MERGE a key-banded delta (price-doubled updates + shifted-key
-    inserts), DELETE the [2000, 3200] key band, and return the latest
-    snapshot read.
 
-    Exercises, under the driver's DuckDB hash: the crash-atomic commit
-    log (3 commits), ``cluster_by`` range layout on write, per-file
-    Bloom sidecars + footer-stats hit detection in merge/delete (only
-    files containing matched keys are rewritten; the rest carry by
-    reference), and the manifest snapshot reader. At 100 TB the same
-    plan holds: hit detection is manifest + sidecar IO plus an exact
-    scan of only the hit files, the rewrite is an anti-join of those
-    files against a broadcast-size key set, and untouched data is
-    never read or written."""
+def _built_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared append→MERGE→DELETE orders table for
+    ``sf_dir``, building it if this process has not yet (or if a
+    recorded build turns out torn/deleted — the memo trusts nothing
+    but the commit log's head version).
+
+    The build exercises, under whichever driver row runs first: the
+    crash-atomic commit log (3 commits), ``cluster_by`` range layout
+    on write, per-file Bloom sidecars + footer-stats hit detection in
+    merge/delete (only files containing matched keys are rewritten;
+    the rest carry by reference), and per-commit manifest checkpoints
+    (``checkpoint_interval=1`` puts the incremental checkpoint
+    builder, the rolling pointer, and ``current_version``'s forward
+    probe under the driver's hash gate too). At 100 TB the same plan
+    holds: hit detection is manifest + sidecar IO plus an exact scan
+    of only the hit files, the rewrite is an anti-join of those files
+    against a broadcast-size key set, and untouched data is never
+    read or written."""
     from ..sinks.lakehouse import TransactionalTable
     from ..util import fresh_run_dir
 
+    path = _MERGE_TABLES.get(sf_dir)
+    if path is not None:
+        try:
+            if TransactionalTable(spark, path).current_version() == 3:
+                return path
+        except Exception:  # torn/externally-deleted build: rebuild below
+            pass
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    d = fresh_run_dir("lakehouse_merge", sf_dir)
+    # fresh_run_dir clears on every call, so it runs ONLY on rebuild —
+    # calling it per query would wipe the sibling rows' memoized table
+    d = fresh_run_dir("lakehouse_trio", sf_dir)
+    path = os.path.join(d, "tbl")
     t = TransactionalTable(
         spark,
-        os.path.join(d, "tbl"),
+        path,
         cluster_by=["o_orderkey"],
         bloom_col="o_orderkey",
-        # r13: checkpoint after EVERY commit, so the manifest-checkpoint
-        # plane — the incremental builder (incl. merge/delete dirty
-        # classification), the rolling pointer, and current_version's
-        # forward probe — runs under the driver's hash gate too, not
-        # just pytest; three one-manifest checkpoints cost ~nothing
         checkpoint_interval=1,
     )
     # n_out=16: the source is ONE parquet file at harness SFs, and the
@@ -119,7 +143,20 @@ def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     assert t.current_version() == 3  # append, merge, delete
-    return t.read()
+    _MERGE_TABLES[sf_dir] = path
+    return path
+
+
+@query("lakehouse_merge_roundtrip", oracle=_MERGE_ORACLE)
+def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table MERGE roundtrip (r11, the r10 verdict's top
+    item): the shared 3-commit build read back through the ENGINE's
+    snapshot reader (``TransactionalTable.read`` — manifest-planned
+    file list, never a directory listing)."""
+    from ..sinks.lakehouse import TransactionalTable
+
+    path = _built_merge_table(spark, sf_dir)
+    return TransactionalTable(spark, path).read()
 
 
 def _register_datasource(spark: SparkSession) -> None:
@@ -136,12 +173,11 @@ def _register_datasource(spark: SparkSession) -> None:
 
 @query("lakehouse_datasource_snapshot", oracle=_MERGE_ORACLE)
 def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The lakehouse Python Data Source's first driver row (r12, the
-    r11 verdict's item 4): build the SAME append→MERGE→DELETE table as
-    ``lakehouse_merge_roundtrip`` (deliberately byte-identical inputs so
-    the two queries share one oracle — engine reader vs Data Source
-    reader is a strategy-equivalence pair, like the fuzzy band/broadcast
-    variants), then read the latest snapshot back through
+    """The lakehouse Python Data Source's driver row (r12, the r11
+    verdict's item 4): the SAME 3-commit table as
+    ``lakehouse_merge_roundtrip`` (shared oracle — engine reader vs
+    Data Source reader is a strategy-equivalence pair, like the fuzzy
+    band/broadcast variants), read back through
     ``spark.read.format("lakehouse")`` instead of ``t.read()``.
 
     Under the driver's hash this exercises ``sources/lakehouse_source.py``
@@ -152,53 +188,129 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     ``_commit_op`` provenance columns (asserted present, then projected
     away to match the shared oracle). At 100 TB the plan is the same:
     planning cost is manifest size, read cost is only the snapshot's
-    live files, and workers never touch the commit log.
-
-    The build is intentionally NOT factored into a shared helper:
-    whichever sibling query is parked in a given round, the rotation
-    policy keeps parked queries' code byte-stable — so each of the
-    three lakehouse rows owns its build verbatim."""
-    from ..sinks.lakehouse import TransactionalTable
-    from ..util import fresh_run_dir
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    d = fresh_run_dir("lakehouse_ds_snap", sf_dir)
-    t = TransactionalTable(
-        spark,
-        os.path.join(d, "tbl"),
-        cluster_by=["o_orderkey"],
-        bloom_col="o_orderkey",
-        # r13: checkpoint after EVERY commit, so the manifest-checkpoint
-        # plane — the incremental builder (incl. merge/delete dirty
-        # classification), the rolling pointer, and current_version's
-        # forward probe — runs under the driver's hash gate too, not
-        # just pytest; three one-manifest checkpoints cost ~nothing
-        checkpoint_interval=1,
-    )
-    t.append(base, n_out=16)
-    delta = (
-        base.filter(F.col("o_orderkey").between(100, 5000))
-        .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
-        .unionByName(
-            base.filter(F.col("o_orderkey").between(100, 1100))
-            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
-            .withColumn("o_orderstatus", F.lit("N"))
-        )
-    )
-    t.merge(delta, "o_orderkey")
-    t.delete(
-        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
-        "o_orderkey",
-    )
+    live files, and workers never touch the commit log."""
+    path = _built_merge_table(spark, sf_dir)
     _register_datasource(spark)
-    snap = spark.read.format("lakehouse").load(os.path.join(d, "tbl"))
+    snap = spark.read.format("lakehouse").load(path)
     assert {"_version", "_commit_op"} <= set(snap.columns)
     return snap.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+
+
+# Stream roundtrip: rows added by versions 4 and 5 (the appends past
+# the merge), each tagged with its adding commit — so the catch-up's
+# PROVENANCE, not just its content, is under the driver's hash.
+_STREAM_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(4 AS BIGINT) AS v_commit
+FROM orders WHERE o_orderkey % 4 = 2
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(5 AS BIGINT) AS v_commit
+FROM orders WHERE o_orderkey % 4 = 3
+"""
+
+
+@query("lakehouse_stream_roundtrip", oracle=_STREAM_ORACLE)
+def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse STREAM source's driver row (r14, the r13 verdict's
+    item 3 — previously the largest pytest-only surface): build a
+    5-commit table (two appends, a MERGE, two more appends), expire
+    everything below the head, then stream it back through
+    ``spark.readStream.format("lakehouse")`` with ``availableNow`` into
+    a parquet sink and return the drained rows.
+
+    What runs under the driver's DuckDB hash:
+    * offsets = versions with an EXCLUSIVE ``startingVersion`` (3): the
+      stream must deliver exactly the rows versions 4-5 added, none of
+      the merge's rewritten carry-over;
+    * the CHECKPOINT-ACCELERATED catch-up below the expiry cutoff:
+      manifests 1-4 are deleted (asserted), so the only way version 4's
+      rows can arrive — with the right ``_version`` tag, which the
+      output keeps as ``v_commit`` — is via the manifest checkpoint's
+      entries (clean-append shortcut), not a manifest walk;
+    * the dirty-history refusal: a FRESH stream (start 0) over the
+      expired+merge history must fail loudly (asserted in-query via a
+      noop-sink probe), never silently skip the unstreamable range.
+
+    The epoch-idempotent parquet sink + checkpointed offsets are the
+    same exactly-once composition the pipeline module documents; at
+    100 TB catch-up cost is one checkpoint object + the live files of
+    the streamed range, never O(history) manifest reads."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..streaming.pipeline import _run_to_completion
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    d = fresh_run_dir("lakehouse_stream", sf_dir)
+    path = os.path.join(d, "tbl")
+    t = TransactionalTable(spark, path, checkpoint_interval=2)
+    t.append(base.filter(F.col("o_orderkey") % 4 == 0))
+    t.append(base.filter(F.col("o_orderkey") % 4 == 1))
+    delta = (
+        base.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 20 == 0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    t.merge(delta, "o_orderkey")  # v3: the dirty commit
+    t.append(base.filter(F.col("o_orderkey") % 4 == 2))  # v4
+    t.append(base.filter(F.col("o_orderkey") % 4 == 3))  # v5
+    t.expire_snapshots(keep_last=1)  # checkpoints at head, deletes 1..4
+    assert not t._object_exists(t._manifest_rel(4)), "expiry must cut v4"
+    _register_datasource(spark)
+
+    # dirty-history refusal probe: a fresh full stream must fail loudly
+    # (dirt at v3 is past its start, and v1's manifest is expired)
+    refused = False
+    try:
+        pq = (
+            spark.readStream.format("lakehouse")
+            .load(path)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(d, "ckpt_probe"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        pq.awaitTermination()
+    except Exception:
+        refused = True
+    assert refused, "fresh stream over expired+dirty history must refuse"
+
+    out = (
+        spark.readStream.format("lakehouse")
+        .option("startingVersion", 3)  # exclusive: deliver v4, v5
+        .load(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("_version").alias("v_commit"),
+        )
+    )
+    sink = os.path.join(d, "out")
+    _run_to_completion(
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+    )
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, v_commit long"
+    ).parquet(sink)
 
 
 _PUSHDOWN_ORACLE = (
@@ -208,14 +320,13 @@ _PUSHDOWN_ORACLE = (
 
 @query("lakehouse_pushdown_snapshot", oracle=_PUSHDOWN_ORACLE)
 def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DSv2 filter-pushdown reader's first driver row (r13): the
-    same append→MERGE→DELETE table as ``lakehouse_merge_roundtrip``,
-    read back through ``spark.read.format("lakehouse")`` with
-    ``.option("filterPushdown", "true")`` and a key-band predicate —
-    the pushed range becomes per-file footer-bound checks at planning,
-    so only the 1-2 of 16 range-clustered files whose ranges can hold
-    [4000, 4700] are ever opened (pruning behavior unit-pinned by
-    test_lakehouse_datasource_filter_pushdown_prunes_files; this row
+    """The DSv2 filter-pushdown reader's driver row (r13): the shared
+    3-commit table read back through ``spark.read.format("lakehouse")``
+    with ``.option("filterPushdown", "true")`` and a key-band predicate
+    — the pushed range becomes per-file footer-bound checks at
+    planning, so only the 1-2 of 16 range-clustered files whose ranges
+    can hold [4000, 4700] are ever opened (pruning behavior unit-pinned
+    by test_lakehouse_datasource_filter_pushdown_prunes_files; this row
     puts the RESULT under the driver's DuckDB hash: pushdown must
     never change an answer, only the files read).
 
@@ -224,42 +335,13 @@ def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     of this DataFrame, so resetting before return would break the
     driver's later collect, and the conf only affects readers that
     opt into pushFilters (ours is per-read opt-in)."""
-    from ..sinks.lakehouse import TransactionalTable
-    from ..util import fresh_run_dir
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    d = fresh_run_dir("lakehouse_pushdown", sf_dir)
-    t = TransactionalTable(
-        spark,
-        os.path.join(d, "tbl"),
-        cluster_by=["o_orderkey"],
-        bloom_col="o_orderkey",
-        checkpoint_interval=1,
-    )
-    t.append(base, n_out=16)
-    delta = (
-        base.filter(F.col("o_orderkey").between(100, 5000))
-        .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
-        .unionByName(
-            base.filter(F.col("o_orderkey").between(100, 1100))
-            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
-            .withColumn("o_orderstatus", F.lit("N"))
-        )
-    )
-    t.merge(delta, "o_orderkey")
-    t.delete(
-        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
-        "o_orderkey",
-    )
+    path = _built_merge_table(spark, sf_dir)
     _register_datasource(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     snap = (
         spark.read.format("lakehouse")
         .option("filterPushdown", "true")
-        .load(os.path.join(d, "tbl"))
+        .load(path)
         .filter(F.col("o_orderkey").between(4000, 4700))
     )
     return snap.select(
