@@ -129,112 +129,89 @@ from . import queries_relational  # noqa: E402,F401
 #            minus any query whose code changes this round (which must
 #            then displace a returning green into RETIREMENT, never
 #            into double-parking).
-# r13 window (50): alignment_pairs + the r11 greens returning from
-# parking — which by construction includes EVERY query the r12 judge
-# ordered back in-window for having carried code changes while parked
-# (streaming_fuzzy_tiers, streaming_first_seen, union_by_name_folder,
-# orc_folder_roundtrip, and the six dedup-family queries:
-# dedup_minhash_lsh, dedup_clusters, dedup_ngram_jaccard,
-# dedup_ngram_jaccard_capped, dedup_hybrid_verify, cluster_canonical).
-# The r12 policy bend (changed code riding r11-vintage driver greens)
-# is hereby repaid with fresh CORRECTNESS_r13 rows for all ten.
+# r14 window (50), by the mechanical rule:
+#   1 alignment_pairs (in-window permanently: contributes no green)
+# + 37 r12 greens returning from their r13 parking (all 47 minus the
+#   ten retired below — parking them again would double-park)
+# + 11 r13 greens whose EXECUTED code changed in r14, each staying
+#   in-window for a fresh hash-green:
+#     streaming_fuzzy_tiers, streaming_first_seen,
+#     streaming_window_counts, streaming_watermarked_counts,
+#     streaming_dedup_events      (_stream_confs UTC pin + the
+#                                  drain-block consolidation — every
+#                                  streaming query runs _stream_confs)
+#     lakehouse_merge_roundtrip, lakehouse_datasource_snapshot,
+#     lakehouse_pushdown_snapshot (current_version soundness fix,
+#                                  _advance_pointer repair, version_ts
+#                                  bound, and the shared-build helper —
+#                                  r13 verdict item 5 decided AS the
+#                                  helper since the trio already
+#                                  rotates together)
+#     ivf_pq_build_serve_roundtrip, ann_lsh_build_serve_roundtrip
+#                                 (their TransactionalTables execute
+#                                  the same current_version paths)
+#     multimodal_features         (binary_features null-meta guard,
+#                                  r13 ADVICE #3)
+# + 1 net-new registration: lakehouse_stream_roundtrip (r13 verdict
+#   item 3 — the DSv2 stream source + checkpoint catch-up under the
+#   driver's hash).
+# The four r13-deferred fixes all landed with their affected queries
+# in-window: frame_sample's null guard (multimodal_frame_sample),
+# union.py's csv/jsonl/xlsx probe paths (csv/json_folder_roundtrip —
+# returning anyway; no registered query executes the fixed probe
+# functions), the UTC pin and drain consolidation (the four parked
+# windowed streaming queries return + the five r13 streaming greens
+# stay, above).
 #
-# Additionally, TWO r12 greens do NOT park, because r13 code changes
-# touch their executed paths — the mechanical rule applied as written,
-# no policy bend this time:
-#   excel_folder_roundtrip    (xlsx column typing fix, r12 ADVICE #2)
-#   lakehouse_datasource_snapshot (storeSpec threading + the
-#                              store-routed data-plane dispatch, r13
-#                              verdict item 3)
-# Each displaced a returning r11 green into RETIREMENT per the rule:
-# bloom_merge_shards and grouped_histogram_quantiles — both redundant
-# by construction (see their retired_query docstrings). Registry is
-# therefore 97 (50 window + 47 parked); 99 is a ceiling, not a quota.
-#
-# Late-r13 audit (manifest checkpoints + HttpStore hardening): the
-# changed code paths — TransactionalTable commit/current_version/
-# version_at/expire, the DSv2 stream planner, and the network store —
-# are executed ONLY by queries already in this window
-# (lakehouse_merge_roundtrip, lakehouse_datasource_snapshot, the two
-# ANN build/serve roundtrips); no registered query runs on HttpStore
-# or MemoryStore. No parked query's executed path changed, so no
-# further displacement is required by the mechanical rule.
-#
-# DEFERRED to the r14 window by the rotation rule (found by an r13
-# review of streaming/pipeline.py but touching PARKED queries'
-# executed paths — streaming_sliding_counts/_purchase_attribution/
-# _enriched_segments/_session_counts all run _stream_confs):
-#   1. _stream_confs should pin spark.sql.session.timeZone=UTC — the
-#      NTZ<->TIMESTAMP casts in the windowed streaming queries assume
-#      it; latent only (driver/tests/bench sessions are all UTC).
-#   2. consolidate the six copy-pasted drain-to-parquet run blocks and
-#      the purchase_click_attribution inner/outer duplication.
-#   3. sources/union.py (csv/json_folder_roundtrip parked): the csv
-#      probe path sets neither header nor inferSchema (header rows
-#      ingest as data for ad-hoc csv folders; the registered queries
-#      pass explicit options and are unaffected), and fmt='jsonl'/
-#      'xlsx' crash in spark.read.format instead of aliasing/dispatch.
-#   4. operators/multimodal.py frame_sample (multimodal_frame_sample
-#      parked): needs the same null-payload row-drop guard its three
-#      sibling extractors received in-window this round.
-# r14 must land these WITH the affected queries in-window.
-#
-# Late-r13 net-new registration: lakehouse_pushdown_snapshot (the DSv2
-# filter-pushdown reader's driver row) took a window slot by retiring
-# histogram_merge_shards — redundant by construction: the shard-merge
-# sketch shape keeps hll_merge_shards's driver row, the histogram
-# family keeps histogram_quantiles's (see its retired_query
-# docstring). Registry stays 97 (50 window + 47 parked), retired 9.
+# 1 + 37 + 11 + 1 = 50. The twelve slots beyond the 38 parking r13
+# greens displaced TEN returning r12 greens into RETIREMENT (never
+# double-parking), each redundant by construction — see their
+# retired_query docstrings: orders_rollup, suppliers_by_nation,
+# customers_without_orders, fuzzy_tier_counts, hll_distinct_sketch,
+# stratified_sample, event_value_quantiles, purchase_window_stats,
+# session_type_cooccurrence, topk_orders_per_priority. Registry is
+# therefore 88 (50 window + 38 parked), retired 19.
 _PARKED_MULTI_GREEN = [
-    # -- the CORRECTNESS_r12 hash-greens except rows-only
-    #    alignment_pairs and the two code-changed returns above -------
-    "fuzzy_join_tiers",
-    "fuzzy_join_docs",
-    "fuzzy_topk",
-    "fuzzy_tier_assembly",
-    "fuzzy_tier_counts",
-    "multimodal_frame_sample",
-    "streaming_sliding_counts",
-    "streaming_purchase_attribution",
-    "streaming_enriched_segments",
-    "streaming_session_counts",
-    "lang_robust_length_stats",
-    "doc_token_chunks",
-    "corpus_curation_pipeline",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "decontaminate_overlap",
-    "pii_redaction",
-    "weighted_reservoir_sample",
-    "gram_tfidf_cosine_topk",
-    "csv_folder_roundtrip",
-    "deterministic_row_ids",
-    "json_folder_roundtrip",
-    "table_version_diff",
-    "dedup_exact",
-    "dedup_simhash",
-    "hll_distinct_sketch",
-    "hll_merge_shards",
-    "ann_sq8_rerank_topk",
-    "semantic_dedup",
-    "pricing_summary",
-    "revenue_by_nation",
-    "topk_orders_per_priority",
-    "orders_rollup",
-    "customers_without_orders",
-    "events_pivot_by_hour",
-    "suppliers_by_nation",
-    "event_value_quantiles",
-    "sessionize_events",
-    "asof_latest_order",
-    "salted_segment_stats",
-    "bucketed_order_revenue",
-    "purchase_window_stats",
-    "props_json_stats",
-    "session_type_cooccurrence",
-    "event_funnel",
-    "hourly_gapfill",
-    "histogram_quantiles",
+    # -- the CORRECTNESS_r13 hash-greens except rows-only
+    #    alignment_pairs and the 11 code-changed stays above ----------
+    "alignment_dist",
+    "multimodal_wav_decode",
+    "pcm_resample_layout",
+    "text_quality_signals",
+    "lang_id_confusion",
+    "doc_repetition",
+    "vocab_top_tokens",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "deterministic_shuffle",
+    "sequence_packing",
+    "source_domain_caps",
+    "mixture_token_budget",
+    "duplicate_spans",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "scrub_hot_spans",
+    "inverted_index",
+    "union_by_name_folder",
+    "excel_folder_roundtrip",
+    "orc_folder_roundtrip",
+    "partitioned_lang_roundtrip",
+    "keep_replace_curation",
+    "curation_counts",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_hybrid_verify",
+    "line_dedup_stats",
+    "cluster_canonical",
+    "grouped_hll_by_lang",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "ann_ivf_topk",
+    "ivf_kmeans_centroids",
+    "orders_grouping_sets",
+    "rolling_user_activity",
 ]
 
 

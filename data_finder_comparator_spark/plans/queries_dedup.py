@@ -480,9 +480,17 @@ def _hll_finalize(reg: DataFrame) -> DataFrame:
     )
 
 
-@query("hll_distinct_sketch", oracle=_HLL_ORACLE)
+@retired_query("hll_distinct_sketch", oracle=_HLL_ORACLE)
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HLL (p=8) over document texts: md5 -> 60-bit value
+    """RETIRED to the pytest-only registry in r14: its driver slot was
+    displaced by the streaming queries returning in-window with the
+    UTC-pin/drain-consolidation fixes (the rotation rule). Redundant by
+    construction: the HLL operator keeps ``grouped_hll_by_lang``
+    (per-group sketches — a strict superset of the single global
+    sketch) and ``hll_merge_shards`` (shard merges) as driver rows.
+    Hash-checked vs DuckDB on every pytest run.
+
+    Deterministic HLL (p=8) over document texts: md5 -> 60-bit value
     -> (register, leading-zero rank) map-side, max per register, integer
     -scaled harmonic sum, one closing division. Returns the full
     register table (the mergeable sketch state) with the zero-register

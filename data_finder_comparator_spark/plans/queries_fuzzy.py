@@ -355,8 +355,15 @@ def streaming_fuzzy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fuzzy_tier_counts", oracle=_TIER_COUNTS_ORACLE)
+@retired_query("fuzzy_tier_counts", oracle=_TIER_COUNTS_ORACLE)
 def fuzzy_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed streaming/lakehouse returns plus the
+    net-new stream row — the rotation rule). Redundant by construction:
+    it is a count over ``fuzzy_join_tiers``'s output, whose driver row
+    it keeps, the A2 count shape keeps ``curation_counts``, and the
+    fuzzy family keeps five other driver rows. Hash-checked vs DuckDB
+    on every pytest run."""
     tiers = fuzzy_join_tiers(spark, sf_dir)
     return tiers.groupBy("tier").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),

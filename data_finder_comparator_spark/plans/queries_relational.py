@@ -132,9 +132,16 @@ FROM (
 """
 
 
-@query("topk_orders_per_priority", oracle=_TOPK_ORDERS_ORACLE)
+@retired_query("topk_orders_per_priority", oracle=_TOPK_ORDERS_ORACLE)
 def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 orders by price per priority class. rank() keeps ties like
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: per-group top-k with
+    ties keeps ``fuzzy_topk``'s driver row (the banded escalating
+    form), and the rank-window shape rides every fuzzy tier query's
+    single window pass. Hash-checked vs DuckDB on every pytest run.
+
+    Top-5 orders by price per priority class. rank() keeps ties like
     the reference's best-tier semantics; deterministic tiebreak on key.
     One shuffle on the partition key; at scale AQE handles skewed
     priorities."""
@@ -168,8 +175,14 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
-@query("orders_rollup", oracle=_ROLLUP_ORACLE)
+@retired_query("orders_rollup", oracle=_ROLLUP_ORACLE)
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: ROLLUP is the prefix
+    special case of GROUPING SETS, whose general form keeps
+    ``orders_grouping_sets``'s driver row over the same table.
+    Hash-checked vs DuckDB on every pytest run."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
@@ -201,9 +214,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
 """
 
 
-@query("customers_without_orders", oracle=_ANTI_ORACLE)
+@retired_query("customers_without_orders", oracle=_ANTI_ORACLE)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positive-balance customers with no 1998+ order — NOT EXISTS as a
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: the left-anti-join shape
+    keeps ``decontaminate_overlap`` (anti-join on content keys) and
+    ``bloom_decontaminate`` (its sketch-accelerated form) as driver
+    rows. Hash-checked vs DuckDB on every pytest run.
+
+    Positive-balance customers with no 1998+ order — NOT EXISTS as a
     left anti join; the date filter pushes below the join to the orders
     scan."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
@@ -266,8 +286,14 @@ HAVING count(*) > 1
 """
 
 
-@query("suppliers_by_nation", oracle=_SUPPLIER_ORACLE)
+@retired_query("suppliers_by_nation", oracle=_SUPPLIER_ORACLE)
 def suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: broadcast dim join +
+    group-agg keeps ``revenue_by_nation``'s driver row (same shape,
+    richer aggregate over a bigger fact side). Hash-checked vs DuckDB
+    on every pytest run."""
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -298,9 +324,17 @@ FROM events GROUP BY event_type
 """
 
 
-@query("event_value_quantiles", oracle=_QUANTILES_ORACLE)
+@retired_query("event_value_quantiles", oracle=_QUANTILES_ORACLE)
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p95 of event value per type. Exact percentile needs the
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: the quantile family
+    keeps ``histogram_quantiles``'s driver row — the mergeable-sketch
+    form that is also the documented 100 TB path; the exact sort-based
+    form stays hash-checked here. Hash-checked vs DuckDB on every
+    pytest run.
+
+    Exact p50/p95 of event value per type. Exact percentile needs the
     group's values together (sort-based agg); at 100 TB you'd reach for
     approx_percentile (t-digest, mergeable partial aggs) — kept exact
     here because the oracle must match bit-for-bit."""
@@ -611,9 +645,17 @@ GROUP BY a.win_id
 """
 
 
-@query("purchase_window_stats", oracle=_RANGE_ORACLE)
+@retired_query("purchase_window_stats", oracle=_RANGE_ORACLE)
 def purchase_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each anchored purchase opens a [ts, ts+30min) window; count and
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: anchored event-time
+    range aggregation keeps ``rolling_user_activity`` (range-frame
+    windows) and ``streaming_purchase_attribution`` (the same
+    purchase-anchored lookback as a stream-stream join) as driver
+    rows. Hash-checked vs DuckDB on every pytest run.
+
+    Each anchored purchase opens a [ts, ts+30min) window; count and
     sum all event activity inside it. Inner chunked join + group-by,
     then a left join back to the anchors resurrects zero-activity
     windows (count 0, sum NULL — matching SQL LEFT JOIN semantics)."""
@@ -719,8 +761,14 @@ GROUP BY 1, 2
 """
 
 
-@query("session_type_cooccurrence", oracle=_COOCCUR_ORACLE)
+@retired_query("session_type_cooccurrence", oracle=_COOCCUR_ORACLE)
 def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: the sessionize-then-
+    analyze shape keeps ``sessionize_events`` (the session builder) and
+    ``event_funnel`` (ordered event-pair analysis) as driver rows; this
+    row composes the two. Hash-checked vs DuckDB on every pytest run."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts")).over(w)

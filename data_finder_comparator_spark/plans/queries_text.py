@@ -414,8 +414,15 @@ WHERE CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)
 """
 
 
-@query("stratified_sample", oracle=_STRAT_SAMPLE_ORACLE)
+@retired_query("stratified_sample", oracle=_STRAT_SAMPLE_ORACLE)
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED to the pytest-only registry in r14 (driver slot
+    displaced by the code-changed r13 greens returning in-window — the
+    rotation rule). Redundant by construction: per-stratum sampling is
+    the same deterministic hash-threshold cut as
+    ``deterministic_sample`` (kept), applied per group via a broadcast
+    rate map; the weighted variant keeps ``weighted_reservoir_sample``.
+    Hash-checked vs DuckDB on every pytest run."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long")
     cut = F.coalesce(
