@@ -1034,11 +1034,22 @@ class IvfPqIndex:
                 "refuse this; rebuilds go to a fresh root)"
             )
         row = rows[0]
+        d = row.asDict()
         return {
             "m": int(row["m"]),
             "w": int(row["w"]),
             "dim": int(row["dim"]),
             "n_assign": int(row["n_assign"]),
+            # build-time recall pin (r14, nullable): the reference
+            # point the post-append health audit measures drift
+            # against. Absent (None) on indexes built without
+            # pin_probes — the audit then reports recall without a
+            # drop verdict.
+            "pin_recall": d.get("pin_recall"),
+            "pin_k": int(d["pin_k"]) if d.get("pin_k") is not None else None,
+            "pin_nprobe": (
+                int(d["pin_nprobe"]) if d.get("pin_nprobe") is not None else None
+            ),
         }
 
 
@@ -1103,12 +1114,22 @@ def build_ivf_pq_index(
     pq_stride: int = 10,
     centroids: DataFrame | None = None,
     stores: dict | None = None,
+    pin_probes: DataFrame | None = None,
+    pin_k: int = 5,
+    pin_nprobe: int = 8,
 ) -> IvfPqIndex:
     """One-off index build: sample (or adopt) the coarse centroids and
     per-subspace PQ codebooks from ``cands``, encode every candidate,
     persist all four tables. Parameters and sampling match ivf_pq_topk's
     defaults so a search over the built index reproduces the registered
-    query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready)."""
+    query bit-for-bit (pinned by test_ivf_pq_prebuilt_oracle_ready).
+
+    ``pin_probes`` (r14, the r13 verdict's item 4): a probe sample to
+    measure the build-time recall PIN against exact ground truth on the
+    served path, stored in meta — the reference point
+    ``index_health_audit`` compares every later audit to. Costs one
+    serve + one brute top-k over the sample at build time; omit it and
+    audits still report absolute recall, just no drift verdict."""
     w = dim // m
     # the BUILD is the entry that makes a dimension mismatch permanent:
     # an unguarded mismatched corpus would freeze null-padded centroids/
@@ -1163,12 +1184,105 @@ def build_ivf_pq_index(
     # and meta LAST, so params() refuses until the build completed
     index.codes.append(codes)
     index.cells.append(cells)
+    pin = None
+    if pin_probes is not None:
+        # measured on the SERVED path over the just-written tables
+        # (meta does not exist yet, so the serve takes the params
+        # directly) — the pin must be the exact quantity later audits
+        # re-measure, or drift arithmetic compares apples to oranges
+        pin = _served_recall(
+            index,
+            pin_probes,
+            cands,
+            k=pin_k,
+            nprobe=pin_nprobe,
+            _params={"m": m, "w": w, "dim": dim, "n_assign": n_assign},
+        )
     index.meta.append(
         spark.createDataFrame(
-            [(m, w, dim, n_assign)], "m int, w int, dim int, n_assign int"
+            [(m, w, dim, n_assign, pin, pin_k, pin_nprobe)],
+            "m int, w int, dim int, n_assign int, "
+            "pin_recall double, pin_k int, pin_nprobe int",
         )
     )
     return index
+
+
+def _served_recall(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int,
+    nprobe: int,
+    _params: dict | None = None,
+) -> float:
+    """Recall@k of the index's SERVED path (``ivf_pq_search``) against
+    exact brute-force cosine ground truth over the same probe sample —
+    the audit quantity of SCALE.md's freshness rung. ``cosine_topk``
+    is the unguarded exact baseline (its documented audit-only use);
+    the probe sample, not the corpus, bounds its broadcast side."""
+    ann = ivf_pq_search(index, probes, cands, k=k, nprobe=nprobe, _params=_params)
+    gt = cosine_topk(probes, cands, k=k)
+    n_gt = gt.count()
+    if n_gt == 0:
+        return 1.0
+    hits = ann.select("probe_id", "cand_id").join(
+        gt.select("probe_id", "cand_id"), ["probe_id", "cand_id"]
+    )
+    return round(hits.count() / n_gt, 4)
+
+
+def index_health_audit(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    cands: DataFrame,
+    k: int | None = None,
+    nprobe: int | None = None,
+    max_drop: float = 0.02,
+) -> dict:
+    """The audit-based rebuild trigger from SCALE.md's freshness rung
+    (r14, the r13 verdict's item 4), as code instead of prose: measure
+    recall@k of the served path against exact ground truth on a probe
+    sample, compare to the build-time pin stored in the index meta, and
+    recommend a rebuild CANDIDATE when the drop exceeds ``max_drop``
+    (default 2 recall points — the rung's threshold).
+
+    The recommendation is deliberately only half the decision: the
+    rung measured that at 50% antipodal drift a same-budget rebuild
+    LOSES to the aged index (0.7250 vs 0.8175) because a bimodal
+    corpus splits the rebuild's quantizer budget across both modes —
+    so the naive FAISS retrain-on-gap rule is wrong, and the swap must
+    be gated by ``should_swap_rebuild`` on the candidate's OWN audit.
+    Defaults for ``k``/``nprobe`` come from the pin's stored
+    measurement parameters so drift arithmetic stays apples-to-apples.
+
+    Returns ``{"recall", "pin_recall", "drop", "rebuild_recommended",
+    "k", "nprobe"}`` — ``drop`` and the recommendation are None/False
+    when the index was built without a pin."""
+    p = index.params()
+    k = k if k is not None else (p["pin_k"] or 5)
+    nprobe = nprobe if nprobe is not None else (p["pin_nprobe"] or 8)
+    recall = _served_recall(index, probes, cands, k=k, nprobe=nprobe)
+    pin = p["pin_recall"]
+    drop = round(pin - recall, 4) if pin is not None else None
+    return {
+        "recall": recall,
+        "pin_recall": pin,
+        "drop": drop,
+        "rebuild_recommended": drop is not None and drop > max_drop,
+        "k": k,
+        "nprobe": nprobe,
+    }
+
+
+def should_swap_rebuild(aged_audit: dict, candidate_audit: dict) -> bool:
+    """The swap gate the freshness rung prescribes: a rebuild
+    recommendation alone NEVER swaps — the candidate (built into a
+    fresh root, ideally with a quantizer budget scaled to the grown
+    corpus) must beat the aged index on the same audit. On the rung's
+    50% antipodal-OOD corpus this gate correctly KEEPS the aged index
+    (candidate 0.7250 < aged 0.8175)."""
+    return candidate_audit["recall"] > aged_audit["recall"]
 
 
 def ivf_pq_index_append(
@@ -1176,6 +1290,9 @@ def ivf_pq_index_append(
     new_cands: DataFrame,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    audit_probes: DataFrame | None = None,
+    audit_corpus: DataFrame | None = None,
+    audit_max_drop: float = 0.02,
 ) -> int:
     """Daily-ingest index maintenance: encode ONLY ``new_cands`` under
     the index's frozen quantizers and append. Cost is linear in the
@@ -1188,7 +1305,16 @@ def ivf_pq_index_append(
     Note the drift contract: appended rows quantize under codebooks
     sampled from the BOOTSTRAP corpus. If the embedding distribution
     shifts, recall decays and the answer is a REBUILD (optimize/retrain)
-    — FAISS's contract too; the index never silently resamples."""
+    — FAISS's contract too; the index never silently resamples.
+
+    Opt-in post-append health check (r14): pass ``audit_probes`` +
+    ``audit_corpus`` (the full current corpus, ground-truth side) to
+    run ``index_health_audit`` after the append and ``warnings.warn``
+    when the served recall dropped more than ``audit_max_drop`` below
+    the build-time pin — the per-epoch cadence SCALE.md's freshness
+    rung prescribes. The warning recommends building a CANDIDATE into
+    a fresh root and gating the swap with ``should_swap_rebuild``; it
+    never mutates this index."""
     p = index.params()
     _require_vec_dim(new_cands, "vec_c", p["dim"], "append batch")
     cents, pq_sub = _index_quantizers(index)
@@ -1196,7 +1322,29 @@ def ivf_pq_index_append(
         new_cands, cents, pq_sub, p["m"], p["w"], p["n_assign"]
     )
     index.codes.append(codes, txn_app=txn_app, txn_version=txn_version)
-    return index.cells.append(cells, txn_app=txn_app, txn_version=txn_version)
+    version = index.cells.append(cells, txn_app=txn_app, txn_version=txn_version)
+    if audit_probes is not None:
+        import warnings
+
+        audit = index_health_audit(
+            index,
+            audit_probes,
+            audit_corpus if audit_corpus is not None else new_cands,
+            max_drop=audit_max_drop,
+        )
+        if audit["rebuild_recommended"]:
+            warnings.warn(
+                f"ivf_pq_index_append: post-append audit recall "
+                f"{audit['recall']} dropped {audit['drop']} below the "
+                f"build-time pin {audit['pin_recall']} "
+                f"(threshold {audit_max_drop}) — build a rebuild "
+                "CANDIDATE into a fresh root and gate the swap with "
+                "should_swap_rebuild (a same-budget rebuild can LOSE "
+                "to the aged index on a drifted corpus; see SCALE.md's "
+                "freshness rung)",
+                stacklevel=2,
+            )
+    return version
 
 
 def _require_vec_dim(df: DataFrame, col: str, dim: int, what: str) -> None:
@@ -1254,6 +1402,7 @@ def ivf_pq_search(
     k: int = 5,
     nprobe: int = 8,
     rerank: int = 120,
+    _params: dict | None = None,
 ) -> DataFrame:
     """Serve from the prebuilt index: route probes to ``nprobe`` cells,
     score routed pairs by ADC over the PERSISTED codes, exact-rerank
@@ -1263,8 +1412,13 @@ def ivf_pq_search(
     file IO the cells table's cent_id clustering bounds to the probed
     cells. ``cands`` supplies the full-precision vectors for the
     re-rank only (at 100 TB: a point-lookup join against the vector
-    store for rerank x |probes| rows, not a scan)."""
-    p = index.params()  # loud completeness check BEFORE any table read
+    store for rerank x |probes| rows, not a scan).
+
+    ``_params`` is internal: the build's pin measurement serves the
+    just-written tables BEFORE the meta commit exists (params() would
+    refuse an incomplete index — correctly, for every external
+    caller)."""
+    p = _params or index.params()  # loud completeness check BEFORE any read
     _require_vec_dim(probes, "vec_p", p["dim"], "probe")
     _require_vec_dim(cands, "vec_c", p["dim"], "candidate (re-rank)")
     cents, pq_sub = _index_quantizers(index)

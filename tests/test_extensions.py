@@ -3532,3 +3532,74 @@ def test_apply_curation_tolerates_action_column_collision(spark):
            for r in apply_curation(probe, decisions, "pid", "key").collect()}
     assert got[1] == ("ALPHA", "audit-keep", "user-final")
     assert got[2] == ("beta", "audit-drop", "user-final2")
+
+
+def test_index_health_audit_gates_rebuild_on_drifted_corpus(spark, tmp_path):
+    """The audit-based rebuild trigger (r14, r13 verdict item 4),
+    reproducing SCALE.md's freshness-rung scenario B at the rung's own
+    geometry (sf0.1 embeddings: bootstrap 1000, then 1000 antipodal
+    reversed-vector rows appended; probes every 25th id, unreversed).
+    Every number is deterministic (stride sampling + md5, no RNG), so
+    the rung's measurements are pinned exactly:
+
+    * the build-time pin is 0.8425; after the 50% OOD append the
+      served recall is 0.8175 — drop 0.025 > the 2-point threshold, so
+      the append's opt-in audit fires its rebuild-candidate warning;
+    * the same-budget rebuild over the bimodal corpus measures 0.725 —
+      WORSE than the aged index (the rung's reversal of the naive
+      FAISS retrain-on-gap rule: a bimodal corpus splits the rebuild's
+      quantizer budget across both modes);
+    * should_swap_rebuild therefore correctly KEEPS the aged index."""
+    from data_finder_comparator_spark.operators.similarity import (
+        build_ivf_pq_index,
+        index_health_audit,
+        ivf_pq_index_append,
+        should_swap_rebuild,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    boot = cands.filter(F.col("cand_id") < 1000)
+    probes = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    aged = build_ivf_pq_index(
+        spark, str(tmp_path / "aged"), boot, pin_probes=probes
+    )
+    assert aged.params()["pin_recall"] == 0.8425
+    assert aged.params()["pin_k"] == 5 and aged.params()["pin_nprobe"] == 8
+
+    ood = cands.filter(
+        (F.col("cand_id") >= 1000) & (F.col("cand_id") < 2000)
+    ).withColumn("vec_c", F.reverse("vec_c"))  # norm-preserving drift
+    corpus = boot.unionByName(ood)
+    # the drop (0.025) exceeds the default 2-point threshold, so the
+    # opt-in post-append audit warns at its DEFAULTS — no forcing
+    with pytest.warns(UserWarning, match="post-append audit"):
+        ivf_pq_index_append(aged, ood, audit_probes=probes, audit_corpus=corpus)
+
+    aged_audit = index_health_audit(aged, probes, corpus)
+    assert aged_audit == {
+        "recall": 0.8175,
+        "pin_recall": 0.8425,
+        "drop": 0.025,
+        "rebuild_recommended": True,
+        "k": 5,
+        "nprobe": 8,
+    }
+
+    # same-budget candidate rebuild over the drifted corpus
+    candidate = build_ivf_pq_index(spark, str(tmp_path / "cand"), corpus)
+    cand_audit = index_health_audit(candidate, probes, corpus)
+    assert cand_audit["pin_recall"] is None  # built without a pin
+    assert not cand_audit["rebuild_recommended"]
+    # the rung's finding: the rebuild LOSES on this corpus (0.725), so
+    # the gate keeps the aged index
+    assert cand_audit["recall"] == 0.725
+    assert not should_swap_rebuild(aged_audit, cand_audit)
