@@ -1326,10 +1326,19 @@ def ivf_pq_index_append(
     if audit_probes is not None:
         import warnings
 
+        if audit_corpus is None:
+            # the pin was measured against the FULL corpus; auditing
+            # against only the new batch would compare apples to
+            # oranges and mostly report phantom drops
+            raise ValueError(
+                "ivf_pq_index_append: audit_probes requires audit_corpus "
+                "(the full current corpus — the exact ground-truth side "
+                "the build-time pin was measured against)"
+            )
         audit = index_health_audit(
             index,
             audit_probes,
-            audit_corpus if audit_corpus is not None else new_cands,
+            audit_corpus,
             max_drop=audit_max_drop,
         )
         if audit["rebuild_recommended"]:
