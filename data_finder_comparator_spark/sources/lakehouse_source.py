@@ -604,7 +604,11 @@ def _exclusive_start_for_timestamp(t, timestamp: float) -> int:
             continue
         ts = man.get("ts")
         if ts is None:
-            ts = t.store.mtime(t._manifest_rel(v))
+            try:
+                ts = t.store.mtime(t._manifest_rel(v))
+            except FileNotFoundError:
+                continue  # expired between the manifest read and the
+                # mtime probe: skip, exactly like version_at's walk
         if ts < timestamp:
             return v
     return 0

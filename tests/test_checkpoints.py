@@ -518,3 +518,46 @@ def test_checkpoint_version_ts_pruned_to_live_and_capped(tmp_path, monkeypatch):
     t.write_checkpoint()
     ck = t.latest_checkpoint()
     assert [v for v, _ in ck["version_ts"]] == [13, 14, 15]
+
+
+def test_starting_timestamp_mtime_expiry_race_skips_not_crashes(tmp_path):
+    """A manifest with no ``ts`` field whose file expires between the
+    walk's read and the mtime probe must be SKIPPED — the same race
+    tolerance version_at's walk has (r14 review: the stream-start
+    resolver previously crashed FileNotFoundError here)."""
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _exclusive_start_for_timestamp,
+    )
+
+    t = _mk_table(tmp_path, interval=0)
+    base = time.time()
+    files = []
+    for v in range(1, 4):
+        files.append(f"txn{v}/part-0.parquet")
+        man = {
+            "version": v,
+            "parent": v - 1,
+            "op": "append",
+            "files": list(files),
+            "schema": SCHEMA_JSON,
+            "stats": {},
+            "txns": {},
+        }
+        if v != 2:
+            man["ts"] = base + 10 * v
+        assert t._try_commit(v, man)
+    os.utime(
+        t._strip_scheme(t._manifest_path(2)), (base + 20, base + 20)
+    )
+    # sanity: with the file present, the mtime fallback answers
+    assert _exclusive_start_for_timestamp(t, base + 21) == 2
+    real_mtime = t.store.mtime
+
+    def racing_mtime(rel):
+        if rel.endswith("v00000002.json"):
+            raise FileNotFoundError(rel)  # expired mid-walk
+        return real_mtime(rel)
+
+    t.store.mtime = racing_mtime
+    # v2 skipped like version_at's walk: the answer slides to v1
+    assert _exclusive_start_for_timestamp(t, base + 21) == 1
