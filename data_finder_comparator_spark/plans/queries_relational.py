@@ -1097,7 +1097,11 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q")
     )
     sel = (
-        cum.crossJoin(qs)
+        # explicit broadcast like the grouped sibling below: the 5-row
+        # quantile frame must never rely on the auto-BNLJ threshold
+        # (a deployment running autoBroadcastJoinThreshold=-1 would
+        # otherwise plan a real cartesian here)
+        cum.crossJoin(F.broadcast(qs))
         .crossJoin(F.broadcast(bounds))
         .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n")))
         .groupBy("q")
