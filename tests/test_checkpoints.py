@@ -561,3 +561,127 @@ def test_starting_timestamp_mtime_expiry_race_skips_not_crashes(tmp_path):
     t.store.mtime = racing_mtime
     # v2 skipped like version_at's walk: the answer slides to v1
     assert _exclusive_start_for_timestamp(t, base + 21) == 1
+
+
+# ---------------------------------------------------------------------------
+# Randomized-history property: the checkpoint plane (pointer probe,
+# version_at resolution, checkpoint-served stream planning, version_ts
+# prune/cap) must agree with a pure-Python reference model under ANY
+# interleaving of commits, expiries, and checkpoint builds — the fixed
+# scenarios above pin known shapes; this hunts the interleavings they
+# don't reach. Control-plane only: no Spark, each example is a few
+# dozen tiny JSON files.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HISTORY_OPS = st.lists(
+    st.one_of(
+        st.just(("append",)),
+        st.just(("merge",)),
+        st.just(("delete",)),
+        st.tuples(st.just("expire"), st.integers(min_value=1, max_value=3)),
+        st.just(("checkpoint",)),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    deadline=None,
+    max_examples=40,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_HISTORY_OPS)
+def test_checkpoint_plane_randomized_history(tmp_path_factory, ops):
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _ChangeStreamReader,
+    )
+
+    t = TransactionalTable(
+        None,
+        str(tmp_path_factory.mktemp("ckpt_prop") / "tbl"),
+        checkpoint_interval=3,
+    )
+    base = 1_000_000.0
+    model: dict[int, tuple[str, tuple, float]] = {}  # v -> (op, files, ts)
+    live: set[int] = set()
+    files: list[str] = []
+    v = 0
+    counter = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "expire":
+            if v:
+                t.expire_snapshots(keep_last=op[1])
+                live -= set(range(1, v - max(op[1], 1) + 1))
+            continue
+        if kind == "checkpoint":
+            t.write_checkpoint()
+            continue
+        v += 1
+        if kind == "append" or not files:
+            counter += 1
+            files = files + [f"f{counter}.parquet"]
+            op_name = "append"
+        elif kind == "merge":  # rewrite: drop oldest, add one
+            counter += 1
+            files = files[1:] + [f"f{counter}.parquet"]
+            op_name = "merge"
+        else:  # delete-only: files removed, none added
+            files = files[1:]
+            op_name = "delete"
+        _commit(t, v, op_name, files, ts=base + 10 * v)
+        model[v] = (op_name, tuple(files), base + 10 * v)
+        live.add(v)
+
+    # head + latest snapshot match the model whatever the interleaving
+    assert t.current_version() == v
+    if v == 0:
+        return
+    assert set(t.snapshot()[1]["files"]) == set(model[v][1])
+
+    def check_version_at():
+        for probe_v in range(1, v + 1):
+            inst = base + 10 * probe_v + 5
+            exp = max((u for u in live if u <= probe_v), default=None)
+            if exp is None:
+                with pytest.raises(ValueError):
+                    t.version_at(inst)
+            else:
+                assert t.version_at(inst) == exp
+
+    check_version_at()
+    # a fresh checkpoint (exercising the incremental builder + the
+    # version_ts prune/cap against however the history expired) must
+    # not change any resolution
+    t.write_checkpoint()
+    assert t.current_version() == v
+    check_version_at()
+
+    # stream planning from just past the last dirt/expiry: the range is
+    # pure appends, so whether it serves from the checkpoint shortcut
+    # or the walk, the planned (version -> files) must equal the
+    # model's per-version additions
+    dirty = {u for u, (o, _f, _ts) in model.items() if o != "append"}
+    expired = set(model) - live
+    sv = max(dirty | expired, default=0)
+    if v > sv:
+        reader = _ChangeStreamReader(t.path, sv, False, t.snapshot()[1]["schema"])
+        try:
+            parts = reader.partitions({"version": sv}, {"version": v})
+        except FileNotFoundError:
+            parts = None  # sv's manifest expired and no eligible ckpt
+        if parts is not None:
+            got: dict[int, set] = {}
+            for p in parts:
+                got.setdefault(p.version, set()).add(p.rel)
+            exp_add: dict[int, set] = {}
+            for u in range(sv + 1, v + 1):
+                prevf = set(model[u - 1][1]) if u - 1 in model else set()
+                add_u = set(model[u][1]) - prevf
+                if add_u:
+                    exp_add[u] = add_u
+            assert got == exp_add
