@@ -49,7 +49,11 @@ from .catalog import query
 # keys in [100, 5000] get their price doubled and status 'U' (WHEN
 # MATCHED UPDATE); inserts: keys in [100, 1100] re-enter shifted past
 # the key domain as status-'N' rows (WHEN NOT MATCHED INSERT); then
-# the post-merge [2000, 3200] slice is deleted. Double arithmetic is
+# the post-merge [400, 900] slice is deleted (a band that exists at
+# EVERY harness SF — orderkeys are contiguous 0..N-1 and sf0.001 tops
+# out at 1499, so the r11-r13 band [2000, 3200] silently no-op'd the
+# delete commit below the driver SF; found by the r14 memo-recovery
+# test). Double arithmetic is
 # *2 (exact in binary floating point), so both engines hash
 # identically with no rounding fence.
 _MERGE_ORACLE = """
@@ -71,7 +75,7 @@ merged AS (
 )
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
 FROM merged
-WHERE o_orderkey NOT BETWEEN 2000 AND 3200
+WHERE o_orderkey NOT BETWEEN 400 AND 900
 """
 
 # sf_dir -> path of the fully-built (3-commit) table in THIS process.
@@ -139,7 +143,7 @@ def _built_merge_table(spark: SparkSession, sf_dir: str) -> str:
     )
     t.merge(delta, "o_orderkey")
     t.delete(
-        t.read().filter(F.col("o_orderkey").between(2000, 3200)).select("o_orderkey"),
+        t.read().filter(F.col("o_orderkey").between(400, 900)).select("o_orderkey"),
         "o_orderkey",
     )
     assert t.current_version() == 3  # append, merge, delete
@@ -314,7 +318,7 @@ def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PUSHDOWN_ORACLE = (
-    "SELECT * FROM (" + _MERGE_ORACLE + ") WHERE o_orderkey BETWEEN 4000 AND 4700"
+    "SELECT * FROM (" + _MERGE_ORACLE + ") WHERE o_orderkey BETWEEN 1000 AND 1300"
 )
 
 
@@ -325,7 +329,7 @@ def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``.option("filterPushdown", "true")`` and a key-band predicate
     — the pushed range becomes per-file footer-bound checks at
     planning, so only the 1-2 of 16 range-clustered files whose ranges
-    can hold [4000, 4700] are ever opened (pruning behavior unit-pinned
+    can hold [1000, 1300] are ever opened (pruning behavior unit-pinned
     by test_lakehouse_datasource_filter_pushdown_prunes_files; this row
     puts the RESULT under the driver's DuckDB hash: pushdown must
     never change an answer, only the files read).
@@ -342,7 +346,7 @@ def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("lakehouse")
         .option("filterPushdown", "true")
         .load(path)
-        .filter(F.col("o_orderkey").between(4000, 4700))
+        .filter(F.col("o_orderkey").between(1000, 1300))
     )
     return snap.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"

@@ -3603,3 +3603,33 @@ def test_index_health_audit_gates_rebuild_on_drifted_corpus(spark, tmp_path):
     # the gate keeps the aged index
     assert cand_audit["recall"] == 0.725
     assert not should_swap_rebuild(aged_audit, cand_audit)
+
+
+def test_memoized_builds_recover_from_torn_or_deleted_roots(spark):
+    """The per-process build memos (lakehouse trio, ANN roundtrips)
+    trust nothing but each artifact's own completeness marker: deleting
+    the recorded table/index out from under the memo must trigger a
+    fresh rebuild that still hash-serves correctly — the validation
+    branch the happy path never exercises."""
+    import shutil
+
+    from data_finder_comparator_spark.plans import queries_lakehouse as ql
+    from data_finder_comparator_spark.plans import queries_similarity as qs
+
+    sf = SF_SMOKE
+    # lakehouse trio memo (rebuilds into the same deterministic run dir,
+    # which fresh_run_dir clears first)
+    n1 = ql.lakehouse_merge_roundtrip(spark, sf).count()
+    path = ql._MERGE_TABLES[sf]
+    shutil.rmtree(path)
+    assert ql.lakehouse_merge_roundtrip(spark, sf).count() == n1
+    from data_finder_comparator_spark.sinks.lakehouse import TransactionalTable
+
+    assert TransactionalTable(spark, ql._MERGE_TABLES[sf]).current_version() == 3
+
+    # ANN index memo
+    n2 = qs.ivf_pq_build_serve_roundtrip(spark, sf).count()
+    root = qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)]
+    shutil.rmtree(root)
+    assert qs.ivf_pq_build_serve_roundtrip(spark, sf).count() == n2
+    assert qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)] != root
