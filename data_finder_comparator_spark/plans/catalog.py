@@ -171,6 +171,21 @@ from . import queries_relational  # noqa: E402,F401
 # stratified_sample, event_value_quantiles, purchase_window_stats,
 # session_type_cooccurrence, topk_orders_per_priority. Registry is
 # therefore 88 (50 window + 38 parked), retired 19.
+#
+# Late-r14 in-window code changes (rotation-legal: every affected query
+# is IN this window, so each gets a fresh r14 green):
+#   - histogram_quantiles: explicit broadcast of its 5-row quantile
+#     frame (auto-BNLJ reliance removed).
+#   - lakehouse trio + lakehouse_stream_roundtrip: the ANN/trio build
+#     memos, and the delete/pushdown key bands moved to ranges that
+#     exist at EVERY harness SF ([400,900] / [1000,1300]) — the
+#     r11-vintage [2000,3200] band was empty at sf0.001 (contiguous
+#     0..1499 keyspace), silently no-op'ing the delete commit below the
+#     driver SF; found by the r14 memo-recovery test.
+#   - ivf_pq_build_serve_roundtrip / ann_lsh_build_serve_roundtrip:
+#     per-process index-build memoization (first call per process still
+#     builds under the driver's hash).
+# No parked query's executed path changed after the window was set.
 _PARKED_MULTI_GREEN = [
     # -- the CORRECTNESS_r13 hash-greens except rows-only
     #    alignment_pairs and the 11 code-changed stays above ----------
