@@ -122,13 +122,18 @@ FROM supplier
 @query("csv_folder_roundtrip", oracle=_CSV_ORACLE)
 def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim written to two CSV folders (distributed write, one
-    part file per task) and read back with header + schema inference,
-    then unioned by name. Unlike the xlsx path nothing touches the
-    driver; CSV doubles round-trip exactly (Java shortest-repr
-    toString) and edge whitespace is preserved (the writer's default
-    trimming is disabled). One deterministic temp dir per (process,
-    sf_dir), cleared on re-run — the returned DataFrame scans it
-    lazily."""
+    part file per task) and read back through the engine's folder
+    reader (``read_folder_union_by_name`` — r15: the read-back now
+    exercises the BOUNDED probe path: first-line header signatures
+    detect heterogeneity driver-side, one inference scan per signature
+    group supplies the schema, and each homogeneous folder reads as a
+    single multi-file scan instead of N probe scans + a re-read), then
+    unioned by name. Unlike the xlsx path nothing touches the driver;
+    CSV doubles round-trip exactly (Java shortest-repr toString) and
+    edge whitespace is preserved (the writer's default trimming is
+    disabled). One deterministic temp dir per (process, sf_dir),
+    cleared on re-run — the returned DataFrame scans it lazily."""
+    from ..sources.union import read_folder_union_by_name
     from ..util import fresh_run_dir
 
     sup = load_table(spark, sf_dir, "supplier").select(
@@ -145,7 +150,7 @@ def csv_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(d, name), header=True
         )
     dfs = [
-        spark.read.csv(os.path.join(d, name), header=True, inferSchema=True)
+        read_folder_union_by_name(spark, os.path.join(d, name), fmt="csv")
         for name in ("even", "odd")
     ]
     return union_by_name(dfs).select(
@@ -327,9 +332,14 @@ SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
 @query("json_folder_roundtrip", oracle=_JSON_ORACLE)
 def json_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two differently-shaped dims written as JSON-lines folders
-    (distributed writer), read back with schema inference and unioned
-    by name — heterogeneous-source ingestion over the format scraped
-    corpora actually arrive in."""
+    (distributed writer), read back through the engine's folder reader
+    (``read_folder_union_by_name`` — r15: drives the bounded probe
+    path, where first-record key signatures group files driver-side
+    and one inference scan per group replaces the old
+    inference-scan-per-file probe) and unioned by name —
+    heterogeneous-source ingestion over the format scraped corpora
+    actually arrive in."""
+    from ..sources.union import read_folder_union_by_name
     from ..util import fresh_run_dir
 
     region = load_table(spark, sf_dir, "region").select(
@@ -343,7 +353,8 @@ def json_folder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     region.write.mode("overwrite").json(os.path.join(d, "region"))
     nation.write.mode("overwrite").json(os.path.join(d, "nation"))
     dfs = [
-        spark.read.json(os.path.join(d, name)) for name in ("region", "nation")
+        read_folder_union_by_name(spark, os.path.join(d, name), fmt="json")
+        for name in ("region", "nation")
     ]
     return union_by_name(dfs).select(
         F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"

@@ -68,13 +68,14 @@ def read_folder_union_by_name(
     ``fmt="any"`` dispatches a MIXED folder per file extension
     (see ``_read_mixed_folder``).
 
-    Probe cost (r12 review): per-file schema probes run on a driver
-    thread pool (parquet/orc probes are footer reads; json/csv probes
-    are inference scans — inherently per-file when heterogeneity must
-    be DETECTED, which is this function's contract), and when the
-    folder turns out homogeneous the probed schema is passed to the
-    single multi-file scan so json/csv never pay a second full
-    inference pass over all files."""
+    Probe cost: the self-describing columnar formats (parquet/orc)
+    probe every file on a driver thread pool — each probe is a footer
+    READ, metadata-priced at any file size, so exhaustive
+    heterogeneity detection is cheap. The INFERENCE formats (csv/json)
+    route through ``_read_inference_folder`` instead (r14 review): a
+    schema-inference probe scans a file end to end, so probing all N
+    files and then re-scanning them in the homogeneous fast path was
+    2x ingest IO exactly where inference is most expensive."""
     if fmt == "any":
         return _read_mixed_folder(spark, folder)
     files = hadoop_ls(spark, folder, f".{fmt}")
@@ -96,6 +97,8 @@ def read_folder_union_by_name(
     # column arrived as string (r13 review). Callers with headerless
     # csv read explicitly with their own options.
     opts = {"header": "true", "inferSchema": "true"} if src_fmt == "csv" else {}
+    if src_fmt in ("json", "csv"):
+        return _read_inference_folder(spark, files, src_fmt, opts)
 
     # format(...).load accepts a path LIST for every source; the
     # per-format reader methods differ (parquet(*paths) is varargs but
@@ -115,14 +118,101 @@ def read_folder_union_by_name(
         for df in dfs
     }
     if len(schemas) == 1:
-        # homogeneous: one multi-file scan, partition-parallel. The
-        # self-describing columnar formats re-resolve cheaply from
-        # footers; the inference formats reuse the probed schema
-        # instead of re-inferring over every file
-        src = spark.read.format(src_fmt).options(**opts)
-        if src_fmt in ("json", "csv"):
-            src = src.schema(dfs[0].schema)
-        return src.load(files)
+        # homogeneous: one multi-file scan, partition-parallel,
+        # re-resolving the schema cheaply from footers
+        return spark.read.format(src_fmt).options(**opts).load(files)
+    return union_by_name(dfs)
+
+
+def _first_line(spark: SparkSession, f: str) -> str | None:
+    """First text line of a (possibly gzip-compressed) file through
+    the Hadoop FileSystem + codec factory — a bounded driver-side
+    metadata read (one open, a few KB, zero Spark jobs), scheme-
+    agnostic like ``hadoop_ls``. None for an empty file."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f)
+    conf = spark._jsc.hadoopConfiguration()
+    raw = jpath.getFileSystem(conf).open(jpath)
+    try:
+        codec = jvm.org.apache.hadoop.io.compress.CompressionCodecFactory(
+            conf
+        ).getCodec(jpath)
+        stream = raw if codec is None else codec.createInputStream(raw)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        return reader.readLine()
+    finally:
+        raw.close()
+
+
+def _read_inference_folder(
+    spark: SparkSession, files: list[str], src_fmt: str, opts: dict[str, str]
+) -> DataFrame:
+    """Bounded-probe ingestion for the INFERENCE formats (csv/json).
+
+    Schema inference scans a file end to end, so the former per-file
+    probe pool issued N full scans and the homogeneous fast path then
+    re-read all N files — 2x ingest IO and N driver-issued Spark jobs
+    exactly where inference is most expensive (r14 review). At a
+    100-TB folder that doubles the most expensive scan in the system.
+
+    Heterogeneity is instead DETECTED from each file's first line — a
+    bounded driver-side read (header row for csv, first record's key
+    set for json), no Spark jobs: files group by column-name
+    signature, ONE inference scan on a representative file supplies
+    each group's schema, and each group then reads as a single
+    multi-file scan under that schema. A homogeneous folder of N
+    files costs exactly one inference scan + one real scan,
+    independent of N.
+
+    Contract note: within a signature group, value TYPES come from
+    the representative file (the capped sample the probe budget
+    buys). Groups mixing incompatible value types under identical
+    column names should pass an explicit schema — the old exhaustive
+    probe crashed on those at union time anyway (``unionByName``
+    refuses int-vs-string columns). A file whose first line is
+    unreadable as a signature (empty file, non-record JSON) falls
+    back to its own single-file inference read, preserving the old
+    per-file semantics for exactly the files that need them."""
+    import json as _json
+
+    def _sig(f: str):
+        line = _first_line(spark, f)
+        if line is None:
+            return None
+        if src_fmt == "csv":
+            # exact header-string identity; Spark parses the columns
+            return ("csv", line)
+        try:
+            rec = _json.loads(line)
+        except ValueError:
+            return None
+        return ("json", tuple(sorted(rec))) if isinstance(rec, dict) else None
+
+    groups: dict[tuple, list[str]] = {}
+    oddballs: list[str] = []
+    for f in files:
+        s = _sig(f)
+        if s is None:
+            oddballs.append(f)
+        else:
+            groups.setdefault(s, []).append(f)
+    dfs = []
+    for group_files in groups.values():
+        probe = spark.read.format(src_fmt).options(**opts).load(group_files[0])
+        if len(group_files) == 1:
+            dfs.append(probe)
+        else:
+            dfs.append(
+                spark.read.format(src_fmt)
+                .options(**opts)
+                .schema(probe.schema)
+                .load(group_files)
+            )
+    dfs.extend(
+        spark.read.format(src_fmt).options(**opts).load(f) for f in oddballs
+    )
     return union_by_name(dfs)
 
 
@@ -152,7 +242,7 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
     files = hadoop_ls(spark, folder, None)
     if not files:
         raise ValueError(f"no files in {folder}")
-    dfs, unknown = [], []
+    dfs, json_files, unknown = [], [], []
     for f in files:
         name = f.rsplit("/", 1)[-1].lower()
         base, gz = (name[:-3], True) if name.endswith(".gz") else (name, False)
@@ -164,7 +254,10 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
         elif ext == "orc":
             dfs.append(spark.read.orc(f))
         elif ext in ("json", "jsonl"):
-            dfs.append(spark.read.json(f))
+            # collected, then read through the bounded-probe inference
+            # path as ONE batch — per-file spark.read.json here was a
+            # full inference scan per file (r14 review)
+            json_files.append(f)
         elif ext == "xlsx":
             from .excel import read_excel
 
@@ -177,4 +270,6 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
             f"extensions: {_MIXED_READERS} (+.gz for json/jsonl); csv "
             "needs an explicit fmt='csv' call (header contract)"
         )
+    if json_files:
+        dfs.append(_read_inference_folder(spark, json_files, "json", {}))
     return union_by_name(dfs)

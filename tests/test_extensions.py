@@ -515,6 +515,51 @@ def test_read_folder_csv_headers_and_types(spark, tmp_path):
     assert {r.id for r in df.collect()} == {1, 2, 3}
 
 
+def test_csv_folder_probe_cost_is_bounded(spark, tmp_path):
+    """r14 verdict item 3: the ad-hoc folder probe must not pay one
+    schema-inference SCAN per file. A homogeneous csv folder groups by
+    first-line header signature (driver-side bounded reads, zero
+    Spark jobs) and runs ONE representative inference scan — so the
+    eager job count during the read call is independent of the file
+    count: a 10-file folder issues exactly as many jobs as a 2-file
+    folder, not five times as many."""
+    from data_finder_comparator_spark.sources.union import (
+        read_folder_union_by_name,
+    )
+
+    sc = spark.sparkContext
+
+    def _eager_jobs(n_files: int, tag: str) -> int:
+        d = tmp_path / tag
+        d.mkdir()
+        for i in range(n_files):
+            (d / f"f{i:02d}.csv").write_text(f"id,score\n{i},{i}.5\n")
+        sc.setJobGroup(tag, "bounded folder probe")
+        try:
+            df = read_folder_union_by_name(spark, str(d), fmt="csv")
+        finally:
+            sc.setJobGroup("idle", "idle")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        assert df.count() == n_files
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert types == {"id": "int", "score": "double"}
+        return jobs
+
+    small, big = _eager_jobs(2, "csv2"), _eager_jobs(10, "csv10")
+    assert big == small, f"probe jobs must not scale with files: {small} vs {big}"
+    assert big <= 3, f"expected ~one inference scan, saw {big} jobs"
+
+    # heterogeneous folder: one probe per SIGNATURE (two groups), and
+    # the union still null-fills by name
+    het = tmp_path / "het"
+    het.mkdir()
+    (het / "a.csv").write_text("id,score\n1,1.5\n")
+    (het / "b.csv").write_text("id,label\n2,x\n")
+    df = read_folder_union_by_name(spark, str(het), fmt="csv")
+    rows = {r.id: (r.score, r.label) for r in df.collect()}
+    assert rows == {1: (1.5, None), 2: (None, "x")}
+
+
 def test_read_folder_jsonl_and_xlsx_fmt_alias(spark, tmp_path):
     """fmt='jsonl' aliases to the json reader and fmt='xlsx' routes
     through the stdlib codec — both previously crashed in
