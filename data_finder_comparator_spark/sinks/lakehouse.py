@@ -675,10 +675,19 @@ class TransactionalTable:
         # below the oldest live manifest are invisible to version_at
         # (liveness-probed candidates) and only lower — never raise —
         # _exclusive_start_for_timestamp's resolved stream start; the
-        # hard cap is the backstop for never-expiring tables.
-        version_ts = [
-            p for p in version_ts if int(p[0]) >= oldest_live
-        ][-_VERSION_TS_CAP:]
+        # hard cap is the backstop for never-expiring tables. Pairs the
+        # CAP drops (unlike floor-dropped ones) belong to LIVE manifests
+        # that could still answer a timestamp query, so the truncation
+        # is recorded (``version_ts_capped``) and
+        # ``_checkpoint_ts_candidates`` refuses to answer definitively
+        # for instants predating the retained range — callers fall back
+        # to the manifest walk instead of mis-resolving (r14 ADVICE #1:
+        # the pre-fix code break-raised "no snapshot at or before" on
+        # answerable TIMESTAMP AS OF reads and silently replayed
+        # pre-instant commits as stream start 0 on >8192-commit
+        # never-expired tables).
+        floored = [p for p in version_ts if int(p[0]) >= oldest_live]
+        version_ts = floored[-_VERSION_TS_CAP:]
         payload = {
             "version": head,
             "ts": _time.time(),
@@ -689,6 +698,7 @@ class TransactionalTable:
             ),
             "dirty": dirty,
             "version_ts": version_ts,
+            "version_ts_capped": len(version_ts) < len(floored),
         }
         self.store.put_if_absent(
             self._checkpoint_rel(head),
@@ -736,7 +746,15 @@ class TransactionalTable:
         carries no times (callers continue their manifest walk). One
         binary search — shared by TIMESTAMP AS OF (inclusive) and the
         stream's ``startingTimestamp`` (exclusive) so the two
-        resolvers cannot drift."""
+        resolvers cannot drift.
+
+        An instant predating every retained pair is answerable from
+        the truncated list ONLY when nothing was dropped by the hard
+        cap (floor-dropped pairs are expired and could never answer):
+        when the checkpoint says pairs of LIVE manifests were capped
+        away — or predates the flag and is suspiciously at the cap —
+        return None so the caller's manifest walk resolves from the
+        surviving manifests themselves (r14 ADVICE #1)."""
         ck = self._load_checkpoint(ckv)
         vts = (ck or {}).get("version_ts")
         if not vts:
@@ -749,6 +767,10 @@ class TransactionalTable:
         # position (versions above vcap already probed past the instant)
         while idx >= 0 and int(vts[idx][0]) > vcap:
             idx -= 1
+        if idx < 0:
+            capped = ck.get("version_ts_capped")
+            if capped or (capped is None and len(vts) >= _VERSION_TS_CAP):
+                return None  # answer may be among the cap-dropped pairs
         return [int(vts[i][0]) for i in range(idx, -1, -1)]
 
     def version_at(self, timestamp: float) -> int:

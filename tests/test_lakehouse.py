@@ -3319,3 +3319,58 @@ def test_lakehouse_vacuum_spares_checkpoint_referenced_files(spark, tmp_path):
     assert not (ck_files & set(removed))
     for rel in ck_files:  # every checkpoint-referenced file survives
         t.store.size(f"data/{rel}")  # raises FileNotFoundError if vacuumed
+
+
+def test_version_ts_cap_falls_back_to_manifest_walk(spark, tmp_path, monkeypatch):
+    """r14 ADVICE #1: on a never-expired table whose commit count
+    exceeds _VERSION_TS_CAP, an instant older than the retained
+    (version, ts) window must NOT be answered definitively from the
+    truncated list — version_at break-raised on answerable TIMESTAMP
+    AS OF reads and the stream's startingTimestamp silently resolved
+    to 0 (replaying pre-instant commits). The checkpoint now records
+    that live pairs were cap-dropped and _checkpoint_ts_candidates
+    returns None for instants predating the retained range, so both
+    resolvers fall back to the manifest walk — which answers exactly,
+    because every manifest is still live."""
+    import time
+
+    import data_finder_comparator_spark.sinks.lakehouse as lh
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _exclusive_start_for_timestamp,
+    )
+
+    monkeypatch.setattr(lh, "_VERSION_TS_CAP", 3)
+    t = lh.TransactionalTable(spark, str(tmp_path / "tbl"))
+    for i in range(8):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+        time.sleep(0.02)  # distinct commit timestamps
+    assert t.write_checkpoint() == 8
+    ck = t._load_checkpoint(8)
+    assert ck["version_ts_capped"] is True
+    assert [v for v, _ts in ck["version_ts"]] == [6, 7, 8]
+
+    ts2 = t._read_manifest(2)["ts"]
+    ts3 = t._read_manifest(3)["ts"]
+    instant = (ts2 + ts3) / 2  # between commits 2 and 3, below the cap window
+    assert t.version_at(instant) == 2  # pre-fix: ValueError
+    assert _exclusive_start_for_timestamp(t, instant) == 2  # pre-fix: 0
+
+    # instants the retained range CAN answer still come from the
+    # checkpoint's binary search (no behavior change at the head)
+    ts7 = t._read_manifest(7)["ts"]
+    ts8 = t._read_manifest(8)["ts"]
+    assert t.version_at((ts7 + ts8) / 2) == 7
+
+    # pre-history instants keep their contracts: stream start clamps
+    # to 0, TIMESTAMP AS OF refuses
+    ts1 = t._read_manifest(1)["ts"]
+    assert _exclusive_start_for_timestamp(t, ts1 - 10.0) == 0
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.version_at(ts1 - 10.0)
+
+    # expiry-pruned (floor-dropped) pairs stay definitive: after
+    # expiring below the head the same old instant is genuinely
+    # unanswerable and version_at must still refuse
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.version_at(instant)
