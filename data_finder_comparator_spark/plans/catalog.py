@@ -129,104 +129,108 @@ from . import queries_relational  # noqa: E402,F401
 #            minus any query whose code changes this round (which must
 #            then displace a returning green into RETIREMENT, never
 #            into double-parking).
-# r14 window (50), by the mechanical rule:
+# r15 window (47 of the 50-slot cap), by the mechanical rule:
 #   1 alignment_pairs (in-window permanently: contributes no green)
-# + 37 r12 greens returning from their r13 parking (all 47 minus the
-#   ten retired below — parking them again would double-park)
-# + 11 r13 greens whose EXECUTED code changed in r14, each staying
+# + 38 r13 greens returning from their r14 parking (the whole parked
+#   set — none was displaced; the registry grew to 90 with the two
+#   net-new rows below, leaving 43 parked r14 greens, all green in
+#   CORRECTNESS_r14, zero double-parking)
+# + 6 r14 greens whose EXECUTED code changed in r15, each staying
 #   in-window for a fresh hash-green:
-#     streaming_fuzzy_tiers, streaming_first_seen,
-#     streaming_window_counts, streaming_watermarked_counts,
-#     streaming_dedup_events      (_stream_confs UTC pin + the
-#                                  drain-block consolidation — every
-#                                  streaming query runs _stream_confs)
+#     csv_folder_roundtrip, json_folder_roundtrip
+#                                 (r14 verdict item 3: the bounded
+#                                  folder-probe rewrite in
+#                                  sources/union.py, which these two
+#                                  rows now execute via
+#                                  read_folder_union_by_name so the
+#                                  fixed path carries driver evidence)
 #     lakehouse_merge_roundtrip, lakehouse_datasource_snapshot,
-#     lakehouse_pushdown_snapshot (current_version soundness fix,
-#                                  _advance_pointer repair, version_ts
-#                                  bound, and the shared-build helper —
-#                                  r13 verdict item 5 decided AS the
-#                                  helper since the trio already
-#                                  rotates together)
-#     ivf_pq_build_serve_roundtrip, ann_lsh_build_serve_roundtrip
-#                                 (their TransactionalTables execute
-#                                  the same current_version paths)
-#     multimodal_features         (binary_features null-meta guard,
-#                                  r13 ADVICE #3)
-# + 1 net-new registration: lakehouse_stream_roundtrip (r13 verdict
-#   item 3 — the DSv2 stream source + checkpoint catch-up under the
-#   driver's hash).
-# The four r13-deferred fixes all landed with their affected queries
-# in-window: frame_sample's null guard (multimodal_frame_sample),
-# union.py's csv/jsonl/xlsx probe paths (csv/json_folder_roundtrip —
-# returning anyway; no registered query executes the fixed probe
-# functions), the UTC pin and drain consolidation (the four parked
-# windowed streaming queries return + the five r13 streaming greens
-# stay, above).
+#     lakehouse_pushdown_snapshot (r14 ADVICE #3: the shared-build
+#                                  memo now probes a live data file;
+#                                  plus the engine-level version_ts
+#                                  cap-soundness fix in
+#                                  write_checkpoint, r14 ADVICE #1,
+#                                  which their checkpoint_interval=1
+#                                  build executes every commit)
+#     lakehouse_stream_roundtrip  (same write_checkpoint fix via its
+#                                  interval-2 cadence + expiry; and
+#                                  r14 ADVICE #2: the drain now runs
+#                                  through _drain_to_parquet_sink /
+#                                  _stream_confs like every other
+#                                  streaming row)
+# + 5 net-new registrations (r14 verdict items 1 and 2, plus three
+#   rows into the free slots the verdict counted — each a pytest-only
+#   engine surface a real user hits):
+#     lakehouse_maintenance_roundtrip (optimize raced against a
+#                                  delete + expire_snapshots + vacuum,
+#                                  read back through both readers)
+#     ann_audit_lifecycle         (pin → drifted append → audit →
+#                                  rebuild-candidate → swap gate,
+#                                  golden oracle)
+#     lakehouse_cdc_changes       (changes() v1→v3 on the shared trio
+#                                  table: logical CDC, carried rows
+#                                  cancel, snapshot-consulted
+#                                  insert/update/delete classification)
+#     lakehouse_schema_evolution  (merge(evolve_schema=True): widened
+#                                  delta, old files read as NULL by
+#                                  name, no rewrite)
+#     lakehouse_restore_roundtrip (restore(2) after a bad delete —
+#                                  manifest-only undo, history intact)
+# The ANN build-serve roundtrips PARK this round: their tables run
+# checkpoint_interval=32 over <10 commits, so neither write_checkpoint
+# nor _checkpoint_ts_candidates — the only engine functions edited —
+# executes on their path (verified: no cadence hit, no expiry, no
+# timestamp reads).
 #
-# 1 + 37 + 11 + 1 = 50. The twelve slots beyond the 38 parking r13
-# greens displaced TEN returning r12 greens into RETIREMENT (never
-# double-parking), each redundant by construction — see their
-# retired_query docstrings: orders_rollup, suppliers_by_nation,
-# customers_without_orders, fuzzy_tier_counts, hll_distinct_sketch,
-# stratified_sample, event_value_quantiles, purchase_window_stats,
-# session_type_cooccurrence, topk_orders_per_priority. Registry is
-# therefore 88 (50 window + 38 parked), retired 19.
-#
-# Late-r14 in-window code changes (rotation-legal: every affected query
-# is IN this window, so each gets a fresh r14 green):
-#   - histogram_quantiles: explicit broadcast of its 5-row quantile
-#     frame (auto-BNLJ reliance removed).
-#   - lakehouse trio + lakehouse_stream_roundtrip: the ANN/trio build
-#     memos, and the delete/pushdown key bands moved to ranges that
-#     exist at EVERY harness SF ([400,900] / [1000,1300]) — the
-#     r11-vintage [2000,3200] band was empty at sf0.001 (contiguous
-#     0..1499 keyspace), silently no-op'ing the delete commit below the
-#     driver SF; found by the r14 memo-recovery test.
-#   - ivf_pq_build_serve_roundtrip / ann_lsh_build_serve_roundtrip:
-#     per-process index-build memoization (first call per process still
-#     builds under the driver's hash).
-# No parked query's executed path changed after the window was set.
+# 1 + 38 + 6 + 5 = 50 exactly. No returning green was displaced, so
+# nothing retires this round; registry is 93 (50 window + 43 parked),
+# retired 19 — still within the 99-slot capacity bound, with 6 free.
 _PARKED_MULTI_GREEN = [
-    # -- the CORRECTNESS_r13 hash-greens except rows-only
-    #    alignment_pairs and the 11 code-changed stays above ----------
-    "alignment_dist",
-    "multimodal_wav_decode",
-    "pcm_resample_layout",
-    "text_quality_signals",
-    "lang_id_confusion",
-    "doc_repetition",
-    "vocab_top_tokens",
-    "deterministic_sample",
-    "doc_fingerprints",
-    "deterministic_shuffle",
-    "sequence_packing",
-    "source_domain_caps",
-    "mixture_token_budget",
-    "duplicate_spans",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "scrub_hot_spans",
-    "inverted_index",
-    "union_by_name_folder",
-    "excel_folder_roundtrip",
-    "orc_folder_roundtrip",
-    "partitioned_lang_roundtrip",
-    "keep_replace_curation",
-    "curation_counts",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_hybrid_verify",
-    "line_dedup_stats",
-    "cluster_canonical",
-    "grouped_hll_by_lang",
-    "ann_cosine_topk",
-    "embedding_neardup_pairs",
-    "ann_ivf_topk",
-    "ivf_kmeans_centroids",
-    "orders_grouping_sets",
-    "rolling_user_activity",
+    # -- the CORRECTNESS_r14 hash-greens except rows-only
+    #    alignment_pairs and the 6 code-changed stays above -----------
+    "fuzzy_join_tiers",
+    "fuzzy_join_docs",
+    "fuzzy_topk",
+    "fuzzy_tier_assembly",
+    "streaming_fuzzy_tiers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "streaming_window_counts",
+    "streaming_first_seen",
+    "streaming_watermarked_counts",
+    "streaming_sliding_counts",
+    "streaming_purchase_attribution",
+    "streaming_enriched_segments",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "lang_robust_length_stats",
+    "doc_token_chunks",
+    "corpus_curation_pipeline",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "weighted_reservoir_sample",
+    "gram_tfidf_cosine_topk",
+    "deterministic_row_ids",
+    "table_version_diff",
+    "dedup_exact",
+    "dedup_simhash",
+    "hll_merge_shards",
+    "ivf_pq_build_serve_roundtrip",
+    "ann_lsh_build_serve_roundtrip",
+    "ann_sq8_rerank_topk",
+    "semantic_dedup",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_pivot_by_hour",
+    "sessionize_events",
+    "asof_latest_order",
+    "salted_segment_stats",
+    "bucketed_order_revenue",
+    "props_json_stats",
+    "event_funnel",
+    "hourly_gapfill",
+    "histogram_quantiles",
 ]
 
 

@@ -100,13 +100,22 @@ def _built_merge_table(spark: SparkSession, sf_dir: str) -> str:
     of only the hit files, the rewrite is an anti-join of those files
     against a broadcast-size key set, and untouched data is never
     read or written."""
-    from ..sinks.lakehouse import TransactionalTable
+    from ..sinks.lakehouse import _DATA, TransactionalTable
     from ..util import fresh_run_dir
 
     path = _MERGE_TABLES.get(sf_dir)
     if path is not None:
         try:
-            if TransactionalTable(spark, path).current_version() == 3:
+            t0 = TransactionalTable(spark, path)
+            if t0.current_version() == 3:
+                # the commit-log head alone doesn't prove the DATA
+                # survived (r14 ADVICE #3: manifests intact + data
+                # files externally deleted passed validation and the
+                # sibling rows failed later at collect time with a raw
+                # FileNotFound); probe one live data file so a torn
+                # table degrades to a rebuild instead
+                rel = t0.snapshot()[1]["files"][0]
+                t0.store.size(f"{_DATA}/{rel}")  # raises when torn
                 return path
         except Exception:  # torn/externally-deleted build: rebuild below
             pass
@@ -249,7 +258,7 @@ def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB catch-up cost is one checkpoint object + the live files of
     the streamed range, never O(history) manifest reads."""
     from ..sinks.lakehouse import TransactionalTable
-    from ..streaming.pipeline import _run_to_completion
+    from ..streaming.pipeline import _drain_to_parquet_sink
     from ..util import fresh_run_dir
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -305,16 +314,149 @@ def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = os.path.join(d, "out")
-    _run_to_completion(
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-    )
+    # the shared drain applies _stream_confs (streaming shuffle-
+    # partition trim + UTC pin) like every other streaming query —
+    # the bare _run_to_completion drain inherited the ambient session
+    # confs (r14 ADVICE #2)
+    _drain_to_parquet_sink(spark, out, sink, os.path.join(d, "ckpt"))
     return spark.read.schema(
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, v_commit long"
     ).parquet(sink)
+
+
+# Maintenance plane (r15, the r14 verdict's item 1 — previously the
+# largest pytest-only surface): final state = six modulus-split appends
+# minus the racing delete's band. The band exists at EVERY harness SF
+# (orderkeys are contiguous 0..N-1; sf0.001 tops out at 1499).
+# The < 12000 key cap bounds the lifecycle's data volume
+# SF-independently: this row prices the MAINTENANCE machinery (commit
+# log, compaction, expiry, reclaim) under the driver's hash; how the
+# machinery scales with data is the maintenance rung's job
+# (bench_history/maintenance_rung_r15.py).
+_MAINTENANCE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey < 12000 AND o_orderkey NOT BETWEEN 500 AND 800
+"""
+
+# sf_dir -> path of the post-maintenance (8-commit) table in THIS
+# process — same memo pattern/validation as the trio's.
+_MAINT_TABLES: dict[str, str] = {}
+
+
+@query("lakehouse_maintenance_roundtrip", oracle=_MAINTENANCE_ORACLE)
+def lakehouse_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MAINTENANCE plane under the driver's hash (r15,
+    the r14 verdict's item 1): every production table compacts and
+    vacuums on a schedule, and until this row the whole plane —
+    ``optimize()``, ``expire_snapshots()``, ``vacuum()`` — was
+    pytest-only.
+
+    Lifecycle, first call per (process, sf_dir):
+    * six small appends (12 sub-8MB files — the many-small-files shape
+      a commit-at-a-time ingest leaves behind);
+    * ``optimize()`` RACED against a DELETE injected between its file
+      write and its commit (``before_commit``, the
+      test_lakehouse_optimize_loses_race_to_merge shape): the delete
+      wins version 7, optimize loses the slot, recomputes from the
+      winner's snapshot and commits 8 — so the no-resurrection
+      guarantee is what the hash checks: had optimize committed its
+      pre-delete compaction, the deleted band [500, 800] would be back
+      in the read-back and the DuckDB hash would mismatch;
+    * compaction is asserted REAL (live file count strictly drops to
+      the bin-packed width);
+    * ``expire_snapshots(keep_last=1)`` retires versions 1..7 (head
+      checkpointed first — asserted gone), then ``vacuum(0)`` reclaims
+      every unreferenced data file, asserted by re-listing the store:
+      on-disk parquet count == the head snapshot's file count;
+    * read back through BOTH readers — the engine's manifest-planned
+      ``read()`` (returned, under the oracle hash) and the DSv2
+      ``spark.read.format("lakehouse")`` (row-count asserted equal) —
+      proving maintenance lost nothing either reader can see.
+
+    At 100 TB: optimize reads only the small files (bin-packed by
+    footer sizes, large files carry by reference), expire is manifest
+    IO, and vacuum is one store listing minus the referenced set —
+    none of the three touches untouched data (the maintenance scale
+    rung, bench_history/maintenance_rung_r15.py, prices this)."""
+    from ..sinks.lakehouse import _DATA, TransactionalTable
+    from ..util import fresh_run_dir
+
+    path = _MAINT_TABLES.get(sf_dir)
+    if path is not None:
+        try:
+            t0 = TransactionalTable(spark, path)
+            if t0.current_version() == 8:
+                rel = t0.snapshot()[1]["files"][0]
+                t0.store.size(f"{_DATA}/{rel}")  # torn-table probe
+                return t0.read()
+        except Exception:  # torn/externally-deleted: rebuild below
+            pass
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 12000)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    d = fresh_run_dir("lakehouse_maint", sf_dir)
+    path = os.path.join(d, "tbl")
+    # range-clustered so each commit-at-a-time append writes its own
+    # pair of small range files (n_out honors the cluster layout) and
+    # the racing delete prunes to the band-overlapping files
+    t = TransactionalTable(
+        spark, path, cluster_by=["o_orderkey"], checkpoint_interval=2
+    )
+    for i in range(6):
+        t.append(base.filter(F.col("o_orderkey") % 6 == i), n_out=2)
+    n_before = len(t.snapshot()[1]["files"])
+    assert n_before == 12
+
+    fired = {"n": 0}
+
+    def _sneak_in_delete() -> None:
+        if fired["n"] == 0:
+            t.delete(
+                t.read()
+                .filter(F.col("o_orderkey").between(500, 800))
+                .select("o_orderkey"),
+                "o_orderkey",
+            )
+        fired["n"] += 1
+
+    v = t.optimize(before_commit=_sneak_in_delete)
+    assert v == 8 and fired["n"] == 2, "delete must win v7; optimize retries"
+    n_after = len(t.snapshot()[1]["files"])
+    assert n_after < n_before, "optimize must actually compact"
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == list(range(1, 8))
+    assert not t._object_exists(t._manifest_rel(7))
+    removed = t.vacuum(retention_seconds=0)
+    assert removed, "vacuum must reclaim the delete's superseded rewrites"
+    live = set(t.snapshot()[1]["files"])
+    # the two RETAINED checkpoints are readers (a lagging stream plans
+    # its catch-up from their entries), so their referenced files
+    # survive vacuum alongside the live set — and nothing else does
+    ck_pinned = {
+        rel
+        for v in t._checkpoint_versions()
+        for rel, _v, _op in (t._load_checkpoint(v) or {}).get("entries") or []
+    }
+    on_disk = {r for r in t.store.list(_DATA) if r.endswith(".parquet")}
+    assert on_disk == live | ck_pinned, "post-vacuum store must hold exactly live + checkpoint-pinned files"
+
+    _register_datasource(spark)
+    dsv2_n = spark.read.format("lakehouse").load(path).count()
+    engine = t.read()
+    assert engine.count() == dsv2_n, "engine and DSv2 readers must agree"
+    _MAINT_TABLES[sf_dir] = path
+    return engine
 
 
 _PUSHDOWN_ORACLE = (
@@ -351,3 +493,164 @@ def lakehouse_pushdown_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC plane (r15): the "process only what changed since yesterday" read.
+# Logical diff of the shared trio table between v1 (bootstrap) and v3
+# (post merge+delete), restated by DuckDB directly from orders: inserts
+# are the merge's shifted 'N' rows, update_pre/update_post bracket the
+# updated band minus the deleted slice, deletes carry the v1 image of
+# the deleted band. Carried-forward rows (rewritten files' unmatched
+# rows) must cancel exactly — any leak breaks the hash.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey BETWEEN 100 AND 5000
+    AND o_orderkey NOT BETWEEN 400 AND 900
+)
+SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+       'N' AS o_orderstatus, o_totalprice, o_orderdate,
+       'insert' AS _change_type
+FROM orders WHERE o_orderkey BETWEEN 100 AND 1100
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2, o_orderdate,
+       'update_post'
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       'update_pre'
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       'delete'
+FROM orders WHERE o_orderkey BETWEEN 400 AND 900
+"""
+
+
+@query("lakehouse_cdc_changes", oracle=_CDC_ORACLE)
+def lakehouse_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TransactionalTable.changes()`` under the driver's hash (r15):
+    the change-data feed from the bootstrap snapshot to the post-
+    merge+delete head of the SHARED trio table (read-only on the memo —
+    the trio rows keep their own builds). What the hash checks: insert
+    vs update classification consults the SNAPSHOTS (an append can add
+    a key living untouched in a carried file), pre/post images pair up
+    per updated key, deletes carry the from-version image, and rows
+    merely MOVED between files by rewrites cancel — a physical diff
+    leaking carried rows as changes is the classic CDC bug this
+    pins. At 100 TB cost is the changed files plus footer-overlapping
+    carried files, never a table scan."""
+    from ..sinks.lakehouse import TransactionalTable
+
+    path = _built_merge_table(spark, sf_dir)
+    return TransactionalTable(spark, path).changes(
+        "o_orderkey", from_version=1, to_version=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additive schema evolution (r15): merge(evolve_schema=True) widens the
+# table with s_score; pre-evolution rows read back as NULL (by-name
+# projection over old files), updated/inserted rows carry the new
+# column. 0.5x / 0.25x are exact in binary floating point.
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+       CAST(NULL AS DOUBLE) AS s_score
+FROM supplier WHERE s_suppkey >= 5
+UNION ALL
+SELECT CAST(s_suppkey AS BIGINT), s_name, CAST(s_acctbal AS DOUBLE),
+       CAST(s_acctbal AS DOUBLE) * 0.5
+FROM supplier WHERE s_suppkey < 5
+UNION ALL
+SELECT CAST(s_suppkey + 1000000 AS BIGINT), s_name,
+       CAST(s_acctbal AS DOUBLE), CAST(s_acctbal AS DOUBLE) * 0.25
+FROM supplier WHERE s_suppkey < 3
+"""
+
+
+@query("lakehouse_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the driver's hash (r15, named
+    pytest-only by the r14 verdict): bootstrap the supplier dim, then
+    MERGE a WIDENED delta (new ``s_score`` column) with
+    ``evolve_schema=True`` — updates replace a key band, inserts land
+    shifted past the key domain — and read the head back through the
+    by-name projection: files written before the evolution surface the
+    new column as NULL, no rewrite of old data ever happens (the
+    evolution commit is manifest-only for untouched files). The band
+    (< 5) exists at every harness SF (suppkeys are contiguous 0..N-1;
+    sf0.001 has 10)."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    d = fresh_run_dir("lakehouse_evolution", sf_dir)
+    path = os.path.join(d, "tbl")
+    t = TransactionalTable(spark, path)
+    t.append(base)
+    delta = (
+        base.filter(F.col("s_suppkey") < 5)
+        .withColumn("s_score", F.col("s_acctbal") * 0.5)
+        .unionByName(
+            base.filter(F.col("s_suppkey") < 3)
+            .withColumn("s_suppkey", F.col("s_suppkey") + 1_000_000)
+            .withColumn("s_score", F.col("s_acctbal") * 0.25)
+        )
+    )
+    t.merge(delta, "s_suppkey", evolve_schema=True)
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
+# restore() (r15): the undo verb of the maintenance plane. After a bad
+# delete, restore(2) commits a NEW head pointing at v2's files — the
+# read-back equals the full dim again (time travel forward, history
+# intact, nothing rewritten).
+# ---------------------------------------------------------------------------
+
+_RESTORE_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+@query("lakehouse_restore_roundtrip", oracle=_RESTORE_ORACLE)
+def lakehouse_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``restore()`` under the driver's hash (r15): two appends, a
+    (deliberately "bad") delete of the < 4 key band, then
+    ``restore(2)`` — a manifest-only commit re-pointing the head at
+    version 2's file list. The hash proves the restored snapshot is
+    byte-equivalent to the pre-delete state (every deleted row back,
+    none duplicated) while the delete stays in history as its own
+    version. At 100 TB restore is O(manifest): no data file is read or
+    written."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    d = fresh_run_dir("lakehouse_restore", sf_dir)
+    path = os.path.join(d, "tbl")
+    t = TransactionalTable(spark, path)
+    t.append(base.filter(F.col("s_suppkey") % 2 == 0))
+    t.append(base.filter(F.col("s_suppkey") % 2 == 1))
+    t.delete(
+        base.filter(F.col("s_suppkey") < 4).select("s_suppkey"), "s_suppkey"
+    )
+    v = t.restore(2)
+    assert v == 4, "restore commits a new head, never rewrites history"
+    return t.read()

@@ -705,3 +705,132 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.3, stride=50, cache_registry=CACHES)
+
+
+# ---------------------------------------------------------------------------
+# The audit→rebuild→swap index-freshness lifecycle (r15, the r14
+# verdict's item 2 — previously pytest-only): SCALE.md's freshness rung
+# at driver geometry. A GOLDEN oracle, loudly: recall@k of a served ANN
+# path against exact ground truth is a measurement over the index's
+# persisted quantizers — DuckDB cannot restate it from the parquet
+# tables, and a rows-only driver row (the alignment_pairs precedent)
+# was the alternative. Every input to the measurement is deterministic
+# (stride-sampled centroids/codebooks, md5-free of RNG, fixed probe
+# stride, fixed k/nprobe from the stored pin), so the quantities are
+# CONSTANTS of the sf0.01 tables — the same way the freshness-rung
+# pytest pins 0.8425/0.8175/0.7250 at sf0.1 geometry
+# (tests/test_extensions.py::test_index_health_audit_gates_rebuild_on_
+# drifted_corpus). The hash gate therefore pins STABILITY of the
+# measured lifecycle (any drift in routing, ADC scoring, rerank, pin
+# storage, append encoding, or the swap gate breaks the hash), not SQL
+# derivability. Values re-derived, never copied: see the pytest twin
+# below (test_extensions.py::test_ann_audit_lifecycle_driver_row).
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT * FROM (VALUES
+  ('aged',      CAST(0.912 AS DOUBLE), CAST(0.948 AS DOUBLE),
+                CAST(0.036 AS DOUBLE), TRUE,  FALSE),
+  ('candidate', CAST(0.816 AS DOUBLE), CAST(NULL  AS DOUBLE),
+                CAST(NULL  AS DOUBLE), FALSE, FALSE)
+) AS t(stage, recall, pin_recall, drop_pts, rebuild_recommended,
+       swap_to_candidate)
+"""
+
+
+@query("ann_audit_lifecycle", oracle=_AUDIT_ORACLE)
+def ann_audit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly loop a pipeline team actually runs, under the
+    driver's hash (r15, r14 verdict item 2): build an IVF-PQ index
+    with a recall PIN → append a drifted epoch → audit the served
+    path → build a same-budget rebuild candidate → gate the swap on
+    the candidate's OWN audit.
+
+    Geometry is the freshness rung's, scaled to rows every harness SF
+    has: bootstrap = vec_id < 250; drift = vec_id in [250, 500) with
+    vectors REVERSED (norm-preserving 50% antipodal OOD); probes =
+    every 10th id below 500, unreversed. At sf0.01 the lifecycle
+    measures: pin 0.948 → post-drift served recall 0.912 (drop 0.036
+    > the 2-point threshold ⇒ rebuild RECOMMENDED) → candidate
+    rebuilt over the bimodal corpus measures 0.816 ⇒
+    ``should_swap_rebuild`` correctly KEEPS the aged index — the
+    rung's reversal of the naive retrain-on-gap rule, now under the
+    driver's hash end to end (pin storage, drift append encoding,
+    audit arithmetic, swap gate).
+
+    Index builds memoize per (process, sf_dir) like the sibling
+    lifecycle rows; the drift append replays idempotently under a
+    fixed txn, and the two audits (a probe-sample serve + exact
+    ground truth each — the audit cost the cadence rung priced at
+    append-order, flat in corpus size) re-run every call because they
+    ARE the surface under test."""
+    from ..operators.similarity import (
+        IvfPqIndex,
+        build_ivf_pq_index,
+        index_health_audit,
+        ivf_pq_index_append,
+        should_swap_rebuild,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = emb.select(
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("embedding").alias("vec_c"),
+    )
+    boot = cands.filter(F.col("cand_id") < 250)
+    probes = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").cast("long").alias("probe_id"),
+        F.col("embedding").alias("vec_p"),
+    )
+    ood = cands.filter(
+        (F.col("cand_id") >= 250) & (F.col("cand_id") < 500)
+    ).withColumn("vec_c", F.reverse("vec_c"))
+    corpus = boot.unionByName(ood)
+
+    aged = _memoized_index(
+        sf_dir,
+        "audit-aged",
+        build=lambda r: build_ivf_pq_index(
+            spark, r, boot, stride=25, pin_probes=probes
+        ),
+        load=lambda r: IvfPqIndex(spark, r),
+    )
+    # idempotent on the memo-hit path: same (app, version) replays as
+    # a no-op; on a fresh build it applies the drifted epoch
+    ivf_pq_index_append(
+        aged, ood, txn_app="ann_audit_lifecycle", txn_version=1
+    )
+    candidate = _memoized_index(
+        sf_dir,
+        "audit-cand",
+        build=lambda r: build_ivf_pq_index(spark, r, corpus, stride=25),
+        load=lambda r: IvfPqIndex(spark, r),
+    )
+    aged_audit = index_health_audit(aged, probes, corpus)
+    cand_audit = index_health_audit(candidate, probes, corpus)
+    swap = should_swap_rebuild(aged_audit, cand_audit)
+    rows = [
+        (
+            "aged",
+            aged_audit["recall"],
+            aged_audit["pin_recall"],
+            aged_audit["drop"],
+            aged_audit["rebuild_recommended"],
+            swap,
+        ),
+        (
+            "candidate",
+            cand_audit["recall"],
+            cand_audit["pin_recall"],
+            cand_audit["drop"],
+            cand_audit["rebuild_recommended"],
+            swap,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, recall double, pin_recall double, drop_pts double, "
+        "rebuild_recommended boolean, swap_to_candidate boolean",
+    )

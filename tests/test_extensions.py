@@ -3672,9 +3672,44 @@ def test_memoized_builds_recover_from_torn_or_deleted_roots(spark):
 
     assert TransactionalTable(spark, ql._MERGE_TABLES[sf]).current_version() == 3
 
+    # manifests intact but DATA gone (r14 ADVICE #3): the head-only
+    # revalidation passed this and the sibling rows then failed at
+    # collect time with a raw FileNotFound; the memo now probes one
+    # live data file and degrades to a rebuild
+    import os
+
+    path = ql._MERGE_TABLES[sf]
+    shutil.rmtree(os.path.join(path, "data"))
+    assert ql.lakehouse_merge_roundtrip(spark, sf).count() == n1
+
     # ANN index memo
     n2 = qs.ivf_pq_build_serve_roundtrip(spark, sf).count()
     root = qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)]
     shutil.rmtree(root)
     assert qs.ivf_pq_build_serve_roundtrip(spark, sf).count() == n2
     assert qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)] != root
+
+
+def test_ann_audit_lifecycle_driver_row(spark):
+    """The r15 driver row behind the GOLDEN _AUDIT_ORACLE: its pinned
+    constants must satisfy the lifecycle's own arithmetic (drop = pin −
+    recall, recommendation = drop > 2 points, swap gate = candidate
+    beats aged) — so the oracle literals are re-derivable from the
+    operators, never free-floating numbers — and the sf0.01 golden
+    values themselves are asserted here the same way the freshness-rung
+    test pins 0.8425/0.8175/0.7250 at sf0.1 geometry."""
+    from data_finder_comparator_spark.plans.queries_similarity import (
+        ann_audit_lifecycle,
+    )
+
+    rows = {r.stage: r for r in ann_audit_lifecycle(spark, SF_ORACLE).collect()}
+    aged, cand = rows["aged"], rows["candidate"]
+    assert aged.drop_pts == round(aged.pin_recall - aged.recall, 4)
+    assert aged.drop_pts > 0.02 and aged.rebuild_recommended is True
+    assert cand.pin_recall is None and cand.drop_pts is None
+    assert cand.rebuild_recommended is False
+    # the rung's decision: the same-budget rebuild over the bimodal
+    # corpus LOSES, so the gate keeps the aged index
+    assert cand.recall < aged.recall
+    assert aged.swap_to_candidate is False and cand.swap_to_candidate is False
+    assert (aged.pin_recall, aged.recall, cand.recall) == (0.948, 0.912, 0.816)
