@@ -129,6 +129,14 @@ HEADLINE = [
     # r14: the DSv2 STREAM source's driver row (checkpoint-accelerated
     # catch-up below the expiry cutoff + the dirty-history refusal)
     "lakehouse_stream_roundtrip",
+    # r15: the maintenance plane (optimize raced vs delete + expiry +
+    # vacuum), the ANN freshness lifecycle, and the three free-slot
+    # rows (CDC feed, additive schema evolution, restore)
+    "lakehouse_maintenance_roundtrip",
+    "ann_audit_lifecycle",
+    "lakehouse_cdc_changes",
+    "lakehouse_schema_evolution",
+    "lakehouse_restore_roundtrip",
 ]
 
 

@@ -3713,3 +3713,68 @@ def test_ann_audit_lifecycle_driver_row(spark):
     assert cand.recall < aged.recall
     assert aged.swap_to_candidate is False and cand.swap_to_candidate is False
     assert (aged.pin_recall, aged.recall, cand.recall) == (0.948, 0.912, 0.816)
+
+
+@pytest.mark.parametrize("entry", ["features", "wav", "frames", "pcm", "ppm"])
+def test_multimodal_entry_points_drop_null_rows(spark, entry):
+    """r14 verdict item 6: the null-struct/null-payload class that bit
+    binary_features (r13), swept across EVERY multimodal mapInPandas
+    entry point. Each gets a batch mixing good rows with null payloads
+    (and, where the entry reads a struct, a null meta struct): the bad
+    rows must DROP — one unguarded row would TypeError the Arrow task
+    and kill the whole job — and the good rows must come through
+    untouched."""
+    from pyspark.sql import types as T
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        binary_features,
+        frame_sample,
+        pcm_resample_features,
+        ppm_resize_features,
+        synth_ppm_payload,
+        wav_decode_features,
+    )
+
+    payload = b"payload-bytes-long-enough-to-sample" * 16
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    good_payload = (
+        synth_ppm_payload(1, 16, 12) if entry == "ppm" else payload
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good_payload, ("text/plain", len(good_payload))),
+            (2, None, ("text/plain", 0)),  # null payload, live struct
+            (3, good_payload, None),  # null meta struct
+            (4, None, None),  # both null
+        ],
+        schema,
+    )
+    fn = {
+        "features": binary_features,
+        "wav": wav_decode_features,
+        "frames": frame_sample,
+        "pcm": pcm_resample_features,
+        "ppm": ppm_resize_features,
+    }[entry]
+    rows = fn(df).collect()  # must not raise
+    ids = {r.doc_id for r in rows}
+    assert 2 not in ids and 4 not in ids, "null payloads must drop"
+    if entry == "features":
+        assert ids == {1}, "null meta structs must drop too"
+    else:
+        # these entries read only (doc_id, payload): row 3 is good
+        assert ids == {1, 3}
