@@ -3682,6 +3682,12 @@ def test_memoized_builds_recover_from_torn_or_deleted_roots(spark):
     shutil.rmtree(os.path.join(path, "data"))
     assert ql.lakehouse_merge_roundtrip(spark, sf).count() == n1
 
+    # maintenance-plane memo (r15): same head+data-probe validation
+    n3 = ql.lakehouse_maintenance_roundtrip(spark, sf).count()
+    mpath = ql._MAINT_TABLES[sf]
+    shutil.rmtree(os.path.join(mpath, "data"))
+    assert ql.lakehouse_maintenance_roundtrip(spark, sf).count() == n3
+
     # ANN index memo
     n2 = qs.ivf_pq_build_serve_roundtrip(spark, sf).count()
     root = qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)]
