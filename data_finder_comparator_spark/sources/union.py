@@ -190,10 +190,18 @@ def _read_inference_folder(
             return None
         return ("json", tuple(sorted(rec))) if isinstance(rec, dict) else None
 
+    # the peeks are KB-scale but latency-bound (one FS open each): a
+    # 100k-shard folder peeked sequentially would serialize minutes of
+    # driver round-trips, so they run on the same bounded thread pool
+    # the parquet/orc footer probes use (insertion into `groups`
+    # happens on this thread, in `files` order — deterministic)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        sigs = list(ex.map(_sig, files))
     groups: dict[tuple, list[str]] = {}
     oddballs: list[str] = []
-    for f in files:
-        s = _sig(f)
+    for f, s in zip(files, sigs):
         if s is None:
             oddballs.append(f)
         else:

@@ -559,6 +559,27 @@ def test_csv_folder_probe_cost_is_bounded(spark, tmp_path):
     rows = {r.id: (r.score, r.label) for r in df.collect()}
     assert rows == {1: (1.5, None), 2: (None, "x")}
 
+    # within-folder heterogeneous JSON: first-record key signatures
+    # split the files into two groups (6 files -> 2 inference scans,
+    # not 6), each group multi-file-scans under its probed schema
+    jhet = tmp_path / "jhet"
+    jhet.mkdir()
+    for i in range(3):
+        (jhet / f"a{i}.jsonl").write_text(f'{{"id": {i}, "x": "a{i}"}}\n')
+        (jhet / f"b{i}.jsonl").write_text(f'{{"id": {10 + i}, "y": {i}.5}}\n')
+    sc.setJobGroup("jhet", "het json probe")
+    try:
+        jdf = read_folder_union_by_name(spark, str(jhet), fmt="jsonl")
+    finally:
+        sc.setJobGroup("idle", "idle")
+    jjobs = len(sc.statusTracker().getJobIdsForGroup("jhet"))
+    assert jjobs <= 4, f"expected one inference scan per signature, saw {jjobs}"
+    jrows = {r.id: (r.x, r.y) for r in jdf.collect()}
+    assert jrows == {
+        0: ("a0", None), 1: ("a1", None), 2: ("a2", None),
+        10: (None, 0.5), 11: (None, 1.5), 12: (None, 2.5),
+    }
+
 
 def test_read_folder_jsonl_and_xlsx_fmt_alias(spark, tmp_path):
     """fmt='jsonl' aliases to the json reader and fmt='xlsx' routes
