@@ -3374,3 +3374,75 @@ def test_version_ts_cap_falls_back_to_manifest_walk(spark, tmp_path, monkeypatch
     t.expire_snapshots(keep_last=2)
     with pytest.raises(ValueError, match="no snapshot at or before"):
         t.version_at(instant)
+
+
+@pytest.mark.parametrize("cap,keep_last", [(3, None), (3, 4), (2, 2), (100, 3)])
+def test_timestamp_resolvers_match_brute_walk_under_cap_and_expiry(
+    spark, tmp_path, cap, keep_last, monkeypatch
+):
+    """Property form of the r14 ADVICE #1 fix: across cap/expiry
+    interleavings, probe an instant at every commit boundary (between
+    each consecutive pair, exactly at each commit, before history,
+    after head) and check both resolvers against brute-force oracles
+    over the manifests:
+
+    * ``version_at`` must return exactly the newest LIVE manifest at or
+      before the instant, and refuse when none is — never a
+      cap-truncation artifact in either direction;
+    * ``_exclusive_start_for_timestamp`` must never SKIP a commit (its
+      answer is <= the true boundary — the newest version, live or
+      expired, strictly before the instant) and never under-resolve
+      below what the live manifests alone prove (>= the newest LIVE
+      version strictly before; replaying expired-boundary commits is
+      the documented tolerance, skipping is a bug)."""
+    import time
+
+    import data_finder_comparator_spark.sinks.lakehouse as lh
+    from data_finder_comparator_spark.sources.lakehouse_source import (
+        _exclusive_start_for_timestamp,
+    )
+
+    monkeypatch.setattr(lh, "_VERSION_TS_CAP", cap)
+    t = lh.TransactionalTable(spark, str(tmp_path / "tbl"), checkpoint_interval=3)
+    n = 7
+    for i in range(n):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+        time.sleep(0.02)
+    if keep_last is not None:
+        t.expire_snapshots(keep_last=keep_last)
+    else:
+        t.write_checkpoint()
+
+    ts = {v: t._read_manifest(v)["ts"] for v in range(1, n + 1)
+          if t._object_exists(t._manifest_rel(v))}
+    all_ts = dict(ts)
+    # expired manifests' commit times, reconstructed for the oracle
+    # from the strictly increasing slot order (expiry only removes a
+    # PREFIX, so any missing version is below every surviving one)
+    live = sorted(ts)
+    instants = [min(all_ts.values()) - 5.0, max(all_ts.values()) + 5.0]
+    for v in live:
+        instants.append(ts[v])  # exactly at a commit
+        instants.append(ts[v] + 0.005)  # just after it
+
+    for instant in instants:
+        want = [v for v in live if ts[v] <= instant]
+        if want:
+            assert t.version_at(instant) == max(want), instant
+        else:
+            with pytest.raises(ValueError, match="no snapshot at or before"):
+                t.version_at(instant)
+        got = _exclusive_start_for_timestamp(t, instant)
+        live_floor = max((v for v in live if ts[v] < instant), default=0)
+        if live_floor:
+            # expiry removes only a PREFIX, so every expired version is
+            # below every live one: with a live boundary the exact
+            # answer is forced — anything above skips a commit,
+            # anything below needlessly replays a live one
+            assert got == live_floor, (instant, got, live_floor)
+        else:
+            # instant predates every live commit: the walk proves 0,
+            # the checkpoint may prove an exact expired boundary —
+            # both must stay strictly below the oldest live version
+            # (never skip it)
+            assert 0 <= got < min(live), (instant, got)
