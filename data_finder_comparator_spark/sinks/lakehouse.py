@@ -686,8 +686,9 @@ class TransactionalTable:
         # answerable TIMESTAMP AS OF reads and silently replayed
         # pre-instant commits as stream start 0 on >8192-commit
         # never-expired tables).
-        floored = [p for p in version_ts if int(p[0]) >= oldest_live]
-        version_ts = floored[-_VERSION_TS_CAP:]
+        version_ts = [
+            p for p in version_ts if int(p[0]) >= oldest_live
+        ][-_VERSION_TS_CAP:]
         payload = {
             "version": head,
             "ts": _time.time(),
@@ -698,7 +699,15 @@ class TransactionalTable:
             ),
             "dirty": dirty,
             "version_ts": version_ts,
-            "version_ts_capped": len(version_ts) < len(floored),
+            # self-describing, not drop-counting: the list answers
+            # definitively below its range ONLY when no live manifest
+            # sits under its oldest retained pair — computed from the
+            # retained range itself so a truncation inherited from the
+            # BASE checkpoint (or a ts-less legacy manifest below the
+            # range) flags conservatively too, not just pairs this
+            # write dropped
+            "version_ts_capped": bool(version_ts)
+            and int(version_ts[0][0]) > oldest_live,
         }
         self.store.put_if_absent(
             self._checkpoint_rel(head),
