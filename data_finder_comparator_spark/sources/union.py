@@ -133,17 +133,24 @@ def _first_line(spark: SparkSession, f: str) -> str | None:
     jpath = jvm.org.apache.hadoop.fs.Path(f)
     conf = spark._jsc.hadoopConfiguration()
     raw = jpath.getFileSystem(conf).open(jpath)
+    # close the OUTERMOST stream so a codec-created stream's close()
+    # runs too: compression codecs allocate pooled (sometimes
+    # native-buffer-backed) Decompressors in createInputStream, and
+    # closing only `raw` leaked one per peeked .gz shard until GC
+    # (r15 review)
+    outer = raw
     try:
         codec = jvm.org.apache.hadoop.io.compress.CompressionCodecFactory(
             conf
         ).getCodec(jpath)
-        stream = raw if codec is None else codec.createInputStream(raw)
-        reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        if codec is not None:
+            outer = codec.createInputStream(raw)
+        outer = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(outer, "UTF-8")
         )
-        return reader.readLine()
+        return outer.readLine()
     finally:
-        raw.close()
+        outer.close()
 
 
 def _read_inference_folder(
@@ -159,23 +166,48 @@ def _read_inference_folder(
 
     Heterogeneity is instead DETECTED from each file's first line — a
     bounded driver-side read (header row for csv, first record's key
-    set for json), no Spark jobs: files group by column-name
-    signature, ONE inference scan on a representative file supplies
-    each group's schema, and each group then reads as a single
-    multi-file scan under that schema. A homogeneous folder of N
-    files costs exactly one inference scan + one real scan,
-    independent of N.
+    set + primitive-type classes for json), no Spark jobs: files
+    group by signature, and each group reads as ONE multi-file scan
+    whose schema Spark infers over the WHOLE group in a single
+    distributed inference job (r15 review: the previous
+    representative-file schema silently DROPPED keys appearing only
+    in later records of a sibling file — sparse/optional fields, the
+    norm in scraped JSONL — and degraded same-key type conflicts to
+    silent PERMISSIVE nulls). The job count stays independent of the
+    file count — a homogeneous folder of N files is exactly one
+    inference job + one real scan, however large N — and the
+    group-wide inference restores ``unionByName``-equivalent
+    semantics: later-record keys surface as null-filled columns, and
+    later-record type drift widens (Spark's inference merges
+    conflicting primitive types to string, preserving the values)
+    instead of nulling.
 
-    Contract note: within a signature group, value TYPES come from
-    the representative file (the capped sample the probe budget
-    buys). Groups mixing incompatible value types under identical
-    column names should pass an explicit schema — the old exhaustive
-    probe crashed on those at union time anyway (``unionByName``
-    refuses int-vs-string columns). A file whose first line is
-    unreadable as a signature (empty file, non-record JSON) falls
-    back to its own single-file inference read, preserving the old
-    per-file semantics for exactly the files that need them."""
+    Contract note: json signatures carry the first record's
+    primitive-type classes, so files whose FIRST records already
+    disagree on a shared key's type land in different groups and the
+    final ``unionByName`` refuses the int-vs-string column LOUDLY —
+    the old exhaustive-probe behavior. Type drift visible only in
+    later records is widened by the group inference as above (data
+    preserved, stringly) rather than crashing. A file whose first
+    line is unreadable as a signature (empty file, non-record JSON)
+    falls back to its own single-file inference read, preserving the
+    old per-file semantics for exactly the files that need them."""
     import json as _json
+
+    def _jclass(v) -> str:
+        # coarse classes: int/float group together (inference widens
+        # long+double to double); None is its own class so an
+        # all-null-leading file gets its own group-wide inference
+        # rather than forcing a sibling group's type
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        return "arr" if isinstance(v, list) else "obj"
 
     def _sig(f: str):
         line = _first_line(spark, f)
@@ -188,7 +220,9 @@ def _read_inference_folder(
             rec = _json.loads(line)
         except ValueError:
             return None
-        return ("json", tuple(sorted(rec))) if isinstance(rec, dict) else None
+        if not isinstance(rec, dict):
+            return None
+        return ("json", tuple(sorted((k, _jclass(v)) for k, v in rec.items())))
 
     # the peeks are KB-scale but latency-bound (one FS open each): a
     # 100k-shard folder peeked sequentially would serialize minutes of
@@ -206,18 +240,13 @@ def _read_inference_folder(
             oddballs.append(f)
         else:
             groups.setdefault(s, []).append(f)
-    dfs = []
-    for group_files in groups.values():
-        probe = spark.read.format(src_fmt).options(**opts).load(group_files[0])
-        if len(group_files) == 1:
-            dfs.append(probe)
-        else:
-            dfs.append(
-                spark.read.format(src_fmt)
-                .options(**opts)
-                .schema(probe.schema)
-                .load(group_files)
-            )
+    # one multi-path read per group, schema inferred over the WHOLE
+    # group in one distributed job (never per file, never a forced
+    # representative schema — see the contract note above)
+    dfs = [
+        spark.read.format(src_fmt).options(**opts).load(group_files)
+        for group_files in groups.values()
+    ]
     dfs.extend(
         spark.read.format(src_fmt).options(**opts).load(f) for f in oddballs
     )

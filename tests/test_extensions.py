@@ -581,6 +581,91 @@ def test_csv_folder_probe_cost_is_bounded(spark, tmp_path):
     }
 
 
+def test_json_group_inference_preserves_later_record_keys(spark, tmp_path):
+    """The grouped-probe column-loss hole (r15 verdict item 1): files
+    whose FIRST records share a key signature but whose LATER records
+    carry extra keys — sparse/optional fields, the norm in scraped
+    JSONL — must surface those keys as null-filled columns. The r15
+    representative-file schema silently dropped them (PERMISSIVE mode
+    discards unknown keys); the group-wide inference read preserves
+    them, still in ONE eager inference job for the group."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "x": "a"}\n{"id": 2, "x": "b"}\n')
+    (d / "b.jsonl").write_text(
+        '{"id": 3, "x": "c"}\n{"id": 4, "x": "d", "extra": 7}\n'
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("jdrift", "group inference probe")
+    try:
+        df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+    finally:
+        sc.setJobGroup("idle", "idle")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("jdrift"))
+    assert jobs <= 2, f"one group -> one eager inference job, saw {jobs}"
+    assert "extra" in df.columns, "later-record key must not be dropped"
+    rows = sorted((r.id, r.x, r.extra) for r in df.collect())
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", None), (4, "d", 7)]
+
+
+def test_json_group_inference_widens_later_record_type_drift(spark, tmp_path):
+    """Same-key type drift visible only in LATER records (first records
+    agree, so the files share a group): the group-wide inference widens
+    the column to string and every value survives — the r15 forced
+    representative schema read the drifted records as silent PERMISSIVE
+    nulls instead."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "tdrift"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "v": 1}\n')
+    (d / "b.jsonl").write_text('{"id": 2, "v": 2}\n{"id": 3, "v": "x"}\n')
+    df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["v"] == "string", "conflicting value types must widen, not null"
+    assert sorted((r.id, r.v) for r in df.collect()) == [
+        (1, "1"), (2, "2"), (3, "x"),
+    ]
+
+
+def test_json_first_record_type_conflict_fails_loudly(spark, tmp_path):
+    """Files whose FIRST records already disagree on a shared key's
+    primitive type land in different signature groups, and the final
+    union refuses the int-vs-string column LOUDLY (here: Spark's union
+    coercion casts the string side to bigint and a non-numeric value
+    raises CAST_INVALID_INPUT at read time) — never a silent
+    PERMISSIVE null."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "conflict"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "v": 1}\n')
+    (d / "b.jsonl").write_text('{"id": 2, "v": "not-a-number"}\n')
+    df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast|compatible"):
+        df.collect()
+
+
+def test_csv_group_inference_merges_types_across_files(spark, tmp_path):
+    """CSV value-type conflicts within a header group (the header IS
+    the full column set, so key loss cannot happen — but the r15
+    representative schema read conflicting values as silent nulls):
+    the group-wide inference widens the column and preserves every
+    value."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "cdrift"
+    d.mkdir()
+    (d / "a.csv").write_text("id,v\n1,10\n")
+    (d / "b.csv").write_text("id,v\nnope,2.5\n")
+    df = read_folder_union_by_name(spark, str(d), fmt="csv")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"id": "string", "v": "double"}
+    assert sorted((r.id, r.v) for r in df.collect()) == [("1", 10.0), ("nope", 2.5)]
+
+
 def test_read_folder_jsonl_and_xlsx_fmt_alias(spark, tmp_path):
     """fmt='jsonl' aliases to the json reader and fmt='xlsx' routes
     through the stdlib codec — both previously crashed in
