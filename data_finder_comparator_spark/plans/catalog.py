@@ -129,108 +129,97 @@ from . import queries_relational  # noqa: E402,F401
 #            minus any query whose code changes this round (which must
 #            then displace a returning green into RETIREMENT, never
 #            into double-parking).
-# r15 window (47 of the 50-slot cap), by the mechanical rule:
+# r16 window (50 of the 50-slot cap), by the mechanical rule:
 #   1 alignment_pairs (in-window permanently: contributes no green)
-# + 38 r13 greens returning from their r14 parking (the whole parked
-#   set — none was displaced; the registry grew to 90 with the two
-#   net-new rows below, leaving 43 parked r14 greens, all green in
-#   CORRECTNESS_r14, zero double-parking)
-# + 6 r14 greens whose EXECUTED code changed in r15, each staying
+# + 43 r14 greens returning from their r15 parking (the whole parked
+#   set — none displaced, zero double-parking; all 43 were green in
+#   CORRECTNESS_r14 and none ran red in r15)
+# + 4 r15 greens whose EXECUTED code changed in r16, each staying
 #   in-window for a fresh hash-green:
 #     csv_folder_roundtrip, json_folder_roundtrip
-#                                 (r14 verdict item 3: the bounded
-#                                  folder-probe rewrite in
-#                                  sources/union.py, which these two
-#                                  rows now execute via
-#                                  read_folder_union_by_name so the
-#                                  fixed path carries driver evidence)
-#     lakehouse_merge_roundtrip, lakehouse_datasource_snapshot,
-#     lakehouse_pushdown_snapshot (r14 ADVICE #3: the shared-build
-#                                  memo now probes a live data file;
-#                                  plus the engine-level version_ts
-#                                  cap-soundness fix in
-#                                  write_checkpoint, r14 ADVICE #1,
-#                                  which their checkpoint_interval=1
-#                                  build executes every commit)
-#     lakehouse_stream_roundtrip  (same write_checkpoint fix via its
-#                                  interval-2 cadence + expiry; and
-#                                  r14 ADVICE #2: the drain now runs
-#                                  through _drain_to_parquet_sink /
-#                                  _stream_confs like every other
-#                                  streaming row)
-# + 5 net-new registrations (r14 verdict items 1 and 2, plus three
-#   rows into the free slots the verdict counted — each a pytest-only
-#   engine surface a real user hits):
-#     lakehouse_maintenance_roundtrip (optimize raced against a
-#                                  delete + expire_snapshots + vacuum,
-#                                  read back through both readers)
-#     ann_audit_lifecycle         (pin → drifted append → audit →
-#                                  rebuild-candidate → swap gate,
-#                                  golden oracle)
-#     lakehouse_cdc_changes       (changes() v1→v3 on the shared trio
-#                                  table: logical CDC, carried rows
-#                                  cancel, snapshot-consulted
-#                                  insert/update/delete classification)
-#     lakehouse_schema_evolution  (merge(evolve_schema=True): widened
-#                                  delta, old files read as NULL by
-#                                  name, no rewrite)
-#     lakehouse_restore_roundtrip (restore(2) after a bad delete —
-#                                  manifest-only undo, history intact)
-# The ANN build-serve roundtrips PARK this round: their tables run
-# checkpoint_interval=32 over <10 commits, so neither write_checkpoint
-# nor _checkpoint_ts_candidates — the only engine functions edited —
-# executes on their path (verified: no cadence hit, no expiry, no
-# timestamp reads).
+#                                 (r15 verdict item 1: the grouped
+#                                  probe's silent column-loss fix —
+#                                  each signature group now reads with
+#                                  ONE multi-path inference job, and
+#                                  json signatures carry primitive-
+#                                  type classes; both rows execute the
+#                                  rewritten _read_inference_folder)
+#     lakehouse_maintenance_roundtrip (executes optimize(), which
+#                                  gained the sort_by clustered-
+#                                  compaction branch this round; plus
+#                                  its non-hash-visible invariant
+#                                  gates moved from assert to
+#                                  RuntimeError, r15 ADVICE #4)
+#     lakehouse_restore_roundtrip (same assert -> RuntimeError change
+#                                  on its head-version gate)
+# + 2 net-new registrations (r15 verdict items 2 and 3):
+#     lakehouse_stream_ingest     (exactly-once foreachBatch ingest
+#                                  INTO the transactional table:
+#                                  epoch-idempotent (txn_app, epoch)
+#                                  merges, in-row crash-replay made
+#                                  hash-visible)
+#     lakehouse_clustered_compaction (optimize(sort_by=...) with the
+#                                  manifest-plan proof that a key-band
+#                                  read plans strictly fewer files
+#                                  after the sorted rewrite, at
+#                                  unchanged file count)
+# The cdc/evolution rows PARK despite living in the same module: their
+# executed lines are untouched this round (no asserts converted, no
+# shared helper edited on their path). The merge-trio rows park too —
+# _built_merge_table and the TransactionalTable methods they execute
+# are byte-identical; optimize() is not on their path.
 #
-# 1 + 38 + 6 + 5 = 50 exactly. No returning green was displaced, so
-# nothing retires this round; registry is 93 (50 window + 43 parked),
-# retired 19 — still within the 99-slot capacity bound, with 6 free.
+# 1 + 43 + 4 + 2 = 50 exactly. No returning green was displaced, so
+# nothing retires this round; registry is 95 (50 window + 45 parked),
+# retired 19 — still within the 99-slot capacity bound, with 4 free.
 _PARKED_MULTI_GREEN = [
-    # -- the CORRECTNESS_r14 hash-greens except rows-only
-    #    alignment_pairs and the 6 code-changed stays above -----------
-    "fuzzy_join_tiers",
-    "fuzzy_join_docs",
-    "fuzzy_topk",
-    "fuzzy_tier_assembly",
-    "streaming_fuzzy_tiers",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "streaming_window_counts",
-    "streaming_first_seen",
-    "streaming_watermarked_counts",
-    "streaming_sliding_counts",
-    "streaming_purchase_attribution",
-    "streaming_enriched_segments",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "lang_robust_length_stats",
-    "doc_token_chunks",
-    "corpus_curation_pipeline",
-    "tfidf_top_terms",
-    "decontaminate_overlap",
-    "pii_redaction",
-    "weighted_reservoir_sample",
-    "gram_tfidf_cosine_topk",
-    "deterministic_row_ids",
-    "table_version_diff",
-    "dedup_exact",
-    "dedup_simhash",
-    "hll_merge_shards",
-    "ivf_pq_build_serve_roundtrip",
-    "ann_lsh_build_serve_roundtrip",
-    "ann_sq8_rerank_topk",
-    "semantic_dedup",
-    "pricing_summary",
-    "revenue_by_nation",
-    "events_pivot_by_hour",
-    "sessionize_events",
-    "asof_latest_order",
-    "salted_segment_stats",
-    "bucketed_order_revenue",
-    "props_json_stats",
-    "event_funnel",
-    "hourly_gapfill",
-    "histogram_quantiles",
+    # -- the CORRECTNESS_r15 hash-greens except rows-only
+    #    alignment_pairs and the 4 code-changed stays above -----------
+    "alignment_dist",
+    "multimodal_wav_decode",
+    "pcm_resample_layout",
+    "text_quality_signals",
+    "lang_id_confusion",
+    "doc_repetition",
+    "vocab_top_tokens",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "deterministic_shuffle",
+    "sequence_packing",
+    "source_domain_caps",
+    "mixture_token_budget",
+    "duplicate_spans",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "scrub_hot_spans",
+    "inverted_index",
+    "union_by_name_folder",
+    "excel_folder_roundtrip",
+    "orc_folder_roundtrip",
+    "partitioned_lang_roundtrip",
+    "keep_replace_curation",
+    "curation_counts",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_hybrid_verify",
+    "line_dedup_stats",
+    "cluster_canonical",
+    "grouped_hll_by_lang",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "ann_ivf_topk",
+    "ivf_kmeans_centroids",
+    "ann_audit_lifecycle",
+    "lakehouse_merge_roundtrip",
+    "lakehouse_datasource_snapshot",
+    "lakehouse_stream_roundtrip",
+    "lakehouse_pushdown_snapshot",
+    "lakehouse_cdc_changes",
+    "lakehouse_schema_evolution",
+    "orders_grouping_sets",
+    "rolling_user_activity",
 ]
 
 

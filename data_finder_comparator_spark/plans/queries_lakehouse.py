@@ -429,16 +429,26 @@ def lakehouse_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             )
         fired["n"] += 1
 
+    # the maintenance invariants below are NOT hash-visible (the DuckDB
+    # oracle sees only the final rows), so they raise explicit
+    # RuntimeErrors — a bare assert is stripped under `python -O` and
+    # the row would silently return with the guarantees unchecked
+    # (r15 review)
     v = t.optimize(before_commit=_sneak_in_delete)
-    assert v == 8 and fired["n"] == 2, "delete must win v7; optimize retries"
+    if not (v == 8 and fired["n"] == 2):
+        raise RuntimeError("delete must win v7; optimize retries")
     n_after = len(t.snapshot()[1]["files"])
-    assert n_after < n_before, "optimize must actually compact"
+    if not n_after < n_before:
+        raise RuntimeError("optimize must actually compact")
 
     expired = t.expire_snapshots(keep_last=1)
-    assert expired == list(range(1, 8))
-    assert not t._object_exists(t._manifest_rel(7))
+    if expired != list(range(1, 8)):
+        raise RuntimeError(f"expiry must retire versions 1..7, got {expired}")
+    if t._object_exists(t._manifest_rel(7)):
+        raise RuntimeError("expired manifest v7 must be deleted")
     removed = t.vacuum(retention_seconds=0)
-    assert removed, "vacuum must reclaim the delete's superseded rewrites"
+    if not removed:
+        raise RuntimeError("vacuum must reclaim the delete's superseded rewrites")
     live = set(t.snapshot()[1]["files"])
     # the two RETAINED checkpoints are readers (a lagging stream plans
     # its catch-up from their entries), so their referenced files
@@ -449,12 +459,16 @@ def lakehouse_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         for rel, _v, _op in (t._load_checkpoint(v) or {}).get("entries") or []
     }
     on_disk = {r for r in t.store.list(_DATA) if r.endswith(".parquet")}
-    assert on_disk == live | ck_pinned, "post-vacuum store must hold exactly live + checkpoint-pinned files"
+    if on_disk != live | ck_pinned:
+        raise RuntimeError(
+            "post-vacuum store must hold exactly live + checkpoint-pinned files"
+        )
 
     _register_datasource(spark)
     dsv2_n = spark.read.format("lakehouse").load(path).count()
     engine = t.read()
-    assert engine.count() == dsv2_n, "engine and DSv2 readers must agree"
+    if engine.count() != dsv2_n:
+        raise RuntimeError("engine and DSv2 readers must agree")
     _MAINT_TABLES[sf_dir] = path
     return engine
 
@@ -652,5 +666,216 @@ def lakehouse_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("s_suppkey") < 4).select("s_suppkey"), "s_suppkey"
     )
     v = t.restore(2)
-    assert v == 4, "restore commits a new head, never rewrites history"
+    # not hash-visible (the oracle sees only the restored rows): a bare
+    # assert would vanish under `python -O` (r15 review)
+    if v != 4:
+        raise RuntimeError("restore commits a new head, never rewrites history")
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once ingest INTO the lakehouse (r16, the r15
+# verdict's item 2): the sink side of reference T1 at production shape.
+# Until this row the stream plane only read FROM the lakehouse; every
+# real ingest pipeline runs the opposite edge — micro-batches committing
+# into the transactional table with epoch-idempotent markers.
+# Key bands exist at every harness SF (orderkeys contiguous 0..N-1;
+# sf0.001 tops out at 1499).
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       'S' AS o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice
+FROM orders WHERE o_orderkey < 400
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+       o_orderstatus, CAST(o_totalprice AS DOUBLE)
+FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200
+"""
+
+
+@query("lakehouse_stream_ingest", oracle=_INGEST_ORACLE)
+def lakehouse_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest INTO the transactional table
+    under the driver's hash (r16, the r15 verdict's item 2): a 2-file
+    source stream (``maxFilesPerTrigger=1`` — one micro-batch per
+    file, mtime-pinned so epoch order is deterministic) upserts into a
+    ``TransactionalTable`` via ``stream_merge_into_table``'s
+    foreachBatch sink. Epoch 0 bootstraps the key band, epoch 1
+    UPDATES the < 400 slice (price doubled, status 'S') — so epoch
+    ORDER, not just content, is what the hash checks.
+
+    foreachBatch delivery is AT-LEAST-ONCE: each epoch merges with a
+    ``(txn_app, epoch_id)`` commit marker and a replay becomes a
+    no-op. The row makes that idempotence HASH-VISIBLE by re-merging
+    epoch 0's exact delta after the stream drains (the crash-replay a
+    restarted job issues): had the marker not suppressed it, the
+    replay would reset the updated band to its epoch-0 image and the
+    DuckDB hash would mismatch. At 100 TB each epoch's merge cost is
+    footer/Bloom-bounded to the files its keys hit, and the marker
+    check is one manifest read — the composition every production
+    ingest runs (pytest twin:
+    test_lakehouse_stream_merge_exactly_once)."""
+    import time
+
+    from ..sinks.lakehouse import TransactionalTable
+    from ..streaming.pipeline import stream_merge_into_table
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    epoch0 = base
+    epoch1 = (
+        base.filter(F.col("o_orderkey") < 400)
+        .withColumn("o_orderstatus", F.lit("S"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    d = fresh_run_dir("lakehouse_ingest", sf_dir)
+    src = os.path.join(d, "src")
+    epoch0.coalesce(1).write.parquet(os.path.join(src, "e0"))
+    epoch1.coalesce(1).write.parquet(os.path.join(src, "e1"))
+    # the file stream source orders files by (mtime, path); pin mtimes
+    # 60 s apart so e0 is ALWAYS epoch 0 — epoch order must be
+    # deterministic for the update-wins final state to hash stably
+    now = time.time()
+    for sub, ts in (("e0", now - 120.0), ("e1", now - 60.0)):
+        sub_dir = os.path.join(src, sub)
+        for name in os.listdir(sub_dir):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(sub_dir, name), (ts, ts))
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    t = stream_merge_into_table(
+        stream,
+        os.path.join(d, "tbl"),
+        "o_orderkey",
+        txn_app="ingest",
+        checkpoint=os.path.join(d, "ckpt"),
+    )
+    # not hash-visible: the commit CADENCE (one merge commit per epoch)
+    if t.current_version() != 2:
+        raise RuntimeError(
+            f"expected one commit per epoch (2), got {t.current_version()}"
+        )
+    # crash-replay of epoch 0 (at-least-once redelivery): the txn
+    # marker must no-op it — both here (version unchanged, not
+    # hash-visible) and in the read-back (updated band keeps its
+    # epoch-1 image, hash-visible)
+    t.merge(epoch0, "o_orderkey", txn_app="ingest", txn_version=0)
+    if t.current_version() != 2:
+        raise RuntimeError("replayed epoch must not commit a new version")
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Clustered compaction + data-skipping effectiveness (r16, the r15
+# verdict's item 3): optimize(sort_by=...) must make a key-band read
+# plan STRICTLY FEWER files than before — asserted from the manifest
+# plan (footer min/max overlap), not wall time. The file COUNT is held
+# constant across the compaction (n_out == input file count via
+# target_bytes), so the planned-file drop isolates the LAYOUT effect,
+# not mere small-file merging.
+# ---------------------------------------------------------------------------
+
+_CLUSTERED_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 1200
+"""
+
+
+@query("lakehouse_clustered_compaction", oracle=_CLUSTERED_ORACLE)
+def lakehouse_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``optimize(sort_by=...)`` under the driver's hash (r16, the r15
+    verdict's item 3): six modulus-striped appends leave every file
+    spanning the FULL key range — the worst layout for stats skipping,
+    and exactly what an unclustered ingest produces — so a key-band
+    predicate must plan ALL of them. Clustered compaction
+    (range-partition + sort by key at rewrite) re-lays the same rows
+    into range-disjoint files; the row then proves, from the manifest's
+    footer min/max (``_range_overlap`` — the same plan the merge hit
+    detector, the DSv2 pushdown reader, and CDC use), that the band
+    [400, 600] plans STRICTLY fewer files after than before, at an
+    UNCHANGED live-file count (``target_bytes`` pins ``n_out`` to the
+    input width, so the drop is the layout's doing, not small-file
+    merging). The returned frame is the full post-optimize read-back:
+    the hash checks clustering lost and duplicated nothing.
+
+    At 100 TB this is the single biggest maintenance lever: one sorted
+    rewrite turns every later key-band merge/read from O(table files)
+    into O(band files). The maintenance rung's clustered variant
+    (bench_history/maintenance_rung_r16.py) prices it."""
+    from ..sinks.lakehouse import TransactionalTable
+    from ..util import fresh_run_dir
+
+    base = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    d = fresh_run_dir("lakehouse_clustered", sf_dir)
+    path = os.path.join(d, "tbl")
+    t = TransactionalTable(spark, path)  # no standing cluster_by policy
+    # coalesce(1): one file per stripe, so the pre-state is EXACTLY six
+    # full-key-range files at every SF (an input-split accident writing
+    # a sub-range file would dilute the all-files-overlap baseline)
+    for i in range(6):
+        t.append(base.filter(F.col("o_orderkey") % 6 == i).coalesce(1))
+
+    def _planned(man: dict, lo: int, hi: int) -> list[str]:
+        stats = man.get("stats") or {}
+        return [
+            rel
+            for rel in man["files"]
+            if t._range_overlap(stats.get(rel), "o_orderkey", lo, hi)
+        ]
+
+    _, man_before = t.snapshot()
+    n_files_before = len(man_before["files"])
+    planned_before = len(_planned(man_before, 400, 600))
+    if planned_before != n_files_before:
+        raise RuntimeError(
+            "modulus stripes must span the key range: every file should "
+            f"plan for the band, got {planned_before}/{n_files_before}"
+        )
+    total = sum(
+        (man_before.get("stats") or {}).get(rel, {}).get("bytes") or 0
+        for rel in man_before["files"]
+    )
+    # pin the output width to the input width so the planned-file drop
+    # below isolates the layout effect (ceil division)
+    target = max(1, -(-total // n_files_before))
+    v = t.optimize(small_bytes=1 << 30, target_bytes=target, sort_by="o_orderkey")
+    if v is None:
+        raise RuntimeError("optimize must find the small files to compact")
+    _, man_after = t.snapshot()
+    planned_after = len(_planned(man_after, 400, 600))
+    # the invariants the DuckDB hash cannot see (explicit raises, not
+    # asserts — r15 review): the skip must be real AND not explained
+    # away by a smaller file count
+    if len(man_after["files"]) < 4:
+        raise RuntimeError(
+            f"compaction collapsed to {len(man_after['files'])} files — "
+            "too few for the skipping proof to mean anything"
+        )
+    if not planned_after < planned_before:
+        raise RuntimeError(
+            f"clustered compaction must shrink the band plan: "
+            f"{planned_before} -> {planned_after}"
+        )
     return t.read()

@@ -730,6 +730,13 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (aged_root, cand_root) -> the recorded decision rows for THIS process.
 _AUDIT_MEMO: dict[tuple[str, str], list] = {}
 
+# NOTE (r15 ADVICE): the golden constants below are constants of the
+# sf0.01 embeddings table ONLY — the vec_id < 500 rows differ across
+# sf0.001/sf0.01/sf0.1, so this row hash-verifies only at the driver's
+# pinned oracle SF (0.01). If the harness ever hashes at another SF,
+# re-derive the literals via
+# tests/test_extensions.py::test_ann_audit_lifecycle_driver_row (run
+# it against the new SF and transcribe the asserted triple).
 _AUDIT_ORACLE = """
 SELECT * FROM (VALUES
   ('aged',      CAST(0.912 AS DOUBLE), CAST(0.948 AS DOUBLE),

@@ -2772,6 +2772,7 @@ class TransactionalTable:
         max_retries: int = 20,
         before_commit=None,
         zorder_by: tuple[str, str] | None = None,
+        sort_by: str | list[str] | None = None,
     ) -> int | None:
         """Compact small data files (< ``small_bytes``) into
         ~``target_bytes`` files, committed as a normal snapshot
@@ -2782,10 +2783,27 @@ class TransactionalTable:
         overhead and footer bloat long before data volume. Returns the
         new version, or None when fewer than two small files exist.
 
+        Layout options (r16, the r15 verdict's item 3): by default the
+        compacted rows keep the table's standing layout policy
+        (``cluster_by`` tables re-range-partition inside
+        ``_write_data_files``; plain tables bin-pack by size only).
+        ``sort_by`` range-partitions + sorts the compacted output by
+        the given column(s) — CLUSTERED compaction for a table with no
+        standing ``cluster_by`` policy, giving each output file a tight
+        disjoint footer range on the leading column so key-band
+        predicates (merge hit detection, DSv2 pushdown, CDC carried-
+        file scans) open strictly fewer files. ``zorder_by`` is the
+        two-column Morton variant. The two are mutually exclusive.
+
         Concurrency: same optimistic loop as merge — a losing optimize
         recomputes against the winner's snapshot (the winner may have
         REWRITTEN one of the files we compacted, so re-reading the new
         manifest is required for correctness, not just politeness)."""
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
+        sort_cols = (
+            [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+        )
         for _ in range(max_retries):
             v, man = self.snapshot()
             if v == 0:
@@ -2818,6 +2836,21 @@ class TransactionalTable:
                 # pre_clustered: the Morton layout IS the layout; the
                 # cluster_by policy re-range-partitioning it would pay
                 # the z-order shuffle and then throw the result away
+                _, rels, st = self._write_data_files(
+                    compacted, pre_clustered=True, phys=phys
+                )
+            elif sort_cols:
+                missing = [
+                    c for c in sort_cols if c not in table_schema.fieldNames()
+                ]
+                if missing:
+                    raise ValueError(
+                        f"sort_by columns {missing} not in schema "
+                        f"{table_schema.fieldNames()}"
+                    )
+                compacted = compacted.repartitionByRange(
+                    n_out, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
                 _, rels, st = self._write_data_files(
                     compacted, pre_clustered=True, phys=phys
                 )

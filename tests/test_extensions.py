@@ -3802,6 +3802,42 @@ def test_memoized_builds_recover_from_torn_or_deleted_roots(spark):
     assert qs._INDEX_ROOTS[("ivfpq-roundtrip", sf)] != root
 
 
+def test_lakehouse_stream_ingest_driver_row(spark):
+    """The r16 exactly-once ingest row: epoch 0 bootstraps the < 1200
+    band, epoch 1 updates the < 400 slice, and the in-row crash-replay
+    of epoch 0 must leave the update in place (the txn marker no-ops
+    the redelivery — the hash-visible half of exactly-once). This twin
+    re-checks the semantics the driver hash pins: update-wins state,
+    no duplicates, bands intact."""
+    from data_finder_comparator_spark.plans.queries_lakehouse import (
+        lakehouse_stream_ingest,
+    )
+
+    df = lakehouse_stream_ingest(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 1200
+    assert len({r.o_orderkey for r in rows}) == 1200  # replay added no dups
+    updated = [r for r in rows if r.o_orderkey < 400]
+    assert len(updated) == 400
+    assert all(r.o_orderstatus == "S" for r in updated)
+    assert all(r.o_orderstatus != "S" for r in rows if r.o_orderkey >= 400)
+
+
+def test_lakehouse_clustered_compaction_driver_row(spark):
+    """The r16 clustered-compaction row: the in-row RuntimeErrors carry
+    the planned-files proof (band plans strictly fewer files after the
+    sorted rewrite, at unchanged width); this twin re-checks the rows
+    the driver hash pins — compaction lost and duplicated nothing."""
+    from data_finder_comparator_spark.plans.queries_lakehouse import (
+        lakehouse_clustered_compaction,
+    )
+
+    df = lakehouse_clustered_compaction(spark, SF_SMOKE)
+    keys = [r.o_orderkey for r in df.collect()]
+    assert len(keys) == 1200
+    assert sorted(keys) == list(range(1200))
+
+
 def test_ann_audit_lifecycle_driver_row(spark):
     """The r15 driver row behind the GOLDEN _AUDIT_ORACLE: its pinned
     constants must satisfy the lifecycle's own arithmetic (drop = pin −

@@ -463,6 +463,62 @@ def test_lakehouse_optimize_zorder_tightens_both_columns(spark, tmp_path):
     assert area <= 0.5 * len(man["files"]) * 32 * 32, area
 
 
+def test_lakehouse_optimize_sort_by_shrinks_band_plan(spark, tmp_path):
+    """optimize(sort_by=...): clustered compaction for a table with NO
+    standing cluster_by policy. Four modulus stripes each span the full
+    key range, so a band predicate plans every file; after the sorted
+    rewrite — at the SAME output file count, pinned via target_bytes —
+    the band plans strictly fewer files from the committed footer
+    stats. Content is layout-invariant."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    for s in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(400) if k % 4 == s], "k long, v long"
+            ).coalesce(1)
+        )
+    rows_before = _rows(t.read())
+
+    def planned(lo, hi):
+        man = t.snapshot()[1]
+        stats = man.get("stats") or {}
+        return [
+            rel
+            for rel in man["files"]
+            if t._range_overlap(stats.get(rel), "k", lo, hi)
+        ]
+
+    n_before = len(t.snapshot()[1]["files"])
+    assert len(planned(100, 150)) == n_before == 4  # stripes span everything
+    total = sum(s["bytes"] for s in t.snapshot()[1]["stats"].values())
+    v = t.optimize(
+        small_bytes=1 << 30, target_bytes=max(1, -(-total // 4)), sort_by="k"
+    )
+    assert v == 5
+    man = t.snapshot()[1]
+    assert len(man["files"]) >= 3  # width preserved, not a 1-file collapse
+    assert _rows(t.read()) == rows_before
+    hits = planned(100, 150)
+    assert len(hits) < 4, f"sorted layout must shrink the band plan: {hits}"
+    # disjoint tight ranges: every file's span is a fraction of the axis
+    spans = [
+        s["max"]["k"] - s["min"]["k"] + 1 for s in man["stats"].values()
+    ]
+    assert all(sp <= 200 for sp in spans), spans
+
+
+def test_lakehouse_optimize_sort_by_validation(spark, tmp_path):
+    """sort_by refuses unknown columns and combination with zorder_by
+    — loud, like every layout-column contract here."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 2)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 4)], "k long, v long"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.optimize(sort_by="k", zorder_by=("k", "v"))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.optimize(small_bytes=1 << 30, sort_by="nope")
+
+
 def test_lakehouse_zorder_survives_cluster_by_policy(spark, tmp_path):
     """On a cluster_by table, optimize(zorder_by=...) must keep the
     Morton layout it just computed: the write path's cluster_by

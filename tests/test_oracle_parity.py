@@ -75,6 +75,45 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_golden_literal_oracles_stay_exceptional_and_pinned():
+    """Governance for the GOLDEN-oracle precedent (r15 verdict item 4):
+    a ``SELECT * FROM (VALUES ...)`` oracle pins determinism, not
+    independent correctness — DuckDB is restating literals, not
+    recomputing. That is acceptable ONLY for measurements SQL cannot
+    express (the ann_audit_lifecycle recall audit), so (a) at most TWO
+    registered/retired oracles may be golden literals, and (b) every
+    golden oracle must carry a convention-named semantic pytest pin
+    (``test_<name>_driver_row``) that re-derives its constants from
+    the operators — so the literal can never be the cheap path to a
+    green driver row."""
+    import glob
+    import os
+
+    from data_finder_comparator_spark.plans.catalog import (
+        ORACLES,
+        RETIRED_ORACLES,
+    )
+
+    golden = sorted(
+        name
+        for name, sql in {**RETIRED_ORACLES, **ORACLES}.items()
+        if sql.lstrip().upper().startswith("SELECT * FROM (VALUES")
+    )
+    assert len(golden) <= 2, (
+        f"golden literal oracles must stay exceptional (<=2), got {golden}"
+    )
+    test_dir = os.path.dirname(os.path.abspath(__file__))
+    suite_src = "".join(
+        open(f).read() for f in glob.glob(os.path.join(test_dir, "test_*.py"))
+    )
+    unpinned = [
+        name for name in golden if f"def test_{name}_driver_row(" not in suite_src
+    ]
+    assert not unpinned, (
+        f"golden oracles without a test_<name>_driver_row semantic pin: {unpinned}"
+    )
+
+
 def test_rotation_invariant_parked_queries_have_driver_rows():
     """Every parked query must have at least one green driver
     CORRECTNESS row from a previous round (parking is only for
