@@ -137,6 +137,10 @@ HEADLINE = [
     "lakehouse_cdc_changes",
     "lakehouse_schema_evolution",
     "lakehouse_restore_roundtrip",
+    # r16: exactly-once streaming ingest INTO the lakehouse, and
+    # clustered compaction with the planned-files skipping proof
+    "lakehouse_stream_ingest",
+    "lakehouse_clustered_compaction",
 ]
 
 

@@ -666,6 +666,71 @@ def test_csv_group_inference_merges_types_across_files(spark, tmp_path):
     assert sorted((r.id, r.v) for r in df.collect()) == [("1", 10.0), ("nope", 2.5)]
 
 
+def test_json_folder_ingestion_is_loss_free_property(spark, tmp_path):
+    """Property harness for the grouped-probe rewrite: random sparse
+    JSONL folders — every file a random subset of records, every
+    record a random subset of keys (types fixed per key, so widening
+    never triggers) — must read back EXACTLY the records written:
+    same row count, the column set is the union of every record's
+    keys (not just first records'), and every record's values survive
+    with None-fill elsewhere. This is the invariant the r15
+    representative-schema probe broke."""
+    import itertools
+    import json as _json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    KEY_VALS = {
+        "a": st.integers(min_value=-100, max_value=100),
+        "b": st.text(alphabet="xyz", min_size=0, max_size=3),
+        "c": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    }
+    record = st.fixed_dictionaries(
+        {},
+        optional={k: v for k, v in KEY_VALS.items()},
+    ).filter(lambda r: r)  # at least one key, so every line signatures
+    file_strategy = st.lists(record, min_size=1, max_size=5)
+    counter = itertools.count()
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(files=st.lists(file_strategy, min_size=1, max_size=4))
+    def check(files):
+        d = tmp_path / f"prop{next(counter)}"
+        d.mkdir()
+        expected = []
+        for i, records in enumerate(files):
+            with open(d / f"f{i}.jsonl", "w") as fh:
+                for rec in records:
+                    fh.write(_json.dumps(rec) + "\n")
+                    expected.append(rec)
+        df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+        want_cols = sorted({k for rec in expected for k in rec})
+        assert sorted(df.columns) == want_cols, "keys lost or invented"
+        got = sorted(
+            (tuple((c, str(row[c])) for c in want_cols if row[c] is not None))
+            for row in (r.asDict() for r in df.collect())
+        )
+        want = sorted(
+            tuple((k, _norm(rec[k])) for k in want_cols if k in rec)
+            for rec in expected
+        )
+        assert got == want
+
+    def _norm(v):
+        # json floats arrive as double; ints as bigint — stringify the
+        # way Spark's Row does for the comparison
+        return str(float(v)) if isinstance(v, float) else str(v)
+
+    check()
+
+
 def test_read_folder_jsonl_and_xlsx_fmt_alias(spark, tmp_path):
     """fmt='jsonl' aliases to the json reader and fmt='xlsx' routes
     through the stdlib codec — both previously crashed in
