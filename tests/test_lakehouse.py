@@ -507,6 +507,68 @@ def test_lakehouse_optimize_sort_by_shrinks_band_plan(spark, tmp_path):
     assert all(sp <= 200 for sp in spans), spans
 
 
+def test_lakehouse_optimize_sort_by_rebuilds_bloom_sidecars(spark, tmp_path):
+    """Clustered compaction on a bloom_col table: every rewritten file
+    gets a fresh Bloom sidecar (the write path builds them for all new
+    rels), so point-lookup skipping keeps working on the compacted
+    layout — compaction must never degrade the index stack."""
+    t = TransactionalTable(
+        spark, str(tmp_path / "tbl"), bloom_col="k"
+    )
+    for s in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(k, k * 2) for k in range(200) if k % 4 == s], "k long, v long"
+            ).coalesce(1)
+        )
+    total = sum(s["bytes"] for s in t.snapshot()[1]["stats"].values())
+    assert t.optimize(
+        small_bytes=1 << 30, target_bytes=max(1, -(-total // 4)), sort_by="k"
+    ) == 5
+    man = t.snapshot()[1]
+    assert len(man["files"]) >= 3
+    for rel in man["files"]:
+        assert man["stats"][rel].get("bloom"), f"missing bloom sidecar: {rel}"
+    # skipping still prunes: a single-key delete rewrites few files
+    before = set(man["files"])
+    t.delete(spark.createDataFrame([(7,)], "k long"), "k")
+    after = set(t.snapshot()[1]["files"])
+    assert len(before - after) <= 1, "point delete must rewrite at most one file"
+    assert (7, 14) not in {tuple(r) for r in t.read().collect()}
+
+
+def test_lakehouse_optimize_sort_by_overrides_cluster_policy(spark, tmp_path):
+    """optimize(sort_by=...) on a table WITH a standing cluster_by
+    policy: the explicit sort wins (pre_clustered stands the policy's
+    re-range-partition down, same as zorder) — the compacted files
+    carry tight disjoint ranges on the sort_by column even when it
+    differs from the policy column."""
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), cluster_by=["v"])
+    # v-clustered appends whose k spans everything per file
+    for s in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(k, (k * 37) % 200) for k in range(200) if k % 4 == s],
+                "k long, v long",
+            ).coalesce(1)
+        )
+    rows_before = _rows(t.read())
+    total = sum(s["bytes"] for s in t.snapshot()[1]["stats"].values())
+    assert (
+        t.optimize(
+            small_bytes=1 << 30,
+            target_bytes=max(1, -(-total // 4)),
+            sort_by="k",
+        )
+        is not None
+    )
+    man = t.snapshot()[1]
+    assert len(man["files"]) >= 3
+    assert _rows(t.read()) == rows_before
+    spans = [s["max"]["k"] - s["min"]["k"] + 1 for s in man["stats"].values()]
+    assert all(sp <= 100 for sp in spans), spans
+
+
 def test_lakehouse_optimize_sort_by_validation(spark, tmp_path):
     """sort_by refuses unknown columns and combination with zorder_by
     — loud, like every layout-column contract here."""
