@@ -720,7 +720,6 @@ def lakehouse_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_lakehouse_stream_merge_exactly_once)."""
     import time
 
-    from ..sinks.lakehouse import TransactionalTable
     from ..streaming.pipeline import stream_merge_into_table
     from ..util import fresh_run_dir
 

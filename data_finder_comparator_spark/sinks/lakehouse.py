@@ -2804,6 +2804,24 @@ class TransactionalTable:
         sort_cols = (
             [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
         )
+        # validate sort_by UP FRONT, not only when a compaction
+        # proceeds: a typo'd column on an already-compact table would
+        # otherwise silently return None and surface only much later on
+        # a bigger table (r16 review). Same for an explicit empty list,
+        # which would silently degrade to a size-only bin-pack.
+        if sort_by is not None:
+            if not sort_cols:
+                raise ValueError("sort_by must name at least one column")
+            v0, man0 = self.snapshot()
+            if v0 > 0:
+                names = StructType.fromJson(
+                    json.loads(man0["schema"])
+                ).fieldNames()
+                missing = [c for c in sort_cols if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"sort_by columns {missing} not in schema {names}"
+                    )
         for _ in range(max_retries):
             v, man = self.snapshot()
             if v == 0:
@@ -2840,14 +2858,6 @@ class TransactionalTable:
                     compacted, pre_clustered=True, phys=phys
                 )
             elif sort_cols:
-                missing = [
-                    c for c in sort_cols if c not in table_schema.fieldNames()
-                ]
-                if missing:
-                    raise ValueError(
-                        f"sort_by columns {missing} not in schema "
-                        f"{table_schema.fieldNames()}"
-                    )
                 compacted = compacted.repartitionByRange(
                     n_out, *sort_cols
                 ).sortWithinPartitions(*sort_cols)

@@ -72,10 +72,10 @@ def read_folder_union_by_name(
     probe every file on a driver thread pool — each probe is a footer
     READ, metadata-priced at any file size, so exhaustive
     heterogeneity detection is cheap. The INFERENCE formats (csv/json)
-    route through ``_read_inference_folder`` instead (r14 review): a
-    schema-inference probe scans a file end to end, so probing all N
-    files and then re-scanning them in the homogeneous fast path was
-    2x ingest IO exactly where inference is most expensive."""
+    route through ``_read_inference_folder`` instead: driver-side
+    first-line signatures bound the job count to one distributed
+    inference job per schema group (see its docstring for the
+    inference-pass cost contract and the loss-free guarantees)."""
     if fmt == "any":
         return _read_mixed_folder(spark, folder)
     files = hadoop_ls(spark, folder, f".{fmt}")
@@ -158,13 +158,19 @@ def _read_inference_folder(
 ) -> DataFrame:
     """Bounded-probe ingestion for the INFERENCE formats (csv/json).
 
-    Schema inference scans a file end to end, so the former per-file
-    probe pool issued N full scans and the homogeneous fast path then
-    re-read all N files — 2x ingest IO and N driver-issued Spark jobs
-    exactly where inference is most expensive (r14 review). At a
-    100-TB folder that doubles the most expensive scan in the system.
+    The former per-file probe pool issued N driver-serialized Spark
+    jobs (one inference scan per file) and the homogeneous fast path
+    then re-read all N files (r14 review). What this path bounds is
+    the JOB COUNT: one distributed inference job per signature group,
+    independent of the file count. The inference job still reads the
+    group's bytes once before the real scan reads them again — that
+    second pass is the price of loss-free schemas (the r15
+    representative-file shortcut read each group's bytes once but
+    silently dropped later-record keys); callers who know their
+    schema skip it entirely by reading directly with an explicit
+    ``spark.read.schema(...)``.
 
-    Heterogeneity is instead DETECTED from each file's first line — a
+    Heterogeneity is DETECTED from each file's first line — a
     bounded driver-side read (header row for csv, first record's key
     set + primitive-type classes for json), no Spark jobs: files
     group by signature, and each group reads as ONE multi-file scan
@@ -196,9 +202,13 @@ def _read_inference_folder(
 
     def _jclass(v) -> str:
         # coarse classes: int/float group together (inference widens
-        # long+double to double); None is its own class so an
-        # all-null-leading file gets its own group-wide inference
-        # rather than forcing a sibling group's type
+        # long+double to double). None is a TYPE WILDCARD, not a
+        # class of its own: a null first-record value carries no type
+        # evidence, so the merge pass below folds null-bearing
+        # signatures into compatible same-key-set groups — splitting
+        # on null would route widen-able drift into separate groups
+        # and a crash at union where one group's inference would have
+        # widened it loss-free (r16 review)
         if v is None:
             return "null"
         if isinstance(v, bool):
@@ -240,6 +250,8 @@ def _read_inference_folder(
             oddballs.append(f)
         else:
             groups.setdefault(s, []).append(f)
+    if src_fmt == "json" and len(groups) > 1:
+        groups = _merge_null_wildcard_groups(groups)
     # one multi-path read per group, schema inferred over the WHOLE
     # group in one distributed job (never per file, never a forced
     # representative schema — see the contract note above)
@@ -251,6 +263,51 @@ def _read_inference_folder(
         spark.read.format(src_fmt).options(**opts).load(f) for f in oddballs
     )
     return union_by_name(dfs)
+
+
+def _merge_null_wildcard_groups(
+    groups: dict[tuple, list[str]]
+) -> dict[tuple, list[str]]:
+    """Fold json signature groups whose first-record type classes
+    differ only through NULLS into one group (r16 review): a null
+    first-record value is absent type evidence, and the group-wide
+    inference read resolves the real type loss-free — whereas keeping
+    the null-bearing files apart routes widen-able later-record drift
+    into separate groups whose union then crashes. Two signatures with
+    the same key set merge when every per-key class pair is equal or
+    has a null side; merging is transitive (union-find), so a
+    null-bearing file can bridge two otherwise-conflicting groups —
+    the result is then one widened (stringly) group instead of a
+    union-time crash, consistent with the later-record-drift contract.
+    Conflicting signatures with NO null bridge still split and refuse
+    loudly at union."""
+    sigs = list(groups)
+    parent = list(range(len(sigs)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def compatible(a: tuple, b: tuple) -> bool:
+        ka, kb = tuple(k for k, _ in a[1]), tuple(k for k, _ in b[1])
+        if ka != kb:
+            return False
+        return all(
+            ca == cb or "null" in (ca, cb)
+            for (_, ca), (_, cb) in zip(a[1], b[1])
+        ) and any("null" in (ca, cb) for (_, ca), (_, cb) in zip(a[1], b[1]))
+
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            if compatible(sigs[i], sigs[j]):
+                parent[find(i)] = find(j)
+    merged: dict[tuple, list[str]] = {}
+    for i, s in enumerate(sigs):
+        root = sigs[find(i)]
+        merged.setdefault(root, []).extend(groups[s])
+    return merged
 
 
 def _xlsx_local(f: str) -> str:

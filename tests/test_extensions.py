@@ -630,6 +630,39 @@ def test_json_group_inference_widens_later_record_type_drift(spark, tmp_path):
     ]
 
 
+def test_json_null_first_record_is_a_type_wildcard(spark, tmp_path):
+    """A null first-record value carries no type evidence, so it must
+    NOT split the file into its own signature group (r16 review: the
+    split routed widen-able drift into separate groups whose union
+    then crashed with CAST_INVALID_INPUT). The null-bearing file joins
+    the compatible key-set group; the group-wide inference resolves
+    the real type loss-free."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "nullsig"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "v": null}\n{"id": 2, "v": "abc"}\n')
+    (d / "b.jsonl").write_text('{"id": 3, "v": 5}\n')
+    df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+    # one merged group -> inference over all records widens v to
+    # string, every value preserved (the pre-fix split crashed here)
+    assert sorted((r.id, r.v) for r in df.collect()) == [
+        (1, None), (2, "abc"), (3, "5"),
+    ]
+    # the bridge case: a null-bearing file can merge two otherwise-
+    # conflicting groups — widened stringly instead of crashing,
+    # consistent with the later-record-drift contract
+    d2 = tmp_path / "bridge"
+    d2.mkdir()
+    (d2 / "a.jsonl").write_text('{"id": 1, "v": null}\n')
+    (d2 / "b.jsonl").write_text('{"id": 2, "v": "x"}\n')
+    (d2 / "c.jsonl").write_text('{"id": 3, "v": 7}\n')
+    df2 = read_folder_union_by_name(spark, str(d2), fmt="jsonl")
+    assert sorted((r.id, r.v) for r in df2.collect()) == [
+        (1, None), (2, "x"), (3, "7"),
+    ]
+
+
 def test_json_first_record_type_conflict_fails_loudly(spark, tmp_path):
     """Files whose FIRST records already disagree on a shared key's
     primitive type land in different signature groups, and the final

@@ -579,6 +579,16 @@ def test_lakehouse_optimize_sort_by_validation(spark, tmp_path):
         t.optimize(sort_by="k", zorder_by=("k", "v"))
     with pytest.raises(ValueError, match="not in schema"):
         t.optimize(small_bytes=1 << 30, sort_by="nope")
+    # validation fires even when no compaction would proceed (r16
+    # review: the early-outs previously swallowed the typo as a silent
+    # None on an already-compact table), and an explicit empty list is
+    # a refused no-op, not a silent size-only bin-pack
+    t2 = TransactionalTable(spark, str(tmp_path / "one"))
+    t2.append(spark.createDataFrame([(1, 2)], "k long, v long"))
+    with pytest.raises(ValueError, match="not in schema"):
+        t2.optimize(sort_by="nope")  # 1 small file: would return None
+    with pytest.raises(ValueError, match="at least one column"):
+        t2.optimize(sort_by=[])
 
 
 def test_lakehouse_zorder_survives_cluster_by_policy(spark, tmp_path):
