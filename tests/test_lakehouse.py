@@ -1171,6 +1171,73 @@ def test_lakehouse_check_constraints(spark, tmp_path):
         t.drop_constraint("qty_pos")
 
 
+def test_lakehouse_stream_merge_survives_commit_marker_crash(spark, tmp_path):
+    """The REAL at-least-once window: the job dies AFTER the table
+    merge committed but BEFORE Structured Streaming wrote the epoch's
+    checkpoint commit marker. Simulated faithfully — run one epoch,
+    delete ``<ckpt>/commits/0`` (the marker the crash would have
+    lost, together with its local-FS checksum sidecar — leaving the
+    .crc behind makes the re-write trip FileAlreadyExists instead of
+    recovering), add a second file, restart on the SAME checkpoint.
+    Spark re-executes epoch 0 with the same epoch_id; the table's
+    ``(txn_app, 0)`` marker must no-op the replayed merge (no new
+    version, no duplicate rows) and epoch 1 must then apply
+    normally."""
+    import glob
+    import os
+
+    from data_finder_comparator_spark.streaming.pipeline import (
+        stream_merge_into_table,
+    )
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+
+    def stream():
+        return (
+            spark.readStream.schema("id long, k string")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], "id long, k string"
+    ).coalesce(1).write.parquet(str(src / "e0"))
+    t = stream_merge_into_table(
+        stream(), str(tmp_path / "tbl"), "id", "evt-job", str(ckpt)
+    )
+    assert t.current_version() == 1
+
+    # the crash: epoch 0's sink side effect is durable in the table,
+    # but its checkpoint commit marker is gone
+    markers = glob.glob(str(ckpt / "commits" / "0"))
+    assert markers, "expected epoch 0's commit marker"
+    os.remove(markers[0])
+    # the local FS keeps a Hadoop checksum sidecar; leaving it behind
+    # makes the marker's re-write trip FileAlreadyExists on the .crc
+    # (surfaced as a bogus concurrent-queries error) instead of
+    # exercising the recovery path
+    crc = ckpt / "commits" / ".0.crc"
+    if crc.exists():
+        os.remove(str(crc))
+
+    spark.createDataFrame(
+        [(2, "v2"), (3, "v2")], "id long, k string"
+    ).coalesce(1).write.parquet(str(src / "e1"))
+    t = stream_merge_into_table(
+        stream(), str(tmp_path / "tbl"), "id", "evt-job", str(ckpt)
+    )
+    # replayed epoch 0 no-ops via the txn marker; epoch 1 commits v2
+    assert t.current_version() == 2
+    ops = [m["op"] for m in t.history()]
+    assert ops == ["merge", "merge"]
+    assert {(r.id, r.k) for r in t.read().collect()} == {
+        (1, "v1"), (2, "v2"), (3, "v2"),
+    }
+
+
 def test_lakehouse_stream_merge_auto_optimize(spark, tmp_path):
     """auto_optimize_every=2 compacts after every 2nd epoch: the
     4-epoch stream ends with optimize commits interleaved, fewer live
