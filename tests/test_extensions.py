@@ -663,6 +663,80 @@ def test_json_null_first_record_is_a_type_wildcard(spark, tmp_path):
     ]
 
 
+def test_merge_null_wildcard_groups_properties():
+    """Pure-python properties of the signature-merge pass: every file
+    survives exactly once, merges never cross key sets, null-free
+    conflicting signatures never merge, and any two signatures that
+    end up together are connected through a chain of
+    null-compatible pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_finder_comparator_spark.sources.union import (
+        _merge_null_wildcard_groups,
+    )
+
+    keysets = [("a",), ("a", "b"), ("b", "c")]
+    classes = st.sampled_from(["num", "str", "bool", "null"])
+
+    @st.composite
+    def sig(draw):
+        ks = draw(st.sampled_from(keysets))
+        return ("json", tuple((k, draw(classes)) for k in ks))
+
+    @settings(max_examples=200, deadline=None)
+    @given(sigs=st.lists(sig(), min_size=1, max_size=6, unique=True))
+    def check(sigs):
+        groups = {s: [f"f{i}"] for i, s in enumerate(sigs)}
+        merged = _merge_null_wildcard_groups(groups)
+        # conservation: every file exactly once
+        flat = sorted(f for fs in merged.values() for f in fs)
+        assert flat == sorted(f for fs in groups.values() for f in fs)
+        # reconstruct membership: which original sigs merged together
+        by_file = {fs[0]: s for s, fs in groups.items()}
+        clusters = [
+            [by_file[f] for f in fs] for fs in merged.values()
+        ]
+
+        def keyset(s):
+            return tuple(k for k, _ in s[1])
+
+        def pair_ok(x, y):
+            return keyset(x) == keyset(y) and all(
+                cx == cy or "null" in (cx, cy)
+                for (_, cx), (_, cy) in zip(x[1], y[1])
+            )
+
+        for cl in clusters:
+            # no cross-keyset merges
+            assert len({keyset(s) for s in cl}) == 1
+            # connectivity through null-compatible edges (union-find
+            # semantics: transitive closure of pairwise compatibility)
+            if len(cl) > 1:
+                reached = {0}
+                frontier = [0]
+                while frontier:
+                    i = frontier.pop()
+                    for j in range(len(cl)):
+                        if j not in reached and pair_ok(cl[i], cl[j]):
+                            reached.add(j)
+                            frontier.append(j)
+                assert reached == set(range(len(cl))), cl
+        # null-free conflicting sigs must stay apart unless a null
+        # bridge connects them (covered by connectivity above); the
+        # direct check: two sigs with no null anywhere and different
+        # classes are never in the same cluster
+        for cl in clusters:
+            pure = [
+                s for s in cl if all(c != "null" for _, c in s[1])
+            ]
+            assert len({s[1] for s in pure}) <= 1 or any(
+                any(c == "null" for _, c in s[1]) for s in cl
+            )
+
+    check()
+
+
 def test_json_first_record_type_conflict_fails_loudly(spark, tmp_path):
     """Files whose FIRST records already disagree on a shared key's
     primitive type land in different signature groups, and the final
