@@ -1,0 +1,131 @@
+"""Real-media folder ingestion: ``binaryFile`` scan → the engine's
+multimodal shape.
+
+The multimodal operators (`operators/multimodal.py`) process opaque
+binary payloads + a typed metadata struct; their docstrings note that
+with real media "the payload would come off object storage via a
+binaryFile scan". This module IS that connector: a folder of media
+files becomes the standard ``(doc_id, path, payload, meta{mime,
+n_bytes})`` frame with one distributed ``binaryFile`` scan — mime
+derived from the extension JVM-side, ``doc_id`` a deterministic
+xxhash64 of the path (stable across re-scans of the same layout), no
+Python in the scan. ``media_decode`` then runs the stdlib container
+parsers (RIFF/WAVE PCM, P6 PPM — see ``decode_media``) over the REAL
+file bytes per Arrow batch.
+
+At 100 TB: binaryFile is a plain distributed source (each file one
+row, spark.sql.files.maxPartitionBytes batching small files per task);
+payload memory is bounded by Arrow batch size in the decode stage, and
+the scan carries only the requested columns (binaryFile supports
+``pathGlobFilter`` pruning at listing time).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# extension → mime for the formats a training pipeline meets; unknown
+# extensions map to application/octet-stream (the payload still flows —
+# refusing here would make a folder with one stray file unreadable;
+# the DECODE stage is where unsupported mimes refuse loudly)
+_EXT_MIME = {
+    "bmp": "image/bmp",
+    "flac": "audio/flac",
+    "gif": "image/gif",
+    "jpeg": "image/jpeg",
+    "jpg": "image/jpeg",
+    "mkv": "video/x-matroska",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "ogg": "audio/ogg",
+    "png": "image/png",
+    "ppm": "image/x-portable-pixmap",
+    "wav": "audio/wav",
+    "webm": "video/webm",
+}
+
+MEDIA_SCHEMA = (
+    "doc_id long, path string, payload binary, "
+    "meta struct<mime string, n_bytes long>"
+)
+
+DECODED_SCHEMA = "doc_id long, mime string, kind string, decoded string"
+
+
+def read_media_folder(
+    spark: SparkSession, folder: str, glob: str | None = None
+) -> DataFrame:
+    """One distributed ``binaryFile`` scan over *folder* in the
+    multimodal shape. ``glob`` prunes at LISTING time
+    (``pathGlobFilter`` — e.g. ``"*.wav"``), so excluded files are
+    never opened. Every expression is JVM-side; ``doc_id`` is
+    ``xxhash64(path)`` — deterministic and collision-checked by the
+    caller if paths are adversarial (2^64 space)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(folder)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.coalesce(
+                mapping.getItem(ext), F.lit("application/octet-stream")
+            ).alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Decode REAL container bytes through ``decode_media`` per Arrow
+    batch: each row's payload is parsed under its ``meta.mime``
+    (RIFF/WAVE PCM and P6 PPM have stdlib parsers; codec formats
+    refuse via ``NotImplementedError`` — the documented loud
+    boundary). Output is ``(doc_id, mime, kind, decoded)`` with
+    ``decoded`` the sorted-keys JSON of the decoder's dict, so wav and
+    ppm rows share one stable schema.
+
+    ``on_unsupported``: ``"error"`` (default) propagates the decoder's
+    refusal — a folder with an undecodable file fails loudly;
+    ``"skip"`` is the explicit opt-in for mixed folders, dropping
+    undecodable rows (never silent: it must be asked for). Null
+    payload/meta rows drop, as in every multimodal entry point."""
+    if on_unsupported not in ("error", "skip"):
+        raise ValueError(f"on_unsupported must be error|skip, got {on_unsupported!r}")
+    from ..operators.multimodal import _fanout_partitions, decode_media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "mime", "kind", "decoded")}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None or meta is None:
+                    continue
+                mime = meta["mime"] if isinstance(meta, dict) else meta.mime
+                try:
+                    d = decode_media(bytes(payload), mime)
+                except NotImplementedError:
+                    if on_unsupported == "skip":
+                        continue
+                    raise
+                rows["doc_id"].append(doc_id)
+                rows["mime"].append(mime)
+                rows["kind"].append(d.get("kind"))
+                rows["decoded"].append(json.dumps(d, sort_keys=True))
+            yield pd.DataFrame(rows)
+
+    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )

@@ -88,9 +88,13 @@ def read_folder_union_by_name(
         from .excel import read_excel
 
         return union_by_name([read_excel(spark, _xlsx_local(f)) for f in files])
-    # jsonl is an extension alias, not a registered source name — it
-    # reads through the json reader (previously crashed, r13 review)
-    src_fmt = "json" if fmt == "jsonl" else fmt
+    # extension aliases, not registered source names: jsonl reads
+    # through the json reader (previously crashed, r13 review), and
+    # txt through the text reader (one `value` column per line — the
+    # plain-text corpus folder an LLM pipeline ingests; schema is
+    # static, so no inference scan ever runs and the probe below is
+    # plan-only). hadoop_ls already accepts .txt.gz shards.
+    src_fmt = {"jsonl": "json", "txt": "text"}.get(fmt, fmt)
     # csv contract for the ad-hoc probe path: files carry a header row
     # (the reference's ingestion assumption) and types are inferred —
     # without these options header rows ingested as DATA rows and every

@@ -4035,6 +4035,79 @@ def test_ann_audit_lifecycle_driver_row(spark):
     assert (aged.pin_recall, aged.recall, cand.recall) == (0.948, 0.912, 0.816)
 
 
+def test_read_media_folder_binaryfile_connector(spark, tmp_path):
+    """The real-media connector (r16): a folder of actual container
+    files — spec-valid RIFF/WAVE and P6 PPM bytes on disk — scans
+    through ``binaryFile`` into the engine's multimodal shape
+    (doc_id/path/payload/meta), mime mapped from the extension
+    JVM-side, unknown extensions flowing as octet-stream (refusal
+    belongs to the DECODE stage), glob pruning at listing time, and
+    ``media_decode`` parsing the REAL file bytes per Arrow batch."""
+    import gzip
+    import json as _json
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+    from data_finder_comparator_spark.sources.media import (
+        media_decode,
+        read_media_folder,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    wav = synth_wav_payload(b"hello world payload bytes")
+    ppm = synth_ppm_payload(7, 4, 3)
+    (d / "a.wav").write_bytes(wav)
+    (d / "b.ppm").write_bytes(ppm)
+    (d / "notes.txt").write_text("not media\n")
+
+    df = read_media_folder(spark, str(d))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.wav"].meta.mime == "audio/wav"
+    assert rows["a.wav"].meta.n_bytes == len(wav)
+    assert bytes(rows["a.wav"].payload) == wav  # real file bytes
+    assert rows["b.ppm"].meta.mime == "image/x-portable-pixmap"
+    assert rows["notes.txt"].meta.mime == "application/octet-stream"
+    assert len({r.doc_id for r in rows.values()}) == 3  # distinct ids
+
+    # decode the REAL container bytes; undecodable rows refuse loudly
+    # by default, drop only under the explicit opt-in
+    with pytest.raises(Exception, match="codec libraries|NotImplemented"):
+        media_decode(df).collect()
+    dec = {
+        r.mime: _json.loads(r.decoded)
+        for r in media_decode(df, on_unsupported="skip").collect()
+    }
+    assert dec["audio/wav"]["n_samples"] == len(b"hello world payload bytes") // 2
+    assert dec["audio/wav"]["sample_rate_hz"] == 8000
+    assert dec["image/x-portable-pixmap"]["width"] == 4
+    assert dec["image/x-portable-pixmap"]["height"] == 3
+    assert dec["image/x-portable-pixmap"]["first_px"] == [7, 36, 65]
+
+    # listing-time pruning: the glob never opens excluded files
+    assert read_media_folder(spark, str(d), glob="*.wav").count() == 1
+    with pytest.raises(ValueError, match="error|skip"):
+        media_decode(df, on_unsupported="maybe")
+
+    # txt alias in the folder reader: plain-text corpus folders read
+    # through the text source (one `value` column, static schema — no
+    # inference scan), .txt.gz shards decompress transparently
+    from data_finder_comparator_spark.sources.union import (
+        read_folder_union_by_name,
+    )
+
+    t = tmp_path / "txt"
+    t.mkdir()
+    (t / "x.txt").write_text("line1\nline2\n")
+    with gzip.open(t / "y.txt.gz", "wt") as fh:
+        fh.write("line3\n")
+    tdf = read_folder_union_by_name(spark, str(t), fmt="txt")
+    assert tdf.columns == ["value"]
+    assert sorted(r.value for r in tdf.collect()) == ["line1", "line2", "line3"]
+
+
 @pytest.mark.parametrize("entry", ["features", "wav", "frames", "pcm", "ppm"])
 def test_multimodal_entry_points_drop_null_rows(spark, entry):
     """r14 verdict item 6: the null-struct/null-payload class that bit
