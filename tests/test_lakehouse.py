@@ -1171,6 +1171,58 @@ def test_lakehouse_check_constraints(spark, tmp_path):
         t.drop_constraint("qty_pos")
 
 
+def test_lakehouse_binary_media_payload_roundtrip(spark, tmp_path):
+    """Multimodal lakehouse integration: real media files ingested via
+    the binaryFile connector land in a TransactionalTable with their
+    binary payload and meta struct intact — append, point-MERGE an
+    updated payload (footer stats skip the binary/struct columns by
+    design, the long key still prunes), read back, and decode the
+    stored container bytes. Pins that the commit/write/read path is
+    byte-faithful for binary columns, not just scalar tables."""
+    import json as _json
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+    from data_finder_comparator_spark.sources.media import (
+        media_decode,
+        read_media_folder,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    wav = synth_wav_payload(b"0123456789abcdef")
+    (d / "a.wav").write_bytes(wav)
+    (d / "b.ppm").write_bytes(synth_ppm_payload(3, 5, 2))
+    src = read_media_folder(spark, str(d))
+
+    t = TransactionalTable(spark, str(tmp_path / "tbl"), bloom_col="doc_id")
+    t.append(src)
+    back = {r.path.rsplit("/", 1)[-1]: r for r in t.read().collect()}
+    assert bytes(back["a.wav"].payload) == wav  # byte-faithful storage
+    assert back["b.ppm"].meta.mime == "image/x-portable-pixmap"
+
+    # point-merge a re-encoded payload for one doc: binary + struct
+    # columns ride through the rewrite, the untouched doc carries over
+    wav2 = synth_wav_payload(b"zzzz9999zzzz9999zzzz")
+    delta = src.filter(F.col("path").endswith("a.wav")).withColumn(
+        "payload", F.lit(wav2)
+    )
+    t.merge(delta, "doc_id")
+    back2 = {r.path.rsplit("/", 1)[-1]: r for r in t.read().collect()}
+    assert bytes(back2["a.wav"].payload) == wav2
+    assert bytes(back2["b.ppm"].payload) == bytes(back["b.ppm"].payload)
+
+    # the stored bytes still decode as real containers
+    dec = {
+        r.mime: _json.loads(r.decoded)
+        for r in media_decode(t.read(), on_unsupported="skip").collect()
+    }
+    assert dec["audio/wav"]["n_samples"] == len(b"zzzz9999zzzz9999zzzz") // 2
+    assert dec["image/x-portable-pixmap"]["n_pixels"] == 10  # 5x2 raster
+
+
 def test_lakehouse_stream_merge_survives_commit_marker_crash(spark, tmp_path):
     """The REAL at-least-once window: the job dies AFTER the table
     merge committed but BEFORE Structured Streaming wrote the epoch's
