@@ -2804,23 +2804,26 @@ class TransactionalTable:
         sort_cols = (
             [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
         )
-        # validate sort_by UP FRONT, not only when a compaction
-        # proceeds: a typo'd column on an already-compact table would
-        # otherwise silently return None and surface only much later on
-        # a bigger table (r16 review). Same for an explicit empty list,
-        # which would silently degrade to a size-only bin-pack.
-        if sort_by is not None:
-            if not sort_cols:
-                raise ValueError("sort_by must name at least one column")
+        # validate the layout columns UP FRONT, not only when a
+        # compaction proceeds: a typo'd column on an already-compact
+        # table would otherwise silently return None and surface only
+        # much later on a bigger table (r16 review — and the same hole
+        # existed for zorder_by). Same for an explicit empty sort_by
+        # list, which would silently degrade to a size-only bin-pack.
+        layout_cols = sort_cols + list(zorder_by or ())
+        if sort_by is not None and not sort_cols:
+            raise ValueError("sort_by must name at least one column")
+        if layout_cols:
             v0, man0 = self.snapshot()
             if v0 > 0:
                 names = StructType.fromJson(
                     json.loads(man0["schema"])
                 ).fieldNames()
-                missing = [c for c in sort_cols if c not in names]
+                missing = [c for c in layout_cols if c not in names]
                 if missing:
                     raise ValueError(
-                        f"sort_by columns {missing} not in schema {names}"
+                        f"sort_by/zorder_by columns {missing} not in "
+                        f"schema {names}"
                     )
         for _ in range(max_retries):
             v, man = self.snapshot()

@@ -103,7 +103,7 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
     payload/meta rows drop, as in every multimodal entry point."""
     if on_unsupported not in ("error", "skip"):
         raise ValueError(f"on_unsupported must be error|skip, got {on_unsupported!r}")
-    from ..operators.multimodal import _fanout_partitions, decode_media
+    from ..operators.multimodal import decode_media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,6 +126,10 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
                 rows["decoded"].append(json.dumps(d, sort_keys=True))
             yield pd.DataFrame(rows)
 
-    return df.repartition(_fanout_partitions(df), F.col("doc_id")).mapInPandas(
-        run, schema=DECODED_SCHEMA
-    )
+    # NO fan-out repartition here, unlike the operators/multimodal.py
+    # entry points: those fabricate payloads from few-partition text
+    # frames and must spread the work, but a binaryFile scan is already
+    # file-parallel (maxPartitionBytes batches small files per task) —
+    # repartitioning would shuffle every media byte for nothing
+    # (r16 review)
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)

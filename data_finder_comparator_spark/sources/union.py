@@ -103,6 +103,12 @@ def read_folder_union_by_name(
     opts = {"header": "true", "inferSchema": "true"} if src_fmt == "csv" else {}
     if src_fmt in ("json", "csv"):
         return _read_inference_folder(spark, files, src_fmt, opts)
+    # text's schema is STATIC (value string) by construction: no
+    # heterogeneity to detect, so skip the probe pool entirely — a
+    # 100k-shard corpus is one multi-file scan with zero driver-side
+    # per-file reader constructions (r16 review)
+    if src_fmt == "text":
+        return spark.read.format("text").load(files)
 
     # format(...).load accepts a path LIST for every source; the
     # per-format reader methods differ (parquet(*paths) is varargs but
@@ -323,11 +329,13 @@ def _xlsx_local(f: str) -> str:
     return local
 
 
-# fmt="any" file routing: self-describing formats only. csv is
-# deliberately absent (header-vs-data is a caller contract — pass
-# fmt="csv" explicitly); .gz acceptance mirrors hadoop_ls (text
-# sources decompress transparently, containers do not).
-_MIXED_READERS = ("parquet", "orc", "json", "jsonl", "xlsx")
+# fmt="any" file routing: formats whose schema needs no caller
+# contract. csv is deliberately absent (header-vs-data is a caller
+# contract — pass fmt="csv" explicitly); txt routes through the text
+# source (static `value` column, null-filled against the other
+# frames' columns by the union). .gz acceptance mirrors hadoop_ls
+# (text sources decompress transparently, containers do not).
+_MIXED_READERS = ("parquet", "orc", "json", "jsonl", "xlsx", "txt", "text")
 
 
 def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
@@ -340,13 +348,16 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
     files = hadoop_ls(spark, folder, None)
     if not files:
         raise ValueError(f"no files in {folder}")
-    dfs, json_files, unknown = [], [], []
+    dfs, json_files, text_files, unknown = [], [], [], []
     for f in files:
         name = f.rsplit("/", 1)[-1].lower()
         base, gz = (name[:-3], True) if name.endswith(".gz") else (name, False)
         ext = base.rsplit(".", 1)[-1] if "." in base else ""
-        if gz and ext not in ("json", "jsonl"):
+        if gz and ext not in ("json", "jsonl", "txt", "text"):
             unknown.append(name)  # gzip wraps containers unreadably
+        elif ext in ("txt", "text"):
+            # static schema: batched into one text scan below
+            text_files.append(f)
         elif ext == "parquet":
             dfs.append(spark.read.parquet(f))
         elif ext == "orc":
@@ -365,9 +376,11 @@ def _read_mixed_folder(spark: SparkSession, folder: str) -> DataFrame:
     if unknown:
         raise ValueError(
             f"fmt='any' cannot route {sorted(unknown)} — supported "
-            f"extensions: {_MIXED_READERS} (+.gz for json/jsonl); csv "
-            "needs an explicit fmt='csv' call (header contract)"
+            f"extensions: {_MIXED_READERS} (+.gz for json/jsonl/txt); "
+            "csv needs an explicit fmt='csv' call (header contract)"
         )
     if json_files:
         dfs.append(_read_inference_folder(spark, json_files, "json", {}))
+    if text_files:
+        dfs.append(spark.read.format("text").load(text_files))
     return union_by_name(dfs)

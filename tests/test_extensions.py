@@ -4063,7 +4063,16 @@ def test_read_media_folder_binaryfile_connector(spark, tmp_path):
     (d / "b.ppm").write_bytes(ppm)
     (d / "notes.txt").write_text("not media\n")
 
+    from data_finder_comparator_spark.sources.media import MEDIA_SCHEMA
+
     df = read_media_folder(spark, str(d))
+    # the documented shape constant IS the output schema (names +
+    # types; nullability differs — struct() marks derived fields
+    # non-null where the DDL default is nullable)
+    assert (
+        df.schema.simpleString()
+        == spark.createDataFrame([], MEDIA_SCHEMA).schema.simpleString()
+    )
     rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
     assert rows["a.wav"].meta.mime == "audio/wav"
     assert rows["a.wav"].meta.n_bytes == len(wav)
@@ -4106,6 +4115,13 @@ def test_read_media_folder_binaryfile_connector(spark, tmp_path):
     tdf = read_folder_union_by_name(spark, str(t), fmt="txt")
     assert tdf.columns == ["value"]
     assert sorted(r.value for r in tdf.collect()) == ["line1", "line2", "line3"]
+
+    # ...and fmt="any" routes txt shards through the same text scan,
+    # null-filling `value` against the other formats' columns
+    (t / "z.json").write_text('{"id": 1}\n')
+    mixed = read_folder_union_by_name(spark, str(t), fmt="any")
+    assert sorted(mixed.columns) == ["id", "value"]
+    assert mixed.count() == 4
 
 
 @pytest.mark.parametrize("entry", ["features", "wav", "frames", "pcm", "ppm"])

@@ -589,6 +589,10 @@ def test_lakehouse_optimize_sort_by_validation(spark, tmp_path):
         t2.optimize(sort_by="nope")  # 1 small file: would return None
     with pytest.raises(ValueError, match="at least one column"):
         t2.optimize(sort_by=[])
+    # the same early-out hole existed for zorder_by (r16 review):
+    # a typo'd column must refuse even when no compaction would run
+    with pytest.raises(ValueError, match="not in schema"):
+        t2.optimize(zorder_by=("nope", "k"))
 
 
 def test_lakehouse_zorder_survives_cluster_by_policy(spark, tmp_path):
