@@ -449,3 +449,107 @@ def table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key").cast("long").alias("key_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 across formats in ONE folder (r17, the r16 verdict's item 5): the
+# ingestion shape scraped corpora actually arrive in — a parquet shard,
+# a jsonl shard, a plain-text shard, and a gzipped text shard side by
+# side. ``fmt="any"`` routes each file through its format's reader by
+# extension (parquet scan, ONE bounded-probe inference job for the
+# jsonl, ONE batched text scan for txt + txt.gz — never a per-file
+# inference scan), then aligns by name with null fill. The oracle
+# recomputes the union from the orders table: each shard is a
+# deterministic o_orderkey % 4 slice with its own projection, so a
+# hash match proves the routing, the null fill, AND losslessness of
+# every format's write+read. At 100 TB each format's member files
+# batch into that format's one distributed scan — job count is
+# O(formats), not O(files).
+# ---------------------------------------------------------------------------
+
+_MIXED_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderstatus,
+       CAST(NULL AS VARCHAR) AS value
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       o_orderstatus, CAST(NULL AS VARCHAR)
+FROM orders WHERE o_orderkey % 4 = 1
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), o_orderpriority
+FROM orders WHERE o_orderkey % 4 = 2
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), o_orderpriority
+FROM orders WHERE o_orderkey % 4 = 3
+"""
+
+
+def _move_single_part(tmp: str, suffix: str, dest: str) -> None:
+    """Move the one part file of a coalesce(1) Spark write into the
+    mixed folder under its format's extension. Loud if the write
+    produced anything but exactly one part — a silent glob pick would
+    drop data."""
+    parts = [f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")]
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one part file in {tmp}, got {parts}")
+    shutil.move(os.path.join(tmp, parts[0]), dest)
+    shutil.rmtree(tmp)
+
+
+@query("mixed_folder_any", oracle=_MIXED_ORACLE)
+def mixed_folder_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One mixed folder — orders.parquet + slice.jsonl + notes.txt +
+    notes2.txt.gz — read back through ``fmt="any"`` routing
+    (``sources/union.py:_read_mixed_folder``): per-extension reader
+    dispatch, batched jsonl inference, one text scan for both txt
+    shards (gzip transparent), union by name with null fill."""
+    import gzip
+
+    from ..sources.union import read_folder_union_by_name
+    from ..util import fresh_run_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = fresh_run_dir("mixed_folder", sf_dir)
+    os.makedirs(d)
+
+    pq = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.col("o_totalprice").cast("double"),
+    )
+    pq.coalesce(1).write.parquet(os.path.join(d, "_pq"))
+    _move_single_part(os.path.join(d, "_pq"), ".parquet", os.path.join(d, "orders.parquet"))
+
+    js = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus"
+    )
+    js.coalesce(1).write.json(os.path.join(d, "_js"))
+    _move_single_part(os.path.join(d, "_js"), ".json", os.path.join(d, "slice.jsonl"))
+
+    tx = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        F.col("o_orderpriority").alias("value")
+    )
+    tx.coalesce(1).write.text(os.path.join(d, "_tx"))
+    _move_single_part(os.path.join(d, "_tx"), ".txt", os.path.join(d, "notes.txt"))
+
+    # the gz shard comes out of Spark's own text writer with the gzip
+    # codec — distributed write, nothing through the driver
+    gz = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        F.col("o_orderpriority").alias("value")
+    )
+    gz.coalesce(1).write.option("compression", "gzip").text(os.path.join(d, "_gz"))
+    _move_single_part(os.path.join(d, "_gz"), ".txt.gz", os.path.join(d, "notes2.txt.gz"))
+
+    out = read_folder_union_by_name(spark, d, fmt="any")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.col("value").cast("string").alias("value"),
+    )

@@ -604,3 +604,128 @@ def pcm_resample_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_resample_features(
         attach_binary_payload(docs, "doc_id", "text"), rate_out=16000
     ).select("doc_id", "n_in", "n_out", "rate_in", "rate_out")
+
+
+# ---------------------------------------------------------------------------
+# Media binaryFile connector under the driver hash (r17, the r16
+# verdict's top item): a real folder of container files — spec-valid
+# RIFF/WAVE PCM and P6 PPM payloads synthesized from the documents
+# table's deterministic parameters — scanned by sources/media.py's one
+# distributed binaryFile scan, decoded by the stdlib parsers, and
+# projected to fields the DuckDB oracle RECOMPUTES from the same
+# parameter table (no golden literal):
+#   wav: n_bytes = 44-byte RIFF header + whole 16-bit samples;
+#        n_samples = octet_length(text) // 2; first_sample = int16 LE
+#        of the first two payload bytes = ascii(c1) + 256*ascii(c2)
+#        for the pure-ASCII corpus (same restatement as
+#        _WAV_DECODE_ORACLE).
+#   ppm: width/height are the documented id-derived dims (16 + id%7,
+#        12 + id%5); n_bytes = len("P6\n{w} {h}\n255\n") + 3*w*h;
+#        first red byte = (doc_id + 0*7 + 0*13 + 0*29) % 256.
+# The folder also carries a README.txt decoy: the scan's
+# pathGlobFilter must prune it at LISTING time, because if it ever
+# reached media_decode(on_unsupported="error") the row would raise on
+# its octet-stream mime — listing-time pruning is proven structurally
+# under the hash, not just in pytest.
+# Fixture synthesis is a bounded control-plane collect (24 short texts)
+# — the measured operators are the scan and the decode, both
+# distributed; at 100 TB the folder already exists on object storage.
+# ---------------------------------------------------------------------------
+
+_MEDIA_FOLDER_ORACLE = """
+WITH sel AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 2
+  ORDER BY doc_id
+  LIMIT 24
+),
+dims AS (
+  SELECT doc_id, text,
+         CAST(16 + doc_id % 7 AS BIGINT) AS w,
+         CAST(12 + doc_id % 5 AS BIGINT) AS h
+  FROM sel
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'audio/wav' AS mime,
+       'audio' AS kind,
+       CAST(44 + octet_length(encode(text)) // 2 * 2 AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate_hz,
+       CAST(ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) AS BIGINT)
+           AS first_sample,
+       CAST(NULL AS BIGINT) AS width,
+       CAST(NULL AS BIGINT) AS height,
+       CAST(NULL AS BIGINT) AS first_r
+FROM dims
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image/x-portable-pixmap' AS mime,
+       'image' AS kind,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+            AS BIGINT) AS n_bytes,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS BIGINT) AS sample_rate_hz,
+       CAST(NULL AS BIGINT) AS first_sample,
+       w AS width,
+       h AS height,
+       CAST(doc_id % 256 AS BIGINT) AS first_r
+FROM dims
+"""
+
+
+@query("media_folder_decode", oracle=_MEDIA_FOLDER_ORACLE)
+def media_folder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media binaryFile connector end to end (sources/media.py):
+    write a real media folder (24 wav + 24 ppm + a decoy txt), scan it
+    with ONE distributed binaryFile scan under a listing-time glob,
+    decode the container bytes with the stdlib parsers per Arrow
+    batch, and return decoded fields the oracle recomputes from the
+    synth parameters. The decoy proves glob pruning structurally:
+    ``on_unsupported="error"`` would raise if it reached the decoder."""
+    import os
+
+    from ..operators.multimodal import synth_ppm_payload, synth_wav_payload
+    from ..sources.media import media_decode, read_media_folder
+    from ..util import fresh_run_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = (
+        docs.filter(F.octet_length("text") >= 2)
+        .orderBy("doc_id")
+        .limit(24)
+        .select("doc_id", "text")
+        .collect()  # bounded fixture synthesis (24 rows), not a data path
+    )
+    d = fresh_run_dir("media_folder", sf_dir)
+    os.makedirs(d)
+    for r in sel:
+        i = int(r["doc_id"])
+        with open(os.path.join(d, f"doc_{i}.wav"), "wb") as f:
+            f.write(synth_wav_payload(r["text"].encode("utf-8")))
+        with open(os.path.join(d, f"img_{i}.ppm"), "wb") as f:
+            f.write(synth_ppm_payload(i, 16 + i % 7, 12 + i % 5))
+    with open(os.path.join(d, "README.txt"), "w") as f:
+        f.write("decoy: the scan's glob must prune this at listing time\n")
+
+    scan = read_media_folder(spark, d, glob="*.{wav,ppm}")
+    decoded = media_decode(scan)  # "error": a decoy reaching here raises
+    meta = scan.select("doc_id", "path", F.col("meta.n_bytes").alias("n_bytes"))
+
+    def j(field: str):
+        return F.get_json_object("decoded", field)
+
+    return decoded.join(F.broadcast(meta), "doc_id").select(
+        F.regexp_extract("path", r"_(\d+)\.(wav|ppm)$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "mime",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        j("$.n_samples").cast("long").alias("n_samples"),
+        j("$.sample_rate_hz").cast("long").alias("sample_rate_hz"),
+        j("$.first_sample").cast("long").alias("first_sample"),
+        j("$.width").cast("long").alias("width"),
+        j("$.height").cast("long").alias("height"),
+        j("$.first_px[0]").cast("long").alias("first_r"),
+    )
