@@ -155,7 +155,11 @@ def _built_merge_table(spark: SparkSession, sf_dir: str) -> str:
         t.read().filter(F.col("o_orderkey").between(400, 900)).select("o_orderkey"),
         "o_orderkey",
     )
-    assert t.current_version() == 3  # append, merge, delete
+    if t.current_version() != 3:  # append, merge, delete
+        # RuntimeError, not assert: stripped under `python -O` (r16)
+        raise RuntimeError(
+            f"merge-table build expected v3, got v{t.current_version()}"
+        )
     _MERGE_TABLES[sf_dir] = path
     return path
 
@@ -205,7 +209,11 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     path = _built_merge_table(spark, sf_dir)
     _register_datasource(spark)
     snap = spark.read.format("lakehouse").load(path)
-    assert {"_version", "_commit_op"} <= set(snap.columns)
+    if not {"_version", "_commit_op"} <= set(snap.columns):
+        # RuntimeError, not assert: stripped under `python -O` (r16)
+        raise RuntimeError(
+            f"provenance columns missing from DSv2 snapshot: {snap.columns}"
+        )
     return snap.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -281,7 +289,9 @@ def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(base.filter(F.col("o_orderkey") % 4 == 2))  # v4
     t.append(base.filter(F.col("o_orderkey") % 4 == 3))  # v5
     t.expire_snapshots(keep_last=1)  # checkpoints at head, deletes 1..4
-    assert not t._object_exists(t._manifest_rel(4)), "expiry must cut v4"
+    if t._object_exists(t._manifest_rel(4)):
+        # RuntimeError, not assert: stripped under `python -O` (r16)
+        raise RuntimeError("expiry must cut v4 before the refusal probe")
     _register_datasource(spark)
 
     # dirty-history refusal probe: a fresh full stream must fail loudly
@@ -299,7 +309,11 @@ def lakehouse_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.awaitTermination()
     except Exception:
         refused = True
-    assert refused, "fresh stream over expired+dirty history must refuse"
+    if not refused:
+        # RuntimeError, not assert: stripped under `python -O` (r16)
+        raise RuntimeError(
+            "fresh stream over expired+dirty history must refuse"
+        )
 
     out = (
         spark.readStream.format("lakehouse")
@@ -415,7 +429,9 @@ def lakehouse_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     for i in range(6):
         t.append(base.filter(F.col("o_orderkey") % 6 == i), n_out=2)
     n_before = len(t.snapshot()[1]["files"])
-    assert n_before == 12
+    if n_before != 12:
+        # RuntimeError, not assert: stripped under `python -O` (r16)
+        raise RuntimeError(f"expected 12 pre-optimize files, got {n_before}")
 
     fired = {"n": 0}
 

@@ -2804,29 +2804,35 @@ class TransactionalTable:
         sort_cols = (
             [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
         )
-        # validate the layout columns UP FRONT, not only when a
-        # compaction proceeds: a typo'd column on an already-compact
-        # table would otherwise silently return None and surface only
-        # much later on a bigger table (r16 review — and the same hole
-        # existed for zorder_by). Same for an explicit empty sort_by
-        # list, which would silently degrade to a size-only bin-pack.
+        # an explicit empty sort_by list would silently degrade to a
+        # size-only bin-pack (r16 review)
         layout_cols = sort_cols + list(zorder_by or ())
         if sort_by is not None and not sort_cols:
             raise ValueError("sort_by must name at least one column")
-        if layout_cols:
-            v0, man0 = self.snapshot()
-            if v0 > 0:
-                names = StructType.fromJson(
-                    json.loads(man0["schema"])
-                ).fieldNames()
-                missing = [c for c in layout_cols if c not in names]
-                if missing:
-                    raise ValueError(
-                        f"sort_by/zorder_by columns {missing} not in "
-                        f"schema {names}"
-                    )
+
+        def _validate_layout(man0: dict) -> None:
+            names = StructType.fromJson(
+                json.loads(man0["schema"])
+            ).fieldNames()
+            missing = [c for c in layout_cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"sort_by/zorder_by columns {missing} not in "
+                    f"schema {names}"
+                )
+        # validation runs against EVERY snapshot seen, not only when a
+        # compaction proceeds: a typo'd column on an already-compact
+        # table must raise, not silently return None (r16 review). The
+        # one unvalidatable case is a table that STAYS at v0 for the
+        # whole retry loop — no schema has ever been committed, so
+        # there is nothing to check names against and the call is the
+        # documented no-op; a commit landing mid-loop gets validated
+        # the moment its schema appears (r16 ADVICE: the hole had just
+        # moved to the empty-table case).
         for _ in range(max_retries):
             v, man = self.snapshot()
+            if v > 0 and layout_cols:
+                _validate_layout(man)
             if v == 0:
                 return None
             all_stats = man.get("stats") or {}

@@ -909,8 +909,10 @@ class _StreamWriter(DataSourceStreamArrowWriter):
 class LakehouseDataSource(DataSource):
     """``spark.dataSource.register(LakehouseDataSource)`` then
     ``spark.read.format("lakehouse")`` / ``spark.readStream.format(
-    "lakehouse")``. Options: ``path`` (required), ``version`` (batch
-    time travel), ``startingVersion`` / ``startingTimestamp`` (stream
+    "lakehouse")``. Options: ``path`` (required), ``version`` /
+    ``timestampAsOf`` (batch time travel — explicit version, or UNIX
+    time resolved by ``version_at``'s at-or-before rule; mutually
+    exclusive), ``startingVersion`` / ``startingTimestamp`` (stream
     start — exclusive version, or UNIX time resolved via the same
     rule as TIMESTAMP AS OF; default 0 = from the beginning),
     ``ignoreChanges`` (stream past non-append commits,
@@ -939,16 +941,31 @@ class LakehouseDataSource(DataSource):
         the same snapshot, or a commit landing between load() and an
         action would crash the read on schema drift — or silently
         return rows from a newer version than the declared schema
-        (r11 review finding 4)."""
+        (r11 review finding 4).
+
+        ``timestampAsOf`` (r17, the r16 verdict's item 3) is the
+        Delta-compatible batch time travel companion to ``version``:
+        a UNIX timestamp resolved through ``version_at``'s at-or-before
+        rule (newest live manifest committed at or before the instant —
+        checkpoint-assisted, O(interval + log history), never a full
+        history walk). Resolution happens HERE so the pin covers plan
+        AND read like an explicit version; passing both options is
+        ambiguous and refuses."""
         if not hasattr(self, "_resolved_version"):
             version = self.options.get("version")
-            self._resolved_version = (
-                int(version)
-                if version is not None
-                else _table(
+            ts = self.options.get("timestampAsOf")
+            if version is not None and ts is not None:
+                raise ValueError("pass version OR timestampAsOf, not both")
+            if ts is not None:
+                self._resolved_version = _table(
+                    self._path(), self._table_store_spec()
+                ).version_at(float(ts))
+            elif version is not None:
+                self._resolved_version = int(version)
+            else:
+                self._resolved_version = _table(
                     self._path(), self._table_store_spec()
                 ).current_version()
-            )
         return self._resolved_version
 
     def schema(self) -> StructType:

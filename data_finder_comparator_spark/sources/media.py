@@ -80,7 +80,10 @@ def read_media_folder(
         F.col("content").alias("payload"),
         F.struct(
             F.coalesce(
-                mapping.getItem(ext), F.lit("application/octet-stream")
+                # try_element_at: NULL (not an ANSI key error) for an
+                # unknown extension, so the coalesce falls through
+                F.try_element_at(mapping, ext),
+                F.lit("application/octet-stream"),
             ).alias("mime"),
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),

@@ -58,7 +58,7 @@ def hadoop_ls(spark: SparkSession, folder: str, suffix: str | None = None) -> li
 
 
 def read_folder_union_by_name(
-    spark: SparkSession, folder: str, fmt: str = "parquet"
+    spark: SparkSession, folder: str, fmt: str = "parquet", schema=None
 ) -> DataFrame:
     """Read every file in *folder* and union by name.
 
@@ -68,6 +68,18 @@ def read_folder_union_by_name(
     ``fmt="any"`` dispatches a MIXED folder per file extension
     (see ``_read_mixed_folder``).
 
+    ``schema`` (DDL string or StructType, r16 ADVICE) is the
+    schema-knowing caller's escape hatch from the inference pass: the
+    folder reads as ONE multi-file scan under the declared schema —
+    zero probes, zero inference jobs, each byte read exactly once —
+    while keeping the folder API's listing and extension aliasing.
+    Semantics under a schema: json null-fills missing keys and
+    coerces per Spark's schema read (deliberate — the caller declared
+    the types); csv maps COLUMNS POSITIONALLY (Spark's schema'd csv
+    read), so heterogeneous header orders need the inference path.
+    Refused for ``fmt="any"`` (a mixed folder has per-format shapes
+    by design) and ``xlsx`` (stdlib codec infers from cells).
+
     Probe cost: the self-describing columnar formats (parquet/orc)
     probe every file on a driver thread pool — each probe is a footer
     READ, metadata-priced at any file size, so exhaustive
@@ -76,6 +88,8 @@ def read_folder_union_by_name(
     first-line signatures bound the job count to one distributed
     inference job per schema group (see its docstring for the
     inference-pass cost contract and the loss-free guarantees)."""
+    if schema is not None and fmt in ("any", "xlsx"):
+        raise ValueError(f"schema= is not supported with fmt={fmt!r}")
     if fmt == "any":
         return _read_mixed_folder(spark, folder)
     files = hadoop_ls(spark, folder, f".{fmt}")
@@ -101,6 +115,14 @@ def read_folder_union_by_name(
     # column arrived as string (r13 review). Callers with headerless
     # csv read explicitly with their own options.
     opts = {"header": "true", "inferSchema": "true"} if src_fmt == "csv" else {}
+    if schema is not None:
+        # the declared schema replaces both the probe pool and the
+        # inference job: one multi-file scan, one pass over the bytes
+        if src_fmt == "csv":
+            opts.pop("inferSchema")
+        return (
+            spark.read.format(src_fmt).options(**opts).schema(schema).load(files)
+        )
     if src_fmt in ("json", "csv"):
         return _read_inference_folder(spark, files, src_fmt, opts)
     # text's schema is STATIC (value string) by construction: no
@@ -177,8 +199,9 @@ def _read_inference_folder(
     second pass is the price of loss-free schemas (the r15
     representative-file shortcut read each group's bytes once but
     silently dropped later-record keys); callers who know their
-    schema skip it entirely by reading directly with an explicit
-    ``spark.read.schema(...)``.
+    schema skip it entirely — keeping the folder API's listing and
+    aliasing — via ``read_folder_union_by_name(..., schema=...)``
+    (r16 ADVICE).
 
     Heterogeneity is DETECTED from each file's first line — a
     bounded driver-side read (header row for csv, first record's key
@@ -200,14 +223,20 @@ def _read_inference_folder(
 
     Contract note: json signatures carry the first record's
     primitive-type classes, so files whose FIRST records already
-    disagree on a shared key's type land in different groups and the
-    final ``unionByName`` refuses the int-vs-string column LOUDLY —
-    the old exhaustive-probe behavior. Type drift visible only in
-    later records is widened by the group inference as above (data
-    preserved, stringly) rather than crashing. A file whose first
-    line is unreadable as a signature (empty file, non-record JSON)
-    falls back to its own single-file inference read, preserving the
-    old per-file semantics for exactly the files that need them."""
+    disagree on a shared key's type land in different groups — and
+    the pre-union check below refuses the conflict STRUCTURALLY at
+    plan time (r16 ADVICE: ``unionByName`` alone coerces the string
+    side to the numeric type, so numeric-parseable strings slipped
+    through silently and only non-castable values raised, at action
+    time, data-dependently). Numeric widening (int/long vs
+    float/double) stays allowed — it is loss-free and was always the
+    union's behavior. Type drift visible only in later records is
+    widened by the group inference as above (data preserved,
+    stringly) rather than crashing. A file whose first line is
+    unreadable as a signature (empty file, non-record JSON) falls
+    back to its own single-file inference read, preserving the old
+    per-file semantics for exactly the files that need them — the
+    structural conflict check covers those frames too."""
     import json as _json
 
     def _jclass(v) -> str:
@@ -272,7 +301,37 @@ def _read_inference_folder(
     dfs.extend(
         spark.read.format(src_fmt).options(**opts).load(f) for f in oddballs
     )
+    _refuse_cross_group_type_conflicts(dfs)
     return union_by_name(dfs)
+
+
+# numeric widening is loss-free and has always been the union's
+# coercion; everything else (string vs numeric/bool, nested vs atomic)
+# is the data-dependent cast the structural check refuses
+_WIDENABLE = frozenset(("tinyint", "smallint", "int", "bigint", "float", "double"))
+
+
+def _refuse_cross_group_type_conflicts(dfs: list[DataFrame]) -> None:
+    """Refuse same-name columns whose inferred types conflict ACROSS
+    the signature-group frames (r16 ADVICE): left to ``unionByName``,
+    Spark coerces the string side toward the numeric type, so a
+    numeric-parseable string column ("123") unions silently and only a
+    non-castable value raises — at ACTION time, data-dependently. A
+    plan-time structural error names the column and both types instead.
+    Callers who want the coercion say so with an explicit
+    ``schema=`` (see ``read_folder_union_by_name``)."""
+    seen: dict[str, set[str]] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            seen.setdefault(f.name, set()).add(f.dataType.simpleString())
+    for name, types in sorted(seen.items()):
+        if len(types) > 1 and not types <= _WIDENABLE:
+            raise ValueError(
+                f"folder schema conflict on column {name!r}: files' first "
+                f"records disagree on its type ({sorted(types)}); pass an "
+                "explicit schema= to read_folder_union_by_name to coerce "
+                "deliberately"
+            )
 
 
 def _merge_null_wildcard_groups(

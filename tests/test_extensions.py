@@ -739,20 +739,86 @@ def test_merge_null_wildcard_groups_properties():
 
 def test_json_first_record_type_conflict_fails_loudly(spark, tmp_path):
     """Files whose FIRST records already disagree on a shared key's
-    primitive type land in different signature groups, and the final
-    union refuses the int-vs-string column LOUDLY (here: Spark's union
-    coercion casts the string side to bigint and a non-numeric value
-    raises CAST_INVALID_INPUT at read time) — never a silent
-    PERMISSIVE null."""
+    primitive type land in different signature groups, and the union
+    refuses the conflict STRUCTURALLY at plan time (r16 ADVICE: the
+    previous reliance on Spark's union coercion was data-dependent —
+    a numeric-parseable string like "123" coerced silently and only
+    non-castable values raised, at action time) — never a silent
+    PERMISSIVE null, and never a value-dependent pass."""
     from data_finder_comparator_spark.sources.union import read_folder_union_by_name
 
     d = tmp_path / "conflict"
     d.mkdir()
     (d / "a.jsonl").write_text('{"id": 1, "v": 1}\n')
     (d / "b.jsonl").write_text('{"id": 2, "v": "not-a-number"}\n')
-    df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
-    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast|compatible"):
-        df.collect()
+    with pytest.raises(ValueError, match="folder schema conflict on column 'v'"):
+        read_folder_union_by_name(spark, str(d), fmt="jsonl")
+
+    # the data-dependent hole the structural check closes: a
+    # numeric-PARSEABLE string previously coerced to bigint silently
+    d2 = tmp_path / "parseable"
+    d2.mkdir()
+    (d2 / "a.jsonl").write_text('{"id": 1, "v": 1}\n')
+    (d2 / "b.jsonl").write_text('{"id": 2, "v": "123"}\n')
+    with pytest.raises(ValueError, match="folder schema conflict on column 'v'"):
+        read_folder_union_by_name(spark, str(d2), fmt="jsonl")
+
+
+def test_folder_schema_escape_hatch(spark, tmp_path):
+    """r16 ADVICE: schema= skips the inference pass (each byte read
+    once) while keeping folder semantics — json null-fills missing
+    keys under the declared schema, the declared types make the
+    conflict-coercion DELIBERATE, csv maps positionally, and the
+    unsupported fmts refuse."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "jf"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "v": 1}\n{"id": 2}\n')
+    (d / "b.jsonl").write_text('{"id": 3, "v": "123", "extra": true}\n')
+    df = read_folder_union_by_name(
+        spark, str(d), fmt="jsonl", schema="id long, v string, extra boolean"
+    )
+    assert sorted((r.id, r.v, r.extra) for r in df.collect()) == [
+        (1, "1", None),
+        (2, None, None),
+        (3, "123", True),
+    ]
+
+    c = tmp_path / "cf"
+    c.mkdir()
+    (c / "a.csv").write_text("id,v\n1,10\n")
+    (c / "b.csv").write_text("id,v\n2,20\n")
+    cdf = read_folder_union_by_name(spark, str(c), fmt="csv", schema="id long, v long")
+    assert {f.name: f.dataType.simpleString() for f in cdf.schema.fields} == {
+        "id": "bigint",
+        "v": "bigint",
+    }
+    assert sorted((r.id, r.v) for r in cdf.collect()) == [(1, 10), (2, 20)]
+
+    with pytest.raises(ValueError, match="not supported"):
+        read_folder_union_by_name(spark, str(d), fmt="any", schema="id long")
+    with pytest.raises(ValueError, match="not supported"):
+        read_folder_union_by_name(spark, str(d), fmt="xlsx", schema="id long")
+
+
+def test_csv_cross_group_numeric_widening_still_allowed(spark, tmp_path):
+    """The structural conflict check refuses only unsafe coercions:
+    int-vs-double on the same name ACROSS header groups is loss-free
+    numeric widening and must keep working (the union's historical
+    behavior)."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "wf"
+    d.mkdir()
+    (d / "a.csv").write_text("a,b\n1,2\n")
+    (d / "b.csv").write_text("b,a\n1.5,3\n")  # different header order
+    df = read_folder_union_by_name(spark, str(d), fmt="csv")
+    assert {f.name: f.dataType.simpleString() for f in df.schema.fields} == {
+        "a": "int",
+        "b": "double",
+    }
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, 2.0), (3, 1.5)]
 
 
 def test_csv_group_inference_merges_types_across_files(spark, tmp_path):

@@ -593,6 +593,12 @@ def test_lakehouse_optimize_sort_by_validation(spark, tmp_path):
     # a typo'd column must refuse even when no compaction would run
     with pytest.raises(ValueError, match="not in schema"):
         t2.optimize(zorder_by=("nope", "k"))
+    # the one unvalidatable boundary (r16 ADVICE): a table that has
+    # never committed (v0) has NO schema to check names against — the
+    # call is the documented no-op; validation fires the moment a
+    # schema exists (covered above on the 1-commit table)
+    t3 = TransactionalTable(spark, str(tmp_path / "empty"))
+    assert t3.optimize(sort_by="anything") is None
 
 
 def test_lakehouse_zorder_survives_cluster_by_policy(spark, tmp_path):
@@ -3697,3 +3703,42 @@ def test_timestamp_resolvers_match_brute_walk_under_cap_and_expiry(
             # both must stay strictly below the oldest live version
             # (never skip it)
             assert 0 <= got < min(live), (instant, got)
+
+
+def test_lakehouse_datasource_batch_timestamp_as_of(spark, tmp_path):
+    """r17 (r16 verdict item 3): batch DSv2 time travel by TIMESTAMP —
+    .option("timestampAsOf", <unix ts>) resolves through version_at's
+    at-or-before rule at PLAN time (schema and rows both come from the
+    resolved snapshot), pre-history instants refuse, and combining it
+    with an explicit version refuses."""
+    import time as _time
+
+    _register_lakehouse_source(spark)
+    p = str(tmp_path / "tbl")
+    t = TransactionalTable(spark, p)
+    before = _time.time() - 1.0
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    mid = _time.time()
+    _time.sleep(0.01)
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(2, "b")], "id long, w string"))
+
+    old = spark.read.format("lakehouse").option("timestampAsOf", mid).load(p)
+    # v1's schema (pre-rename) and v1's single row
+    assert old.columns == ["id", "v", "_version", "_commit_op"]
+    assert sorted((r.id, r.v) for r in old.collect()) == [(1, "a")]
+
+    now = spark.read.format("lakehouse").option(
+        "timestampAsOf", _time.time()
+    ).load(p)
+    assert now.columns == ["id", "w", "_version", "_commit_op"]
+    assert sorted((r.id, r.w) for r in now.collect()) == [(1, "a"), (2, "b")]
+
+    with pytest.raises(Exception, match="no snapshot"):
+        spark.read.format("lakehouse").option("timestampAsOf", before).load(
+            p
+        ).collect()
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("lakehouse").option("timestampAsOf", mid).option(
+            "version", 1
+        ).load(p).collect()
