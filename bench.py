@@ -22,133 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_finder_comparator_spark.plans.catalog import QUERIES  # noqa: E402
 from data_finder_comparator_spark.session import get_spark  # noqa: E402
 
-# Headline set: flagship + the scale-sensitive operators. Extend as
-# operators land; keep stable across rounds for comparability.
-HEADLINE = [
-    "fuzzy_join_tiers",
-    "fuzzy_join_docs",
-    "fuzzy_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "topk_orders_per_priority",
-    "sessionize_events",
-    "asof_latest_order",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "fuzzy_tier_assembly",
-    "text_quality_signals",
-    "doc_repetition",
-    "vocab_top_tokens",
-    "doc_fingerprints",
-    "multimodal_features",
-    "streaming_window_counts",
-    # round 2 additions (r1 set above unchanged for comparability)
-    "alignment_pairs",
-    "streaming_watermarked_counts",
-    "salted_segment_stats",
-    "excel_folder_roundtrip",
-    "csv_folder_roundtrip",
-    "multimodal_frame_sample",
-    "streaming_first_seen",
-    "ann_sq8_rerank_topk",
-    "corpus_curation_pipeline",
-    "bucketed_order_revenue",
-    "dedup_clusters",
-    "purchase_window_stats",
-    "streaming_purchase_attribution",
-    "props_json_stats",
-    "stratified_sample",
-    "table_version_diff",
-    "ivf_kmeans_centroids",
-    "tfidf_top_terms",
-    "session_type_cooccurrence",
-    "lang_robust_length_stats",
-    "doc_token_chunks",
-    "decontaminate_overlap",
-    "pii_redaction",
-    # round 4 additions
-    "streaming_session_counts",
-    "streaming_enriched_segments",
-    "multimodal_wav_decode",
-    "deterministic_shuffle",
-    "sequence_packing",
-    # round 5 additions
-    "alignment_dist",
-    "streaming_fuzzy_tiers",
-    "line_dedup_stats",
-    "source_domain_caps",
-    "mixture_token_budget",
-    "duplicate_spans",
-    "orc_folder_roundtrip",
-    "partitioned_lang_roundtrip",
-    "event_funnel",
-    "streaming_dedup_events",
-    "hourly_gapfill",
-    "orders_grouping_sets",
-    "hll_distinct_sketch",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "rolling_user_activity",
-    "histogram_quantiles",
-    # round 6 additions
-    "hll_merge_shards",
-    # round 7 additions (grouped_histogram_quantiles and
-    # bloom_merge_shards retired to the pytest-only registry in r13 —
-    # displaced by the code-changed returns excel_folder_roundtrip /
-    # lakehouse_datasource_snapshot per the rotation rule)
-    "scrub_hot_spans",
-    "cluster_canonical",
-    "grouped_hll_by_lang",
-    "inverted_index",
-    "pcm_resample_layout",
-    # round 8 additions (the registry's final three — saturation bound)
-    "gram_tfidf_cosine_topk",
-    "weighted_reservoir_sample",
-    # round 11 additions (registry grew 99 -> 101 on verdict orders)
-    "lakehouse_merge_roundtrip",
-    # round 12: registry back to its sustainable 99 — four variants
-    # retired to the pytest-only registry (cms_merge_shards,
-    # hll_register_stream, events_cube dropped from this list;
-    # fuzzy_join_docs_band was never listed here), two verdict-ordered
-    # net-new registrations added
-    "lakehouse_datasource_snapshot",
-    "semantic_dedup",
-    # round 13: the build-in-query ANN forms (ivf_pq_topk,
-    # ann_lsh_topk — the former previously listed here) retired to the
-    # pytest-only registry; their driver slots and headline entries
-    # now carry the persisted-index build+serve roundtrips
-    "ivf_pq_build_serve_roundtrip",
-    "ann_lsh_build_serve_roundtrip",
-    # r13: the DSv2 filter-pushdown reader's driver row
-    "lakehouse_pushdown_snapshot",
-    # r14: the DSv2 STREAM source's driver row (checkpoint-accelerated
-    # catch-up below the expiry cutoff + the dirty-history refusal)
-    "lakehouse_stream_roundtrip",
-    # r15: the maintenance plane (optimize raced vs delete + expiry +
-    # vacuum), the ANN freshness lifecycle, and the three free-slot
-    # rows (CDC feed, additive schema evolution, restore)
-    "lakehouse_maintenance_roundtrip",
-    "ann_audit_lifecycle",
-    "lakehouse_cdc_changes",
-    "lakehouse_schema_evolution",
-    "lakehouse_restore_roundtrip",
-    # r16: exactly-once streaming ingest INTO the lakehouse, and
-    # clustered compaction with the planned-files skipping proof
-    "lakehouse_stream_ingest",
-    "lakehouse_clustered_compaction",
-]
+# r17 (r16 verdict item 4): the bench list IS the registry. The old
+# curated list silently skipped 12 registered rows — including
+# json_folder_roundtrip, whose cost profile changed in r16 (the
+# loss-free inference probe's second pass) without ever being
+# measured. Deriving from QUERIES means a registered row can never be
+# cost-invisible again; rows that genuinely cannot bench must be named
+# (with the reason) in BENCH_OPT_OUT, which is empty today. Retired
+# queries leave the bench with their registry slot, as before.
+BENCH_OPT_OUT: dict[str, str] = {}  # name -> reason; every entry is a skip
+
+HEADLINE = [n for n in QUERIES if n not in BENCH_OPT_OUT]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark(app_name="bench")
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = list(HEADLINE)
     extra = [n for n in sorted(QUERIES) if n not in HEADLINE]
     names += [n for n in extra if os.environ.get("SPARK_GRAFT_BENCH_ALL")]
 

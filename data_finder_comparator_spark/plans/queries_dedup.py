@@ -206,7 +206,12 @@ WHERE inter_n * 4 >= (sa.n + sb.n - inter_n) * 1
 """
 
 
-@query("dedup_ngram_jaccard_capped", oracle=_JACCARD_CAPPED_ORACLE)
+# RETIRED r17 (capacity, r16 verdict item 7): the df-capped variant of
+# dedup_ngram_jaccard — same shingle/Jaccard semantics, the cap is the
+# scale escape hatch. The operator keeps driver evidence through
+# dedup_ngram_jaccard itself; the capped path stays hash-checked here
+# on every pytest run. Its slot carries media_folder_decode.
+@retired_query("dedup_ngram_jaccard_capped", oracle=_JACCARD_CAPPED_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import drop_hot_shingles
 
@@ -664,7 +669,12 @@ FROM e
 """
 
 
-@query("grouped_hll_by_lang", oracle=_GROUPED_HLL_ORACLE)
+# RETIRED r17 (capacity, r16 verdict item 7): the grouped strategy
+# variant of the HLL sketch — hll_merge_shards keeps the sketch algebra
+# (shard build + register-wise merge) under driver evidence; the
+# grouped form stays hash-checked here on every pytest run. Its slot
+# carries mixed_folder_any.
+@retired_query("grouped_hll_by_lang", oracle=_GROUPED_HLL_ORACLE)
 def grouped_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HLL distinct-text estimate: same 2^50 integer-scaled
     register arithmetic as hll_distinct_sketch, grouped on lang at
