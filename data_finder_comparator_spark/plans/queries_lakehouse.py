@@ -203,11 +203,34 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     listing), pyarrow worker-side reads honoring the physical column
     mapping, version pinning at plan time, and the ``_version`` /
     ``_commit_op`` provenance columns (asserted present, then projected
-    away to match the shared oracle). At 100 TB the plan is the same:
-    planning cost is manifest size, read cost is only the snapshot's
-    live files, and workers never touch the commit log."""
+    away to match the shared oracle). r17 adds the batch
+    ``timestampAsOf`` option (verdict item 3) to the exercised
+    surface: a read AT v2's exact commit timestamp must resolve to v2
+    (``version_at``'s at-or-before boundary — the newest commit at or
+    before the instant, not the v3 delete that follows it), matching
+    the engine reader's own version-2 row count — gated by
+    RuntimeError so a mis-resolution fails the row rather than
+    reading the wrong snapshot silently. At 100 TB the plan is the
+    same: planning cost is manifest size, read cost is only the
+    snapshot's live files, and workers never touch the commit log."""
+    from ..sinks.lakehouse import TransactionalTable
+
     path = _built_merge_table(spark, sf_dir)
     _register_datasource(spark)
+    t = TransactionalTable(spark, path)
+    ts2 = t.snapshot(2)[1]["ts"]
+    n_asof = (
+        spark.read.format("lakehouse")
+        .option("timestampAsOf", ts2)
+        .load(path)
+        .count()
+    )
+    n_v2 = t.read(version=2).count()
+    if n_asof != n_v2:
+        raise RuntimeError(
+            f"timestampAsOf(v2 commit instant) read {n_asof} rows, "
+            f"engine reader at version 2 reads {n_v2}"
+        )
     snap = spark.read.format("lakehouse").load(path)
     if not {"_version", "_commit_op"} <= set(snap.columns):
         # RuntimeError, not assert: stripped under `python -O` (r16)
