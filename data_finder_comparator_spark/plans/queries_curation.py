@@ -489,7 +489,7 @@ FROM orders WHERE o_orderkey % 4 = 3
 """
 
 
-def _move_single_part(tmp: str, suffix: str, dest: str) -> None:
+def _move_single_part(tmp: str, dest: str) -> None:
     """Move the one part file of a coalesce(1) Spark write into the
     mixed folder under its format's extension. Loud if the write
     produced anything but exactly one part — a silent glob pick would
@@ -508,8 +508,6 @@ def mixed_folder_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sources/union.py:_read_mixed_folder``): per-extension reader
     dispatch, batched jsonl inference, one text scan for both txt
     shards (gzip transparent), union by name with null fill."""
-    import gzip
-
     from ..sources.union import read_folder_union_by_name
     from ..util import fresh_run_dir
 
@@ -523,19 +521,19 @@ def mixed_folder_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double"),
     )
     pq.coalesce(1).write.parquet(os.path.join(d, "_pq"))
-    _move_single_part(os.path.join(d, "_pq"), ".parquet", os.path.join(d, "orders.parquet"))
+    _move_single_part(os.path.join(d, "_pq"), os.path.join(d, "orders.parquet"))
 
     js = orders.filter(F.col("o_orderkey") % 4 == 1).select(
         F.col("o_orderkey").cast("long"), "o_orderstatus"
     )
     js.coalesce(1).write.json(os.path.join(d, "_js"))
-    _move_single_part(os.path.join(d, "_js"), ".json", os.path.join(d, "slice.jsonl"))
+    _move_single_part(os.path.join(d, "_js"), os.path.join(d, "slice.jsonl"))
 
     tx = orders.filter(F.col("o_orderkey") % 4 == 2).select(
         F.col("o_orderpriority").alias("value")
     )
     tx.coalesce(1).write.text(os.path.join(d, "_tx"))
-    _move_single_part(os.path.join(d, "_tx"), ".txt", os.path.join(d, "notes.txt"))
+    _move_single_part(os.path.join(d, "_tx"), os.path.join(d, "notes.txt"))
 
     # the gz shard comes out of Spark's own text writer with the gzip
     # codec — distributed write, nothing through the driver
@@ -543,7 +541,7 @@ def mixed_folder_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("value")
     )
     gz.coalesce(1).write.option("compression", "gzip").text(os.path.join(d, "_gz"))
-    _move_single_part(os.path.join(d, "_gz"), ".txt.gz", os.path.join(d, "notes2.txt.gz"))
+    _move_single_part(os.path.join(d, "_gz"), os.path.join(d, "notes2.txt.gz"))
 
     out = read_folder_union_by_name(spark, d, fmt="any")
     return out.select(
