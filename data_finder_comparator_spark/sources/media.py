@@ -57,19 +57,12 @@ MEDIA_SCHEMA = (
 DECODED_SCHEMA = "doc_id long, mime string, kind string, decoded string"
 
 
-def read_media_folder(
-    spark: SparkSession, folder: str, glob: str | None = None
-) -> DataFrame:
-    """One distributed ``binaryFile`` scan over *folder* in the
-    multimodal shape. ``glob`` prunes at LISTING time
-    (``pathGlobFilter`` — e.g. ``"*.wav"``), so excluded files are
-    never opened. Every expression is JVM-side; ``doc_id`` is
-    ``xxhash64(path)`` — deterministic and collision-checked by the
-    caller if paths are adversarial (2^64 space)."""
-    reader = spark.read.format("binaryFile")
-    if glob is not None:
-        reader = reader.option("pathGlobFilter", glob)
-    df = reader.load(folder)
+def _to_media_shape(df: DataFrame) -> DataFrame:
+    """Project a ``binaryFile`` frame (batch or streaming — the source
+    schema is identical) into the engine's multimodal shape. Every
+    expression is JVM-side; ``doc_id`` is ``xxhash64(path)`` —
+    deterministic and collision-checked by the caller if paths are
+    adversarial (2^64 space)."""
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
@@ -88,6 +81,49 @@ def read_media_folder(
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def read_media_folder(
+    spark: SparkSession, folder: str, glob: str | None = None
+) -> DataFrame:
+    """One distributed ``binaryFile`` scan over *folder* in the
+    multimodal shape. ``glob`` prunes at LISTING time
+    (``pathGlobFilter`` — e.g. ``"*.wav"``), so excluded files are
+    never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return _to_media_shape(reader.load(folder))
+
+
+def stream_media_folder(
+    spark: SparkSession,
+    folder: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAMING twin of ``read_media_folder`` — continuously
+    arriving media (a crawler drop folder, an upload bucket) through
+    Structured Streaming's file source with the same ``binaryFile``
+    format, same listing-time glob pruning, and the same output shape,
+    so ``media_decode`` composes unchanged on the streaming frame.
+
+    The file source's checkpoint tracks processed files, so each file
+    is decoded EXACTLY ONCE across restarts — the property a drop
+    folder needs (re-listing must not re-decode yesterday's corpus).
+    ``max_files_per_trigger`` is the standard backpressure bound: at
+    100 TB a first catch-up run would otherwise plan every historical
+    file into one enormous micro-batch."""
+    # the streaming file source requires an explicit schema; binaryFile's
+    # is FIXED by the format, so declaring it loses nothing
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _to_media_shape(reader.load(folder))
 
 
 def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:

@@ -4253,3 +4253,59 @@ def test_multimodal_entry_points_drop_null_rows(spark, entry):
     else:
         # these entries read only (doc_id, payload): row 3 is good
         assert ids == {1, 3}
+
+
+def test_stream_media_folder_decodes_each_file_exactly_once(spark, tmp_path):
+    """r17: the streaming twin of the media connector — a drop folder
+    consumed through Structured Streaming's binaryFile source with
+    listing-time glob pruning and per-file exactly-once across
+    restarts (the checkpoint tracks processed files: re-running after
+    a new drop decodes ONLY the new file, never yesterday's corpus).
+    maxFilesPerTrigger=1 forces multi-micro-batch catch-up, the
+    backpressure shape a 100-TB first run needs."""
+    import json as _json
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+    from data_finder_comparator_spark.sources.media import (
+        media_decode,
+        stream_media_folder,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (src / "a.wav").write_bytes(synth_wav_payload(b"hello world!"))
+    (src / "b.ppm").write_bytes(synth_ppm_payload(7, 4, 3))
+    (src / "ignore.bin").write_bytes(b"\0" * 16)  # glob-pruned decoy
+
+    def run():
+        dec = media_decode(
+            stream_media_folder(
+                spark, str(src), glob="*.{wav,ppm}", max_files_per_trigger=1
+            )
+        )
+        q = (
+            dec.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = {r.mime: _json.loads(r.decoded) for r in spark.read.parquet(out).collect()}
+    assert spark.read.parquet(out).count() == 2  # decoy never decoded
+    assert got["audio/wav"]["n_samples"] == len(b"hello world!") // 2
+    assert got["image/x-portable-pixmap"]["width"] == 4
+    assert got["image/x-portable-pixmap"]["first_px"] == [7, 36, 65]
+
+    # a later drop: the SAME checkpoint decodes only the new file
+    (src / "c.wav").write_bytes(synth_wav_payload(b"abcd"))
+    run()
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    assert df.filter("mime = 'audio/wav'").count() == 2
