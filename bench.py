@@ -39,9 +39,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark(app_name="bench")
+    # HEADLINE is the whole registry minus BENCH_OPT_OUT;
+    # SPARK_GRAFT_BENCH_ALL forces even the opted-out rows in (today a
+    # no-op — the opt-out dict is empty — but the knob's meaning is
+    # "bench literally everything", and with the registry-derived list
+    # the opt-outs are the only thing left to add)
     names = list(HEADLINE)
-    extra = [n for n in sorted(QUERIES) if n not in HEADLINE]
-    names += [n for n in extra if os.environ.get("SPARK_GRAFT_BENCH_ALL")]
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names += [n for n in QUERIES if n in BENCH_OPT_OUT]
 
     # Warmup: run the first query once on the smoke SF to JIT the stack.
     try:

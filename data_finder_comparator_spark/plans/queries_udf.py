@@ -710,12 +710,13 @@ def media_folder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scan = read_media_folder(spark, d, glob="*.{wav,ppm}")
     decoded = media_decode(scan)  # "error": a decoy reaching here raises
-    meta = scan.select("doc_id", "path", F.col("meta.n_bytes").alias("n_bytes"))
-
+    # path + n_bytes ride through the decode output (r17 review: the
+    # first cut joined back to a second branch of the scan, re-listing
+    # and re-reading every file) — ONE scan, no join
     def j(field: str):
         return F.get_json_object("decoded", field)
 
-    return decoded.join(F.broadcast(meta), "doc_id").select(
+    return decoded.select(
         F.regexp_extract("path", r"_(\d+)\.(wav|ppm)$", 1)
         .cast("long")
         .alias("media_id"),

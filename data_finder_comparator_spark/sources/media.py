@@ -54,7 +54,10 @@ MEDIA_SCHEMA = (
     "meta struct<mime string, n_bytes long>"
 )
 
-DECODED_SCHEMA = "doc_id long, mime string, kind string, decoded string"
+DECODED_SCHEMA = (
+    "doc_id long, path string, mime string, kind string, "
+    "n_bytes long, decoded string"
+)
 
 
 def _to_media_shape(df: DataFrame) -> DataFrame:
@@ -131,9 +134,12 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
     batch: each row's payload is parsed under its ``meta.mime``
     (RIFF/WAVE PCM and P6 PPM have stdlib parsers; codec formats
     refuse via ``NotImplementedError`` — the documented loud
-    boundary). Output is ``(doc_id, mime, kind, decoded)`` with
-    ``decoded`` the sorted-keys JSON of the decoder's dict, so wav and
-    ppm rows share one stable schema.
+    boundary). Output is ``(doc_id, path, mime, kind, n_bytes,
+    decoded)`` — path and the connector's byte count ride along so a
+    downstream consumer (or a driver row projecting per-file fields)
+    needs no join back to the scan, which would re-list and re-read
+    the folder (r17 review) — with ``decoded`` the sorted-keys JSON of
+    the decoder's dict, so wav and ppm rows share one stable schema.
 
     ``on_unsupported``: ``"error"`` (default) propagates the decoder's
     refusal — a folder with an undecodable file fails loudly;
@@ -145,14 +151,18 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
     from ..operators.multimodal import decode_media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "path", "mime", "kind", "n_bytes", "decoded")
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "mime", "kind", "decoded")}
-            for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            rows = {k: [] for k in cols}
+            for doc_id, path, payload, meta in zip(
+                pdf["doc_id"], pdf["path"], pdf["payload"], pdf["meta"]
             ):
                 if payload is None or meta is None:
                     continue
-                mime = meta["mime"] if isinstance(meta, dict) else meta.mime
+                if isinstance(meta, dict):
+                    mime, n_bytes = meta["mime"], meta["n_bytes"]
+                else:
+                    mime, n_bytes = meta.mime, meta.n_bytes
                 try:
                     d = decode_media(bytes(payload), mime)
                 except NotImplementedError:
@@ -160,8 +170,10 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
                         continue
                     raise
                 rows["doc_id"].append(doc_id)
+                rows["path"].append(path)
                 rows["mime"].append(mime)
                 rows["kind"].append(d.get("kind"))
+                rows["n_bytes"].append(n_bytes)
                 rows["decoded"].append(json.dumps(d, sort_keys=True))
             yield pd.DataFrame(rows)
 

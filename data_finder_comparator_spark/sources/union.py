@@ -305,10 +305,40 @@ def _read_inference_folder(
     return union_by_name(dfs)
 
 
-# numeric widening is loss-free and has always been the union's
-# coercion; everything else (string vs numeric/bool, nested vs atomic)
-# is the data-dependent cast the structural check refuses
-_WIDENABLE = frozenset(("tinyint", "smallint", "int", "bigint", "float", "double"))
+def _union_compatible(a, b) -> bool:
+    """True when ``unionByName(allowMissingColumns=True)`` reconciles
+    the two types LOSS-FREE: equal types, numeric widening, NullType
+    against anything, and — recursively — structs whose SHARED fields
+    are compatible (disjoint fields are nested null-fill, the
+    documented union semantics, not a conflict) and arrays/maps of
+    compatible element types. String vs numeric/bool stays
+    incompatible: that pair is the data-dependent cast the check
+    exists to refuse (review finding: the first cut compared
+    ``simpleString`` equality, which also refused struct field-set
+    supersets and array element widening that the union handles
+    losslessly)."""
+    from pyspark.sql.types import ArrayType, MapType, NullType, StructType
+
+    if a == b or isinstance(a, NullType) or isinstance(b, NullType):
+        return True
+    if {a.typeName(), b.typeName()} <= {
+        "byte", "short", "integer", "long", "float", "double"
+    }:
+        return True
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        bf = {f.name.lower(): f.dataType for f in b.fields}
+        return all(
+            _union_compatible(f.dataType, bf[f.name.lower()])
+            for f in a.fields
+            if f.name.lower() in bf
+        )
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return _union_compatible(a.elementType, b.elementType)
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        return _union_compatible(a.keyType, b.keyType) and _union_compatible(
+            a.valueType, b.valueType
+        )
+    return False
 
 
 def _refuse_cross_group_type_conflicts(dfs: list[DataFrame]) -> None:
@@ -318,14 +348,35 @@ def _refuse_cross_group_type_conflicts(dfs: list[DataFrame]) -> None:
     numeric-parseable string column ("123") unions silently and only a
     non-castable value raises — at ACTION time, data-dependently. A
     plan-time structural error names the column and both types instead.
-    Callers who want the coercion say so with an explicit
-    ``schema=`` (see ``read_folder_union_by_name``)."""
-    seen: dict[str, set[str]] = {}
+    Compatibility is judged by ``_union_compatible`` (loss-free
+    reconciliations pass), and names key CASE-INSENSITIVELY, matching
+    the default ``spark.sql.caseSensitive=false`` resolution the union
+    itself uses (review finding: an exact-name map let "V" vs "v"
+    bypass the check and hit the action-time cast anyway).
+
+    Known-undecidable boundary: a key that is null in EVERY record of
+    one group's files infers as string there, so against a numeric
+    group it refuses even though the union would cast its nulls
+    losslessly — plan time cannot distinguish all-null strings from
+    real ones. Callers who know say so with an explicit ``schema=``
+    (see ``read_folder_union_by_name``), which skips inference and
+    grouping entirely."""
+    seen: dict[str, dict[str, object]] = {}
     for df in dfs:
         for f in df.schema.fields:
-            seen.setdefault(f.name, set()).add(f.dataType.simpleString())
+            seen.setdefault(f.name.lower(), {})[f.dataType.simpleString()] = (
+                f.dataType
+            )
     for name, types in sorted(seen.items()):
-        if len(types) > 1 and not types <= _WIDENABLE:
+        if len(types) < 2:
+            continue
+        ts = list(types.values())
+        bad = not all(
+            _union_compatible(ts[i], ts[j])
+            for i in range(len(ts))
+            for j in range(i + 1, len(ts))
+        )
+        if bad:
             raise ValueError(
                 f"folder schema conflict on column {name!r}: files' first "
                 f"records disagree on its type ({sorted(types)}); pass an "

@@ -763,6 +763,43 @@ def test_json_first_record_type_conflict_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="folder schema conflict on column 'v'"):
         read_folder_union_by_name(spark, str(d2), fmt="jsonl")
 
+    # review finding: names must key CASE-INSENSITIVELY like the
+    # union's own resolution (spark.sql.caseSensitive=false) — "V" vs
+    # "v" previously bypassed the check and hit the action-time cast
+    d3 = tmp_path / "case"
+    d3.mkdir()
+    (d3 / "a.jsonl").write_text('{"id": 1, "V": "not-a-number"}\n')
+    (d3 / "b.jsonl").write_text('{"id": 2, "x": 1, "v": 5}\n')
+    with pytest.raises(ValueError, match="folder schema conflict on column 'v'"):
+        read_folder_union_by_name(spark, str(d3), fmt="jsonl")
+
+
+def test_struct_field_superset_unions_loss_free(spark, tmp_path):
+    """Review finding: the structural check must NOT refuse what the
+    union reconciles loss-free — same-name STRUCT columns whose field
+    sets differ are nested null-fill (allowMissingColumns semantics),
+    and numeric widening inside nested types passes too. Only a
+    genuinely unsafe leaf (string vs numeric) refuses."""
+    from data_finder_comparator_spark.sources.union import read_folder_union_by_name
+
+    d = tmp_path / "nested"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "meta": {"a": 1}}\n')
+    (d / "b.jsonl").write_text('{"id": 2, "x": 5, "meta": {"a": 2, "b": 3}}\n')
+    df = read_folder_union_by_name(spark, str(d), fmt="jsonl")
+    got = sorted(
+        (r.id, r.meta.a, r.meta.b if r.meta else None, r.x) for r in df.collect()
+    )
+    assert got == [(1, 1, None, None), (2, 2, 3, 5)]
+
+    # unsafe LEAF inside the struct still refuses
+    d2 = tmp_path / "nested_bad"
+    d2.mkdir()
+    (d2 / "a.jsonl").write_text('{"id": 1, "meta": {"a": 1}}\n')
+    (d2 / "b.jsonl").write_text('{"id": 2, "x": 5, "meta": {"a": "oops"}}\n')
+    with pytest.raises(ValueError, match="folder schema conflict on column 'meta'"):
+        read_folder_union_by_name(spark, str(d2), fmt="jsonl")
+
 
 def test_folder_schema_escape_hatch(spark, tmp_path):
     """r16 ADVICE: schema= skips the inference pass (each byte read
