@@ -195,9 +195,72 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+def synth_bmp_payload(doc_id: int, width: int, height: int) -> bytes:
+    """Build a spec-valid uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR raster, rows padded to 4 bytes)
+    whose pixel bytes follow the same deterministic value function as
+    ``synth_ppm_payload`` — (doc_id + x*7 + y*13 + c*29) % 256 with c
+    over (B, G, R) in STORED order, y the STORED (bottom-up) row."""
+    import numpy as np
+
+    row_bytes = (width * 3 + 3) // 4 * 4
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (
+        doc_id + x[None, :, None] * 7 + y[:, None, None] * 13 + c[None, None, :] * 29
+    ) % 256
+    raster = np.zeros((height, row_bytes), dtype=np.uint8)
+    raster[:, : width * 3] = px.astype(np.uint8).reshape(height, width * 3)
+    body = raster.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    (the universal 40-byte DIB header), returning dimensions, depth,
+    and the first STORED pixel's (B, G, R). Top-down images (negative
+    height) normalize to positive dims with the orientation reported.
+    Compressed variants (BI_RLE/BI_BITFIELDS...) and palette depths
+    refuse loudly, like non-PCM WAVE — real deployments plug PIL in."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression {comp} / {bpp} bpp needs codec libraries; "
+            "only uncompressed 24/32-bit parses here"
+        )
+    top_down = h < 0
+    height = -h if top_down else h
+    n = bpp // 8
+    if pix_off + n > len(payload):
+        raise ValueError("truncated BMP raster")
+    first = payload[pix_off : pix_off + n]
+    return {
+        "kind": "image",
+        "width": w,
+        "height": height,
+        "bits_per_pixel": bpp,
+        "top_down": top_down,
+        "n_pixels": w * height,
+        "first_px_bgr": (first[0], first[1], first[2]),
+    }
+
+
 _DECODERS = {
     "audio/wav": _decode_wav,
     "audio/x-wav": _decode_wav,
+    "image/bmp": _decode_bmp,
     "image/x-portable-pixmap": _decode_ppm,
 }
 

@@ -87,15 +87,22 @@ def _to_media_shape(df: DataFrame) -> DataFrame:
 
 
 def read_media_folder(
-    spark: SparkSession, folder: str, glob: str | None = None
+    spark: SparkSession,
+    folder: str,
+    glob: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """One distributed ``binaryFile`` scan over *folder* in the
     multimodal shape. ``glob`` prunes at LISTING time
     (``pathGlobFilter`` — e.g. ``"*.wav"``), so excluded files are
-    never opened."""
+    never opened. ``recursive`` turns on ``recursiveFileLookup`` for
+    the nested layouts real corpora use (``images/2024/01/...``) —
+    the glob still applies to the leaf file names."""
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     return _to_media_shape(reader.load(folder))
 
 
@@ -104,6 +111,7 @@ def stream_media_folder(
     folder: str,
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """The STREAMING twin of ``read_media_folder`` — continuously
     arriving media (a crawler drop folder, an upload bucket) through
@@ -126,6 +134,8 @@ def stream_media_folder(
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     return _to_media_shape(reader.load(folder))
 
 

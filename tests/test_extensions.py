@@ -4346,3 +4346,57 @@ def test_stream_media_folder_decodes_each_file_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 3
     assert df.filter("mime = 'audio/wav'").count() == 2
+
+
+def test_bmp_decode_and_recursive_media_folder(spark, tmp_path):
+    """r17: (1) the third real container parser — uncompressed 24-bit
+    BMP through the same decode registry, synth cross-checked against
+    its deterministic pixel function, compressed/palette depths refuse
+    loudly; (2) recursiveFileLookup scans the nested layouts real
+    corpora use, with the glob still pruning leaf names."""
+    import json as _json
+    import struct as _struct
+
+    from data_finder_comparator_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_media,
+        synth_bmp_payload,
+        synth_wav_payload,
+    )
+    from data_finder_comparator_spark.sources.media import (
+        media_decode,
+        read_media_folder,
+    )
+
+    bmp = synth_bmp_payload(9, 5, 4)  # odd width exercises row padding
+    d = decode_media(bmp, "image/bmp")
+    assert (d["width"], d["height"], d["bits_per_pixel"]) == (5, 4, 24)
+    assert d["n_pixels"] == 20 and d["top_down"] is False
+    # first stored pixel = (x=0, stored row 0, c over BGR): doc_id + c*29
+    assert d["first_px_bgr"] == [9 % 256, (9 + 29) % 256, (9 + 58) % 256] or d[
+        "first_px_bgr"
+    ] == (9 % 256, (9 + 29) % 256, (9 + 58) % 256)
+    # compressed and palette depths refuse loudly
+    comp = bytearray(bmp)
+    _struct.pack_into("<I", comp, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_bmp(bytes(comp))
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"nope")
+
+    # nested corpus layout: files two levels down, decoys pruned by glob
+    root = tmp_path / "corpus"
+    (root / "2024" / "01").mkdir(parents=True)
+    (root / "2024" / "02").mkdir(parents=True)
+    (root / "2024" / "01" / "a.bmp").write_bytes(bmp)
+    (root / "2024" / "02" / "b.wav").write_bytes(synth_wav_payload(b"abcdef"))
+    (root / "2024" / "02" / "skip.bin").write_bytes(b"\0" * 8)
+    # non-recursive: nested leaves are invisible (the glob filters
+    # FILES; the subdirectories carry none at the top level)
+    assert read_media_folder(spark, str(root), glob="*.{bmp,wav}").count() == 0
+    df = read_media_folder(spark, str(root), glob="*.{bmp,wav}", recursive=True)
+    rows = {r.mime: r for r in media_decode(df).collect()}
+    assert set(rows) == {"image/bmp", "audio/wav"}
+    got = _json.loads(rows["image/bmp"].decoded)
+    assert got["width"] == 5 and got["first_px_bgr"] == [9, 38, 67]
+    assert _json.loads(rows["audio/wav"].decoded)["n_samples"] == 3
