@@ -242,6 +242,17 @@ def _decode_bmp(payload: bytes) -> dict:
         )
     top_down = h < 0
     height = -h if top_down else h
+    # malformed dims / offsets must refuse loudly, not alias: negative
+    # width would yield negative n_pixels, and a pix_off pointing back
+    # into the headers would report header bytes as first_px_bgr
+    # (r17 ADVICE)
+    if w <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{height}")
+    if pix_off < 14 + hdr_size:
+        raise ValueError(
+            f"BMP pixel offset {pix_off} points inside the headers "
+            f"(first valid {14 + hdr_size})"
+        )
     n = bpp // 8
     if pix_off + n > len(payload):
         raise ValueError("truncated BMP raster")

@@ -129,104 +129,95 @@ from . import queries_relational  # noqa: E402,F401
 #            minus any query whose code changes this round (which must
 #            then displace a returning green into RETIREMENT, never
 #            into double-parking).
-# r17 window (50 of the 50-slot cap), by the mechanical rule:
+# r18 window (50 of the 50-slot cap), by the mechanical rule:
 #   1 alignment_pairs (in-window permanently: contributes no green)
-# + 43 r15 greens returning from their r16 parking (45 parked minus
-#   the 2 retired below; all were green in CORRECTNESS_r15 and none
-#   ran red in r16)
-# + 4 r16 greens whose EXECUTED code changed in r17, each staying
+# + 45 r16 greens returning from their r17 parking (all were green in
+#   CORRECTNESS_r16 and none ran red in r17)
+# + 2 r17 greens whose EXECUTED code changed in r18, each staying
 #   in-window for a fresh hash-green:
-#     csv_folder_roundtrip, json_folder_roundtrip
-#                                 (r16 ADVICE: _read_inference_folder
-#                                  gained the structural cross-group
-#                                  type-conflict refusal, and
-#                                  read_folder_union_by_name gained the
-#                                  schema= escape hatch — both on the
-#                                  rows' executed path)
-#     lakehouse_maintenance_roundtrip (its n_before gate moved from
-#                                  assert to RuntimeError, and it
-#                                  executes optimize(), whose layout
-#                                  validation now re-runs inside the
-#                                  retry loop)
-#     lakehouse_clustered_compaction (executes the restructured
-#                                  optimize() validation)
-# + 2 net-new registrations (r16 verdict items 1 and 5):
-#     media_folder_decode         (the binaryFile media connector under
-#                                  the driver hash: synth wav/ppm folder
-#                                  -> read_media_folder -> media_decode,
-#                                  oracle recomputed from parameters)
-#     mixed_folder_any            (fmt="any" routing: parquet + jsonl +
-#                                  txt + txt.gz in ONE folder, union by
-#                                  name with null fill)
-# The merge/datasource/stream/pushdown lakehouse rows and the other
-# folder rows (union_by_name/orc/excel/partitioned_lang) also execute
-# r17-changed lines (assert conversions at _built_merge_table, the
-# timestampAsOf edit in _pinned_version, the union.py param check) —
-# all of them are parked-returning names, in-window this round by the
-# rotation anyway, so no extra stays.
+#     media_folder_decode         (r17 verdict item 1b + ADVICE: the
+#                                  fixture gains 24 BMP files — the
+#                                  uncompressed-BMP parser's driver
+#                                  evidence — the sel filter gains the
+#                                  ASCII-only guard on both sides, and
+#                                  the synthesis/projection moved into
+#                                  helpers shared with the streaming
+#                                  twin)
+#     lakehouse_datasource_snapshot (r17 ADVICE: the timestampAsOf
+#                                  boundary probe gained the same-tick
+#                                  timing guard — the expected version
+#                                  is now derived from ts3 > ts2)
+# + 2 net-new registrations (r17 verdict items 1a and 2):
+#     media_stream_decode         (the STREAMING media connector under
+#                                  the driver hash: two-drop, two-run
+#                                  exactly-once ingest through one
+#                                  checkpoint, same recomputing oracle
+#                                  as the batch row)
+#     html_text_extract           (HTML boilerplate-removal extraction:
+#                                  deterministic synth HTML from
+#                                  documents.text, stdlib html.parser
+#                                  block extractor in Arrow mapInPandas,
+#                                  oracle recomputes the inverse)
 #
-# 1 + 43 + 4 + 2 = 50 exactly. The 2 net-new slots displace 2 returning
-# greens into RETIREMENT (never double-parking), per the capacity rule:
-#   dedup_ngram_jaccard_capped  (df-capped variant; dedup_ngram_jaccard
-#                                keeps the operator's driver evidence)
-#   grouped_hll_by_lang         (grouped variant; hll_merge_shards keeps
-#                                the sketch algebra's driver evidence)
-# Registry is 95 (50 window + 45 parked = the r16 greens minus the 4
-# stays), retired 21 — within the 99-slot capacity bound, 4 free.
-# NEXT retirement candidates, named ahead per the r16 verdict item 7
-# (strategy-variant rows whose operator keeps other driver evidence):
+# 1 + 45 + 2 + 2 = 50 exactly. Registry is 97 (50 window + 47 parked =
+# the 49 r17 greens minus the 2 stays), retired 21 — within the
+# 99-slot capacity bound, 2 free. NEXT retirement candidates, named
+# ahead (strategy-variant rows whose operator keeps other driver
+# evidence):
 #   ann_cosine_topk    (guarded brute baseline; IVF/SQ8/LSH/PQ rows
 #                       keep ANN driver evidence)
 #   dedup_hybrid_verify (simhash+ngram hybrid; both constituents hold
 #                       their own driver rows)
 _PARKED_MULTI_GREEN = [
-    # -- the CORRECTNESS_r16 hash-greens except rows-only
-    #    alignment_pairs and the 4 code-changed stays above -----------
-    "fuzzy_join_tiers",
-    "fuzzy_join_docs",
-    "fuzzy_topk",
-    "fuzzy_tier_assembly",
-    "streaming_fuzzy_tiers",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "streaming_window_counts",
-    "streaming_first_seen",
-    "streaming_watermarked_counts",
-    "streaming_sliding_counts",
-    "streaming_purchase_attribution",
-    "streaming_enriched_segments",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "lang_robust_length_stats",
-    "doc_token_chunks",
-    "corpus_curation_pipeline",
-    "tfidf_top_terms",
-    "decontaminate_overlap",
-    "pii_redaction",
-    "weighted_reservoir_sample",
-    "gram_tfidf_cosine_topk",
-    "deterministic_row_ids",
-    "table_version_diff",
-    "dedup_exact",
-    "dedup_simhash",
-    "hll_merge_shards",
-    "ivf_pq_build_serve_roundtrip",
-    "ann_lsh_build_serve_roundtrip",
-    "ann_sq8_rerank_topk",
-    "semantic_dedup",
-    "lakehouse_restore_roundtrip",
-    "lakehouse_stream_ingest",
-    "pricing_summary",
-    "revenue_by_nation",
-    "events_pivot_by_hour",
-    "sessionize_events",
-    "asof_latest_order",
-    "salted_segment_stats",
-    "bucketed_order_revenue",
-    "props_json_stats",
-    "event_funnel",
-    "hourly_gapfill",
-    "histogram_quantiles",
+    # -- the CORRECTNESS_r17 hash-greens except the 2 code-changed
+    #    stays above (alignment_pairs is rows-only, never parked) -----
+    "alignment_dist",
+    "multimodal_wav_decode",
+    "pcm_resample_layout",
+    "text_quality_signals",
+    "lang_id_confusion",
+    "doc_repetition",
+    "vocab_top_tokens",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "deterministic_shuffle",
+    "sequence_packing",
+    "source_domain_caps",
+    "mixture_token_budget",
+    "duplicate_spans",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "scrub_hot_spans",
+    "inverted_index",
+    "union_by_name_folder",
+    "excel_folder_roundtrip",
+    "csv_folder_roundtrip",
+    "orc_folder_roundtrip",
+    "partitioned_lang_roundtrip",
+    "keep_replace_curation",
+    "curation_counts",
+    "json_folder_roundtrip",
+    "mixed_folder_any",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_hybrid_verify",
+    "line_dedup_stats",
+    "cluster_canonical",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "ann_ivf_topk",
+    "ivf_kmeans_centroids",
+    "ann_audit_lifecycle",
+    "lakehouse_merge_roundtrip",
+    "lakehouse_stream_roundtrip",
+    "lakehouse_maintenance_roundtrip",
+    "lakehouse_pushdown_snapshot",
+    "lakehouse_cdc_changes",
+    "lakehouse_schema_evolution",
+    "lakehouse_clustered_compaction",
+    "orders_grouping_sets",
+    "rolling_user_activity",
 ]
 
 

@@ -219,17 +219,28 @@ def lakehouse_datasource_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     _register_datasource(spark)
     t = TransactionalTable(spark, path)
     ts2 = t.snapshot(2)[1]["ts"]
+    ts3 = t.snapshot(3)[1]["ts"]
     n_asof = (
         spark.read.format("lakehouse")
         .option("timestampAsOf", ts2)
         .load(path)
         .count()
     )
-    n_v2 = t.read(version=2).count()
-    if n_asof != n_v2:
+    # timing guard (r17 ADVICE): pinning at v2's EXACT commit float is
+    # only a well-posed boundary probe when v3's commit landed on a
+    # strictly later tick — if both commits share a timestamp,
+    # version_at's at-or-before rule correctly resolves to v3 and the
+    # comparison would turn a timing coincidence into a red row.
+    # Commits are wall-clock-stamped microseconds apart in practice, so
+    # the comparison nearly always runs; the asof read itself
+    # (option parsing, plan-time at-or-before resolution) is exercised
+    # unconditionally either way.
+    expect = 3 if ts3 <= ts2 else 2
+    n_expect = t.read(version=expect).count()
+    if n_asof != n_expect:
         raise RuntimeError(
             f"timestampAsOf(v2 commit instant) read {n_asof} rows, "
-            f"engine reader at version 2 reads {n_v2}"
+            f"engine reader at version {expect} reads {n_expect}"
         )
     snap = spark.read.format("lakehouse").load(path)
     if not {"_version", "_commit_op"} <= set(snap.columns):

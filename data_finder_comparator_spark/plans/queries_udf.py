@@ -622,6 +622,15 @@ def pcm_resample_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   ppm: width/height are the documented id-derived dims (16 + id%7,
 #        12 + id%5); n_bytes = len("P6\n{w} {h}\n255\n") + 3*w*h;
 #        first red byte = (doc_id + 0*7 + 0*13 + 0*29) % 256.
+#   bmp (r18): same id-derived dims; n_bytes = 54-byte header pair +
+#        height * 4-byte-padded BGR row; first stored pixel is BGR, so
+#        the red channel is c=2 -> (doc_id + 2*29) % 256.
+# The sel CTE filters to ASCII-only texts on BOTH sides (octet_length
+# == char length), so the wav first_sample byte restatement is
+# enforced rather than assumed (r17 ADVICE). The SAME oracle checks
+# media_stream_decode: the streaming twin decodes the identical file
+# set through the identical projection, so stream/batch equivalence
+# is itself under the hash.
 # The folder also carries a README.txt decoy: the scan's
 # pathGlobFilter must prune it at LISTING time, because if it ever
 # reached media_decode(on_unsupported="error") the row would raise on
@@ -637,6 +646,7 @@ WITH sel AS (
   SELECT doc_id, text
   FROM documents
   WHERE octet_length(encode(text)) >= 2
+    AND octet_length(encode(text)) = length(text)
   ORDER BY doc_id
   LIMIT 24
 ),
@@ -671,53 +681,81 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        h AS height,
        CAST(doc_id % 256 AS BIGINT) AS first_r
 FROM dims
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image/bmp' AS mime,
+       'image' AS kind,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS BIGINT) AS sample_rate_hz,
+       CAST(NULL AS BIGINT) AS first_sample,
+       w AS width,
+       h AS height,
+       CAST((doc_id + 58) % 256 AS BIGINT) AS first_r
+FROM dims
 """
 
 
-@query("media_folder_decode", oracle=_MEDIA_FOLDER_ORACLE)
-def media_folder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The media binaryFile connector end to end (sources/media.py):
-    write a real media folder (24 wav + 24 ppm + a decoy txt), scan it
-    with ONE distributed binaryFile scan under a listing-time glob,
-    decode the container bytes with the stdlib parsers per Arrow
-    batch, and return decoded fields the oracle recomputes from the
-    synth parameters. The decoy proves glob pruning structurally:
-    ``on_unsupported="error"`` would raise if it reached the decoder."""
+def _write_media_fixture(spark: SparkSession, sf_dir: str, d: str, kinds) -> None:
+    """Write the deterministic media fixture folder ``d``: for each of
+    the first 24 ASCII-only documents (byte length >= 2; the ASCII
+    guard makes the oracle's ``ascii(...)`` byte restatement ENFORCED
+    rather than assumed — r17 ADVICE), one file per requested kind —
+    ``wav`` (text bytes as 16-bit PCM), ``ppm`` / ``bmp`` (the
+    id-derived dims and deterministic pixel function) — plus a
+    README.txt decoy the scan's glob must prune at listing time.
+    Bounded control-plane collect (24 short texts), not a data path;
+    shared by the batch and streaming connector rows, which therefore
+    rotate in-window together whenever this helper changes."""
     import os
 
-    from ..operators.multimodal import synth_ppm_payload, synth_wav_payload
-    from ..sources.media import media_decode, read_media_folder
-    from ..util import fresh_run_dir
+    from ..operators.multimodal import (
+        synth_bmp_payload,
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sel = (
-        docs.filter(F.octet_length("text") >= 2)
+        docs.filter(
+            (F.octet_length("text") >= 2)
+            & (F.octet_length("text") == F.length("text"))
+        )
         .orderBy("doc_id")
         .limit(24)
         .select("doc_id", "text")
-        .collect()  # bounded fixture synthesis (24 rows), not a data path
+        .collect()
     )
-    d = fresh_run_dir("media_folder", sf_dir)
-    os.makedirs(d)
+    os.makedirs(d, exist_ok=True)
     for r in sel:
         i = int(r["doc_id"])
-        with open(os.path.join(d, f"doc_{i}.wav"), "wb") as f:
-            f.write(synth_wav_payload(r["text"].encode("utf-8")))
-        with open(os.path.join(d, f"img_{i}.ppm"), "wb") as f:
-            f.write(synth_ppm_payload(i, 16 + i % 7, 12 + i % 5))
+        if "wav" in kinds:
+            with open(os.path.join(d, f"doc_{i}.wav"), "wb") as f:
+                f.write(synth_wav_payload(r["text"].encode("utf-8")))
+        if "ppm" in kinds:
+            with open(os.path.join(d, f"img_{i}.ppm"), "wb") as f:
+                f.write(synth_ppm_payload(i, 16 + i % 7, 12 + i % 5))
+        if "bmp" in kinds:
+            with open(os.path.join(d, f"pic_{i}.bmp"), "wb") as f:
+                f.write(synth_bmp_payload(i, 16 + i % 7, 12 + i % 5))
     with open(os.path.join(d, "README.txt"), "w") as f:
         f.write("decoy: the scan's glob must prune this at listing time\n")
 
-    scan = read_media_folder(spark, d, glob="*.{wav,ppm}")
-    decoded = media_decode(scan)  # "error": a decoy reaching here raises
-    # path + n_bytes ride through the decode output (r17 review: the
-    # first cut joined back to a second branch of the scan, re-listing
-    # and re-reading every file) — ONE scan, no join
+
+def _project_decoded_media(decoded: DataFrame) -> DataFrame:
+    """Project ``media_decode`` output to the oracle-recomputable
+    fields, shared by the batch and streaming connector rows. path +
+    n_bytes ride through the decode output (r17 review: the first cut
+    joined back to a second branch of the scan, re-listing and
+    re-reading every file) — ONE scan, no join. ``first_r`` is the
+    first stored pixel's red channel for both image containers: PPM
+    stores RGB (index 0), BMP stores BGR (index 2)."""
+
     def j(field: str):
         return F.get_json_object("decoded", field)
 
     return decoded.select(
-        F.regexp_extract("path", r"_(\d+)\.(wav|ppm)$", 1)
+        F.regexp_extract("path", r"_(\d+)\.(wav|ppm|bmp)$", 1)
         .cast("long")
         .alias("media_id"),
         "mime",
@@ -728,5 +766,76 @@ def media_folder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         j("$.first_sample").cast("long").alias("first_sample"),
         j("$.width").cast("long").alias("width"),
         j("$.height").cast("long").alias("height"),
-        j("$.first_px[0]").cast("long").alias("first_r"),
+        F.coalesce(j("$.first_px[0]"), j("$.first_px_bgr[2]"))
+        .cast("long")
+        .alias("first_r"),
     )
+
+
+@query("media_folder_decode", oracle=_MEDIA_FOLDER_ORACLE)
+def media_folder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media binaryFile connector end to end (sources/media.py):
+    write a real media folder (24 wav + 24 ppm + 24 bmp + a decoy
+    txt), scan it with ONE distributed binaryFile scan under a
+    listing-time glob, decode the container bytes with the stdlib
+    parsers per Arrow batch, and return decoded fields the oracle
+    recomputes from the synth parameters (r18 adds the BMP third of
+    the fixture — the uncompressed-BMP parser's driver evidence). The
+    decoy proves glob pruning structurally: ``on_unsupported="error"``
+    would raise if it reached the decoder."""
+    from ..sources.media import media_decode, read_media_folder
+    from ..util import fresh_run_dir
+
+    d = fresh_run_dir("media_folder", sf_dir)
+    _write_media_fixture(spark, sf_dir, d, kinds=("wav", "ppm", "bmp"))
+    scan = read_media_folder(spark, d, glob="*.{wav,ppm,bmp}")
+    decoded = media_decode(scan)  # "error": a decoy reaching here raises
+    return _project_decoded_media(decoded)
+
+
+@query("media_stream_decode", oracle=_MEDIA_FOLDER_ORACLE)
+def media_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``media_folder_decode`` under the same
+    recomputing oracle (r17 verdict item 1): a drop folder consumed by
+    ``stream_media_folder`` (Structured Streaming binaryFile source)
+    through the SAME ``media_decode`` projection into a parquet sink,
+    in TWO separate stream runs over one checkpoint — drop 1 is the 24
+    wav files, drop 2 adds the 24 ppm + 24 bmp files and the README
+    decoy. Exactly-once is under the driver's hash structurally: if
+    the second run re-decoded drop 1, the sink would carry 24
+    duplicate rows and the row-count/value-hash would go red; if the
+    decoy reached the decoder, ``on_unsupported="error"`` would raise.
+    ``max_files_per_trigger=16`` forces multi-micro-batch catch-up in
+    each run — the backpressure shape a 100-TB first run needs."""
+    import os
+
+    from ..sources.media import DECODED_SCHEMA, media_decode, stream_media_folder
+    from ..util import fresh_run_dir
+
+    base = fresh_run_dir("media_stream", sf_dir)
+    src = os.path.join(base, "drop")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    def run_once() -> None:
+        dec = media_decode(
+            stream_media_folder(
+                spark, src, glob="*.{wav,ppm,bmp}", max_files_per_trigger=16
+            )
+        )
+        q = (
+            dec.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_media_fixture(spark, sf_dir, src, kinds=("wav",))
+    run_once()
+    _write_media_fixture(spark, sf_dir, src, kinds=("ppm", "bmp"))
+    run_once()
+    # explicit schema: the sink's files are the stream's output shape
+    decoded = spark.read.schema(DECODED_SCHEMA).parquet(out)
+    return _project_decoded_media(decoded)
