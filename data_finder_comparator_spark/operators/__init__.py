@@ -9,6 +9,7 @@ from .dedup import (
     simhash32,
 )
 from .fuzzy_join import fuzzy_match_summary, tiered_fuzzy_join
+from .html_extract import extract_html_text, html_block_text
 from .multimodal import attach_binary_payload, binary_features
 from .similarity import cosine, cosine_topk, dot, lsh_bucketed_topk
 from .textops import doc_fingerprint, lang_guess, quality_signals, token_count
@@ -25,7 +26,9 @@ __all__ = [
     "doc_fingerprint",
     "dot",
     "exact_canonical_map",
+    "extract_html_text",
     "fuzzy_match_summary",
+    "html_block_text",
     "jaccard_pairs",
     "lang_guess",
     "lsh_bands",

@@ -1588,3 +1588,75 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * shared_grams) div b_grams").alias("b_contained_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate-removal extraction (r18, the r17 verdict's item 2):
+# the first stage of a real scraped-corpus pipeline, feeding the
+# quality/dedup/mixing plane that today starts from clean text. The
+# driver row synthesizes deterministic HTML from documents.text
+# ENTIRELY JVM-side (escape &, <, > via chained replaces; wrap in a
+# page with a title, a <style> and a <script> to strip, the escaped
+# text in a <p> block, a comment, and a "footer N" <div> block), then
+# runs the stdlib-html.parser block extractor in Arrow mapInPandas.
+# Construction makes the inverse exact, so the oracle RECOMPUTES the
+# extraction from the raw text (same pattern as the media oracle):
+#   title    = 'doc ' || doc_id
+#   body     = trim(collapse_ascii_ws(text))   [script/style/comment
+#              content never appears; escape/unescape cancels]
+#   text     = body || '\n' || 'footer ' || doc_id   (or just the
+#              footer block when the body collapses to empty)
+#   n_blocks = 2 (or 1 when the body block is empty and drops)
+# The whitespace class is pinned to ASCII ([ \t\n\r\f\x0b]) on BOTH
+# sides: Python's \s matches unicode whitespace, RE2's does not —
+# using either engine's \s would make the oracle engine-dependent.
+# ---------------------------------------------------------------------------
+
+_HTML_EXTRACT_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')) AS body
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CASE WHEN body = '' THEN 'footer ' || CAST(doc_id AS VARCHAR)
+            ELSE body || chr(10) || 'footer ' || CAST(doc_id AS VARCHAR)
+       END AS text,
+       CAST(CASE WHEN body = '' THEN 1 ELSE 2 END AS BIGINT) AS n_blocks
+FROM c
+"""
+
+
+@query("html_text_extract", oracle=_HTML_EXTRACT_ORACLE)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth HTML -> stdlib block-text extraction, oracle-recomputed.
+    The synthesized page carries real boilerplate the extractor must
+    drop — a <style> rule, a <script> whose body contains a bare '<',
+    and an HTML comment — plus two genuine blocks (the escaped
+    document text and a footer div). Extraction runs distributed in
+    one mapInPandas over the synth projection: no shuffle, no collect,
+    Arrow-bounded memory — the 100-TB plan is scan -> extract."""
+    from ..operators.html_extract import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { margin: 0 }</style></head>"
+              "<body><script>if (1 < 2) { boiler(); }</script><p>"),
+        esc,
+        F.lit("</p><!-- boilerplate comment --><div>footer "),
+        F.col("doc_id").cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    synth = docs.select("doc_id", page.alias("html"))
+    return extract_html_text(synth, html_col="html").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )

@@ -4400,3 +4400,69 @@ def test_bmp_decode_and_recursive_media_folder(spark, tmp_path):
     got = _json.loads(rows["image/bmp"].decoded)
     assert got["width"] == 5 and got["first_px_bgr"] == [9, 38, 67]
     assert _json.loads(rows["audio/wav"].decoded)["n_samples"] == 3
+
+
+def test_html_block_text_extraction_rules():
+    """r18: the stdlib HTML block-text kernel — script/style subtrees
+    and comments dropped, title captured separately, inline tags do
+    NOT split blocks, block tags do, char references decode, ASCII
+    whitespace collapses per block, empty blocks drop, and tag soup
+    (a stray </script>) never underflows into skipping real text."""
+    from data_finder_comparator_spark.operators.html_extract import (
+        html_block_text,
+    )
+
+    title, text, n = html_block_text(
+        "<html><head><title>A &amp; B</title>"
+        "<style>p { color: red }</style></head>"
+        "<body><script>if (1 < 2) { boiler(); }</script>"
+        "<p>Hello   <b>wor</b>ld</p>"
+        "<!-- navigation boilerplate -->"
+        "<div>  \t\n </div>"
+        "<ul><li>first</li><li>a &lt; b</li></ul>"
+        "line one<br/>line two"
+        "</body></html>"
+    )
+    assert title == "A & B"
+    assert text == "Hello world\nfirst\na < b\nline one\nline two"
+    assert n == 5
+
+    # stray closer must not swallow the document
+    _, text2, _ = html_block_text("</script><p>still here</p>")
+    assert text2 == "still here"
+
+    # nested script-in-script and style content never leak
+    _, text3, n3 = html_block_text(
+        "<style>.x{}</style><p>keep</p><script>var a = '<p>no</p>';</script>"
+    )
+    assert text3 == "keep" and n3 == 1
+
+
+def test_extract_html_text_passthrough_nulls_and_plan(spark):
+    """r18: the distributed wrapper — passthrough columns survive,
+    NULL html rows drop (never fabricate an empty page), and the plan
+    is pure map-side: no Exchange, no shuffle anywhere."""
+    from data_finder_comparator_spark.operators.html_extract import (
+        extract_html_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "<p>alpha</p><div>beta</div>"),
+            (2, "web", None),
+            (3, "crawl", "<title>t3</title>no tags at all"),
+        ],
+        "doc_id long, source string, html string",
+    )
+    out = extract_html_text(df, html_col="html")
+    assert out.columns == ["doc_id", "source", "title", "text", "n_blocks"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 3}, "null html must drop"
+    assert rows[1].source == "web"
+    assert rows[1].text == "alpha\nbeta" and rows[1].n_blocks == 2
+    assert rows[3].title == "t3" and rows[3].text == "no tags at all"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    with pytest.raises(ValueError, match="not in"):
+        extract_html_text(df, html_col="nope")
