@@ -168,6 +168,26 @@ from . import queries_relational  # noqa: E402,F401
 #                       keep ANN driver evidence)
 #   dedup_hybrid_verify (simhash+ngram hybrid; both constituents hold
 #                       their own driver rows)
+#
+# ENDGAME PLAN (r17 verdict item 6 — the last two rotations, written
+# down ahead so they are planned rather than forced):
+#   r19 window = 1 alignment_pairs + the 47 names parked below
+#   (returning r17 greens, green again by construction if r18 runs
+#   clean) + 2 slots for code-changed stays or net-new registrations.
+#   The 2 free capacity slots allow up to 2 net-new in r19 WITHOUT
+#   retirement; any overrun retires the named candidates above, in
+#   order. If nothing needs the slots, the 2 stays default to
+#   media_stream_decode + html_text_extract (second consecutive green
+#   on the youngest rows).
+#   r20 (final) window = 1 alignment_pairs + the 49 r19-window greens
+#   minus stays — i.e. the CLOSING window is the r18 window itself
+#   returning, so the final CORRECTNESS artifact re-verifies the
+#   round-18 surface (media connector pair, HTML extraction, the
+#   lakehouse plane) while r19's window re-verified everything parked
+#   here. NO net-new registrations in r20: the last round is
+#   consolidation — every registered name ends with a driver-green
+#   row within the final two artifacts, satisfying the freshness
+#   invariant at close with zero double-parking.
 _PARKED_MULTI_GREEN = [
     # -- the CORRECTNESS_r17 hash-greens except the 2 code-changed
     #    stays above (alignment_pairs is rows-only, never parked) -----
