@@ -133,6 +133,15 @@ def extract_html_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     if html_col not in df.columns:
         raise ValueError(f"column {html_col!r} not in {df.columns}")
     passthrough = [c for c in df.columns if c != html_col]
+    clash = sorted({"title", "text", "n_blocks"} & set(passthrough))
+    if clash:
+        # a documents-shaped input (which already HAS a text column)
+        # would otherwise come out with duplicate column names —
+        # unselectable downstream; refuse loudly (r18 self-review)
+        raise ValueError(
+            f"input columns {clash} collide with the extraction output; "
+            "rename or drop them first"
+        )
     pass_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields

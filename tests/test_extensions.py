@@ -4466,3 +4466,19 @@ def test_extract_html_text_passthrough_nulls_and_plan(spark):
 
     with pytest.raises(ValueError, match="not in"):
         extract_html_text(df, html_col="nope")
+
+
+def test_extract_html_text_refuses_output_column_clash(spark):
+    """r18 self-review: a documents-shaped input already carrying a
+    `text` column must refuse loudly — passthrough + extraction output
+    would otherwise produce duplicate column names, unselectable
+    downstream."""
+    from data_finder_comparator_spark.operators.html_extract import (
+        extract_html_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "old", "<p>x</p>")], "doc_id long, text string, html string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        extract_html_text(df, html_col="html")

@@ -175,3 +175,49 @@ def test_xlsx_grid_roundtrip_property(tmp_path_factory, grid):
             assert g == v
         else:
             assert g == v
+
+
+# ---------------------------------------------------------------------------
+# r18: the HTML extraction inverse property the html_text_extract
+# oracle relies on — for ARBITRARY document text, escaping + wrapping
+# in the driver row's page shape and extracting must return exactly
+# (title, collapsed-body + footer blocks, block count). Pure-kernel
+# (no Spark), so hypothesis can hammer the edges the real corpus
+# never reaches: entity-looking fragments ("&amp", "&#65;"), inert
+# escaped markup ("</script>"), control whitespace, unicode
+# whitespace (NBSP must NOT collapse — the class is pinned ASCII),
+# and all-whitespace bodies (the empty block must drop).
+# ---------------------------------------------------------------------------
+
+_HTML_CHARS = st.characters(
+    codec="utf-8",
+    categories=("L", "N", "P", "S", "Zs"),
+    include_characters=" \t\n\r\f\x0b&<>\"'/;#x\xa0",
+)
+_HTML_TEXT = st.text(_HTML_CHARS, min_size=0, max_size=120)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10**9), text=_HTML_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_html_extract_inverse_property(doc_id, text):
+    import html as _html
+    import re as _re
+
+    from data_finder_comparator_spark.operators.html_extract import (
+        html_block_text,
+    )
+
+    esc = _html.escape(text, quote=False)  # same &, <, > set the row escapes
+    page = (
+        f"<html><head><title>doc {doc_id}</title>"
+        "<style>p { margin: 0 }</style></head>"
+        "<body><script>if (1 < 2) { boiler(); }</script>"
+        f"<p>{esc}</p><!-- boilerplate comment -->"
+        f"<div>footer {doc_id}</div></body></html>"
+    )
+    title, out, n = html_block_text(page)
+    body = _re.sub("[ \t\n\r\f\x0b]+", " ", text).strip(" ")
+    blocks = [b for b in (body, f"footer {doc_id}") if b]
+    assert title == f"doc {doc_id}"
+    assert out == "\n".join(blocks)
+    assert n == len(blocks)
