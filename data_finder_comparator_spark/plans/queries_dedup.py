@@ -132,10 +132,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(
         pairs, nodes=docs.select("doc_id"), cache_registry=CACHES
     )
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    # r18 (optimization): cluster_size as ONE window over cluster_id —
+    # the oracle's own formulation — instead of a groupBy + self-join,
+    # which paid two exchanges (agg + join) where the window pays one.
+    # Equal by definition: count(*) over (partition by cluster_id) is
+    # exactly the joined group count.
+    from pyspark.sql import Window
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
     )
-    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.fuzzy_join import tiered_fuzzy_join, topk_fuzzy_join
+from ..operators.fuzzy_join import (
+    prepare_candidates,
+    tiered_fuzzy_join,
+    topk_fuzzy_join,
+)
 from ..sources.parquet import load_table
 from .catalog import CACHES, query, retired_query
 
@@ -128,12 +132,29 @@ _FLAGSHIP_ORACLE = tier_oracle_sql(
 def fuzzy_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: tiered fuzzy join of perturbed part names against the
     distinct part-name catalog (threshold 3, the reference default at
-    /root/reference/main.py:197 and config.ini:13)."""
+    /root/reference/main.py:197 and config.ini:13).
+
+    r18 (optimization): the candidate stats are computed up front
+    (``prepare_candidates``) so the operator's dense one-pass path can
+    fire when the measured candidate count is broadcast-small — the
+    distinct part-name catalog is tiny at every harness SF, and the
+    two-phase banded plan plus the escalating ``poor`` fallback then
+    cost ~20 extra scheduler jobs per call (measured: 22 build jobs /
+    ~2.8 s of the fallback loop vs ~0.4 s for the dense action at
+    sf0.1). Results are identical by construction — the dense path is
+    the same all-four-tiers formulation the oracle states, and the
+    streaming row has hash-matched this exact oracle through it since
+    r9. At a SF where the name catalog outgrows _DENSE_CAND_MAX the
+    gate routes back to the banded two-phase plan automatically."""
+    prepared = prepare_candidates(
+        _part_cands(spark, sf_dir), cache_registry=CACHES
+    )
     return tiered_fuzzy_join(
         _part_probes(spark, sf_dir),
         _part_cands(spark, sf_dir),
         threshold=3,
         cache_registry=CACHES,
+        prepared=prepared,
     )
 
 

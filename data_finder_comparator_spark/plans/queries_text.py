@@ -1229,9 +1229,18 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _bloom_pos(r, f"p{r}")
 
     bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
-    bits = bench.select(
-        F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
-    ).distinct()
+    # r18 (optimization): the bit table is consumed by FOUR broadcast
+    # builds below, and Catalyst does not reuse those exchanges (each
+    # join instance re-canonicalizes over the cached gram scan), so
+    # without a persist the bench distinct + position explode pipeline
+    # runs four times. The bit set is <= 2^16 longs (~512 KB) however
+    # big the eval text — persisting it is the sketch-sized state the
+    # operator's design already promises.
+    bits = track(
+        bench.select(
+            F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+        ).distinct()
+    )
     # no distinct before the membership test: the semi joins are pure
     # map-side, so filtering every OCCURRENCE first and deduplicating
     # only the flagged survivors (count_distinct in the final agg)
@@ -1244,10 +1253,18 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = grams.filter(F.col("doc_id") % 100 != 0).select(
         "doc_id", "gram", pos(0), pos(1), pos(2), pos(3)
     )
+    # r18 (optimization): all four semi joins probe the SAME bit table.
+    # Joining on an expression (p{r} == b) instead of renaming the
+    # broadcast side keeps the four broadcast subtrees byte-identical,
+    # so Catalyst's ReuseExchange collapses them into ONE
+    # BroadcastExchange + three ReusedExchange nodes — the bench gram
+    # pipeline builds the bit set once instead of four times (plan
+    # before: 4 independent BroadcastExchange, each re-running the
+    # bench distinct + position explode).
     flagged = corp
     for r in range(4):
         flagged = flagged.join(
-            F.broadcast(bits.withColumnRenamed("b", f"p{r}")), f"p{r}", "left_semi"
+            F.broadcast(bits), F.col(f"p{r}") == F.col("b"), "left_semi"
         )
     return flagged.groupBy("doc_id").agg(
         F.count_distinct("gram").cast("long").alias("n_maybe_grams")
