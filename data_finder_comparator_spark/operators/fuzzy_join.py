@@ -681,6 +681,7 @@ def topk_fuzzy_join(
     cand_val: str = "cand",
     init_width: int = 8,
     broadcast_cand: bool = True,
+    prepared: PreparedCandidates | None = None,
 ) -> DataFrame:
     """Exact top-k nearest candidates per probe by (edit distance,
     cand_id) — O2 top-k-with-ties generalized from the tiered join's
@@ -712,9 +713,35 @@ def topk_fuzzy_join(
     from pyspark.sql import types as T
 
     p = _prep(probe, probe_id, probe_val, "probe_id", "probe", "_nq")
-    c = _prep(cand, cand_id, cand_val, "cand_id", "cand", "_nc")
+    c = prepared.c if prepared is not None else _prep(
+        cand, cand_id, cand_val, "cand_id", "cand", "_nc"
+    )
 
     out_cols = ["probe_id", "probe", "cand_id", "cand", "dist", "rnk"]
+
+    # Dense path (r18 optimization — the tiered join's dense gate,
+    # applied to top-k): when the candidate count is KNOWN (stats
+    # precomputed by the caller) and broadcast-small, the escalation
+    # ladder is all overhead — 2 stats aggregations, a persisted
+    # band-join round with its own action, and an eager localCheckpoint
+    # per call, where ONE broadcast nested-loop full-DP pass + ONE rank
+    # window is exactly the oracle's formulation and builds zero jobs
+    # (the plan stays lazy until the caller's action). Identical
+    # results: the ladder's exact final round scores the same full DP
+    # and the same (dist, cand_id) rank; probes/candidates whose
+    # normalized key is null are excluded on both paths. Scale
+    # contract: |probes| x n_cand DPs, bounded by the broadcast-small
+    # cap — above _DENSE_CAND_MAX the ladder below runs unchanged.
+    if prepared is not None and prepared.n_cand <= _DENSE_CAND_MAX:
+        wr = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+        return (
+            p.filter(F.col("_nq").isNotNull())
+            .crossJoin(F.broadcast(prepared.matchable))
+            .withColumn("dist", F.levenshtein("_nq", "_nc").cast("long"))
+            .withColumn("rnk", F.rank().over(wr).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(*out_cols)
+        )
     schema = T.StructType(
         [
             p.schema["probe_id"],
@@ -741,10 +768,16 @@ def topk_fuzzy_join(
         ).first()
         if n_rem == 0:
             return empty
-        matchable = _track(c.filter(F.col("_nc").isNotNull()))
-        n_cand, max_c = matchable.agg(
-            F.count(F.lit(1)), F.max(F.length("_nc"))
-        ).first()
+        if prepared is not None:
+            # caller-owned persisted frame + precomputed stats: not
+            # _track-ed (the registry that created it unpersists it)
+            matchable = prepared.matchable
+            n_cand, max_c = prepared.n_cand, prepared.max_c
+        else:
+            matchable = _track(c.filter(F.col("_nc").isNotNull()))
+            n_cand, max_c = matchable.agg(
+                F.count(F.lit(1)), F.max(F.length("_nc"))
+            ).first()
         if n_cand == 0:
             return empty
         # dist(q, c) <= max(|q|, |c|): a round at this width is exact

@@ -562,18 +562,26 @@ def lsh_bucketed_topk(
     which is what matters when the candidate side is 100 TB."""
     def bucketed(df: DataFrame, vec: str, id_col: str) -> DataFrame:
         # n_tables * n_planes * dim multiplies per row from a one-split
-        # parquet read: spread rows before projecting
+        # parquet read: spread rows before projecting.
+        # r18 (optimization): one posexplode projection instead of a
+        # per-table union — the union re-scanned the vector table once
+        # per table (see lsh_neardup_pairs for the identical-rows
+        # argument: posexplode's position IS table_id).
         df = df.repartition(_fanout_partitions(df), F.col(id_col))
-        out = None
-        for t in range(n_tables):
-            b = df.select(
-                id_col,
-                vec,
-                F.lit(t).alias("table_id"),
-                hyperplane_bucket(vec, n_planes, dim, seed_tag=f"hp{t}").alias("bucket"),
-            )
-            out = b if out is None else out.unionByName(b)
-        return out
+        return df.select(
+            id_col,
+            vec,
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_bucket(
+                            vec, n_planes, dim, seed_tag=f"hp{t}"
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("table_id", "bucket"),
+        )
 
     pb = bucketed(probes, "vec_p", "probe_id")
     cb = bucketed(cands, "vec_c", "cand_id").drop("vec_c")
@@ -616,6 +624,7 @@ def lsh_neardup_pairs(
     multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH candidates + exact
     verify — the 100-TB shape for all-pairs similarity: bucket every
@@ -639,14 +648,32 @@ def lsh_neardup_pairs(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
     )
     ids = ids.repartition(_fanout_partitions(ids), F.col("vid"))
-    buckets = None
-    for t in range(n_tables):
-        b = ids.select(
-            "vid",
-            F.lit(t).alias("table_id"),
-            hyperplane_bucket("v", n_planes, dim, seed_tag=f"hp{t}").alias("bucket"),
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
+    # r18 (optimization): all n_tables bucket codes from ONE projection
+    # + posexplode instead of a per-table union — the union plan
+    # re-scanned and re-shuffled the vector table once per table per
+    # consumer (16 parquet scans / 16 Exchanges at n_tables=8: both the
+    # probe and candidate sides of the self-join expand the union).
+    # Rows are identical by construction: posexplode's position IS the
+    # table_id the per-branch F.lit(t) used to carry, and each array
+    # element is the same hyperplane_bucket expression. The persist
+    # shares the one bucket computation (8 x n_planes x dim md5-derived
+    # components per row) across the self-join's two consumers.
+    buckets = ids.select(
+        "vid",
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_bucket(
+                        "v", n_planes, dim, seed_tag=f"hp{t}"
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table_id", "bucket"),
+    )
+    if cache_registry is not None:
+        buckets = buckets.persist()
+        cache_registry.append(buckets)
     probe = buckets
     if multiprobe:
         probe = buckets.select(

@@ -251,14 +251,27 @@ def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's best-tier argmin (main.py:212-216) generalized to k
     with rank() tie semantics, computed via escalating length-band
     equi-joins (no O(P*C) full-DP cross join — the naive rank()
-    formulation's plan dies at 100x)."""
+    formulation's plan dies at 100x).
+
+    r18 (optimization): candidate stats are computed up front
+    (``prepare_candidates``, same as the flagship) so the operator's
+    dense broadcast path fires for the broadcast-small name catalog —
+    the escalation ladder's 2 stats aggregations + persisted round +
+    eager localCheckpoint cost ~16 build jobs per call where the dense
+    plan builds zero. Above _DENSE_CAND_MAX the ladder runs
+    unchanged."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
     probes = names.select(
         F.col("name_id").cast("long").alias("probe_id"),
         F.expr("substring(p_name, 2)").alias("probe"),
     )
-    return topk_fuzzy_join(probes, _part_cands(spark, sf_dir), k=3)
+    prepared = prepare_candidates(
+        _part_cands(spark, sf_dir), cache_registry=CACHES
+    )
+    return topk_fuzzy_join(
+        probes, _part_cands(spark, sf_dir), k=3, prepared=prepared
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -117,12 +117,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus; production would use ~0.95 on real embeddings)
     via LSH candidates + exact verify — no full-table cross join
     anywhere in the plan. Threshold applied on the 6-dp rounded value
-    so the cut is engine-exact."""
+    so the cut is engine-exact.
+
+    r18 (optimization): bucket codes come from one posexplode pass
+    persisted across the self-join's two consumers (CACHES) — the old
+    per-table union re-scanned the vector table 16x; see
+    lsh_neardup_pairs."""
     from ..operators.similarity import lsh_neardup_pairs
+    from .catalog import CACHES
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(
-        emb, threshold=0.35, n_planes=6, n_tables=8, dim=64, multiprobe=1
+        emb,
+        threshold=0.35,
+        n_planes=6,
+        n_tables=8,
+        dim=64,
+        multiprobe=1,
+        cache_registry=CACHES,
     )
 
 

@@ -1050,12 +1050,39 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     ).select("cell.r", "cell.b", "n")
     counters = cells.groupBy("r", "b").agg(F.sum("n").alias("c"))
-    est = hashed
-    for r in range(4):
-        cr = counters.filter(F.col("r") == r).select(
-            F.col("b").alias(f"b{r}"), F.col("c").alias(f"c{r}")
-        )
-        est = est.join(F.broadcast(cr), f"b{r}")
+    # r18 (optimization): the four per-row point lookups were four
+    # broadcast-hash joins, and each broadcast BUILD re-ran the cells
+    # explode + counter aggregation from the cached `hashed` frame (4
+    # aggregation jobs + 4 broadcast builds per action). The counter
+    # matrix is <= 4 x 1024 cells BY CONSTRUCTION — sketch-sized state
+    # — so fold it into ONE single-row map (key r*1024+b) and resolve
+    # every row's four counters with element_at against the one-row
+    # broadcast. Results identical: (r, b) is unique after the groupBy
+    # (no duplicate map keys) and every hashed row's bucket exists in
+    # the matrix it was aggregated into, so each lookup equals the
+    # former inner-join match. At 100 TB the broadcast state is the
+    # same KBs the join version shipped; one exchange now builds it
+    # instead of four.
+    cmap = counters.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("r").cast("long") * 1024 + F.col("b")).alias("k"),
+                    F.col("c").alias("v"),
+                )
+            )
+        ).alias("_m")
+    )
+    est = hashed.crossJoin(F.broadcast(cmap)).select(
+        "tok",
+        "n",
+        *[
+            F.element_at("_m", F.lit(r).cast("long") * 1024 + F.col(f"b{r}")).alias(
+                f"c{r}"
+            )
+            for r in range(4)
+        ],
+    )
     total = freq.agg(F.sum("n").alias("t"))
     return (
         est.select(
@@ -1229,43 +1256,59 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _bloom_pos(r, f"p{r}")
 
     bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
-    # r18 (optimization): the bit table is consumed by FOUR broadcast
-    # builds below, and Catalyst does not reuse those exchanges (each
-    # join instance re-canonicalizes over the cached gram scan), so
-    # without a persist the bench distinct + position explode pipeline
-    # runs four times. The bit set is <= 2^16 longs (~512 KB) however
-    # big the eval text — persisting it is the sketch-sized state the
-    # operator's design already promises.
-    bits = track(
-        bench.select(
-            F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
-        ).distinct()
+    bits = bench.select(
+        F.explode(F.array(pos(0), pos(1), pos(2), pos(3))).alias("b")
+    ).distinct()
+    # r18 (optimization): materialize the filter as the ACTUAL 2^16-bit
+    # Bloom bitmask — a one-row broadcast of 1024 longs (8 KB) — and
+    # test membership with O(1) array indexing, instead of four
+    # broadcast-hash semi joins whose builds each re-ran the bench
+    # distinct + position-explode pipeline (Catalyst planned 4
+    # independent BroadcastExchange subtrees; an earlier-r18 persist of
+    # the bit table cut the recompute but still paid 4 broadcast
+    # builds). Identical survivors: bit (b & 63) of word (b >> 6) is
+    # set iff b is in the bit-position set, so each test equals the
+    # former left-semi membership probe; the oracle's four
+    # IN-subqueries are untouched. At 100 TB this is strictly better:
+    # ONE 8 KB broadcast replaces 4 x 512 KB hash relations, and the
+    # corp gram stream still never shuffles before the final per-doc
+    # count.
+    words = bits.groupBy(F.shiftright("b", 6).alias("s")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(b & 63 as int)))").alias("m")
     )
-    # no distinct before the membership test: the semi joins are pure
-    # map-side, so filtering every OCCURRENCE first and deduplicating
-    # only the flagged survivors (count_distinct in the final agg)
-    # shuffles the flagged set instead of the whole gram stream. On the
-    # synthetic corpus the two shapes tie (~3.5 vs ~4.0 s at sf0.1 —
-    # the repeated texts make most grams eval-overlapping, so the semi
-    # join barely filters); on a real corpus eval overlap is rare, the
-    # filter drops ~everything, and the pre-distinct would shuffle the
-    # full 100 TB gram stream for nothing
+    masks = (
+        words.groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("s", "m"))).alias("_mm"))
+        .select(
+            F.expr(
+                "transform(sequence(0, 1023),"
+                " i -> coalesce(element_at(_mm, cast(i as bigint)), 0L))"
+            ).alias("_masks")
+        )
+    )
+    # no distinct before the membership test: the bitmask filter is
+    # pure map-side, so filtering every OCCURRENCE first and
+    # deduplicating only the flagged survivors (count_distinct in the
+    # final agg) shuffles the flagged set instead of the whole gram
+    # stream. On the synthetic corpus the two shapes tie (~3.5 vs
+    # ~4.0 s at sf0.1 — the repeated texts make most grams
+    # eval-overlapping, so the filter barely prunes); on a real corpus
+    # eval overlap is rare, the filter drops ~everything, and the
+    # pre-distinct would shuffle the full 100 TB gram stream for
+    # nothing
     corp = grams.filter(F.col("doc_id") % 100 != 0).select(
         "doc_id", "gram", pos(0), pos(1), pos(2), pos(3)
     )
-    # r18 (optimization): all four semi joins probe the SAME bit table.
-    # Joining on an expression (p{r} == b) instead of renaming the
-    # broadcast side keeps the four broadcast subtrees byte-identical,
-    # so Catalyst's ReuseExchange collapses them into ONE
-    # BroadcastExchange + three ReusedExchange nodes — the bench gram
-    # pipeline builds the bit set once instead of four times (plan
-    # before: 4 independent BroadcastExchange, each re-running the
-    # bench distinct + position explode).
-    flagged = corp
-    for r in range(4):
-        flagged = flagged.join(
-            F.broadcast(bits), F.col(f"p{r}") == F.col("b"), "left_semi"
+    member = [
+        F.expr(
+            f"(element_at(_masks, cast(shiftright(p{r}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast(p{r} & 63 as int))) != 0"
         )
+        for r in range(4)
+    ]
+    flagged = corp.crossJoin(F.broadcast(masks)).filter(
+        member[0] & member[1] & member[2] & member[3]
+    )
     return flagged.groupBy("doc_id").agg(
         F.count_distinct("gram").cast("long").alias("n_maybe_grams")
     )

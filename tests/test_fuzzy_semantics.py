@@ -209,6 +209,51 @@ def test_topk_fewer_candidates_than_k(spark):
     assert sorted((r.cand_id, r.dist, r.rnk) for r in out) == [(10, 1, 1), (11, 3, 2)]
 
 
+def test_topk_dense_prepared_path_matches_brute_force(spark):
+    """r18: the dense broadcast top-k path (prepared candidates under
+    the broadcast-small cap) must equal the full-rank answer — same
+    corpus as the ladder test, so the two paths are pinned to one
+    reference. Null-valued probes/candidates must be excluded exactly
+    like the ladder's isNotNull filters (a null would otherwise sort
+    first under the rank window)."""
+    from data_finder_comparator_spark.operators.fuzzy_join import (
+        prepare_candidates,
+        topk_fuzzy_join,
+    )
+
+    probes = [(1, "almond blue"), (2, "xqzzwv"), (3, "a"), (4, "chocolate lace grand")]
+    cands = [
+        (10, "almond blue!"),
+        (11, "almond blues"),
+        (12, "Almond Blue"),
+        (13, "chocolate lace grande"),
+        (14, "mmmmmmmmmmmmmmmmmmmmmmmmmmmmmm"),
+        (15, "b"),
+    ]
+    cand_df = spark.createDataFrame(
+        cands + [(99, None)], "cand_id long, cand string"
+    )
+    reg: list = []
+    prepared = prepare_candidates(cand_df, cache_registry=reg)
+    try:
+        got = {
+            (r.probe_id, r.cand_id, r.dist, r.rnk)
+            for r in topk_fuzzy_join(
+                spark.createDataFrame(
+                    probes + [(9, None)], "probe_id long, probe string"
+                ),
+                cand_df,
+                k=3,
+                prepared=prepared,
+            ).collect()
+        }
+    finally:
+        for df in reg:
+            df.unpersist()
+    assert got == _brute_topk(probes, cands, 3)
+    assert not any(pid == 9 or cid == 99 for pid, cid, _, _ in got)
+
+
 def test_dense_prepared_path_matches_reference(spark):
     """The dense one-pass path (prepared candidates under the
     broadcast-small cap — the streaming micro-batch regime) must produce
