@@ -255,21 +255,27 @@ def test_hll_sketch_shuffles_registers_not_values(spark):
 
 
 def test_cms_estimates_join_broadcast_counters(spark):
-    # the 4 estimate lookups join the vocabulary against the <=4096-row
-    # counter table as broadcasts — never a sorted shuffle join of the
-    # vocabulary per hash row
+    # r18: the 4 estimate lookups resolve against ONE single-row
+    # broadcast map of the 4x1024 counter matrix (element_at) — a
+    # bounded one-row BroadcastNestedLoopJoin, never a sorted shuffle
+    # join of the vocabulary per hash row (and no per-row hash join
+    # builds re-running the counter aggregation, the pre-r18 shape)
     plan = _executed_plan(QUERIES["cms_heavy_hitters"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_bloom_membership_is_broadcast_semi_joins(spark):
-    # the bit-position table attaches as broadcast LEFT SEMI joins —
-    # the corpus grams never shuffle for the membership test
+def test_bloom_membership_is_broadcast_bitmask(spark):
+    # r18: membership is an O(1) bit test against the 2^16-bit mask
+    # (1024 longs) riding ONE single-row broadcast — the corpus grams
+    # never shuffle for the membership test (pre-r18: four broadcast
+    # LEFT SEMI joins, each build re-running the bit-table pipeline)
     plan = _executed_plan(QUERIES["bloom_decontaminate"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 4, plan
-    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the four bit tests are inlined filters on the gram stream, not
+    # joins: exactly one nested-loop attach of the one-row mask frame
+    assert plan.count("BroadcastHashJoin") == 0, plan
 
 
 def test_histogram_quantiles_aggregates_before_exchange(spark):
