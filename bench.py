@@ -62,19 +62,34 @@ def main() -> None:
     # 65.1s); min of three is the steady-state estimator and stays
     # honest (every run executes the full plan; nothing is cached
     # between runs).
+    #
+    # r18 measurement fix (documented in OPTIMIZATION_r18.md): the three
+    # runs are three INTERLEAVED PASSES over the whole query list, not
+    # three back-to-back runs per query. Host interference on this box
+    # arrives in multi-minute windows (measured: the same row read
+    # 73.0 s min-of-3 consecutive in one full run and 1.9 s in the
+    # next; two same-code runs spiked DIFFERENT registry neighborhoods
+    # by 3-40x), so three consecutive runs all land inside one window
+    # and the min cannot filter it — and the first few queries of a run
+    # additionally pay JVM JIT warmup. Interleaving decorrelates both:
+    # each query's three timings come from three separate points in the
+    # session, and passes 2-3 are fully warm. The timed action, the
+    # number of executions per query (3), and the cache isolation
+    # (clearCache after every run — nothing carries between runs) are
+    # unchanged.
     timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(3):
+    for _pass in range(3):
+        for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
             # operators persist() intermediates consumed twice within one
             # query; drop them so runs are independent and no query is
             # billed for a predecessor's cached state
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     payload = {
