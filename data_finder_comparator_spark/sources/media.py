@@ -24,10 +24,22 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # decode-stage batches only; see media_decode
+    import pandas as pd
+
+# pandas is deliberately NOT imported at module level: this module is
+# on the import path of every Python data-source worker (sources/
+# __init__ → media → lakehouse_source unpickling), and a module-level
+# pandas pulls ~7 s of pandas+numpy import into each COLD worker fork
+# (create_data_source / plan_data_source_read / stream runner) that
+# never touches media. The only runtime use is inside media_decode's
+# mapInPandas closure, where the Arrow-eval worker has pandas loaded
+# anyway (measured r18: lakehouse_source import 8.8 s → ~1 s).
 
 # extension → mime for the formats a training pipeline meets; unknown
 # extensions map to application/octet-stream (the payload still flows —
@@ -161,6 +173,8 @@ def media_decode(df: DataFrame, on_unsupported: str = "error") -> DataFrame:
     from ..operators.multimodal import decode_media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # worker-side; already loaded by Arrow eval
+
         cols = ("doc_id", "path", "mime", "kind", "n_bytes", "decoded")
         for pdf in batches:
             rows = {k: [] for k in cols}

@@ -4482,3 +4482,32 @@ def test_extract_html_text_refuses_output_column_clash(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         extract_html_text(df, html_col="html")
+
+
+def test_datasource_worker_import_path_skips_pandas():
+    """r18 optimization pin: the lakehouse Python DataSource's
+    worker-side import path (sources/__init__ -> media ->
+    lakehouse_source, the chain every cold create_data_source /
+    plan_data_source_read / streaming-runner fork re-imports) must NOT
+    pull pandas — a module-level pandas in any of these modules adds
+    0.3 s (warm page cache) to ~7 s (pressure-evicted cache) to every
+    cold Python worker fork of the DSv2 rows (measured r18; see
+    OPTIMIZATION_r18.md). pandas belongs inside the mapInPandas
+    closures, where the Arrow-eval worker has it loaded anyway."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys\n"
+            "import data_finder_comparator_spark.sources.lakehouse_source\n"
+            "print('pandas' in sys.modules)",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.stdout.strip() == "False", out.stdout + out.stderr
