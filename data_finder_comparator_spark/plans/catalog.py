@@ -129,115 +129,85 @@ from . import queries_relational  # noqa: E402,F401
 #            minus any query whose code changes this round (which must
 #            then displace a returning green into RETIREMENT, never
 #            into double-parking).
-# r18 window (50 of the 50-slot cap), by the mechanical rule:
+# r19 window (50 of the 50-slot cap) — the ENDGAME PLAN's penultimate
+# rotation, executed exactly as written ahead in r18 (r17 verdict item
+# 6; the r18 verdict's item 7 re-ordered it verbatim):
 #   1 alignment_pairs (in-window permanently: contributes no green)
-# + 45 r16 greens returning from their r17 parking (all were green in
-#   CORRECTNESS_r16 and none ran red in r17)
-# + 2 r17 greens whose EXECUTED code changed in r18, each staying
-#   in-window for a fresh hash-green:
-#     media_folder_decode         (r17 verdict item 1b + ADVICE: the
-#                                  fixture gains 24 BMP files — the
-#                                  uncompressed-BMP parser's driver
-#                                  evidence — the sel filter gains the
-#                                  ASCII-only guard on both sides, and
-#                                  the synthesis/projection moved into
-#                                  helpers shared with the streaming
-#                                  twin)
-#     lakehouse_datasource_snapshot (r17 ADVICE: the timestampAsOf
-#                                  boundary probe gained the same-tick
-#                                  timing guard — the expected version
-#                                  is now derived from ts3 > ts2)
-# + 2 net-new registrations (r17 verdict items 1a and 2):
-#     media_stream_decode         (the STREAMING media connector under
-#                                  the driver hash: two-drop, two-run
-#                                  exactly-once ingest through one
-#                                  checkpoint, same recomputing oracle
-#                                  as the batch row)
-#     html_text_extract           (HTML boilerplate-removal extraction:
-#                                  deterministic synth HTML from
-#                                  documents.text, stdlib html.parser
-#                                  block extractor in Arrow mapInPandas,
-#                                  oracle recomputes the inverse)
+# + 47 r17 greens returning from their r18 parking (every one of the
+#   49 CORRECTNESS_r18 oracle rows is hash-green, so all parked names
+#   are green-in-r18 by construction)
+# + 2 stays, the planned default (no net-new registrations this round —
+#   r19 is an optimization round):
+#     media_stream_decode  (second consecutive driver green on the
+#                           youngest streaming-media row)
+#     html_text_extract    (second consecutive driver green on the
+#                           youngest extraction row)
 #
-# 1 + 45 + 2 + 2 = 50 exactly. Registry is 97 (50 window + 47 parked =
-# the 49 r17 greens minus the 2 stays), retired 21 — within the
-# 99-slot capacity bound, 2 free. NEXT retirement candidates, named
-# ahead (strategy-variant rows whose operator keeps other driver
-# evidence):
-#   ann_cosine_topk    (guarded brute baseline; IVF/SQ8/LSH/PQ rows
-#                       keep ANN driver evidence)
-#   dedup_hybrid_verify (simhash+ngram hybrid; both constituents hold
-#                       their own driver rows)
+# 1 + 47 + 2 = 50 exactly. Registry stays 97 (50 window + 47 parked =
+# the 49 r18 greens minus the 2 stays), retired 21 — within the
+# 99-slot capacity bound, 2 free and unused (no net-new, so the named
+# retirement candidates ann_cosine_topk / dedup_hybrid_verify stay
+# registered).
 #
-# ENDGAME PLAN (r17 verdict item 6 — the last two rotations, written
-# down ahead so they are planned rather than forced):
-#   r19 window = 1 alignment_pairs + the 47 names parked below
-#   (returning r17 greens, green again by construction if r18 runs
-#   clean) + 2 slots for code-changed stays or net-new registrations.
-#   The 2 free capacity slots allow up to 2 net-new in r19 WITHOUT
-#   retirement; any overrun retires the named candidates above, in
-#   order. If nothing needs the slots, the 2 stays default to
-#   media_stream_decode + html_text_extract (second consecutive green
-#   on the youngest rows).
-#   r20 (final) window = 1 alignment_pairs + the 49 r19-window greens
-#   minus stays — i.e. the CLOSING window is the r18 window itself
-#   returning, so the final CORRECTNESS artifact re-verifies the
-#   round-18 surface (media connector pair, HTML extraction, the
-#   lakehouse plane) while r19's window re-verified everything parked
-#   here. NO net-new registrations in r20: the last round is
-#   consolidation — every registered name ends with a driver-green
-#   row within the final two artifacts, satisfying the freshness
-#   invariant at close with zero double-parking.
+# r20 (final) window = 1 alignment_pairs + the 49 r19-window greens
+# minus stays — i.e. the CLOSING window is the r18 window itself
+# returning, so the final CORRECTNESS artifact re-verifies the
+# round-18 surface (media connector pair, HTML extraction, the
+# lakehouse plane) while this round's window re-verifies everything
+# parked through r18. NO net-new registrations in r20: the last round
+# is consolidation — every registered name ends with a driver-green
+# row within the final two artifacts, satisfying the freshness
+# invariant at close with zero double-parking.
 _PARKED_MULTI_GREEN = [
-    # -- the CORRECTNESS_r17 hash-greens except the 2 code-changed
-    #    stays above (alignment_pairs is rows-only, never parked) -----
-    "alignment_dist",
-    "multimodal_wav_decode",
-    "pcm_resample_layout",
-    "text_quality_signals",
-    "lang_id_confusion",
-    "doc_repetition",
-    "vocab_top_tokens",
-    "deterministic_sample",
-    "doc_fingerprints",
-    "deterministic_shuffle",
-    "sequence_packing",
-    "source_domain_caps",
-    "mixture_token_budget",
-    "duplicate_spans",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "scrub_hot_spans",
-    "inverted_index",
-    "union_by_name_folder",
-    "excel_folder_roundtrip",
-    "csv_folder_roundtrip",
-    "orc_folder_roundtrip",
-    "partitioned_lang_roundtrip",
-    "keep_replace_curation",
-    "curation_counts",
-    "json_folder_roundtrip",
-    "mixed_folder_any",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_hybrid_verify",
-    "line_dedup_stats",
-    "cluster_canonical",
-    "ann_cosine_topk",
-    "embedding_neardup_pairs",
-    "ann_ivf_topk",
-    "ivf_kmeans_centroids",
-    "ann_audit_lifecycle",
-    "lakehouse_merge_roundtrip",
-    "lakehouse_stream_roundtrip",
-    "lakehouse_maintenance_roundtrip",
-    "lakehouse_pushdown_snapshot",
-    "lakehouse_cdc_changes",
-    "lakehouse_schema_evolution",
-    "lakehouse_clustered_compaction",
-    "orders_grouping_sets",
-    "rolling_user_activity",
+    # -- the CORRECTNESS_r18 hash-greens except the 2 stays above
+    #    (alignment_pairs is rows-only, never parked) ----------------
+    "fuzzy_join_tiers",
+    "fuzzy_join_docs",
+    "fuzzy_topk",
+    "fuzzy_tier_assembly",
+    "streaming_fuzzy_tiers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "streaming_window_counts",
+    "streaming_first_seen",
+    "streaming_watermarked_counts",
+    "streaming_sliding_counts",
+    "streaming_purchase_attribution",
+    "streaming_enriched_segments",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "lang_robust_length_stats",
+    "doc_token_chunks",
+    "media_folder_decode",
+    "corpus_curation_pipeline",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "weighted_reservoir_sample",
+    "gram_tfidf_cosine_topk",
+    "deterministic_row_ids",
+    "table_version_diff",
+    "dedup_exact",
+    "dedup_simhash",
+    "hll_merge_shards",
+    "ivf_pq_build_serve_roundtrip",
+    "ann_lsh_build_serve_roundtrip",
+    "ann_sq8_rerank_topk",
+    "semantic_dedup",
+    "lakehouse_datasource_snapshot",
+    "lakehouse_restore_roundtrip",
+    "lakehouse_stream_ingest",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_pivot_by_hour",
+    "sessionize_events",
+    "asof_latest_order",
+    "salted_segment_stats",
+    "bucketed_order_revenue",
+    "props_json_stats",
+    "event_funnel",
+    "hourly_gapfill",
+    "histogram_quantiles",
 ]
 
 
