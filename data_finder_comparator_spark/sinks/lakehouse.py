@@ -126,14 +126,14 @@ _CKPT_POINTER = f"{_COMMITS}/_last_checkpoint.json"
 # lowers the resolved start (more inclusive replay), never loses data.
 _VERSION_TS_CAP = 8192
 
-# Stream-facing commit-op classification (shared with the lakehouse
-# data source): ops whose added files are PURE NEW ROWS are streamable
-# as appends; rewrite-only ops change the file set but no logical row.
-# NOTE a bootstrap (v==1) commit of ANY op is all new rows by
-# definition — both consumers override it to "append" by version, not
-# by op name (no writer emits a distinct bootstrap op).
-_STREAM_APPEND_OPS = {"append"}
-_STREAM_REWRITE_OPS = {"optimize"}
+# Stream-facing commit-op classification: lives in the lakehouse_ops
+# leaf module so the data-source worker fork can import it WITHOUT
+# this ~3700-line driver-side module (r19 cold-fork import diet; see
+# lakehouse_ops's docstring for the classification contract).
+from .lakehouse_ops import (  # noqa: E402
+    STREAM_APPEND_OPS as _STREAM_APPEND_OPS,
+    STREAM_REWRITE_OPS as _STREAM_REWRITE_OPS,
+)
 
 
 class CommitConflict(Exception):

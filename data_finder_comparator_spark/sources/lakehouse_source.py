@@ -67,10 +67,14 @@ _PROVENANCE = [
 
 # ops whose added files are pure new rows / pure rewrites — one source
 # of truth with the table's checkpoint builder, whose `dirty` list must
-# classify commits exactly like this reader does
-from ..sinks.lakehouse import (  # noqa: E402
-    _STREAM_APPEND_OPS as _APPEND_OPS,
-    _STREAM_REWRITE_OPS as _REWRITE_ONLY_OPS,
+# classify commits exactly like this reader does. Imported from the
+# lakehouse_ops LEAF module (r19): this module runs in every cold
+# data-source worker fork, and the full sinks.lakehouse module is
+# driver-side machinery those forks never call — same guide §4.5
+# import-diet rule as r18's lazy-pandas fix in sources/media.py.
+from ..sinks.lakehouse_ops import (  # noqa: E402
+    STREAM_APPEND_OPS as _APPEND_OPS,
+    STREAM_REWRITE_OPS as _REWRITE_ONLY_OPS,
 )
 
 

@@ -1153,6 +1153,44 @@ def test_kmeans_lloyd_two_rounds(spark):
     }
 
 
+def test_kmeans_dense_matches_flattened(spark):
+    """The array-native Lloyd path (one exchange per round) must equal
+    the flattened-row path EXACTLY — values, tie-breaks, and the
+    empty-cluster dropout — on a case exercising ties (identical seed
+    vectors), asymmetric blobs, and a no-capture centroid. The decimal
+    fold's exactness argument (kmeans_lloyd_dense docstring) is what
+    this pins."""
+    from data_finder_comparator_spark.operators.clustering import (
+        flatten_vectors,
+        kmeans_lloyd,
+        kmeans_lloyd_dense,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 0.25]),
+            (1, [1.0, 1.0, 0.25]),  # exact tie with seed 0 on round 1
+            (2, [5.0, 5.0, -0.125]),
+            (3, [5.0, 5.25, -0.125]),
+            (4, [0.0, 9.0, 3.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    old = sorted(
+        tuple(r)
+        for r in kmeans_lloyd(
+            flatten_vectors(vecs, "vec_id", "embedding"), k=2, iterations=2
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_dense(
+            vecs, "vec_id", "embedding", k=2, dims=3, iterations=2
+        ).collect()
+    )
+    assert old == new
+
+
 def test_connected_components_paths_agree(spark):
     """The single-task union-find fast path and the iterative
     label-propagation scale path must produce identical labels —
@@ -4503,11 +4541,18 @@ def test_datasource_worker_import_path_skips_pandas():
             "-c",
             "import sys\n"
             "import data_finder_comparator_spark.sources.lakehouse_source\n"
-            "print('pandas' in sys.modules)",
+            "print('pandas' in sys.modules,\n"
+            "      'data_finder_comparator_spark.sinks.lakehouse' in sys.modules)",
         ],
         capture_output=True,
         text=True,
         check=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
-    assert out.stdout.strip() == "False", out.stdout + out.stderr
+    # r19 extends the same pin to the full sinks.lakehouse module: the
+    # data source needs only the two lakehouse_ops constants, and the
+    # ~3700-line driver-side sink module (measured ~250 ms warm, the
+    # multi-second page-fault path under the r18-documented cache
+    # pressure) must stay out of the fork. The sinks package re-export
+    # is lazy (PEP 562) for exactly this reason.
+    assert out.stdout.split() == ["False", "False"], out.stdout + out.stderr
