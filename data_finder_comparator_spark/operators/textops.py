@@ -558,6 +558,16 @@ def gram_tfidf_cosine_topk(
     tf = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # r19 (optimization): tf feeds THREE subtrees of the weight table —
+    # the weights themselves plus the dfreq and n_docs broadcast builds
+    # — and without a persist each build re-ran the scan + tokenize +
+    # gram explode + tf aggregation from parquet (measured in the r18
+    # plan dump: three identical Scan→Generate→HashAggregate chains
+    # inside one w materialization). Persist it once; the registry
+    # owner releases it with the rest.
+    if cache_registry is not None:
+        tf = tf.persist()
+        cache_registry.append(tf)
     # corpus size rides a broadcast one-row frame (no driver-side
     # count() action — the plan stays fully lazy and distributed)
     n_docs = tf.agg(

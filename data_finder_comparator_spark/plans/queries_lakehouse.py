@@ -81,8 +81,20 @@ WHERE o_orderkey NOT BETWEEN 400 AND 900
 # sf_dir -> path of the fully-built (3-commit) table in THIS process.
 _MERGE_TABLES: dict[str, str] = {}
 
+# The memo is check-then-build over a SHARED scratch dir; concurrent
+# callers (the parallel pytest parity harness runs independent queries
+# from a thread pool, guide §2.6) would otherwise both miss the memo
+# and the second fresh_run_dir would delete the dir mid-build under
+# the first. Single-threaded callers pay one uncontended acquire.
+_MERGE_TABLES_LOCK = __import__("threading").Lock()
+
 
 def _built_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    with _MERGE_TABLES_LOCK:
+        return _built_merge_table_under_lock(spark, sf_dir)
+
+
+def _built_merge_table_under_lock(spark: SparkSession, sf_dir: str) -> str:
     """Path of the shared append→MERGE→DELETE orders table for
     ``sf_dir``, building it if this process has not yet (or if a
     recorded build turns out torn/deleted — the memo trusts nothing
