@@ -77,12 +77,35 @@ def main() -> None:
     # number of executions per query (3), and the cache isolation
     # (clearCache after every run — nothing carries between runs) are
     # unchanged.
+    # r19 harness hardening (documented in OPTIMIZATION_r19.md): the
+    # sandbox's page-cache-pressure regime can kill a FRESH Python
+    # worker fork past the JVM's hardcoded 10 s connect-back accept —
+    # "Python worker failed to connect back" — which aborts the whole
+    # bench with rc=1 on an environmental strike (it crashed an 8-core
+    # full run this round at pass 3 of 3). A run that dies with exactly
+    # that signature is retried once and the RETRY's full execution is
+    # what gets timed (it computes everything from parquet — nothing is
+    # cached across the attempts, clearCache below still runs every
+    # attempt). Any other exception aborts as before.
     timings: dict[str, float] = {}
     for _pass in range(3):
         for name in names:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
+            for attempt in (0, 1):
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).count()
+                except Exception as e:
+                    spark.catalog.clearCache()
+                    if attempt == 0 and "Python worker failed to connect back" in str(e):
+                        print(
+                            f"[bench] worker-spawn timeout killed {name} "
+                            f"(pass {_pass}); retrying once",
+                            file=sys.stderr,
+                        )
+                        continue
+                    raise
+                dt = time.perf_counter() - t0
+                break
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
             # operators persist() intermediates consumed twice within one

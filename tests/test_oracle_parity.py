@@ -24,7 +24,7 @@ import pytest
 from tests.conftest import SF_ORACLE
 from tests.oracle import compare
 
-_POOL_THREADS = int(os.environ.get("SPARK_GRAFT_TEST_THREADS", "6"))
+_POOL_THREADS = int(os.environ.get("SPARK_GRAFT_TEST_THREADS", "8"))
 
 
 def _cases():
